@@ -1,0 +1,154 @@
+"""Graph traversal: single-source BFS shortest paths (the reference's query).
+
+Reference semantics (SURVEY.md §2.6, from ``BFS_map_reduce.py``):
+given an undirected, unweighted edge list and a source vertex, compute
+for every vertex its shortest-path distance and one shortest path in
+forward order ``[source, ..., vertex]`` (``BFS_map_reduce.py:31-35``).
+Spec deviations, deliberate (SURVEY.md §2.9):
+
+- unreachable vertices get ``dist = NULL`` instead of hanging the loop
+  (reference wart W2: termination test ``BFS_map_reduce.py:149``);
+- equal-distance path ties break to the lexicographically smallest
+  path instead of first-seen argmin (wart W3, ``BFS_map_reduce.py:52``),
+  so results are deterministic under any parallelism.
+
+Spark-first design — the reference's per-round structure maps as:
+
+==========================================  =================================
+reference (Ray MapReduce)                    this engine (DataFrame loop)
+==========================================  =================================
+map_task frontier expansion (:25-42)         frontier ⋈ adjacency + explode
+"in-worker shuffle" partial group (:8-23)    automatic partial HashAggregate
+driver-funnel global shuffle (:122-136)      executor-side Exchange
+reduce_task min-dist/argmin-path (:44-60)    groupBy(id).agg(min(struct(...)))
+all-BLACK termination scan (:149)            empty-frontier check (metadata)
+==========================================  =================================
+
+Scale posture (what changes at 100 TB / 1000 executors):
+
+- Per-round state shipped through the shuffle is O(frontier × avg
+  degree), never O(V): settled vertices live in ``visited`` and are
+  excluded with a join, not re-emitted (the reference re-serializes
+  every vertex every round, ``BFS_map_reduce.py:40-41``).
+- The adjacency DataFrame is hash-partitioned on ``src`` once and
+  persisted, so every round's frontier join shuffles only the (small)
+  frontier side; with AQE the frontier side is broadcast when it fits.
+- ``localCheckpoint`` every round truncates lineage — without it the
+  plan doubles per iteration and the DAG scheduler dies long before
+  data size matters.
+- Path columns grow O(diameter); for diameter-heavy graphs pass
+  ``with_paths=False`` to carry only (id, dist) — the common SSSP use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Symmetrize + dedup an edge list (reference inserts both
+    directions and keeps duplicates/self-loops — ``Graph.py:9-16``;
+    duplicates are harmless for BFS but waste shuffle, so we drop them)."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """Adjacency list ``(src, neighbours array)`` — the reference's
+    ``dict[int, list[int]]`` (``Graph.py:9-16``) as a DataFrame.
+
+    BFS below joins the flat symmetric edge table directly (cheaper:
+    no array build/explode round-trip); this exists as the standalone
+    operator equivalent of ``Graph.get_graph()``.
+    """
+    return undirected_edges(edges).groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("neighbours")
+    )
+
+
+def bfs(
+    edges: DataFrame,
+    source: int = 0,
+    max_rounds: int = 10_000,
+    with_paths: bool = True,
+    directed: bool = False,
+) -> DataFrame:
+    """Single-source shortest paths via level-synchronous BFS.
+
+    Returns ``(id BIGINT, dist BIGINT, path ARRAY<BIGINT>)`` for every
+    vertex that appears in ``edges`` (plus the source), ``dist``/``path``
+    NULL when unreachable. One shuffle stage per BFS level, all
+    executor-side; the driver only runs the (cheap) empty-frontier test,
+    exactly the Pregel/GraphX iteration shape.
+    """
+    spark = edges.sparkSession
+    raw = edges.select(
+        F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+    )
+    # Vertex universe comes from the RAW edges — self-loop-only vertices
+    # still exist in the graph even though the loop edge never helps BFS.
+    all_vertices = (
+        raw.select(F.col("src").alias("id"))
+        .union(raw.select(F.col("dst").alias("id")))
+        .union(spark.createDataFrame([(source,)], "id bigint"))
+        .distinct()
+    )
+    if not directed:
+        sym = undirected_edges(raw)
+    else:
+        sym = raw.filter(F.col("src") != F.col("dst")).distinct()
+    # Partition the (big, static) edge side once on the join key and pin
+    # it in memory: every round reuses the same co-located layout, so
+    # only the frontier side of each round's join moves.
+    sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    init_cols = ["id", F.lit(0).cast("bigint").alias("dist")]
+    if with_paths:
+        init_cols.append(F.array(F.lit(source).cast("bigint")).alias("path"))
+    frontier = (
+        spark.createDataFrame([(source,)], "id bigint").select(*init_cols).localCheckpoint()
+    )
+    visited = frontier
+
+    for _ in range(max_rounds):
+        # Expand: frontier ⋈ edges on id=src emits (dst, dist+1, path+[dst]).
+        # The frontier side is the small one — after localCheckpoint its
+        # size is known, so AQE broadcasts it under the join when it fits.
+        cand_cols = [sym["dst"].alias("id"), (frontier["dist"] + 1).alias("dist")]
+        if with_paths:
+            cand_cols.append(F.concat(frontier["path"], F.array(sym["dst"])).alias("path"))
+        candidates = frontier.join(sym, frontier["id"] == sym["src"]).select(*cand_cols)
+        # Reduce: per vertex keep the lexicographically smallest path
+        # (all candidates in one round share the same dist, so min(path)
+        # IS the deterministic argmin — sound replacement for the
+        # reference's index-aligned argmin, wart W3). Partial aggregation
+        # before the exchange is Catalyst's map-side combine (= the
+        # reference's apply_map grouping, BFS_map_reduce.py:8-23).
+        aggs = [F.min("dist").alias("dist")]
+        if with_paths:
+            aggs.append(F.min("path").alias("path"))
+        new = (
+            candidates.join(visited.select("id"), "id", "left_anti")
+            .groupBy("id")
+            .agg(*aggs)
+            .localCheckpoint()  # truncate lineage; also gives AQE exact sizes
+        )
+        if new.isEmpty():
+            break
+        visited = visited.union(new).localCheckpoint()
+        frontier = new
+
+    sym.unpersist()
+    result = all_vertices.join(visited, "id", "left").select(
+        "id", "dist", *(["path"] if with_paths else [])
+    )
+    return result
+
+
+def connected_component_of(edges: DataFrame, source: int = 0) -> DataFrame:
+    """Vertices reachable from ``source`` (a BFS byproduct the
+    reference's termination scan implicitly computes)."""
+    res = bfs(edges, source=source, with_paths=False)
+    return res.filter(F.col("dist").isNotNull()).select("id", "dist")

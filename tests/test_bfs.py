@@ -1,0 +1,84 @@
+"""Golden tests for the BFS operator (SURVEY.md §5.2 item 1).
+
+Goldens come from an independent serial BFS with the spec semantics —
+forward path, lexicographic tie-break, NULL dist when unreachable —
+run on the reference's shipped datasets plus synthesized fixtures the
+reference cannot handle (disconnected graphs hang it, SURVEY §2.9 W2).
+"""
+
+import pytest
+
+from bfs_mapreduce_spark.operators.graph import adjacency, bfs, undirected_edges
+from bfs_mapreduce_spark.sources.readers import read_edge_list
+
+from tests.graph_oracle import bfs_oracle, load_edge_list
+
+TINY = "/root/reference/datasets/tinyG.txt"
+SMALL = "/root/reference/datasets/smallG.txt"
+
+DISCONNECTED = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (6, 7), (8, 8)]
+MULTI_EDGE = [(0, 1), (0, 1), (1, 0), (1, 2), (2, 2), (0, 2), (2, 3), (3, 0), (4, 3)]
+
+
+def run_and_compare(spark, edges, source=0, directed=False):
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["id"]: (r["dist"], r["path"])
+        for r in bfs(edges_df, source=source, directed=directed).collect()
+    }
+    want = bfs_oracle(edges, source=source, directed=directed)
+    assert got == want
+
+
+@pytest.mark.parametrize("path", [TINY, SMALL], ids=["tinyG", "smallG"])
+def test_reference_datasets_golden(spark, path):
+    edges_df = read_edge_list(spark, path)
+    got = {r["id"]: (r["dist"], r["path"]) for r in bfs(edges_df).collect()}
+    want = bfs_oracle(load_edge_list(path))
+    assert got == want
+
+
+def test_disconnected_graph_null_dist(spark):
+    run_and_compare(spark, DISCONNECTED)
+    edges_df = spark.createDataFrame(DISCONNECTED, "src bigint, dst bigint")
+    rows = {r["id"]: r["dist"] for r in bfs(edges_df).collect()}
+    assert rows[1] == 1 and rows[2] == 1
+    assert rows[3] is None and rows[6] is None and rows[8] is None
+
+
+def test_trivial_graphs(spark):
+    run_and_compare(spark, [(0, 1)])
+    # source-only graph: a single self-loop edge at the source
+    run_and_compare(spark, [(0, 0)])
+
+
+def test_multi_edge_and_self_loops(spark):
+    run_and_compare(spark, MULTI_EDGE)
+
+
+def test_nonzero_source(spark):
+    run_and_compare(spark, load_edge_list(TINY), source=5)
+
+
+def test_directed_bfs(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 1), (4, 0)]
+    run_and_compare(spark, edges, directed=True)  # 4 unreachable
+
+
+def test_deterministic_tie_break(spark):
+    # two shortest paths to 3: [0,1,3] and [0,2,3] — spec picks [0,1,3]
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = {r["id"]: r["path"] for r in bfs(edges_df).collect()}
+    assert rows[3] == [0, 1, 3]
+
+
+def test_adjacency_operator(spark):
+    edges_df = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 0)], "src bigint, dst bigint")
+    adj = {r["src"]: r["neighbours"] for r in adjacency(edges_df).collect()}
+    assert adj == {0: [1, 2], 1: [0, 2], 2: [0, 1]}
+
+
+def test_undirected_edges_dedup(spark):
+    edges_df = spark.createDataFrame([(0, 1), (1, 0), (0, 1), (2, 2)], "src bigint, dst bigint")
+    assert undirected_edges(edges_df).count() == 2
