@@ -1,0 +1,81 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with a count-collect (no
+driver-side row transfer beyond the count), timed wall-clock. The
+headline metric is the sum over the suite — the number BASELINE.md
+tracks round-over-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline suite: the expensive end of the catalog — every family that
+# matters at scale (scan+agg, multi-join, window, dedup, similarity,
+# text, as-of, graph), not the trivial projections.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q_window_topk",
+    "q_events_sessionize",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_similarity_topk",
+    "q_text_tfidf",
+    "q_asof_join",
+    "q_graph_bfs_histogram",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from bfs_mapreduce_spark.registry import all_queries
+    from bfs_mapreduce_spark.session import get_session
+
+    spark = get_session(app_name="bench")
+    catalog = all_queries()
+
+    # JVM + first-scan warmup so q1 doesn't absorb session startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = catalog.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,12 +9,18 @@ relational + training-data-pipeline operator surface:
   the reference's entire query surface — ``operators.graph``)
 - the relational operator family (scan/filter/project/join/agg/
   window/sort/set-ops — ``operators.relational``)
-- dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard — ``operators.dedup``)
-- similarity search over embeddings (``operators.similarity``)
-- text analysis (``operators.text``)
-- as-of / range joins (``operators.asof``)
-- multimodal binary-column plumbing (``operators.multimodal``)
+- dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard —
+  ``operators.dedup_queries``)
+- similarity search over embeddings (``operators.similarity_queries``)
+- text analysis (``operators.text_queries``)
+- as-of / range joins (``operators.asof_queries``)
+- multimodal binary-column plumbing (``operators.multimodal_queries``)
 - Structured Streaming windows/watermarks (``streaming``)
+
+The named-query catalog (``registry.all_queries``) is the single
+public surface the driver and tests consume; each module above
+registers its queries there with a DuckDB oracle where SQL can
+express the semantics.
 
 Everything is expressed as DataFrame/SQL logical plans so Catalyst +
 Tungsten choose physical strategy; Python touches data only through

@@ -304,7 +304,9 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Explicit grouping sets (SQL API — same Catalyst plan as rollup/cube).",
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
+    # register only the one table this query touches — pulling in all
+    # ten views would make an unrelated table's read problem fatal here
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -516,7 +518,10 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(10,2)")).cast("double").alias("month_revenue"),
-            F.min(F.unix_micros("o_orderdate")).cast("bigint").alias("first_order_us"),
+            # o_orderdate is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+            # unix_micros needs LTZ — session tz is pinned UTC so the cast
+            # is value-preserving and matches DuckDB's EPOCH_US.
+            F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).cast("bigint").alias("first_order_us"),
         )
     )
 
@@ -688,7 +693,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros("ts")
+    # ts is TIMESTAMP_NTZ after the events nanos conversion; unix_micros
+    # needs LTZ — UTC session makes the cast value-preserving.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     is_new = F.when(
         F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000), 1
     ).otherwise(0)

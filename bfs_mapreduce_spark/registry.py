@@ -52,14 +52,29 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+# Modules that register queries on import. Imported lazily inside
+# all_queries so a broken/absent module degrades the catalog instead of
+# killing it (the driver still sees every query that DOES load).
+_QUERY_MODULES = (
+    "bfs_mapreduce_spark.operators.relational",
+    "bfs_mapreduce_spark.operators.graph_queries",
+    "bfs_mapreduce_spark.operators.dedup_queries",
+    "bfs_mapreduce_spark.operators.similarity_queries",
+    "bfs_mapreduce_spark.operators.text_queries",
+    "bfs_mapreduce_spark.operators.asof_queries",
+    "bfs_mapreduce_spark.operators.multimodal_queries",
+)
+
+
 def all_queries() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return
     the full catalog."""
-    import bfs_mapreduce_spark.operators.asof_queries  # noqa: F401
-    import bfs_mapreduce_spark.operators.dedup_queries  # noqa: F401
-    import bfs_mapreduce_spark.operators.graph_queries  # noqa: F401
-    import bfs_mapreduce_spark.operators.relational  # noqa: F401
-    import bfs_mapreduce_spark.operators.similarity_queries  # noqa: F401
-    import bfs_mapreduce_spark.operators.text_queries  # noqa: F401
+    import importlib
+
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ImportError:  # a missing module costs its queries, not the catalog
+            pass
 
     return dict(_REGISTRY)

@@ -44,6 +44,9 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # UTC so timestamp semantics match the DuckDB oracle (naive-UTC).
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as TIMESTAMP(NANOS): read as int64,
+        # converted to TIMESTAMP_NTZ in sources.readers.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for every pandas UDF / toPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))

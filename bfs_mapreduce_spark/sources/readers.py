@@ -29,7 +29,25 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one test table. Parquet → pushdown/pruning are automatic."""
+    """Scan one test table. Parquet → pushdown/pruning are automatic.
+
+    ``events.parquet`` stores ``ts`` as parquet ``TIMESTAMP(NANOS)``,
+    which Spark cannot read natively ([PARQUET_TYPE_ILLEGAL]). We read
+    nanos as raw int64 (legacy conf, runtime-settable) and convert to
+    TIMESTAMP_NTZ via integer-µs math: ``ts div 1000`` truncates
+    exactly like DuckDB's nanos→micros conversion, so oracle parity is
+    bit-exact (sub-µs parts are zero in the testdata anyway). NTZ (not
+    LTZ) so the values are naive wall-clock — the same convention the
+    other tables' TIMESTAMP_NTZ columns and the DuckDB oracle use.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(raw.dtypes).get("ts") == "bigint":
+            return raw.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,45 @@
+"""The driver's t2 gate, run locally: every catalog query with a
+DuckDB oracle is executed on Spark AND DuckDB over the same parquet
+(sf from $SPARK_GRAFT_ORACLE_DIR, default sf0.01) and value-compared
+order-insensitively. Queries with ``oracle=None`` get a rows-run smoke
+check here; their semantic tests live in their own test modules.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bfs_mapreduce_spark.registry import all_queries
+from tests.oracle_utils import compare, duckdb_connection
+
+CATALOG = all_queries()
+ORACLE_NAMES = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, q in CATALOG.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_oracle_dir):
+    con = duckdb_connection(sf_oracle_dir)
+    yield con
+    con.close()
+
+
+def test_catalog_loads():
+    assert len(CATALOG) >= 25, sorted(CATALOG)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(spark, sf_oracle_dir, duck, name):
+    q = CATALOG[name]
+    spark_pdf = q.build(spark, sf_oracle_dir).toPandas()
+    duck_pdf = duck.sql(q.oracle).df()
+    problems = compare(spark_pdf, duck_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(spark, sf_oracle_dir, name):
+    q = CATALOG[name]
+    df = q.build(spark, sf_oracle_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
