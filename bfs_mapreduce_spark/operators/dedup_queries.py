@@ -1,0 +1,350 @@
+"""Deduplication operators over the ``documents`` table — the first
+pillar of the LLM-training-data tier (SURVEY.md §2.10 NEW rows).
+
+The reference's only dedup is membership-tested list inserts during
+the shuffle merge (``BFS_map_reduce.py:18-22,132-136``); these
+operators generalize that to corpus-level document dedup:
+
+- exact dedup        — content-hash groupBy (sha256)
+- MinHash + LSH      — banded signatures → bucket join → verified
+                       Jaccard (never all-pairs; the 100 TB path)
+- exact n-gram Jaccard — inverted-index self-join (the oracle-able
+                       exact formulation of near-dup)
+- SimHash            — 60-bit sign-aggregated fingerprint
+- embedding cosine   — near-dup in embedding space
+
+Scale posture: every operator here is bounded by an inverted-index or
+bucket join keyed on shingle/band — candidate generation is
+O(sum of bucket sizes choose 2), never O(n²) over the corpus. Hot
+buckets (stopword-like shingles) are the skew risk at 100 TB: the
+exact-Jaccard query drops shingles with document frequency above a
+cap (standard practice — a shingle shared by thousands of docs
+carries no near-dup signal but quadratic join cost), and AQE skew
+handling splits what remains.
+
+Hash parity note: oracle-paired queries hash words with a 60-bit
+md5-prefix hash that DuckDB can reproduce bit-for-bit
+(``('0x'||substr(md5(w),1,15))::BIGINT``). The LSH pipeline (no
+oracle) uses ``xxhash64`` — the cheap JVM hash you'd use at 100 TB.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.registry import register
+from bfs_mapreduce_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------- shared text fragments
+
+# Spark: documents.text → array of words (single-space separated corpus).
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def _shingles3(words: F.Column) -> F.Column:
+    """Distinct word-trigram shingles, 1-based element_at so the
+    expression mirrors DuckDB list indexing exactly."""
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    return F.when(F.size(words) >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB twins of the fragments above (kept adjacent so parity edits stay atomic).
+_SQL_WORDS = "string_split(text, ' ')"
+_SQL_SHINGLES = f"""
+  CASE WHEN len({_SQL_WORDS}) >= 3 THEN
+    list_distinct(list_transform(range(len({_SQL_WORDS}) - 2),
+      i -> {_SQL_WORDS}[i+1] || ' ' || {_SQL_WORDS}[i+2] || ' ' || {_SQL_WORDS}[i+3]))
+  ELSE [] END
+"""
+
+
+def _hash60(col: F.Column) -> F.Column:
+    """60-bit hash both engines can compute identically: first 15 hex
+    chars of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_SQL_HASH60 = "('0x' || substr(md5({w}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           MIN(doc_id)  AS canonical_id,
+           COUNT(*)     AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    doc="Exact dedup: content-hash groupBy; canonical row = min doc_id. "
+    "At 100 TB this is one hash-shuffle on a 64-hex key with automatic "
+    "partial aggregation — the cheapest possible dedup.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_exact_keep",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+    doc="The deduplicated corpus itself: first doc_id per content hash "
+    "survives (deterministic keep-rule).",
+)
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------- exact n-gram Jaccard
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    df AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN df USING (s) JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3
+    """,
+    doc="Exact trigram-shingle Jaccard near-dup via inverted-index "
+    "self-join: candidates only for docs sharing a shingle, with a "
+    "document-frequency cap (df<=100) so stop-shingles can't go "
+    "quadratic — the exact (non-approximate) scale formulation.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles3(_words()).alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # df-cap: shingles shared by >100 docs are candidate-join poison at
+    # scale and carry no near-dup signal.
+    keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
+    exk = ex.join(keep.select("s"), "s")
+    a = exk.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+
+# Deterministic minhash coefficients (fixed seed → stable results/tests).
+# Hashes are folded to 31 bits and coefficients capped at 2^31 so
+# a*h+b < 2^62 — no long overflow under ANSI arithmetic.
+_P = (1 << 61) - 1  # Mersenne prime 2^61-1
+_H31 = 1 << 31
+_rng = random.Random(0x5EED)
+_MINHASH_AB = [(_rng.randrange(1, _H31), _rng.randrange(0, _H31)) for _ in range(64)]
+_LSH_ROWS_PER_BAND = 2  # r=2, b=32: P(candidate | j=0.5) ≈ 0.9999
+
+
+def minhash_signature(shingles: F.Column) -> F.Column:
+    """64-permutation MinHash signature computed entirely inside one
+    JVM projection — no shuffle, no UDF: sig[j] = min over shingles of
+    (a_j * xxhash64(s) + b_j) mod P. Java long arithmetic wraps on
+    overflow; the wrap is deterministic and identical on every
+    executor, which is all minhash needs."""
+    def one_perm(a: int, b: int) -> F.Column:
+        def h(s: F.Column) -> F.Column:
+            h31 = F.pmod(F.xxhash64(s), F.lit(_H31))
+            return F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(_P))
+
+        return F.array_min(F.transform(shingles, h))
+
+    return F.array(*[one_perm(a, b) for a, b in _MINHASH_AB])
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # banding/bucketing is not SQL-expressible; verified by
+    # tests/test_dedup.py against the exact-Jaccard oracle query instead
+    doc="MinHash-LSH near-dup, the 100 TB path: per-doc 64-hash "
+    "signature (one JVM projection, zero shuffle) → 32 bands of r=2 → "
+    "explode (band, band_hash) → bucket self-join for candidates → "
+    "exact-Jaccard verify at 0.5. Candidate cost is bounded by bucket "
+    "sizes; the all-pairs product never forms. P(miss | j=0.5) ~ 1e-4.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles3(_words()).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    sig = sh.select("doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig"))
+
+    n_bands = 64 // _LSH_ROWS_PER_BAND
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.slice("sig", i * _LSH_ROWS_PER_BAND + 1, _LSH_ROWS_PER_BAND)).alias(
+                    "h"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           list_sum(list_transform(range(60), j ->
+             CASE WHEN list_sum(list_transform(words, t ->
+                    CASE WHEN (({_SQL_HASH60.format(w='t')}) >> j) & 1 = 1
+                         THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+    FROM w
+    """,
+    doc="60-bit SimHash fingerprint: per-bit sign of the sum of "
+    "word-hash bits (frequency-weighted). One projection per row, no "
+    "shuffle; near-dup candidates at scale come from banding the "
+    "fingerprint (same LSH machinery as minhash). md5-prefix word hash "
+    "for cross-engine parity; swap xxhash64 in production.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # explode → hash each word ONCE → 60 conditional sums in one
+    # groupBy (single shuffle, partial aggregation map-side: the same
+    # plan shape as any wide agg — scales linearly in corpus size).
+    ex = docs.select("doc_id", F.explode(_words()).alias("t")).select(
+        "doc_id", _hash60(F.col("t")).alias("h")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    sums = ex.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for j in range(60):
+        term = (
+            F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------- embedding cosine near-dup
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+    doc="Embedding-space near-dup pairs (cosine >= 0.4), brute-force "
+    "formulation as the correctness baseline. The scale path is the "
+    "LSH-bucketed variant in similarity_queries (same verify step, "
+    "candidates from hyperplane buckets instead of the cross product).",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    v = v.withColumn("norm", norm)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )

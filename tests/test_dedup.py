@@ -1,0 +1,60 @@
+"""Semantic tests for the dedup tier beyond the DuckDB oracle gate —
+chiefly that MinHash-LSH (approximate candidate generation) loses no
+pairs the exact inverted-index Jaccard finds at the 0.5 threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.operators.dedup_queries import (
+    minhash_signature,
+    q_dedup_minhash_lsh,
+    q_dedup_ngram_jaccard,
+)
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_lsh_finds_all_exact_pairs(spark, sf_oracle_dir):
+    """LSH(threshold 0.5) must reproduce the exact-Jaccard pair set at
+    >=0.5 on the planted near-dups (r=2/b=32 ⇒ P(miss|j=0.5) ~ 1e-4;
+    a miss here means the banding is wired wrong, not bad luck)."""
+    exact = q_dedup_ngram_jaccard(spark, sf_oracle_dir).filter(F.col("jaccard") >= 0.5)
+    lsh = q_dedup_minhash_lsh(spark, sf_oracle_dir)
+    exact_pairs = _pairs(exact)
+    lsh_pairs = _pairs(lsh)
+    assert exact_pairs, "fixture should contain planted near-dup pairs"
+    assert exact_pairs == lsh_pairs
+
+
+def test_minhash_similarity_estimate(spark):
+    """Signature agreement rate estimates Jaccard: two synthetic docs
+    sharing half their shingles must agree on roughly half the hashes."""
+    df = spark.createDataFrame(
+        [
+            (1, [f"s{i}" for i in range(0, 100)]),
+            (2, [f"s{i}" for i in range(50, 150)]),  # jaccard = 50/150 ≈ 0.33
+        ],
+        "doc_id bigint, shingles array<string>",
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", minhash_signature(F.col("shingles")).alias("sig")).collect()
+    }
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 64
+    assert 0.15 <= agree <= 0.55, agree  # E=1/3, binomial n=64
+
+
+def test_identical_docs_identical_signature(spark):
+    df = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, ["a b c", "b c d"])],
+        "doc_id bigint, shingles array<string>",
+    )
+    sigs = [
+        r["sig"]
+        for r in df.select(minhash_signature(F.col("shingles")).alias("sig")).collect()
+    ]
+    assert sigs[0] == sigs[1]
