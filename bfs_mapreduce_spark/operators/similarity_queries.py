@@ -1,0 +1,215 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.10
+NEW): brute-force cosine top-k as the correctness baseline, a
+random-hyperplane LSH ANN as the bucketed scale path, and an
+IVF-style coarse-cell assignment.
+
+Scale posture (the 100 TB story):
+
+- brute-force is the oracle-able baseline: queries × corpus. It is
+  only run with a small, BROADCAST query side — the corpus never
+  re-shuffles. Correct but O(|Q|·n); use it to validate, not to serve.
+- the ANN path buckets the corpus once (signatures are one Arrow-
+  vectorized pandas-UDF projection, ~a matmul per batch), then joins
+  query buckets to corpus buckets — candidate cost is bucket-bounded,
+  never the cross product. Recall/cost tunes with (bits, tables).
+- IVF assignment is the other standard decomposition: a cell id per
+  vector from a broadcast centroid table; searches then touch one
+  cell (plus probes). Here centroids are per-label means (a stand-in
+  for k-means, which is just this assignment alternated with the
+  centroid aggregation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from bfs_mapreduce_spark.registry import register
+from bfs_mapreduce_spark.sources.readers import load_table
+
+_QUERY_MOD = 50  # query subset: vec_id % 50 == 0
+_TOP_K = 5
+
+# LSH params: p_bit ≈ 0.63 for cosine ≈ 0.4 neighbours ⇒ 6-bit tables
+# hit ≈ 6% each; 16 tables ⇒ recall ≈ 0.6-0.8 on this corpus.
+_LSH_BITS = 6
+_LSH_TABLES = 16
+_LSH_SEED = 42
+_DIM = 64
+
+
+def _vecd(col: str = "embedding") -> F.Column:
+    """float32 parquet array → double, so both engines do f64 math."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(v: str | F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+
+
+@register(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    a AS (SELECT vec_id, embedding::DOUBLE[] AS av FROM embeddings),
+    s AS (SELECT query_id, vec_id,
+                 ROUND(list_cosine_similarity(qv, av), 6) AS cosine
+          FROM q CROSS JOIN a WHERE vec_id <> query_id)
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM s) WHERE rn <= {_TOP_K}
+    """,
+    doc="Brute-force cosine top-k: broadcast query side × corpus, "
+    "JVM-side zip_with/aggregate dot product, deterministic window "
+    "top-k over the rounded score. The exactness baseline every ANN "
+    "variant is measured against.",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    q = base.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("n"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def _hyperplanes() -> np.ndarray:
+    rng = np.random.RandomState(_LSH_SEED)
+    return rng.standard_normal((_LSH_TABLES, _LSH_BITS, _DIM))
+
+
+def _lsh_signatures_fn(emb: pd.Series) -> pd.Series:
+    """Arrow-batched signature computation: one matmul per batch per
+    table — the vectorized path (a row-at-a-time Python UDF here would
+    be the classic 100× mistake)."""
+    planes = _hyperplanes()
+    mat = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+    out = np.zeros((mat.shape[0], _LSH_TABLES), dtype=np.int64)
+    weights = 1 << np.arange(_LSH_BITS, dtype=np.int64)
+    for t in range(_LSH_TABLES):
+        bits = (mat @ planes[t].T) > 0  # (batch, bits)
+        out[:, t] = bits @ weights
+    return pd.Series(list(out))
+
+
+def _lsh_signatures(col: str) -> F.Column:
+    # pandas_udf needs an active session to resolve the return type, so
+    # the wrapper is built at call time, not import time.
+    return pandas_udf(_lsh_signatures_fn, "array<long>")(col)
+
+
+@register(
+    "q_similarity_ann_lsh",
+    oracle=None,  # bucketed candidate generation is not SQL-expressible;
+    # recall vs q_similarity_topk is asserted in tests/test_similarity.py
+    doc="ANN via random-hyperplane LSH: 16 tables × 6-bit signatures "
+    "(Arrow-vectorized pandas UDF, one matmul per batch) → explode "
+    "(table, bucket) → bucket equi-join for candidates → exact cosine "
+    "re-rank → top-k. Candidates are bucket-bounded; the corpus cross "
+    "product never forms. Same output schema as q_similarity_topk.",
+)
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", "embedding", _vecd().alias("v"))
+        .withColumn("n", _norm("v"))
+        .withColumn("sig", _lsh_signatures("embedding"))
+        .drop("embedding")
+    )
+    buckets = base.select(
+        "vec_id", F.posexplode("sig").alias("t", "bucket")
+    )
+    qb = buckets.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cand = (
+        qb.join(buckets, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = base.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("n"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+@register(
+    "q_similarity_ivf_assign",
+    oracle="""
+    WITH ex AS (
+      SELECT label, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+    cent AS (
+      SELECT label, list(avg ORDER BY pos) AS cv
+      FROM (SELECT label, pos, AVG(x) AS avg FROM ex GROUP BY label, pos)
+      GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, c.label AS cell,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cosine
+      FROM embeddings e CROSS JOIN cent c)
+    SELECT vec_id, cell, cosine FROM (
+      SELECT vec_id, cell, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, cell) AS rn
+      FROM scored) WHERE rn = 1
+    """,
+    doc="IVF coarse quantization: per-label mean centroid (posexplode → "
+    "(label,pos) avg → rebuild vector), broadcast the centroid table, "
+    "assign each vector to its nearest cell. One k-means half-step; at "
+    "scale, ANN search touches one cell + probes instead of the corpus.",
+)
+def q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode(_vecd()).alias("pos", "x"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("x").alias("avg"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pa", lambda s: s["avg"]).alias("cv"),
+        )
+    )
+    cv_norm = _norm("cv")
+    cent = cent.withColumn("cn", cv_norm)
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cell"))
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", F.round(cos, 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "cosine")
+    )

@@ -1,0 +1,235 @@
+"""Text-analysis operators over ``documents`` — tokenization, quality
+scoring, language ID, tf-idf, fingerprinting (SURVEY.md §2.10 NEW).
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (split /
+explode / higher-order array functions / windows) — no Python UDF in
+any hot path. Each query has an exact DuckDB oracle: the heuristics
+are deterministic integer/ratio arithmetic from identical inputs, so
+both engines produce bit-identical doubles before the final rounding.
+
+Scale posture: the only shuffles are the explode→groupBy aggregations
+(term counts, document frequency), all with automatic map-side partial
+aggregation; per-document scores are single-projection, embarrassingly
+parallel. At 100 TB the df (document-frequency) table is the only
+broadcast-sized intermediate — it is bounded by vocabulary size, not
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.registry import register
+from bfs_mapreduce_spark.sources.readers import load_table
+
+_SQL_WORDS = "string_split(text, ' ')"
+
+# A BPE-ish token regex: word pieces or single non-space punctuation.
+_TOKEN_RE = r"\w+|[^\w\s]"
+
+# Fixed per-language stopword markers (deterministic heuristic classifier).
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "los", "que"),
+    "fr": ("le", "les", "et", "des", "une"),
+    "zh": ("的", "是", "不", "了", "在"),
+}
+
+_FP_MASK = (1 << 57) - 1  # 57-bit fingerprint: 31*acc+h stays under 2^63
+
+
+def _words() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "q_text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_WORDS})                                    AS n_words,
+           len(list_distinct({_SQL_WORDS}))                     AS n_distinct_words,
+           len(regexp_extract_all(text, '{_TOKEN_RE}'))         AS n_tokens,
+           length(text)                                         AS n_chars_measured,
+           ROUND((length(text) - len({_SQL_WORDS}) + 1) * 1.0
+                 / len({_SQL_WORDS}), 6)                        AS avg_word_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace words, distinct words, BPE-ish "
+    "regex tokens, char lengths. Pure projection — no shuffle.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round((F.length("text") - F.size(w) + 1) / F.size(w), 6).alias("avg_word_len"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_WORDS} AS w, length(text) AS n_chars_m, text FROM documents)
+    SELECT doc_id,
+           ROUND(len(list_filter(w, x -> x IN ('the','a','and','of','to')))
+                 * 1.0 / len(w), 6) AS stopword_ratio,
+           ROUND(len(list_distinct(w)) * 1.0 / len(w), 6) AS type_token_ratio,
+           ROUND((length(text) -
+                  length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 * 1.0 / n_chars_m, 6) AS punct_ratio,
+           CASE WHEN len(w) BETWEEN 20 AND 80
+                 AND len(list_distinct(w)) * 1.0 / len(w) >= 0.3
+                THEN 'keep' ELSE 'flag' END AS quality_band
+    FROM t
+    """,
+    doc="Quality scoring: stopword ratio, type/token ratio, punctuation "
+    "ratio, and a keep/flag band — the standard cheap pre-filters of a "
+    "training-data pipeline, all single-projection.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    # filter(), not array_intersect: intersect dedups, the ratio counts occurrences
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin("the", "a", "and", "of", "to")))
+    ttr = F.size(F.array_distinct(w)) / F.size(w)
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    ) / F.length("text")
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio / F.size(w), 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.when((F.size(w).between(20, 80)) & (ttr >= 0.3), "keep")
+        .otherwise("flag")
+        .alias("quality_band"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_SQL_WORDS}, x -> x IN ({inlist})))"
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql(_LANG_MARKERS['de'])} AS s_de,
+             {_lang_score_sql(_LANG_MARKERS['en'])} AS s_en,
+             {_lang_score_sql(_LANG_MARKERS['es'])} AS s_es,
+             {_lang_score_sql(_LANG_MARKERS['fr'])} AS s_fr,
+             {_lang_score_sql(_LANG_MARKERS['zh'])} AS s_zh
+      FROM documents)
+    SELECT doc_id, lang AS lang_labeled,
+           CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                WHEN 0 THEN 'und'
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS lang_pred
+    FROM scores
+    """,
+    doc="Language ID: fixed stopword-marker lists per language, argmax "
+    "with deterministic first-match tie-break (de<en<es<fr<zh), 'und' "
+    "when nothing matches. A heuristic n-gram classifier in pure "
+    "projection form — the shape you'd give a 100 TB lang filter "
+    "(swap the marker lists for real per-language tables).",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    scores: dict[str, F.Column] = {}
+    for lang, markers in _LANG_MARKERS.items():
+
+        def make(ms: tuple[str, ...]) -> F.Column:
+            def pred(x: F.Column) -> F.Column:
+                return x.isin(*ms)
+
+            return F.size(F.filter(w, pred))
+
+        scores[lang] = make(markers)
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "und")
+    for lang in ("de", "en", "es", "fr", "zh"):
+        pred = pred.when(scores[lang] == best, lang)
+    return docs.select("doc_id", F.col("lang").alias("lang_labeled"), pred.alias("lang_pred"))
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="tf-idf top-3 terms per document: explode → tf groupBy, df "
+    "groupBy (vocabulary-sized → broadcast back), deterministic window "
+    "top-k over the rounded score.",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at scale this is a cached metadata count
+    ex = docs.select("doc_id", F.explode(_words()).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             [0::BIGINT] || list_transform({_SQL_WORDS},
+               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT & {_FP_MASK}),
+             (a, b) -> ((a * 31 + b) & {_FP_MASK})) AS fingerprint
+    FROM documents
+    """,
+    doc="Order-sensitive document fingerprint: polynomial rolling hash "
+    "over the word-hash sequence, masked to 57 bits (no overflow under "
+    "ANSI arithmetic). Same md5-prefix word hash as SimHash for "
+    "cross-engine parity; one projection, no shuffle.",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def word_hash(x: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint").bitwiseAND(
+            F.lit(_FP_MASK)
+        )
+
+    hashes = F.transform(_words(), word_hash)
+
+    def roll(acc: F.Column, h: F.Column) -> F.Column:
+        return (acc * 31 + h).bitwiseAND(F.lit(_FP_MASK))
+
+    fp = F.aggregate(hashes, F.lit(0).cast("bigint"), roll)
+    return docs.select("doc_id", fp.alias("fingerprint"))
