@@ -1,0 +1,217 @@
+"""As-of and range joins over the ``events`` (and ``orders``) tables —
+SURVEY.md §2.10 "As-of / interval join" (NEW; the reference has no
+analogue).
+
+Spark has no ASOF JOIN operator, so the engine expresses it as the
+**union-tagged ordered carry-forward**: union the build side (tag 0)
+and probe side (tag 1) into one stream keyed by (key, time, tag), then
+one window pass carries the most recent build row forward to each
+probe row (``last(..., ignorenulls=True)``).
+
+Why this shape at 100 TB: it is ONE shuffle on the join key and one
+ordered pass per partition — exactly what a sort-merge as-of costs.
+The naive alternatives either explode (inequality theta-join → per-key
+cross product) or double-shuffle (windowed max-per-bucket + join).
+Skewed keys split fine under AQE because the window partitions by the
+same key the exchange hashed on.
+
+Range (interval) joins use the other standard trick: bucket time into
+interval-width buckets, explode the probe row into the (two) buckets
+its window overlaps, equi-join on (key, bucket), then filter the exact
+predicate — a bounded 2× fan-out instead of an unbounded inequality
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.registry import register
+from bfs_mapreduce_spark.sources.readers import load_table
+
+_HOUR_US = 3_600_000_000
+
+
+def _us(col: str) -> F.Column:
+    """TIMESTAMP_NTZ → epoch micros (session tz pinned UTC = DuckDB EPOCH_US)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    od AS (SELECT o.*, ord.o_totalprice
+           FROM o JOIN orders ord USING (o_orderkey))
+    SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_totalprice
+    FROM events e ASOF LEFT JOIN od
+      ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
+    """,
+    doc="As-of join events→orders: for each event, the user's most "
+    "recent order at event time. Orders deduped per (custkey, date) by "
+    "max orderkey so the match is deterministic. Union-tagged ordered "
+    "carry-forward: one shuffle on user_id, one window pass.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    # deterministic build side: one order per (custkey, orderdate)
+    wo = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    od = (
+        orders.withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    build = od.select(
+        F.col("o_custkey").alias("user_id"),
+        _us("o_orderdate").alias("t_us"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    probe = ev.select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    # tag 0 sorts before tag 1 at equal time → an order dated exactly at
+    # the event timestamp IS visible to it (ASOF's <= semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "tag", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        build.unionByName(probe)
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_totalprice", F.last("o_totalprice", ignorenulls=True).over(w))
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_orderkey").alias("o_orderkey"),
+        F.col("asof_totalprice").alias("o_totalprice"),
+    )
+
+
+@register(
+    "q_asof_event_pairs",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    errors AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+    SELECT e.event_id, e.user_id, e.ts,
+           c.click_id AS last_click_id, c.ts AS last_click_ts
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts <= e.ts
+    """,
+    doc="Same-table as-of: for each error event, the user's most recent "
+    "click at or before it (interleaved timestamps — the general as-of "
+    "case). Same union-tagged carry-forward plan.",
+)
+def q_asof_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    build = clicks.select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "click_id",
+        F.col("ts").alias("click_ts"),
+    )
+    probe = errors.select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "tag", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        build.unionByName(probe)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "ts", "last_click_id", "last_click_ts"
+    )
+
+
+@register(
+    "q_range_join_window",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts, EPOCH_US(ts) AS us
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, EPOCH_US(ts) AS us
+          FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts,
+           COUNT(v.us) AS n_views_prev_hour
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.us >= p.us - {_HOUR_US} AND v.us < p.us
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    doc="Interval join: views within the hour before each purchase, "
+    "same user. Spark plan buckets time by the interval width and "
+    "explodes each purchase into the two buckets its window overlaps — "
+    "bounded 2x fan-out equi-join + exact filter, instead of an "
+    "unbounded inequality join.",
+)
+def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", _us("ts").alias("us")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", _us("ts").alias("v_us"), (_us("ts") / _HOUR_US).cast("bigint").alias("bucket")
+    )
+    # purchase window [us - 1h, us) overlaps exactly buckets b-1 and b
+    pb = p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "us",
+        F.explode(
+            F.array((F.col("us") / _HOUR_US).cast("bigint") - 1, (F.col("us") / _HOUR_US).cast("bigint"))
+        ).alias("bucket"),
+    )
+    hits = (
+        pb.join(v, ["user_id", "bucket"])
+        .filter((F.col("v_us") >= F.col("us") - _HOUR_US) & (F.col("v_us") < F.col("us")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_views_prev_hour"))
+    )
+    return (
+        p.join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce("n_views_prev_hour", F.lit(0)).alias("n_views_prev_hour"),
+        )
+    )

@@ -42,9 +42,13 @@ Scale posture (what changes at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+logger = logging.getLogger(__name__)
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:
@@ -112,7 +116,8 @@ def bfs(
     )
     visited = frontier
 
-    for _ in range(max_rounds):
+    truncated = True
+    for round_no in range(1, max_rounds + 1):
         # Expand: frontier ⋈ edges on id=src emits (dst, dist+1, path+[dst]).
         # The frontier side is the small one — after localCheckpoint its
         # size is known, so AQE broadcasts it under the join when it fits.
@@ -136,9 +141,28 @@ def bfs(
             .localCheckpoint()  # truncate lineage; also gives AQE exact sizes
         )
         if new.isEmpty():
+            truncated = False
             break
-        visited = visited.union(new).localCheckpoint()
+        # Checkpoint the accumulated visited set every few rounds, not
+        # every round: visited is O(V) — re-materializing it per level
+        # costs O(V * diameter) cumulative writes on high-diameter
+        # graphs. A cadence of 3 keeps lineage bounded at ~3 unions.
+        visited = visited.union(new)
+        if round_no % 3 == 0:
+            visited = visited.localCheckpoint()
         frontier = new
+
+    if truncated:
+        # Exhausted max_rounds with a non-empty frontier: vertices beyond
+        # the horizon would silently read as unreachable (dist NULL).
+        # Callers doing bounded exploration pass max_rounds on purpose;
+        # everyone else should hear about it (SURVEY §2.9 W2's dual).
+        logger.warning(
+            "bfs: max_rounds=%d exhausted with a non-empty frontier; "
+            "dist is only valid up to %d — unreached vertices report NULL",
+            max_rounds,
+            max_rounds,
+        )
 
     sym.unpersist()
     result = all_vertices.join(visited, "id", "left").select(

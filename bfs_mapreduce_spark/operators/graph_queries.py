@@ -1,0 +1,110 @@
+"""Catalog entries for the graph operator (the reference's entire
+query surface, ``BFS_map_reduce.py`` — see operators/graph.py for the
+engine's Pregel-shaped implementation).
+
+Two graphs are exercised:
+
+- a bipartite order↔part graph derived from ``lineitem`` (scales with
+  sf, so the driver's correctness AND bench runs cover BFS). The BFS
+  distance histogram has an exact DuckDB oracle: a bounded recursive
+  CTE (walk length <= 6, UNION-deduped on (id, dist), MIN per id) —
+  shortest walk == shortest path, so the histogram is exact.
+- the reference's own ``smallG`` dataset (250 vertices, ecc(0)=13) as
+  a rows-only entry, reproducing the reference's query end-to-end
+  (``BFS_map_reduce.py:115-150`` semantics with W1-W5 fixed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.operators.graph import bfs
+from bfs_mapreduce_spark.registry import register
+from bfs_mapreduce_spark.sources.readers import load_table, read_edge_list
+
+_PART_OFFSET = 10_000_000  # lift partkeys into their own vertex-id space
+_MAX_DIST = 6
+_SMALLG = "/root/reference/datasets/smallG.txt"
+
+
+def _order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _PART_OFFSET).alias("dst"),
+    )
+
+
+@register(
+    "q_graph_bfs_histogram",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT l_orderkey AS src, l_partkey + {_PART_OFFSET} AS dst FROM lineitem),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    s0 AS (SELECT MIN(l_orderkey) AS s FROM lineitem),
+    walk(id, dist) AS (
+      SELECT s, 0 FROM s0
+      UNION
+      SELECT sym.dst, walk.dist + 1
+      FROM walk JOIN sym ON sym.src = walk.id
+      WHERE walk.dist < {_MAX_DIST})
+    SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_vertices
+    FROM (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id)
+    GROUP BY dist
+    """,
+    doc="BFS distance histogram (depth-bounded at 6) on the bipartite "
+    "order↔part graph, source = min orderkey. Exercises the full "
+    "iterative frontier-join/min-agg/anti-join machinery against an "
+    "exact SQL oracle.",
+)
+def q_graph_bfs_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _order_part_edges(spark, sf_dir)
+    source = edges.agg(F.min("src")).collect()[0][0]
+    res = bfs(edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False)
+    return (
+        res.filter(F.col("dist").isNotNull())
+        .groupBy(F.col("dist").cast("bigint").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+@register(
+    "q_graph_degree_hist",
+    oracle=f"""
+    WITH e AS (
+      SELECT l_orderkey AS src, l_partkey + {_PART_OFFSET} AS dst FROM lineitem),
+    sym AS (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+      WHERE src <> dst),
+    deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY src)
+    SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the undirected (deduped) graph — the "
+    "adjacency-build operator (Graph.py:9-16) as an aggregate query.",
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import undirected_edges
+
+    sym = undirected_edges(_order_part_edges(spark, sf_dir))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+@register(
+    "q_graph_bfs_smallg",
+    oracle=None,  # no SQL analogue (reference dataset lives outside the
+    # sf dir); golden-tested in tests/test_bfs.py against a serial oracle
+    doc="The reference's own query end-to-end: single-source shortest "
+    "paths with path recovery on smallG (250 vertices, ecc(0)=13), "
+    "source 0, deterministic lexicographic tie-break. Path emitted as "
+    "a '->'-joined string.",
+)
+def q_graph_bfs_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = read_edge_list(spark, _SMALLG)
+    res = bfs(edges, source=0, with_paths=True)
+    return res.select(
+        "id",
+        "dist",
+        F.array_join(F.col("path"), "->").alias("path_str"),
+    )

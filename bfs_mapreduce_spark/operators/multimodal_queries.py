@@ -1,0 +1,138 @@
+"""Multimodal-column plumbing (SURVEY.md §2.10 NEW): image/audio/video
+payloads as opaque ``binary`` columns with typed metadata, processed
+by Arrow-batched ``mapInPandas`` pipelines.
+
+No real media decoders ship in this container, so the decode step is a
+STUB (see ``decode_media``): it produces deterministic fake features
+from the raw bytes. Everything around the stub is real and tested —
+the binary column construction, Arrow batch transfer, mapInPandas
+schema contract, and the chunk/frame-sampling arithmetic — so swapping
+in PIL/torchaudio/ffmpeg later changes one function body, not the
+pipeline.
+
+The test corpus has no binary table, so blobs are derived
+deterministically from ``documents.text`` (utf-8 bytes). That keeps
+every query oracle-able: DuckDB reproduces the same features from the
+same bytes.
+
+Scale posture: blobs never shuffle — features are extracted in a
+single mapInPandas projection co-located with the scan, and only the
+(tiny) feature columns continue through the plan. At 100 TB that is
+the difference between shipping petabytes of pixels through an
+exchange and shipping a few GB of floats.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.registry import register
+from bfs_mapreduce_spark.sources.readers import load_table
+
+_CHUNK = 32  # bytes per fake "frame"
+
+
+def decode_media(blob: bytes, kind: str = "fake") -> dict:
+    """Decode stub. ``kind='fake'`` returns deterministic pseudo-features
+    (length, sha256, a byte-derived 'brightness'); any real kind raises
+    until a decoder library is available.
+
+    STUB: real image/audio decode (PIL / torchaudio / ffmpeg) is not
+    installed in this environment. The Spark-side plumbing (binary
+    schema, Arrow batching, mapInPandas signature) is the deliverable;
+    this function body is the single swap point.
+    """
+    if kind != "fake":
+        raise NotImplementedError(
+            f"media decode for kind={kind!r} requires a decoder library "
+            "(PIL/torchaudio/ffmpeg) not present in this environment"
+        )
+    return {
+        "blob_len": len(blob),
+        "content_sha": hashlib.sha256(blob).hexdigest(),
+        "fake_brightness": round((len(blob) % 251) / 251.0, 6),
+    }
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: one Arrow batch in, one feature frame out."""
+    for pdf in batches:
+        feats = [decode_media(b) for b in pdf["blob"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+_FEATURE_SCHEMA = "doc_id bigint, blob_len int, content_sha string, fake_brightness double"
+
+
+def _with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthetic binary column and typed metadata — the
+    shape a real multimodal table would have (blob + mime + dims)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.lit("application/x-fake").alias("mime"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+    -- corpus text is pure ASCII (asserted by octet_length == length),
+    -- so hashing the VARCHAR hashes the same bytes Spark's blob holds
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS blob_len,
+           sha256(text) AS content_sha,
+           ROUND((octet_length(encode(text)) % 251) / 251.0, 6) AS fake_brightness
+    FROM documents
+    """,
+    doc="Feature extraction over a binary column via Arrow-batched "
+    "mapInPandas (decode step stubbed — deterministic byte-derived "
+    "features, reproduced exactly by the DuckDB oracle). Blobs are "
+    "consumed where they are read; only features leave the stage.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+        _extract_features, schema=_FEATURE_SCHEMA
+    )
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+    -- ASCII corpus: varchar substring == byte slicing (see above)
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range((length(text) + {_CHUNK} - 1) // {_CHUNK})) AS chunk_idx
+      FROM documents)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK} AS INT) AS byte_offset,
+           sha256(substring(text, CAST(chunk_idx * {_CHUNK} + 1 AS INT), {_CHUNK})) AS chunk_sha
+    FROM idx
+    """,
+    doc="Frame/chunk sampling over binary payloads: fixed-size byte "
+    "windows (stand-in for video frame extraction), per-chunk content "
+    "hash. Pure JVM binary slicing — the explode is bounded by "
+    "blob_len/chunk, no Python in the path.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _with_blob(spark, sf_dir)
+    n_chunks = F.ceil(F.octet_length("blob") / _CHUNK).cast("int")
+    return (
+        b.select("doc_id", "blob", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * _CHUNK).cast("int").alias("byte_offset"),
+            F.sha2(
+                F.expr(f"substring(blob, chunk_idx * {_CHUNK} + 1, {_CHUNK})"), 256
+            ).alias("chunk_sha"),
+        )
+    )
