@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "bfs_mapreduce_spark.operators.text_queries",
     "bfs_mapreduce_spark.operators.asof_queries",
     "bfs_mapreduce_spark.operators.multimodal_queries",
+    "bfs_mapreduce_spark.streaming.windows",
 )
 
 

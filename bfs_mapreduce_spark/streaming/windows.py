@@ -1,0 +1,199 @@
+"""Event-time streaming operators over the ``events`` table
+(SURVEY.md §2.10 "Streaming" — NEW surface, BUILTIN machinery).
+
+The reference has no streaming; the engine adds the standard
+Structured Streaming repertoire:
+
+- tumbling windows + watermark (``tumbling_counts``)
+- session windows with a 30-minute gap (``session_counts``)
+- custom stateful aggregation via ``applyInPandasWithState``
+  (``running_user_counts``)
+
+Batch parity is the correctness contract: each streaming operator,
+run over the staged events with ``Trigger.AvailableNow``, must produce
+exactly what the equivalent batch query produces on the same data
+(tests/test_streaming.py; the catalog entries in this module run the
+stream to completion and hand the driver a comparable DataFrame, so
+streaming gets real DuckDB-oracle rows too).
+
+Scale posture: watermarks bound state (late rows beyond the watermark
+are dropped, window state is evicted); session windows keep one
+merged-interval state per active (user, session); the stateful op
+keeps O(distinct users) counters partitioned by the groupBy key. All
+state lives in the executor state store, partitioned by key — nothing
+accumulates on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bfs_mapreduce_spark.sources.readers import load_table
+
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_stream")
+_mem_counter = 0
+
+
+def stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events.parquet (nanos ts already normalized to NTZ by
+    load_table) into a directory the file-stream source can list.
+    Idempotent per sf_dir."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_STAGE_ROOT, tag, "events")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (event-time column
+    ``ts`` cast to LTZ — watermarks/windows require an instant; the
+    session is pinned UTC so values are unchanged)."""
+    staged = stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(staged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Per-(window, event_type) counts and value sums with a watermark
+    bounding window state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows (30-min inactivity gap): session start
+    and event count. State = one merged interval per active session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def _running_counts_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState body: accumulate a per-user event count
+    across micro-batches (the minimal custom stateful operator)."""
+    (user_id,) = key
+    total = state.get[0] if state.exists else 0
+    for pdf in batches:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [total]})
+
+
+def running_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful op: running per-user event count via
+    applyInPandasWithState (state store partitioned by user_id)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_counts_fn,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink and return the materialized result as a batch frame."""
+    global _mem_counter
+    _mem_counter += 1
+    name = f"bfs_mr_stream_sink_{_mem_counter}"
+    spark = df.sparkSession
+    with tempfile.TemporaryDirectory(prefix="bfs_mr_ckpt_") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # materialize before the temp checkpoint dir vanishes
+    out = df.sparkSession.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    return out
+
+
+# ---------------------------------------------------------------- catalog entries
+
+from bfs_mapreduce_spark.registry import register  # noqa: E402
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window + watermark, run as a real stream "
+    "(file source → AvailableNow → memory sink) and compared against "
+    "the batch SQL oracle — streaming/batch parity as a MATCH row.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(tumbling_counts(events_stream(spark, sf_dir)))
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30-min gap) as a real stream, oracle = batch "
+    "gaps-and-islands. Boundary semantics: a gap of exactly 30min "
+    "starts a new session (session_window's half-open interval), hence "
+    ">= in the oracle.",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(session_counts(events_stream(spark, sf_dir)))

@@ -1,0 +1,74 @@
+"""Streaming/batch parity: each streaming operator run to completion
+(AvailableNow) must equal its batch twin on the same staged events."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.sources.readers import load_table
+from bfs_mapreduce_spark.streaming.windows import (
+    events_stream,
+    run_to_memory,
+    running_user_counts,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_batch_parity(spark, sf_smoke_dir):
+    streamed = run_to_memory(tumbling_counts(events_stream(spark, sf_smoke_dir)))
+    batch = (
+        load_table(spark, sf_smoke_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_session_batch_parity(spark, sf_smoke_dir):
+    from pyspark.sql import Window
+
+    streamed = run_to_memory(session_counts(events_stream(spark, sf_smoke_dir)))
+    ev = load_table(spark, sf_smoke_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    is_new = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) >= 1_800_000_000), 1
+    ).otherwise(0)
+    batch = (
+        ev.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stateful_running_counts(spark, sf_smoke_dir):
+    streamed = run_to_memory(
+        running_user_counts(events_stream(spark, sf_smoke_dir)), output_mode="update"
+    )
+    # update mode: the LAST row per user carries the final running count
+    final = (
+        streamed.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        load_table(spark, sf_smoke_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cols = ["user_id", "n_events"]
+    assert _rows(final, cols) == _rows(batch, cols)
