@@ -48,8 +48,24 @@ def main() -> None:
     spark = get_session(app_name="bench")
     catalog = all_queries()
 
-    # JVM + first-scan warmup so q1 doesn't absorb session startup cost.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warmup: JVM/JIT, codegen, parquet footers, OS page cache, and the
+    # shuffle/window/checkpoint machinery — so measured times are query
+    # cost, not first-touch session cost. Not counted in the metric.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as Fn
+
+    from bfs_mapreduce_spark.sources.readers import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    li = load_table(spark, sf_dir, "lineitem")
+    li.groupBy("l_returnflag").count().collect()
+    li.select(
+        Fn.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_linenumber"))
+        .alias("rn")
+    ).filter("rn < 0").count()
+    spark.range(10).localCheckpoint().count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

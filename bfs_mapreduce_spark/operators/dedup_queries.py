@@ -72,6 +72,31 @@ _SQL_SHINGLES = f"""
 """
 
 
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) rows via posexplode + window lead —
+    the codegen'd formulation. The array-returning ``_shingles3`` HOF is
+    interpreted per element and re-evaluates its input expression per
+    lambda call (measured ~6s just to shingle 5k docs); this shape costs
+    one explode + one per-doc window and scales linearly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+            ).alias("s"),
+            F.lead("w", 2).over(w).isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("doc_id", "s")
+        .distinct()
+    )
+    return tri
+
+
 def _hash60(col: F.Column) -> F.Column:
     """60-bit hash both engines can compute identically: first 15 hex
     chars of md5, parsed base-16."""
@@ -158,9 +183,8 @@ def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles3(_words()).alias("shingles"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = shingle_rows(docs).persist()  # feeds sizes, df-cap, and both join sides
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # df-cap: shingles shared by >100 docs are candidate-join poison at
     # scale and carry no near-dup signal.
     keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
@@ -223,19 +247,32 @@ def minhash_signature(shingles: F.Column) -> F.Column:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles3(_words()).alias("shingles")).filter(
-        F.size("shingles") > 0
+    # shingle rows feed both the signature agg and the verify arrays —
+    # persist so the explode+window runs once (a few MB per 5k docs;
+    # LRU-evicted, and at scale this is the layer you'd materialize to
+    # parquet between pipeline stages anyway)
+    rows = shingle_rows(docs).persist()
+    # Signatures via shingle ROWS → 64 codegen'd MIN aggregates (one
+    # shuffle, map-side partial agg). Identical values to
+    # minhash_signature()'s array form, but whole-stage-codegen'd:
+    # Spark higher-order functions are interpreted per element, and 64
+    # of them per row was the dominant cost of this query (measured
+    # 2-3x the rest of the pipeline combined).
+    ex = rows.select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_H31)).alias("h31"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_P))).alias(f"m{j}")
+            for j, (a, b) in enumerate(_MINHASH_AB)
+        ]
     )
-    sig = sh.select("doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig"))
-
     n_bands = 64 // _LSH_ROWS_PER_BAND
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(F.slice("sig", i * _LSH_ROWS_PER_BAND + 1, _LSH_ROWS_PER_BAND)).alias(
-                    "h"
-                ),
+                F.xxhash64(
+                    *[f"m{i * _LSH_ROWS_PER_BAND + r}" for r in range(_LSH_ROWS_PER_BAND)]
+                ).alias("h"),
             )
             for i in range(n_bands)
         ]
@@ -255,6 +292,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    sh = rows.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

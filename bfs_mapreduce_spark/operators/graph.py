@@ -78,6 +78,7 @@ def bfs(
     max_rounds: int = 10_000,
     with_paths: bool = True,
     directed: bool = False,
+    warn_on_truncation: bool = True,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
 
@@ -100,13 +101,22 @@ def bfs(
         .distinct()
     )
     if not directed:
-        sym = undirected_edges(raw)
+        rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        sym = raw.unionByName(rev)
     else:
-        sym = raw.filter(F.col("src") != F.col("dst")).distinct()
-    # Partition the (big, static) edge side once on the join key and pin
-    # it in memory: every round reuses the same co-located layout, so
-    # only the frontier side of each round's join moves.
-    sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+        sym = raw
+    # Partition the (big, static) edge side once on the join key, THEN
+    # dedup: hash(src) partitioning already co-locates every (src, dst)
+    # duplicate, so dropDuplicates reuses the exchange instead of
+    # shuffling a second time on (src, dst). Pinned in memory: every
+    # round's frontier join reuses the same co-located layout, so only
+    # the (small) frontier side moves.
+    sym = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     init_cols = ["id", F.lit(0).cast("bigint").alias("dist")]
     if with_paths:
@@ -152,7 +162,7 @@ def bfs(
             visited = visited.localCheckpoint()
         frontier = new
 
-    if truncated:
+    if truncated and warn_on_truncation:
         # Exhausted max_rounds with a non-empty frontier: vertices beyond
         # the horizon would silently read as unreachable (dist NULL).
         # Callers doing bounded exploration pass max_rounds on purpose;

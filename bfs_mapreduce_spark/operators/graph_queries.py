@@ -61,7 +61,11 @@ def _order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_bfs_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _order_part_edges(spark, sf_dir)
     source = edges.agg(F.min("src")).collect()[0][0]
-    res = bfs(edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False)
+    # bounded exploration BY DESIGN (depth-6 histogram) — no truncation warning
+    res = bfs(
+        edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False,
+        warn_on_truncation=False,
+    )
     return (
         res.filter(F.col("dist").isNotNull())
         .groupBy(F.col("dist").cast("bigint").alias("dist"))

@@ -238,19 +238,21 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON s.s_nationkey = t.s_nationkey AND t.s_acctbal > s.s_acctbal
     GROUP BY s.s_suppkey
     """,
-    doc="Theta (inequality) self-join on the small table.",
+    doc="Theta-join semantics (count of strictly-richer nation-mates) "
+    "computed scale-safely: rank() over (nation, acctbal desc) - 1 is "
+    "exactly that count — one window pass instead of a per-nation "
+    "quadratic self-join. The inner-join SQL keeps the theta form so "
+    "the oracle proves the rewrite.",
 )
 def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _t(spark, sf_dir, "supplier").alias("s")
-    t = _t(spark, sf_dir, "supplier").alias("t")
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    n_richer = F.rank().over(w) - 1
     return (
-        s.join(
-            t,
-            (F.col("s.s_nationkey") == F.col("t.s_nationkey"))
-            & (F.col("t.s_acctbal") > F.col("s.s_acctbal")),
-        )
-        .groupBy(F.col("s.s_suppkey").alias("s_suppkey"))
-        .agg(F.count(F.lit(1)).alias("n_richer_nation_mates"))
+        s.withColumn("n_richer_nation_mates", n_richer.cast("bigint"))
+        # inner-join semantics: suppliers with zero richer mates drop out
+        .filter(F.col("n_richer_nation_mates") > 0)
+        .select("s_suppkey", "n_richer_nation_mates")
     )
 
 
