@@ -1,0 +1,96 @@
+"""CLI, mirroring the reference's entry points (SURVEY §2.8):
+
+reference                                  this engine
+-----------------------------------------  -------------------------------
+BFS_map_reduce.py -p FILE -w N             python -m bfs_mapreduce_spark.cli bfs -p FILE [-w N] [-s SRC]
+BFS_serial.py FILE                         (same command — one engine, parallelism is a config)
+results.csv append sink (:155-164)         --results PATH appends Dataset,n_Workers,Tempo
+
+Extra subcommand ``query`` runs any named catalog query against a
+testdata dir — the engine's general surface from the same front door.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _bfs(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.graph import bfs
+    from bfs_mapreduce_spark.session import get_session
+    from bfs_mapreduce_spark.sources.readers import read_edge_list, write_csv_append
+
+    spark = get_session(
+        app_name="bfs_cli",
+        master=f"local[{args.workers}]" if args.workers else None,
+        shuffle_partitions=args.workers or None,
+    )
+    t0 = time.perf_counter()
+    edges = read_edge_list(spark, args.path)
+    res = bfs(edges, source=args.source, with_paths=not args.no_paths)
+    out_cols = ["id", "dist"] + ([] if args.no_paths else ["path_str"])
+    shown = res
+    if not args.no_paths:
+        shown = res.withColumn("path_str", F.array_join("path", "->"))
+    rows = shown.select(*out_cols).orderBy("id").collect()
+    elapsed = time.perf_counter() - t0
+    for r in rows[: args.limit]:
+        print("\t".join("" if r[c] is None else str(r[c]) for c in out_cols))
+    print(f"# {len(rows)} vertices in {elapsed:.3f}s", file=sys.stderr)
+    if args.results:
+        row = spark.createDataFrame(
+            [(os.path.basename(args.path), args.workers or (os.cpu_count() or 0), elapsed)],
+            "Dataset string, n_Workers int, Tempo double",
+        )
+        write_csv_append(row, args.results)
+    spark.stop()
+    return 0
+
+
+def _query(args: argparse.Namespace) -> int:
+    from bfs_mapreduce_spark.registry import all_queries
+    from bfs_mapreduce_spark.session import get_session
+
+    catalog = all_queries()
+    if args.name not in catalog:
+        print(f"unknown query {args.name!r}; available: {', '.join(sorted(catalog))}", file=sys.stderr)
+        return 2
+    spark = get_session(app_name=f"query_{args.name}")
+    t0 = time.perf_counter()
+    df = catalog[args.name].build(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    print(f"# {df.count()} rows in {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bfs_mapreduce_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bfs", help="single-source shortest paths over an edge-list file")
+    b.add_argument("-p", "--path", required=True, help="whitespace edge-list file")
+    b.add_argument("-w", "--workers", type=int, default=0, help="local parallelism (0 = all cores)")
+    b.add_argument("-s", "--source", type=int, default=0, help="source vertex (reference pins 0)")
+    b.add_argument("--no-paths", action="store_true", help="distances only")
+    b.add_argument("--limit", type=int, default=50, help="rows to print")
+    b.add_argument("--results", help="CSV append sink (Dataset,n_Workers,Tempo)")
+    b.set_defaults(fn=_bfs)
+
+    q = sub.add_parser("query", help="run a named catalog query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

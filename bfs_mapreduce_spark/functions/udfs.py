@@ -1,0 +1,156 @@
+"""User-extensibility surface: scalar pandas UDF, grouped-agg pandas
+UDF (UDAF), and a Python UDTF (SURVEY.md §2.7 — the reference has
+none; §2.10 row "UDF/UDAF/UDTF").
+
+Placement rules the engine enforces by example:
+
+- UDFs are the SLOW PATH. Everything expressible with built-ins stays
+  JVM-side (see text_queries: tokenize/tf-idf/fingerprint are all
+  built-ins). Python touches data only when the logic genuinely needs
+  a library (numpy here), and then ONLY through Arrow-vectorized
+  pandas UDFs — never row-at-a-time ``F.udf``.
+- Grouped-agg pandas UDFs ride the normal partial-agg shuffle shape:
+  state per group, executor-side.
+- UDTFs are for row→many-rows expansion with per-row Python logic
+  (here: chunking documents into training windows). The lateral join
+  keeps the expansion streaming — no driver materialization.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import PandasUDFType, pandas_udf, udtf
+
+from bfs_mapreduce_spark.registry import register
+from bfs_mapreduce_spark.sources.readers import load_table
+
+_CHUNK_WORDS = 32
+
+
+# ---------------------------------------------------------------- scalar pandas UDF
+
+
+def char_entropy_fn(texts: pd.Series) -> pd.Series:
+    """Shannon entropy (bits) of each text's character distribution —
+    a cheap quality/diversity signal; numpy-vectorized per Arrow batch."""
+    out = np.empty(len(texts))
+    for i, t in enumerate(texts):
+        if not t:
+            out[i] = 0.0
+            continue
+        _, counts = np.unique(np.frombuffer(t.encode(), dtype=np.uint8), return_counts=True)
+        p = counts / counts.sum()
+        out[i] = float(-(p * np.log2(p)).sum())
+    return pd.Series(out)
+
+
+def char_entropy(col: str) -> F.Column:
+    return pandas_udf(char_entropy_fn, "double")(col)
+
+
+@register(
+    "q_udf_char_entropy",
+    oracle=None,  # per-char distribution entropy isn't reasonably
+    # SQL-expressible; validated against a pure-Python reference in
+    # tests/test_udfs.py
+    doc="Scalar pandas UDF: per-document character entropy "
+    "(Arrow-batched, numpy-vectorized). Rounded to 6 for stability.",
+)
+def q_udf_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(char_entropy("text"), 6).alias("char_entropy"))
+
+
+# ---------------------------------------------------------------- grouped-agg pandas UDF
+
+
+def geo_mean_fn(v: pd.Series) -> float:
+    return float(np.exp(np.log(v.to_numpy()).mean()))
+
+
+@register(
+    "q_udaf_geomean",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value))), 6) AS geo_mean_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDF (UDAF): geometric mean of event "
+    "value per type. The oracle's EXP(AVG(LN(x))) identity proves the "
+    "UDAF exact. Rides the standard agg shuffle — state per group, "
+    "executor-side.",
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    geo = pandas_udf(geo_mean_fn, "double", PandasUDFType.GROUPED_AGG)
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg,
+    # so the row count is a (trivial) pandas aggregate too
+    cnt = pandas_udf(lambda v: len(v), "long", PandasUDFType.GROUPED_AGG)
+    return ev.groupBy("event_type").agg(
+        F.round(geo("value"), 6).alias("geo_mean_value"),
+        cnt("value").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- Python UDTF
+
+
+@udtf(returnType="chunk_idx int, chunk_text string, n_words int")
+class ChunkDocument:
+    """Split a document into fixed-size word windows — the standard
+    training-sample chunking step, as a table function."""
+
+    def eval(self, text: str, chunk: int):  # noqa: D102
+        words = text.split(" ")
+        for i in range(0, len(words), chunk):
+            piece = words[i : i + chunk]
+            yield i // chunk, " ".join(piece), len(piece)
+
+
+@register(
+    "q_udtf_chunk_documents",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    idx AS (SELECT doc_id, words,
+                   unnest(range((len(words) + {_CHUNK_WORDS} - 1) // {_CHUNK_WORDS})) AS chunk_idx
+            FROM w)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(
+             words[(chunk_idx * {_CHUNK_WORDS} + 1):((chunk_idx + 1) * {_CHUNK_WORDS})],
+             ' ') AS chunk_text,
+           CAST(LEAST({_CHUNK_WORDS}, len(words) - chunk_idx * {_CHUNK_WORDS}) AS INT) AS n_words
+    FROM idx
+    """,
+    doc="Python UDTF via lateral join: one document row → N training "
+    "chunks of <=32 words. The SQL oracle reproduces the chunking with "
+    "list slicing, proving the UDTF exact. Expansion streams through "
+    "the lateral join — nothing materializes on the driver.",
+)
+def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_for_chunking")
+    spark.udtf.register("chunk_document", ChunkDocument)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM documents_for_chunking d,
+             LATERAL chunk_document(d.text, {_CHUNK_WORDS}) c
+        """
+    )
+
+
+def entropy_reference(text: str) -> float:
+    """Pure-Python oracle for char_entropy (tests)."""
+    if not text:
+        return 0.0
+    counts: dict[str, int] = {}
+    for ch in text.encode():
+        counts[ch] = counts.get(ch, 0) + 1
+    n = len(text.encode())
+    return -sum((c / n) * math.log2(c / n) for c in counts.values())

@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "bfs_mapreduce_spark.operators.asof_queries",
     "bfs_mapreduce_spark.operators.multimodal_queries",
     "bfs_mapreduce_spark.streaming.windows",
+    "bfs_mapreduce_spark.functions.udfs",
 )
 
 

@@ -1,0 +1,68 @@
+"""Relational-tier semantic tests that the DuckDB oracle can't cover:
+approximate-aggregate accuracy, and physical-plan shape (pushdown,
+broadcast choice, top-k codepath) — the properties that decide whether
+these plans survive a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.registry import all_queries
+from bfs_mapreduce_spark.sources.readers import load_table
+
+CATALOG = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_approx_count_distinct_accuracy(spark, sf_oracle_dir):
+    """HLL++ at rsd=0.02 must land within 5% of the exact count."""
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in CATALOG["q_approx_count_distinct"].build(spark, sf_oracle_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_oracle_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / exact[k]
+        assert rel_err < 0.05, f"{k}: approx={approx[k]} exact={exact[k]} err={rel_err:.3f}"
+
+
+def test_filter_and_projection_push_into_scan(spark, sf_oracle_dir):
+    plan = _plan(CATALOG["q_filter_project"].build(spark, sf_oracle_dir))
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 3 projected columns reach the scan
+    assert "o_orderdate" not in read_schema and "o_orderpriority" not in read_schema
+
+
+def test_q3_broadcasts_the_filtered_dimension(spark, sf_oracle_dir):
+    plan = _plan(CATALOG["q3_top_orders"].build(spark, sf_oracle_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_oracle_dir):
+    plan = _plan(CATALOG["q_global_topk"].build(spark, sf_oracle_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_oracle_dir):
+    """No catalog query may plan a CartesianProduct. (Deliberate small
+    broadcast cross joins compile to BroadcastNestedLoopJoin, which is
+    fine; an unpartitioned CartesianProduct at 100 TB is never fine.)"""
+    streaming_or_slow = {"q_stream_tumbling", "q_stream_session", "q_graph_bfs_smallg",
+                         "q_graph_bfs_histogram"}
+    for name, q in CATALOG.items():
+        if name in streaming_or_slow:
+            continue
+        plan = _plan(q.build(spark, sf_oracle_dir))
+        assert "CartesianProduct" not in plan, name

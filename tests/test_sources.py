@@ -1,0 +1,61 @@
+"""Source/sink coverage (SURVEY §2.1): edge-list text scan, CSV append
+sink (the reference's only sink, BFS_map_reduce.py:155-164), JSON and
+parquet round-trips."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.sources.readers import (
+    load_table,
+    read_edge_list,
+    write_csv_append,
+)
+
+
+def test_edge_list_tolerates_messy_whitespace(spark, tmp_path):
+    p = tmp_path / "edges.txt"
+    p.write_text("0 1\n  1\t2 \n\n2   3\n")
+    rows = sorted(
+        (r["src"], r["dst"]) for r in read_edge_list(spark, str(p)).collect()
+    )
+    assert rows == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_csv_append_sink_accumulates(spark, tmp_path):
+    out = str(tmp_path / "results")
+    df1 = spark.createDataFrame([("tinyG", 4, 0.12)], "Dataset string, n_Workers int, Tempo double")
+    df2 = spark.createDataFrame([("smallG", 8, 0.98)], "Dataset string, n_Workers int, Tempo double")
+    write_csv_append(df1, out)
+    write_csv_append(df2, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"Dataset", "n_Workers", "Tempo"}
+
+
+def test_json_round_trip(spark, tmp_path):
+    out = str(tmp_path / "events_json")
+    ev = load_table(spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001"), "events")
+    ev.limit(100).write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert "event_id" in back.columns and "props" in back.columns
+
+
+def test_parquet_round_trip_preserves_schema(spark, tmp_path, sf_smoke_dir):
+    out = str(tmp_path / "docs_parquet")
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    docs.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+
+
+def test_events_ts_normalized_to_ntz(spark, sf_smoke_dir):
+    ev = load_table(spark, sf_smoke_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    # sanity: values are 2024 wall-clock
+    years = ev.select(F.year("ts").alias("y")).distinct().collect()
+    assert {r["y"] for r in years} == {2024}
