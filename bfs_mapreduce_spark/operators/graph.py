@@ -186,3 +186,110 @@ def connected_component_of(edges: DataFrame, source: int = 0) -> DataFrame:
     reference's termination scan implicitly computes)."""
     res = bfs(edges, source=source, with_paths=False)
     return res.filter(F.col("dist").isNotNull()).select("id", "dist")
+
+
+def bfs_rdd(
+    edges: DataFrame,
+    source: int = 0,
+    max_rounds: int = 10_000,
+    with_paths: bool = True,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The north-star RDD formulation of BFS: ``mapPartitions`` frontier
+    expansion + ``aggregateByKey`` min-state reduction (BASELINE.json
+    spark_approach), kept alongside the DataFrame ``bfs`` as the
+    per-partition-imperative variant.
+
+    Faithful mapping of the reference's round structure
+    (``BFS_map_reduce.py:115-150``), with each piece landing where
+    Spark wants it:
+
+    - ``apply_map`` local grouping (:8-23)  → aggregateByKey's map-side
+      combine (runs pre-shuffle automatically);
+    - driver-funnel shuffle (:122-136)      → executor-side shuffle of
+      ``aggregateByKey`` — the driver never touches vertex state;
+    - order-based ``partition_graph`` (:72-90) → HashPartitioner via
+      ``partitionBy(n)``, computed ONCE for the adjacency RDD; every
+      round's join is then narrow on the adjacency side (co-partitioned),
+      so only the frontier moves;
+    - ``reduce_task`` argmin (:44-60)       → min over (dist, path)
+      tuples — deterministic lexicographic tie-break (fixes wart W3).
+
+    Returns the same schema as ``bfs``: (id, dist, path?).
+    """
+    spark = edges.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+
+    pairs = edges.select("src", "dst").rdd.map(lambda r: (int(r[0]), int(r[1])))
+    if not directed:
+        pairs = pairs.flatMap(lambda e: [e, (e[1], e[0])])
+    loops_dropped = pairs.filter(lambda e: e[0] != e[1])
+
+    # adjacency via aggregateByKey: set-union combine (the reference's
+    # membership-tested neighbour insert, Graph.py:9-16, but hash-set);
+    # partitioned once, persisted — the static side of every round's join
+    adj = (
+        loops_dropped.aggregateByKey(
+            set(), lambda s, v: (s.add(v) or s), lambda a, b: (a.update(b) or a),
+            numPartitions=n,
+        )
+        .mapValues(sorted)
+        .persist()
+    )
+
+    all_vertices = (
+        pairs.flatMap(lambda e: e)
+        .union(spark.sparkContext.parallelize([source]))
+        .distinct()
+    )
+
+    init_state = (0, (source,)) if with_paths else (0, None)
+    frontier = spark.sparkContext.parallelize([(source, init_state)]).partitionBy(n)
+    visited = frontier
+
+    def expand(part):
+        """mapPartitions body: reference map_task (:25-42) minus the
+        pass-through branch — settled vertices never re-emit."""
+        for _v, (nbrs, (d, path)) in part:
+            nd = d + 1
+            for nbr in nbrs:
+                yield nbr, (nd, path + (nbr,) if path is not None else None)
+
+    def min_state(a, b):
+        if a[0] == float("inf"):
+            return b
+        if b[0] == float("inf"):
+            return a
+        return min(a, b)  # (dist, path) tuple order = deterministic argmin
+
+    zero = (float("inf"), None)
+    for round_no in range(1, max_rounds + 1):
+        candidates = adj.join(frontier, numPartitions=n).mapPartitions(expand)
+        new = (
+            candidates.aggregateByKey(zero, min_state, min_state, numPartitions=n)
+            .subtractByKey(visited, numPartitions=n)
+        )
+        new = new.persist()
+        if new.count() == 0:
+            break
+        visited = visited.union(new)
+        if round_no % 3 == 0:
+            # NB: RDD.localCheckpoint marks in place and returns None
+            # (unlike DataFrame.localCheckpoint)
+            visited.localCheckpoint()
+        frontier = new
+
+    rows = all_vertices.map(lambda v: (v, 1)).leftOuterJoin(visited, numPartitions=n)
+
+    def to_row(kv):
+        v, (_one, state) = kv
+        if state is None:
+            return (v, None, None) if with_paths else (v, None)
+        d, path = state
+        return (v, d, list(path)) if with_paths else (v, d)
+
+    schema = "id bigint, dist bigint" + (", path array<bigint>" if with_paths else "")
+    out = spark.createDataFrame(rows.map(to_row), schema)
+    adj.unpersist()
+    return out

@@ -112,3 +112,38 @@ def q_graph_bfs_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         F.array_join(F.col("path"), "->").alias("path_str"),
     )
+
+
+@register(
+    "q_graph_bfs_rdd_histogram",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT l_orderkey AS src, l_partkey + {_PART_OFFSET} AS dst FROM lineitem),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    s0 AS (SELECT MIN(l_orderkey) AS s FROM lineitem),
+    walk(id, dist) AS (
+      SELECT s, 0 FROM s0
+      UNION
+      SELECT sym.dst, walk.dist + 1
+      FROM walk JOIN sym ON sym.src = walk.id
+      WHERE walk.dist < {_MAX_DIST})
+    SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_vertices
+    FROM (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id)
+    GROUP BY dist
+    """,
+    doc="Same histogram as q_graph_bfs_histogram but computed by the "
+    "north-star RDD engine (mapPartitions expansion + aggregateByKey "
+    "min-state, BASELINE.json spark_approach) — the shared SQL oracle "
+    "proves both implementations agree.",
+)
+def q_graph_bfs_rdd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import bfs_rdd
+
+    edges = _order_part_edges(spark, sf_dir)
+    source = edges.agg(F.min("src")).collect()[0][0]
+    res = bfs_rdd(edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False)
+    return (
+        res.filter(F.col("dist").isNotNull())
+        .groupBy(F.col("dist").cast("bigint").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )

@@ -82,3 +82,44 @@ def test_adjacency_operator(spark):
 def test_undirected_edges_dedup(spark):
     edges_df = spark.createDataFrame([(0, 1), (1, 0), (0, 1), (2, 2)], "src bigint, dst bigint")
     assert undirected_edges(edges_df).count() == 2
+
+
+# ---------------------------------------------------------------- RDD variant
+
+
+def run_and_compare_rdd(spark, edges, source=0, directed=False):
+    from bfs_mapreduce_spark.operators.graph import bfs_rdd
+
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["id"]: (r["dist"], r["path"])
+        for r in bfs_rdd(edges_df, source=source, directed=directed).collect()
+    }
+    want = bfs_oracle(edges, source=source, directed=directed)
+    assert got == want
+
+
+@pytest.mark.parametrize("path", [TINY, SMALL], ids=["tinyG", "smallG"])
+def test_rdd_reference_datasets_golden(spark, path):
+    run_and_compare_rdd(spark, load_edge_list(path))
+
+
+def test_rdd_disconnected_and_ties(spark):
+    run_and_compare_rdd(spark, DISCONNECTED)
+    # two shortest paths to 3 — lexicographic tie-break must hold in the
+    # aggregateByKey reduction as well
+    from bfs_mapreduce_spark.operators.graph import bfs_rdd
+
+    edges_df = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], "src bigint, dst bigint")
+    rows = {r["id"]: r["path"] for r in bfs_rdd(edges_df).collect()}
+    assert rows[3] == [0, 1, 3]
+
+
+def test_rdd_matches_dataframe_engine(spark):
+    from bfs_mapreduce_spark.operators.graph import bfs_rdd
+
+    edges = load_edge_list(SMALL)
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    df_res = {(r["id"], r["dist"]) for r in bfs(edges_df, with_paths=False).collect()}
+    rdd_res = {(r["id"], r["dist"]) for r in bfs_rdd(edges_df, with_paths=False).collect()}
+    assert df_res == rdd_res
