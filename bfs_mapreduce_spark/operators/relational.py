@@ -711,3 +711,55 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6)  AS qty_p50,
+           ROUND(quantile_cont(l_quantity, 0.95), 6) AS qty_p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+    "== DuckDB quantile_cont). The exact form is the oracle anchor; at "
+    "100 TB you swap in percentile_approx (same plan shape, bounded "
+    "memory sketch) — see q_approx_count_distinct for the approx tier.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("qty_p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("price_p99"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+    doc="Map functions over JSON props parsed into MapType: from_json "
+    "-> map_keys / element_at / size. The parse happens once in the "
+    "projection; map operations are JVM-side.",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.filter(F.col("event_type") == "signup")
+        .withColumn("m", m)
+        .select(
+            "event_id",
+            F.map_keys("m").getItem(0).alias("first_key"),
+            F.element_at("m", "k").cast("int").alias("k_value"),
+            F.size(F.map_keys("m")).cast("int").alias("n_keys"),
+        )
+    )
