@@ -386,3 +386,99 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------- near-dup clusters
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components by min-label propagation: every vertex
+    repeatedly adopts the smallest label among itself and its
+    neighbours; converges in O(component diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds).
+
+    Input: ``(s, d)`` undirected edge rows. Output: ``(v, cluster_id)``
+    with cluster_id = min vertex id in the component. Same driver-loop
+    + localCheckpoint discipline as BFS (operators/graph.py).
+    """
+    sym = (
+        edges.select(F.col("s").cast("bigint").alias("s"), F.col("d").cast("bigint").alias("d"))
+        .unionByName(
+            edges.select(F.col("d").cast("bigint").alias("s"), F.col("s").cast("bigint").alias("d"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("cluster_id", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym["s"] == labels["v"]).select(
+            sym["d"].alias("v"), F.col("cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    sym.unpersist()
+    return labels
+
+
+@register(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+          i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+               || ' ' || string_split(text, ' ')[i+3]))
+      ELSE [] END AS shingles FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfc AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN dfc USING (s) JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3),
+    e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    walk(v, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, walk.r FROM walk JOIN e ON e.s = walk.v)
+    SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY v
+    """,
+    doc="Near-dup clusters: jaccard>=0.3 pairs -> connected components "
+    "(min-label propagation, O(diameter) rounds) -> cluster_id = min "
+    "doc in component (the canonical keeper). Oracle = transitive "
+    "closure as a UNION-deduped recursive CTE. The pair graph is tiny "
+    "relative to the corpus, so clustering cost is negligible next to "
+    "candidate generation.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    )
+    return connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "cluster_id"
+    )

@@ -189,7 +189,10 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # scalar; at scale this is a cached metadata count
     ex = docs.select("doc_id", F.explode(_words()).alias("term"))
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived from tf (already one row per (doc, term)): a plain
+    # count beats countDistinct's expand — two fewer shuffles, and the
+    # input is the (much smaller) tf table instead of the raw explode
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
