@@ -763,3 +763,89 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.map_keys("m")).cast("int").alias("n_keys"),
         )
     )
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+    SELECT COALESCE(f.o_custkey, o.o_custkey) AS custkey,
+           COALESCE(f.n_f, 0) AS n_f, COALESCE(o.n_o, 0) AS n_o
+    FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    FULL OUTER JOIN
+         (SELECT o_custkey, COUNT(*) AS n_o FROM orders
+          WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+      ON f.o_custkey = o.o_custkey
+    """,
+    doc="Full-outer join of two aggregates (customers with only-F or "
+    "only-O orders survive on their side).",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    g = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return (
+        f.join(g, "o_custkey", "full_outer")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce("n_f", F.lit(0)).alias("n_f"),
+            F.coalesce("n_o", F.lit(0)).alias("n_o"),
+        )
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window family: ntile / percent_rank / cume_dist "
+    "over a global ordering (single-partition window — fine for ranked "
+    "reports, the documented anti-pattern for 100 TB fact tables where "
+    "you'd partition by a bucketing key first).",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders i
+                          WHERE i.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subquery through the SQL API — Catalyst "
+    "decorrelates it into an aggregate + join (no per-row re-execution).",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+        """
+    )
