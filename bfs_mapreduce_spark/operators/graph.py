@@ -293,3 +293,57 @@ def bfs_rdd(
     out = spark.createDataFrame(rows.map(to_row), schema)
     adj.unpersist()
     return out
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 8,
+) -> DataFrame:
+    """Weighted single-source shortest paths, hop-bounded Bellman-Ford:
+    ``dist_k(v) = min cost over walks of <= k hops`` — k synchronous
+    relaxation rounds, each one join + min-aggregate (the weighted
+    generalization of the BFS rounds above; SURVEY §2.10 "BFS, SSSP").
+
+    ``edges`` must be ``(src, dst, w)`` with the orientation the caller
+    wants (symmetrize first for undirected). Hop-bounding makes the
+    operator total on cyclic graphs without negative-cycle detection;
+    for full convergence pass max_hops >= |V|.
+
+    Scale: per round the relax join re-shuffles only the dist table
+    (O(reached vertices)); the edge side stays partitioned/persisted.
+    Cost accumulation is per-path left-to-right, so results are exact
+    and reproducible (min over identical walk-cost sets).
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("w").cast("double").alias("w"),
+    ).repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    dist = spark.createDataFrame([(source, 0.0)], "id bigint, cost double").localCheckpoint()
+    for _hop in range(max_hops):
+        cand = dist.join(e, dist["id"] == e["src"]).select(
+            e["dst"].alias("id"), (dist["cost"] + e["w"]).alias("cost")
+        )
+        new_dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+        # fixpoint early-exit: no vertex improved and none added
+        if new_dist.count() == dist.count():
+            improved = (
+                new_dist.alias("n")
+                .join(dist.alias("o"), "id")
+                .filter(F.col("n.cost") < F.col("o.cost"))
+            )
+            if improved.isEmpty():
+                dist = new_dist
+                break
+        dist = new_dist
+
+    e.unpersist()
+    return dist

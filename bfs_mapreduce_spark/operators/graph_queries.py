@@ -147,3 +147,52 @@ def q_graph_bfs_rdd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dist").cast("bigint").alias("dist"))
         .agg(F.count(F.lit(1)).alias("n_vertices"))
     )
+
+
+_SSSP_ORDERS = 2000  # subgraph window: bounded oracle recursion at any sf
+_SSSP_HOPS = 8
+
+
+@register(
+    "q_graph_sssp_cost",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT l_orderkey AS src, l_partkey + {_PART_OFFSET} AS dst,
+             MIN(l_quantity) AS w
+      FROM lineitem
+      WHERE l_orderkey < (SELECT MIN(l_orderkey) + {_SSSP_ORDERS} FROM lineitem)
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM base UNION ALL SELECT dst, src, w FROM base),
+    s0 AS (SELECT MIN(l_orderkey) AS s FROM lineitem),
+    walk(id, cost, hops) AS (
+      SELECT s, CAST(0 AS DOUBLE), 0 FROM s0
+      UNION
+      SELECT e.dst, walk.cost + e.w, walk.hops + 1
+      FROM walk JOIN e ON e.src = walk.id WHERE walk.hops < {_SSSP_HOPS})
+    SELECT id, ROUND(MIN(cost), 6) AS cost
+    FROM walk GROUP BY id
+    """,
+    doc="Weighted SSSP (hop-bounded Bellman-Ford, 8 relax rounds) on a "
+    "2000-order window of the bipartite graph, weight = min l_quantity "
+    "per edge. The oracle enumerates all <=8-hop walks in a recursive "
+    "CTE and takes the per-vertex min — exact parity because both "
+    "engines accumulate each walk's cost in path order.",
+)
+def q_graph_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import sssp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.agg(F.min("l_orderkey")).collect()[0][0]
+    base = (
+        li.filter(F.col("l_orderkey") < lo + _SSSP_ORDERS)
+        .groupBy(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_partkey") + _PART_OFFSET).alias("dst"),
+        )
+        .agg(F.min("l_quantity").alias("w"))
+    )
+    sym = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    res = sssp(sym, source=int(lo), max_hops=_SSSP_HOPS)
+    return res.select("id", F.round("cost", 6).alias("cost"))

@@ -1,0 +1,52 @@
+"""Property-based tests (SURVEY §5.2 item 3): random graphs against the
+serial oracle; random documents against a pure-Python Jaccard."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bfs_mapreduce_spark.operators.graph import bfs
+from tests.graph_oracle import bfs_oracle
+
+edge = st.tuples(st.integers(0, 12), st.integers(0, 12))
+edge_lists = st.lists(edge, min_size=1, max_size=25)
+
+_prop_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(edges=edge_lists)
+@_prop_settings
+def test_bfs_matches_serial_oracle_on_random_graphs(spark, edges):
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: (r["dist"], r["path"]) for r in bfs(edges_df).collect()}
+    assert got == bfs_oracle(edges)
+
+
+word = st.sampled_from(["spark", "table", "row", "agg", "scan", "key", "value"])
+texts = st.lists(word, min_size=3, max_size=12).map(" ".join)
+
+
+@given(a=texts, b=texts)
+@_prop_settings
+def test_shingle_jaccard_matches_python_reference(spark, a, b):
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.dedup_queries import shingle_rows
+
+    docs = spark.createDataFrame([(0, a), (1, b)], "doc_id bigint, text string")
+    rows = shingle_rows(docs).collect()
+    got = {0: set(), 1: set()}
+    for r in rows:
+        got[r["doc_id"]].add(r["s"])
+
+    def ref_shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    assert got[0] == ref_shingles(a)
+    assert got[1] == ref_shingles(b)
