@@ -849,3 +849,21 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE i.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "q_approx_percentile",
+    oracle=None,  # t-digest-style sketch values are engine-specific;
+    # accuracy vs the exact percentile is asserted in tests/test_relational.py
+    doc="Approximate percentiles (bounded-memory sketch, accuracy "
+    "parameter 100) — the 100 TB substitute for exact interpolated "
+    "percentiles: constant state per group vs a full sort. Paired with "
+    "q_percentiles as its exactness anchor.",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(100)).alias("price_p50_approx"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(100)).alias("price_p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

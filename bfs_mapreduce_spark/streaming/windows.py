@@ -197,3 +197,37 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(session_counts(events_stream(spark, sf_dir)))
+
+
+def sliding_counts(stream: DataFrame, width: str = "1 hour", slide: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping
+    windows (2 here). State per open window, bounded by the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    WITH ex AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                     time_bucket(INTERVAL '30 minutes', ts)]) AS window_start
+      FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM ex GROUP BY window_start, event_type
+    """,
+    doc="Sliding 1h/30min windows as a real stream; every event lands "
+    "in exactly two windows, which the batch oracle reproduces by "
+    "exploding each event into its two bucket starts.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(sliding_counts(events_stream(spark, sf_dir)))

@@ -59,10 +59,37 @@ def test_no_cartesian_products_anywhere(spark, sf_oracle_dir):
     """No catalog query may plan a CartesianProduct. (Deliberate small
     broadcast cross joins compile to BroadcastNestedLoopJoin, which is
     fine; an unpartitioned CartesianProduct at 100 TB is never fine.)"""
-    streaming_or_slow = {"q_stream_tumbling", "q_stream_session", "q_graph_bfs_smallg",
-                         "q_graph_bfs_histogram"}
+    # excluded: streaming entries and driver-loop operators whose build()
+    # executes jobs (their per-round plans are join+agg, audited in their
+    # own tests) — this test is about single-plan catalog queries
+    streaming_or_slow = {"q_stream_tumbling", "q_stream_session", "q_stream_sliding",
+                         "q_graph_bfs_smallg", "q_graph_bfs_histogram",
+                         "q_graph_bfs_rdd_histogram", "q_graph_sssp_cost",
+                         "q_dedup_clusters"}
     for name, q in CATALOG.items():
         if name in streaming_or_slow:
             continue
         plan = _plan(q.build(spark, sf_oracle_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_approx_percentile_accuracy(spark, sf_oracle_dir):
+    """percentile_approx(accuracy=100) must land within 2% relative of
+    the exact interpolated percentile on this data."""
+    approx = {
+        r["l_returnflag"]: (r["price_p50_approx"], r["price_p99_approx"])
+        for r in CATALOG["q_approx_percentile"].build(spark, sf_oracle_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p99"])
+        for r in load_table(spark, sf_oracle_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.02, f"{k}: approx={a} exact={e}"
