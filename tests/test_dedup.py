@@ -58,3 +58,28 @@ def test_identical_docs_identical_signature(spark):
         for r in df.select(minhash_signature(F.col("shingles")).alias("sig")).collect()
     ]
     assert sigs[0] == sigs[1]
+
+
+def test_shingle_rows_equals_array_form(spark):
+    """shingle_rows (codegen'd posexplode+lead path) must produce
+    exactly the shingle sets of the reference array form _shingles3."""
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.dedup_queries import _shingles3, _words, shingle_rows
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "x y"),          # <3 words → no shingles
+            (2, "a b c a b c"),  # repeated trigram → deduped
+        ],
+        "doc_id bigint, text string",
+    )
+    via_rows: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in shingle_rows(docs).collect():
+        via_rows[r["doc_id"]].add(r["s"])
+    via_array = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select("doc_id", _shingles3(_words()).alias("sh")).collect()
+    }
+    assert via_rows == via_array
