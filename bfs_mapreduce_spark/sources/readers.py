@@ -39,13 +39,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bit-exact (sub-µs parts are zero in the testdata anyway). NTZ (not
     LTZ) so the values are naive wall-clock — the same convention the
     other tables' TIMESTAMP_NTZ columns and the DuckDB oracle use.
+    The NTZ value is built as epoch + exact-decimal interval — no LTZ
+    hop — so it is correct under ANY session timezone, not just UTC.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(raw.dtypes).get("ts") == "bigint":
             return raw.withColumn(
-                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+                "ts",
+                F.expr(
+                    "make_timestamp_ntz(1970, 1, 1, 0, 0, 0) + "
+                    "make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(26,6)) / 1000000)"
+                ),
             )
         return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
