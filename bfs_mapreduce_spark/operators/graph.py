@@ -79,6 +79,7 @@ def bfs(
     with_paths: bool = True,
     directed: bool = False,
     warn_on_truncation: bool = True,
+    broadcast_frontier_rows: int = 200_000,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
 
@@ -87,6 +88,15 @@ def bfs(
     NULL when unreachable. One shuffle stage per BFS level, all
     executor-side; the driver only runs the (cheap) empty-frontier test,
     exactly the Pregel/GraphX iteration shape.
+
+    Join-strategy note: the frontier comes out of ``localCheckpoint`` as
+    an RDD scan with NO stats, so the planner can't see it is tiny and
+    instead broadcasts the (stats-bearing, persisted) edge table every
+    round. The driver loop knows the exact frontier count from the
+    emptiness check, so it hints ``broadcast(frontier)`` while the
+    frontier is under ``broadcast_frontier_rows`` — the edge side then
+    never moves at all — and falls back to a shuffle join for huge
+    frontiers (dense-graph middle rounds at scale).
     """
     spark = edges.sparkSession
     raw = edges.select(
@@ -125,16 +135,16 @@ def bfs(
         spark.createDataFrame([(source,)], "id bigint").select(*init_cols).localCheckpoint()
     )
     visited = frontier
+    n_front = 1
 
     truncated = True
     for round_no in range(1, max_rounds + 1):
         # Expand: frontier ⋈ edges on id=src emits (dst, dist+1, path+[dst]).
-        # The frontier side is the small one — after localCheckpoint its
-        # size is known, so AQE broadcasts it under the join when it fits.
+        fr = F.broadcast(frontier) if n_front <= broadcast_frontier_rows else frontier
         cand_cols = [sym["dst"].alias("id"), (frontier["dist"] + 1).alias("dist")]
         if with_paths:
             cand_cols.append(F.concat(frontier["path"], F.array(sym["dst"])).alias("path"))
-        candidates = frontier.join(sym, frontier["id"] == sym["src"]).select(*cand_cols)
+        candidates = fr.join(sym, frontier["id"] == sym["src"]).select(*cand_cols)
         # Reduce: per vertex keep the lexicographically smallest path
         # (all candidates in one round share the same dist, so min(path)
         # IS the deterministic argmin — sound replacement for the
@@ -150,7 +160,8 @@ def bfs(
             .agg(*aggs)
             .localCheckpoint()  # truncate lineage; also gives AQE exact sizes
         )
-        if new.isEmpty():
+        n_front = new.count()  # cheap: new is checkpointed; also drives the join hint
+        if n_front == 0:
             truncated = False
             break
         # Checkpoint the accumulated visited set every few rounds, not
