@@ -231,3 +231,71 @@ def sliding_counts(stream: DataFrame, width: str = "1 hour", slide: str = "30 mi
 )
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sliding_counts(events_stream(spark, sf_dir)))
+
+
+def purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    views in the preceding hour. Watermarks on BOTH sides plus the
+    time-range join condition let Spark bound join state (views older
+    than purchase-watermark - 1h are evicted) — the state-safe shape
+    for stream-stream joins at scale."""
+    p = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    ).withWatermark("ts", "1 hour")
+    v = events_stream(spark, sf_dir).filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("ts")),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "v_event_id",
+        F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
+    )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts
+          FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts, v.v_event_id, v.v_ts
+    FROM p JOIN v ON p.user_id = v.v_user_id
+       AND v.v_ts >= p.ts - INTERVAL 1 HOUR AND v.v_ts < p.ts
+    """,
+    doc="Stream-stream inner join (purchase x same-user views in the "
+    "preceding hour) with watermarks bounding both sides' join state, "
+    "run to completion and compared against the batch range-join SQL.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(purchase_view_join(spark, sf_dir), output_mode="append")
+
+
+@register(
+    "q_stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="Stream-static enrichment: the static dimension is re-read per "
+    "micro-batch and broadcast under the join — no state, the standard "
+    "streaming lookup-join shape.",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers = load_table(spark, sf_dir, "customer")
+    enriched = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", F.col("c_mktsegment").alias("segment"))
+    )
+    return run_to_memory(enriched, output_mode="append")
