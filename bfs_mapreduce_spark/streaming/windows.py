@@ -299,3 +299,31 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.col("c_mktsegment").alias("segment"))
     )
     return run_to_memory(enriched, output_mode="append")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, DATE_TRUNC('hour', ts) AS hour
+    FROM events
+    """,
+    doc="Streaming exact dedup at ingestion: dropDuplicates on the key "
+    "within the watermark horizon — the streaming half of the dedup "
+    "tier (state = one entry per distinct key, watermark-evicted). "
+    "Output is the distinct key set, so it is deterministic and "
+    "oracle-comparable.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        events_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "ts",
+        )
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type", "hour"])
+        .select("user_id", "event_type", F.col("hour").cast("timestamp_ntz").alias("hour"))
+    )
+    return run_to_memory(s, output_mode="append")

@@ -72,3 +72,26 @@ def test_stateful_running_counts(spark, sf_smoke_dir):
     )
     cols = ["user_id", "n_events"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_foreachbatch_sink_round_trip(spark, sf_smoke_dir, tmp_path):
+    """foreachBatch: arbitrary per-micro-batch sink logic (here: append
+    parquet + collect batch sizes); totals must match the source."""
+    out = str(tmp_path / "fb_out")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+        batch_df.write.mode("append").parquet(out)
+
+    src = events_stream(spark, sf_smoke_dir).select("event_id", "user_id", "value")
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total_src = load_table(spark, sf_smoke_dir, "events").count()
+    assert sum(n for _, n in seen) == total_src
+    assert spark.read.parquet(out).count() == total_src
