@@ -867,3 +867,58 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(100)).alias("price_p99_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      FROM events GROUP BY 1, 2),
+    daily AS (
+      SELECT DATE_TRUNC('day', bucket) AS bucket, event_type,
+             SUM(n) AS n, SUM(sv) AS sv FROM hourly GROUP BY 1, 2),
+    monthly AS (
+      SELECT DATE_TRUNC('month', bucket) AS bucket, event_type,
+             SUM(n) AS n, SUM(sv) AS sv FROM daily GROUP BY 1, 2)
+    SELECT 'hour' AS grain, bucket, event_type, n, CAST(sv AS DOUBLE) AS total_value FROM hourly
+    UNION ALL
+    SELECT 'day', bucket, event_type, n, CAST(sv AS DOUBLE) FROM daily
+    UNION ALL
+    SELECT 'month', bucket, event_type, n, CAST(sv AS DOUBLE) FROM monthly
+    """,
+    doc="Hypertable-style rollup cascade: aggregate raw events ONCE at "
+    "hour grain, then derive day and month grains by re-aggregating the "
+    "next-finer grain (exact decimal sums make the cascade associative, "
+    "so it equals aggregating from raw). At 100 TB this is the "
+    "continuous-aggregate pattern: coarse grains cost |hourly| rows, "
+    "not another scan of the fact table.",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def tag(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            "n",
+            F.col("sv").cast("double").alias("total_value"),
+        )
+
+    return tag(hourly, "hour").unionByName(tag(daily, "day")).unionByName(
+        tag(monthly, "month")
+    )
