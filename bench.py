@@ -66,6 +66,14 @@ def main() -> None:
         .alias("rn")
     ).filter("rn < 0").count()
     spark.range(10).localCheckpoint().count()
+    # warm the iterative machinery (broadcast join / anti-join /
+    # checkpoint codegen) on a toy graph
+    from bfs_mapreduce_spark.operators.graph import bfs
+
+    toy = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    bfs(toy, with_paths=False).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -136,6 +136,7 @@ def bfs(
     )
     visited = frontier
     n_front = 1
+    n_visited = 1
 
     truncated = True
     for round_no in range(1, max_rounds + 1):
@@ -151,19 +152,29 @@ def bfs(
         # reference's index-aligned argmin, wart W3). Partial aggregation
         # before the exchange is Catalyst's map-side combine (= the
         # reference's apply_map grouping, BFS_map_reduce.py:8-23).
+        # Aggregate BEFORE the visited anti-join: the candidate multiset
+        # is O(frontier x degree), the aggregate is O(distinct dst) —
+        # same result (dropping a whole group after min == dropping its
+        # rows before), far fewer rows through the anti-join. The
+        # visited side is id-only; broadcast it while it is small so the
+        # anti-join adds no exchange at all.
         aggs = [F.min("dist").alias("dist")]
         if with_paths:
             aggs.append(F.min("path").alias("path"))
+        vis_ids = visited.select("id")
+        if n_visited <= broadcast_frontier_rows * 10:
+            vis_ids = F.broadcast(vis_ids)
         new = (
-            candidates.join(visited.select("id"), "id", "left_anti")
-            .groupBy("id")
+            candidates.groupBy("id")
             .agg(*aggs)
+            .join(vis_ids, "id", "left_anti")
             .localCheckpoint()  # truncate lineage; also gives AQE exact sizes
         )
-        n_front = new.count()  # cheap: new is checkpointed; also drives the join hint
+        n_front = new.count()  # cheap: new is checkpointed; also drives the join hints
         if n_front == 0:
             truncated = False
             break
+        n_visited += n_front
         # Checkpoint the accumulated visited set every few rounds, not
         # every round: visited is O(V) — re-materializing it per level
         # costs O(V * diameter) cumulative writes on high-diameter
