@@ -18,14 +18,24 @@ import sys
 import time
 
 
+def _owned_session(**kwargs):
+    """getOrCreate may hand back a pre-existing session (tests, REPLs);
+    only stop it on exit if this invocation created it."""
+    from pyspark.sql import SparkSession
+
+    from bfs_mapreduce_spark.session import get_session
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    return get_session(**kwargs), not pre_existing
+
+
 def _bfs(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from bfs_mapreduce_spark.operators.graph import bfs
-    from bfs_mapreduce_spark.session import get_session
     from bfs_mapreduce_spark.sources.readers import read_edge_list, write_csv_append
 
-    spark = get_session(
+    spark, owned = _owned_session(
         app_name="bfs_cli",
         master=f"local[{args.workers}]" if args.workers else None,
         shuffle_partitions=args.workers or None,
@@ -48,24 +58,25 @@ def _bfs(args: argparse.Namespace) -> int:
             "Dataset string, n_Workers int, Tempo double",
         )
         write_csv_append(row, args.results)
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 
 def _query(args: argparse.Namespace) -> int:
     from bfs_mapreduce_spark.registry import all_queries
-    from bfs_mapreduce_spark.session import get_session
 
     catalog = all_queries()
     if args.name not in catalog:
         print(f"unknown query {args.name!r}; available: {', '.join(sorted(catalog))}", file=sys.stderr)
         return 2
-    spark = get_session(app_name=f"query_{args.name}")
+    spark, owned = _owned_session(app_name=f"query_{args.name}")
     t0 = time.perf_counter()
     df = catalog[args.name].build(spark, args.sf_dir)
     df.show(args.limit, truncate=False)
     print(f"# {df.count()} rows in {time.perf_counter() - t0:.3f}s", file=sys.stderr)
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 
