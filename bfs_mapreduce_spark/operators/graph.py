@@ -369,3 +369,56 @@ def sssp(
 
     e.unpersist()
     return dist
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank by synchronous power iteration over a directed edge
+    list: ``pr_{k+1}(v) = (1-d)/N + d * sum over in-edges (u,v) of
+    pr_k(u) / outdeg(u)``. Dangling vertices (no out-edges) keep their
+    rank out of circulation (the simple variant).
+
+    Per iteration: one join of the (static, persisted, src-partitioned)
+    contribution table against the rank table + one aggregate — the
+    same shuffle budget as a BFS round, and the same driver-loop +
+    localCheckpoint discipline. Returns ``(id, pr)``.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+    ).distinct()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    links = (
+        e.join(out_deg, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = vertices.count()
+    ranks = vertices.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(links, ranks["id"] == links["src"])
+            .select(links["dst"].alias("id"), (ranks["pr"] / links["outdeg"]).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("csum", F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    links.unpersist()
+    return ranks

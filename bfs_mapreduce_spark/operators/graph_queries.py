@@ -196,3 +196,42 @@ def q_graph_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = sssp(sym, source=int(lo), max_hops=_SSSP_HOPS)
     return res.select("id", F.round("cost", 6).alias("cost"))
+
+
+@register(
+    "q_graph_pagerank2",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey AS src, l_partkey + {_PART_OFFSET} AS dst
+      FROM lineitem),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    n AS (SELECT COUNT(*) AS n FROM verts),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    pr0 AS (SELECT id, 1.0 / n.n AS pr FROM verts, n),
+    c1 AS (SELECT e.dst AS id, SUM(pr0.pr / deg.outdeg) AS csum
+           FROM e JOIN deg USING (src) JOIN pr0 ON pr0.id = e.src
+           GROUP BY e.dst),
+    pr1 AS (SELECT verts.id, 0.15 / n.n + 0.85 * COALESCE(c1.csum, 0) AS pr
+            FROM verts CROSS JOIN n LEFT JOIN c1 ON verts.id = c1.id),
+    c2 AS (SELECT e.dst AS id, SUM(pr1.pr / deg.outdeg) AS csum
+           FROM e JOIN deg USING (src) JOIN pr1 ON pr1.id = e.src
+           GROUP BY e.dst),
+    pr2 AS (SELECT verts.id, 0.15 / n.n + 0.85 * COALESCE(c2.csum, 0) AS pr
+            FROM verts CROSS JOIN n LEFT JOIN c2 ON verts.id = c2.id)
+    SELECT id, ROUND(pr * 1000000, 6) AS pr_ppm FROM pr2
+    """,
+    doc="Two PageRank power iterations on the directed order->part "
+    "graph (damping 0.85), oracle = the iterations unrolled as plain "
+    "SQL (recursive CTEs cannot aggregate, so bounded unrolling is the "
+    "exact-oracle formulation). Scaled to parts-per-million before "
+    "rounding so the compare has meaningful precision.",
+)
+def q_graph_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"), (F.col("l_partkey") + _PART_OFFSET).alias("dst")
+    )
+    res = pagerank(edges, iterations=2)
+    return res.select("id", F.round(F.col("pr") * 1_000_000, 6).alias("pr_ppm"))

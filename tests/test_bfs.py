@@ -123,3 +123,28 @@ def test_rdd_matches_dataframe_engine(spark):
     df_res = {(r["id"], r["dist"]) for r in bfs(edges_df, with_paths=False).collect()}
     rdd_res = {(r["id"], r["dist"]) for r in bfs_rdd(edges_df, with_paths=False).collect()}
     assert df_res == rdd_res
+
+
+# ---------------------------------------------------------------- PageRank
+
+
+def test_pagerank_matches_python_reference(spark):
+    from bfs_mapreduce_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["pr"] for r in pagerank(edges_df, iterations=20).collect()}
+
+    # independent dense power iteration
+    verts = sorted({v for e in edges for v in e})
+    out = {v: [d for s, d in edges if s == v] for v in verts}
+    pr = {v: 1 / len(verts) for v in verts}
+    for _ in range(20):
+        nxt = {v: 0.15 / len(verts) for v in verts}
+        for u in verts:
+            for d in out[u]:
+                nxt[d] += 0.85 * pr[u] / len(out[u])
+        pr = nxt
+    assert got.keys() == pr.keys()
+    for v in verts:
+        assert abs(got[v] - pr[v]) < 1e-9, (v, got[v], pr[v])
