@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from bfs_mapreduce_spark.functions.numeric import dfrac, dmoney
 from bfs_mapreduce_spark.registry import register
-from bfs_mapreduce_spark.sources.readers import load_table, load_tables
+from bfs_mapreduce_spark.sources.readers import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

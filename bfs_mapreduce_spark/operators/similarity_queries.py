@@ -213,3 +213,69 @@ def q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", "cosine")
     )
+
+
+_N_PROBE = 3
+
+
+@register(
+    "q_similarity_ivf_search",
+    oracle=None,  # cell-bounded candidate generation is not
+    # SQL-expressible; recall vs q_similarity_topk asserted in
+    # tests/test_similarity.py
+    doc="IVF probe search, the other ANN scale path: nearest-centroid "
+    "assignment buckets the corpus into cells once; each query then "
+    "scores only the vectors in its top-3 cells (n_probe=3) and "
+    "re-ranks exactly. Candidate cost = probed-cell sizes, never the "
+    "corpus. Same output schema as q_similarity_topk.",
+)
+def q_similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroids: per-label means (stand-in for k-means, as in ivf_assign)
+    ex = emb.select("label", F.posexplode(_vecd()).alias("pos", "x"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("x").alias("avg"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pa", lambda s: s["avg"]).alias("cv"),
+        )
+        .withColumn("cn", _norm("cv"))
+        .localCheckpoint()
+    )
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
+    scored_cells = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", cell_cos.alias("cc")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell"))
+    ranked = scored_cells.withColumn("rn", F.row_number().over(w_assign))
+    # corpus side: every vector lives in its ONE nearest cell
+    assignment = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
+    # query side: probe the top-N cells
+    probes = (
+        ranked.filter(F.col("rn") <= _N_PROBE)
+        .filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assignment, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = base.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("n"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )

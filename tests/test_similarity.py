@@ -35,3 +35,19 @@ def test_ann_results_are_true_neighbors(spark, sf_oracle_dir):
         key = (r["query_id"], r["vec_id"])
         if key in exact:
             assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_ivf_search_recall(spark, sf_oracle_dir):
+    from bfs_mapreduce_spark.operators.similarity_queries import q_similarity_ivf_search
+
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in q_similarity_topk(spark, sf_oracle_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in q_similarity_ivf_search(spark, sf_oracle_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # 10 label-cells, 3 probed -> ~30% of the corpus scored; random-ish
+    # embeddings give weak cells, so the floor is modest but must hold
+    assert recall >= 0.25, f"IVF recall collapsed: {recall:.3f}"
