@@ -236,3 +236,67 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = F.aggregate(hashes, F.lit(0).cast("bigint"), roll)
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+    """,
+    doc="Deterministic hash-based sampling (~10%): membership depends "
+    "only on the key's hash, so the sample is reproducible across "
+    "engines, runs, and repartitionings — the correct way to sample at "
+    "100 TB (seeded RNG sampling changes with partitioning; hash "
+    "sampling never does).",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return docs.filter(h % 10 == 0).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_sample_stratified",
+    oracle=None,  # Spark's seeded Bernoulli sampler is engine-specific;
+    # per-stratum fractions are asserted in tests/test_text.py
+    doc="Stratified sampling via sampleBy: per-language fractions "
+    "(en 0.2, others 0.5), seeded. The per-partition Bernoulli draw "
+    "keeps it one scan with no shuffle.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "q_profile_documents",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    """,
+    doc="Data profiling in one pass: row count, null audit, "
+    "cardinalities, numeric ranges — the pipeline health check you run "
+    "before training ingestion. Single scan, partial aggs map-side.",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
