@@ -136,3 +136,49 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_sha"),
         )
     )
+
+
+def resize_media(blob: bytes, target_w: int, target_h: int) -> dict:
+    """Resize stub (see ``decode_media`` — same single swap point).
+    Deterministic fake: 'resized' payload length scales with the target
+    area over a nominal 64x64 source; sha over the truncated bytes
+    stands in for resampled pixels."""
+    import hashlib
+
+    scale = (target_w * target_h) / (64 * 64)
+    new_len = max(1, int(len(blob) * scale))
+    resized = (blob * ((new_len // max(len(blob), 1)) + 1))[:new_len]
+    return {
+        "resized_len": new_len,
+        "resized_sha": hashlib.sha256(resized).hexdigest(),
+    }
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pd.DataFrame([resize_media(b, 32, 32) for b in pdf["blob"]])
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    -- fake resize: target 32x32 over nominal 64x64 => quarter length;
+    -- payload repeats the source bytes, so for len//4 <= len the
+    -- 'resized' bytes are simply the first len//4 bytes (ASCII corpus:
+    -- varchar substring == byte slicing)
+    SELECT doc_id,
+           CAST(GREATEST(length(text) // 4, 1) AS INT) AS resized_len,
+           sha256(substring(text, 1, CAST(GREATEST(length(text) // 4, 1) AS INT))) AS resized_sha
+    FROM documents
+    """,
+    doc="Resize stub over binary payloads via mapInPandas: target-area "
+    "scaling of the fake payload with a content hash of the result. "
+    "Real resampling (PIL) drops into resize_media without touching "
+    "the pipeline; blobs still never shuffle.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+        _resize_batch, schema="doc_id bigint, resized_len int, resized_sha string"
+    )
