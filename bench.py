@@ -81,8 +81,12 @@ def main() -> None:
         if q is None:
             continue
         t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        n = df.count()
+        try:
+            df = q.build(spark, sf_dir)
+            n = df.count()
+        except Exception as ex:  # one broken query must not sink the suite's JSON
+            print(f"# {name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
