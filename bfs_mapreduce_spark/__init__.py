@@ -10,7 +10,8 @@ relational + training-data-pipeline operator surface:
 - the relational operator family (scan/filter/project/join/agg/
   window/sort/set-ops — ``operators.relational``)
 - dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard —
-  ``operators.dedup_queries``)
+  ``operators.dedup_queries``; incremental signature-store ingestion —
+  ``operators.dedup_incremental``)
 - similarity search over embeddings (``operators.similarity_queries``)
 - text analysis (``operators.text_queries``)
 - as-of / range joins (``operators.asof_queries``)

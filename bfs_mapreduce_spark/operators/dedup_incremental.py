@@ -1,0 +1,133 @@
+"""Incremental near-dedup: the continuous-ingestion form of
+MinHash-LSH (operators/dedup_queries.py holds the batch form).
+
+At 100 TB you cannot re-shingle the corpus per ingest batch. Instead
+the pipeline persists a **signature store** (band buckets + shingle
+sets, both parquet, bucket-keyed) and each new batch:
+
+1. shingles + signs ONLY its own documents;
+2. finds candidates by joining its band table against the store's
+   (plus itself, for within-batch dups);
+3. verifies candidates with exact Jaccard against stored shingle sets;
+4. appends its own signatures to the store.
+
+Cost per batch: O(batch) signature work + a bucket equi-join against
+the store — never O(corpus). The store parquet is written partitioned
+by band so the candidate join prunes to matching band directories.
+
+Exactness contract (tested): running batches through this path yields
+exactly the pairs the batch LSH finds on the full corpus, restricted
+to pairs that involve at least one new document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.operators.dedup_queries import (
+    _LSH_ROWS_PER_BAND,
+    _MINHASH_AB,
+    _H31,
+    _P,
+    shingle_arrays,
+)
+
+_N_BANDS = 64 // _LSH_ROWS_PER_BAND
+
+
+def _signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingles) frames for a document batch.
+
+    bands:    (doc_id, band, h)      — LSH bucket keys
+    shingles: (doc_id, shingles)     — for the exact-Jaccard verify
+    """
+    sh = shingle_arrays(docs).localCheckpoint()
+    rows = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_H31)).alias("h31")
+    )
+    sig = rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_P))).alias(f"m{j}")
+            for j, (a, b) in enumerate(_MINHASH_AB)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    *[f"m{i * _LSH_ROWS_PER_BAND + r}" for r in range(_LSH_ROWS_PER_BAND)]
+                ).alias("h"),
+            )
+            for i in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
+    return bands, sh
+
+
+def init_store(spark: SparkSession, docs: DataFrame, store_path: str) -> None:
+    """Create (or overwrite) the signature store from an initial corpus."""
+    bands, sh = _signatures(docs)
+    bands.write.mode("overwrite").partitionBy("band").parquet(f"{store_path}/bands")
+    sh.write.mode("overwrite").parquet(f"{store_path}/shingles")
+
+
+def ingest_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    threshold: float = 0.5,
+    append: bool = True,
+) -> DataFrame:
+    """Near-dup pairs introduced by ``new_docs`` — against the store
+    AND within the batch — then (optionally) fold the batch into the
+    store. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    new_bands, new_sh = _signatures(new_docs)
+    new_bands = new_bands.localCheckpoint()
+    new_sh = new_sh.localCheckpoint()
+
+    old_bands = spark.read.parquet(f"{store_path}/bands")
+    old_sh = spark.read.parquet(f"{store_path}/shingles")
+
+    nb = new_bands.alias("n")
+    # candidates: new x store (band-partition-pruned join) ...
+    cand_cross = nb.join(
+        old_bands.alias("o"),
+        (F.col("n.band") == F.col("o.band")) & (F.col("n.h") == F.col("o.h")),
+    ).select(
+        F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+        F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+    )
+    # ... plus new x new (within-batch duplicates)
+    cand_self = nb.join(
+        new_bands.alias("m"),
+        (F.col("n.band") == F.col("m.band"))
+        & (F.col("n.h") == F.col("m.h"))
+        & (F.col("n.doc_id") < F.col("m.doc_id")),
+    ).select(F.col("n.doc_id").alias("doc_a"), F.col("m.doc_id").alias("doc_b"))
+    candidates = (
+        cand_cross.filter(F.col("doc_a") != F.col("doc_b")).unionByName(cand_self).distinct()
+    )
+
+    all_sh = old_sh.unionByName(new_sh)
+    sa = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    pairs = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .localCheckpoint()  # materialize BEFORE mutating the store
+    )
+
+    if append:
+        new_bands.write.mode("append").partitionBy("band").parquet(f"{store_path}/bands")
+        new_sh.write.mode("append").parquet(f"{store_path}/shingles")
+    return pairs

@@ -1,0 +1,54 @@
+"""Incremental LSH must reproduce batch LSH exactly: pairs found while
+ingesting the corpus in two batches == full-corpus pairs (restricted
+to pairs the respective batch could introduce)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.operators.dedup_incremental import ingest_batch, init_store
+from bfs_mapreduce_spark.operators.dedup_queries import q_dedup_minhash_lsh
+from bfs_mapreduce_spark.sources.readers import load_table
+
+
+def test_incremental_matches_batch(spark, sf_oracle_dir, tmp_path):
+    store = str(tmp_path / "sigstore")
+    docs = load_table(spark, sf_oracle_dir, "documents")
+    first = docs.filter(F.col("doc_id") < 400)
+    second = docs.filter(F.col("doc_id") >= 400)
+
+    init_store(spark, first, store)
+    # pairs introduced by the second batch (vs store + within batch)
+    inc_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in ingest_batch(spark, second, store).collect()
+    }
+
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in q_dedup_minhash_lsh(spark, sf_oracle_dir).collect()
+    }
+    want = {(a, b) for a, b in full if a >= 400 or b >= 400}
+    assert inc_pairs == want
+
+    # pairs wholly inside the first batch were NOT reported by ingest
+    assert all(a >= 400 or b >= 400 for a, b in inc_pairs)
+
+
+def test_ingest_is_cumulative(spark, sf_oracle_dir, tmp_path):
+    """After ingesting batch 2, re-ingesting a copy of a batch-1 doc
+    must find its duplicate in the store."""
+    store = str(tmp_path / "sigstore2")
+    docs = load_table(spark, sf_oracle_dir, "documents")
+    init_store(spark, docs, store)
+    # resubmit doc 0's text under a new id — exact dup => jaccard 1.0
+    clone = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(999_999).cast("bigint").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ingest_batch(spark, clone, store, append=False).collect()
+    }
+    assert pairs.get((0, 999_999)) == 1.0
