@@ -425,14 +425,14 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        changed = (
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "v")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
+        if converged:
             break
     sym.unpersist()
     return labels

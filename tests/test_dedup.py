@@ -83,3 +83,14 @@ def test_shingle_rows_equals_array_form(spark):
         for r in docs.select("doc_id", _shingles3(_words()).alias("sh")).collect()
     }
     assert via_rows == via_array
+
+
+def test_connected_components_known_graph(spark):
+    from bfs_mapreduce_spark.operators.dedup_queries import connected_components
+
+    # components: {1,2,3,4}, {10,11}, {20} (via self-pair)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "s bigint, d bigint"
+    )
+    got = {r["v"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
