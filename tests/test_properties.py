@@ -50,3 +50,32 @@ def test_shingle_jaccard_matches_python_reference(spark, a, b):
 
     assert got[0] == ref_shingles(a)
     assert got[1] == ref_shingles(b)
+
+
+weighted_edge = st.tuples(
+    st.integers(0, 8), st.integers(0, 8), st.integers(1, 9)
+)
+weighted_lists = st.lists(weighted_edge, min_size=1, max_size=15)
+
+
+@given(edges=weighted_lists)
+@_prop_settings
+def test_sssp_matches_hop_bounded_reference(spark, edges):
+    from bfs_mapreduce_spark.operators.graph import sssp
+
+    max_hops = 4
+    edges = [(s, d, float(w)) for s, d, w in edges]
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    got = {r["id"]: r["cost"] for r in sssp(edges_df, source=0, max_hops=max_hops).collect()}
+
+    # reference: min cost over walks of <= max_hops hops (dense DP)
+    best = {0: 0.0}
+    for _ in range(max_hops):
+        nxt = dict(best)
+        for s, d, w in edges:
+            if s in best and best[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = best[s] + w
+        best = nxt
+    assert set(got) == set(best)
+    for v, c in best.items():
+        assert abs(got[v] - c) < 1e-9, (v, got[v], c)

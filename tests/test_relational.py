@@ -59,15 +59,15 @@ def test_no_cartesian_products_anywhere(spark, sf_oracle_dir):
     """No catalog query may plan a CartesianProduct. (Deliberate small
     broadcast cross joins compile to BroadcastNestedLoopJoin, which is
     fine; an unpartitioned CartesianProduct at 100 TB is never fine.)"""
-    # excluded: streaming entries and driver-loop operators whose build()
-    # executes jobs (their per-round plans are join+agg, audited in their
-    # own tests) — this test is about single-plan catalog queries
-    streaming_or_slow = {"q_stream_tumbling", "q_stream_session", "q_stream_sliding",
-                         "q_graph_bfs_smallg", "q_graph_bfs_histogram",
-                         "q_graph_bfs_rdd_histogram", "q_graph_sssp_cost",
-                         "q_dedup_clusters"}
+    # excluded: streaming entries (build() runs the stream) and
+    # driver-loop operators whose build() executes jobs (their per-round
+    # plans are join+agg, audited in their own tests) — this test is
+    # about single-plan catalog queries
+    driver_loop = {"q_graph_bfs_smallg", "q_graph_bfs_histogram",
+                   "q_graph_bfs_rdd_histogram", "q_graph_sssp_cost",
+                   "q_graph_pagerank2", "q_dedup_clusters"}
     for name, q in CATALOG.items():
-        if name in streaming_or_slow:
+        if name.startswith("q_stream_") or name in driver_loop:
             continue
         plan = _plan(q.build(spark, sf_oracle_dir))
         assert "CartesianProduct" not in plan, name
