@@ -482,3 +482,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("v").alias("doc_id"), "cluster_id"
     )
+
+
+@register(
+    "q_dedup_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents)
+    SELECT norm_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM norm GROUP BY norm_hash
+    """,
+    doc="Normalized exact dedup: canonicalize before hashing (lowercase "
+    "-> strip non-alphanumerics -> collapse whitespace -> trim) so "
+    "case/punctuation/spacing variants of the same content collapse to "
+    "one group. Same one-shuffle plan as q_dedup_exact; the "
+    "normalization is the piece production pipelines actually tune.",
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        docs.select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
