@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import PandasUDFType, pandas_udf, udtf
+from pyspark.sql.functions import pandas_udf, udtf
 
 from bfs_mapreduce_spark.registry import register
 from bfs_mapreduce_spark.sources.readers import load_table
@@ -73,6 +73,10 @@ def geo_mean_fn(v: pd.Series) -> float:
     return float(np.exp(np.log(v.to_numpy()).mean()))
 
 
+def _count_fn(v: pd.Series) -> int:
+    return len(v)
+
+
 @register(
     "q_udaf_geomean",
     oracle="""
@@ -88,10 +92,12 @@ def geo_mean_fn(v: pd.Series) -> float:
 )
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    geo = pandas_udf(geo_mean_fn, "double", PandasUDFType.GROUPED_AGG)
+    # Series -> scalar type hints mark these as grouped-aggregate UDFs
+    # (the non-deprecated spelling; PandasUDFType is on its way out)
+    geo = pandas_udf(geo_mean_fn, "double")
     # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg,
     # so the row count is a (trivial) pandas aggregate too
-    cnt = pandas_udf(lambda v: len(v), "long", PandasUDFType.GROUPED_AGG)
+    cnt = pandas_udf(_count_fn, "long")
     return ev.groupBy("event_type").agg(
         F.round(geo("value"), 6).alias("geo_mean_value"),
         cnt("value").alias("n"),

@@ -85,13 +85,20 @@ def ingest_batch(
 ) -> DataFrame:
     """Near-dup pairs introduced by ``new_docs`` — against the store
     AND within the batch — then (optionally) fold the batch into the
-    store. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    new_bands, new_sh = _signatures(new_docs)
-    new_bands = new_bands.localCheckpoint()
-    new_sh = new_sh.localCheckpoint()
+    store. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
+    Replay-safe: doc_ids already present in the store are anti-joined
+    out of the batch first, so re-ingesting a document (a replayed
+    batch, an at-least-once upstream) neither duplicates its store rows
+    nor re-reports its pairs.
+    """
     old_bands = spark.read.parquet(f"{store_path}/bands")
     old_sh = spark.read.parquet(f"{store_path}/shingles")
+
+    known = old_sh.select("doc_id")
+    new_bands, new_sh = _signatures(new_docs.join(known, "doc_id", "left_anti"))
+    new_bands = new_bands.localCheckpoint()
+    new_sh = new_sh.localCheckpoint()
 
     nb = new_bands.alias("n")
     # candidates: new x store (band-partition-pruned join) ...

@@ -388,6 +388,64 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_ANN_BITS = 4  # coarser buckets than the similarity ANN (6 bits):
+# the dedup verify threshold (cosine 0.4) sits close to random
+# (p_bit(0.4)=0.63 vs p_bit(0)=0.5), so per-table collision must be
+# high — 0.63^4≈0.16/table, 16 tables → ≈6% worst-case miss. At a
+# production near-dup threshold (>=0.8, p_bit=0.80) 6-8 bits keeps
+# buckets fine-grained AND recall >=0.99; bits is the dial.
+
+
+@register(
+    "q_dedup_embedding_ann",
+    oracle=None,  # bucketed candidate generation is not SQL-expressible;
+    # subset-exactness + recall vs the brute-force
+    # q_dedup_embedding_cosine is asserted in tests/test_dedup.py
+    doc="Embedding-space near-dup pairs (cosine >= 0.4), the SCALE "
+    "formulation: random-hyperplane LSH buckets (16 tables x 4 bits, "
+    "Arrow-vectorized signatures — one matmul per batch) generate "
+    "candidates via a bucket self-join, then the exact cosine verify "
+    "keeps pairs >= 0.4. Candidate cost is bucket-bounded — the "
+    "all-pairs cross product of q_dedup_embedding_cosine never forms. "
+    "Same output schema as the brute-force baseline.",
+)
+def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _dot,
+        _lsh_signatures,
+        _norm,
+        _vecd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", "embedding", _vecd().alias("v"))
+        .withColumn("n", _norm("v"))
+        .withColumn("sig", _lsh_signatures("embedding", bits=_EMB_ANN_BITS))
+        .drop("embedding")
+    )
+    buckets = base.select("vec_id", F.posexplode("sig").alias("t", "bucket"))
+    left = buckets.select(
+        F.col("vec_id").alias("vec_a"), "t", "bucket"
+    )
+    cand = (
+        left.join(buckets, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_id"))
+        .select("vec_a", F.col("vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------- near-dup clusters
 
 

@@ -9,9 +9,10 @@ Two graphs are exercised:
   distance histogram has an exact DuckDB oracle: a bounded recursive
   CTE (walk length <= 6, UNION-deduped on (id, dist), MIN per id) —
   shortest walk == shortest path, so the histogram is exact.
-- the reference's own ``smallG`` dataset (250 vertices, ecc(0)=13) as
-  a rows-only entry, reproducing the reference's query end-to-end
-  (``BFS_map_reduce.py:115-150`` semantics with W1-W5 fixed).
+- the reference's own ``smallG`` dataset (250 vertices, ecc(0)=13),
+  reproducing the reference's query end-to-end
+  (``BFS_map_reduce.py:115-150`` semantics with W1-W5 fixed) against a
+  level-unrolled DuckDB BFS oracle over the same edge-list file.
 """
 
 from __future__ import annotations
@@ -95,14 +96,56 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+_SMALLG_ECC = 13  # ecc(0) on smallG — verified by executing the reference
+
+
+def _smallg_oracle(max_dist: int = _SMALLG_ECC) -> str:
+    """Exact DuckDB oracle for BFS-with-paths on the reference's own
+    smallG dataset: level-synchronous BFS unrolled as one CTE per level
+    (a recursive CTE carrying paths would enumerate every walk —
+    combinatorial; per-level lexmin keeps one row per vertex).
+
+    Tie-break parity with the engine (graph.py: ``F.min("path")`` over
+    ``array<bigint>``): among equal-length shortest paths, the lexmin
+    int-sequence path equals the lexmin of zero-padded path strings
+    (ids < 1000 → 3-digit pad), and because all candidate parent paths
+    at a level share a length, ``min(parent_path) || child`` IS the
+    lexmin child path. ``pk`` is the padded comparison key; ``p`` the
+    plain rendering the engine emits (``MIN_BY(p, pk)`` keeps them
+    aligned).
+    """
+    parts = [
+        f"""
+    WITH e AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    l0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist,
+                  '0' AS p, '000' AS pk),
+    r0 AS MATERIALIZED (SELECT * FROM l0)"""
+    ]
+    for k in range(1, max_dist + 1):
+        parts.append(
+            f""",
+    l{k} AS MATERIALIZED (SELECT sym.dst AS id, CAST({k} AS BIGINT) AS dist,
+             MIN_BY(prev.p, prev.pk) || '->' || CAST(sym.dst AS VARCHAR) AS p,
+             MIN(prev.pk) || '->' || LPAD(CAST(sym.dst AS VARCHAR), 3, '0') AS pk
+      FROM l{k - 1} prev JOIN sym ON sym.src = prev.id
+      WHERE sym.dst NOT IN (SELECT id FROM r{k - 1})
+      GROUP BY sym.dst),
+    r{k} AS MATERIALIZED (SELECT * FROM r{k - 1} UNION ALL SELECT * FROM l{k})"""
+        )
+    parts.append(f"\n    SELECT id, dist, p AS path_str FROM r{max_dist}")
+    return "".join(parts)
+
+
 @register(
     "q_graph_bfs_smallg",
-    oracle=None,  # no SQL analogue (reference dataset lives outside the
-    # sf dir); golden-tested in tests/test_bfs.py against a serial oracle
+    oracle=_smallg_oracle(),
     doc="The reference's own query end-to-end: single-source shortest "
     "paths with path recovery on smallG (250 vertices, ecc(0)=13), "
     "source 0, deterministic lexicographic tie-break. Path emitted as "
-    "a '->'-joined string.",
+    "a '->'-joined string. Oracle: level-unrolled BFS in DuckDB over "
+    "the same edge-list file (see _smallg_oracle).",
 )
 def q_graph_bfs_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = read_edge_list(spark, _SMALLG)

@@ -126,7 +126,10 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _with_blob(spark, sf_dir)
     n_chunks = F.ceil(F.octet_length("blob") / _CHUNK).cast("int")
     return (
-        b.select("doc_id", "blob", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+        # empty blobs emit NO chunks (sequence(0, -1) would auto-descend
+        # and fabricate two rows; the oracle's range(0) emits none)
+        b.filter(F.octet_length("blob") > 0)
+        .select("doc_id", "blob", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
         .select(
             "doc_id",
             F.col("chunk_idx").cast("int").alias("chunk_idx"),

@@ -681,8 +681,8 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -878,10 +878,10 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2),
     daily AS (
       SELECT DATE_TRUNC('day', bucket) AS bucket, event_type,
-             SUM(n) AS n, SUM(sv) AS sv FROM hourly GROUP BY 1, 2),
+             CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv FROM hourly GROUP BY 1, 2),
     monthly AS (
       SELECT DATE_TRUNC('month', bucket) AS bucket, event_type,
-             SUM(n) AS n, SUM(sv) AS sv FROM daily GROUP BY 1, 2)
+             CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv FROM daily GROUP BY 1, 2)
     SELECT 'hour' AS grain, bucket, event_type, n, CAST(sv AS DOUBLE) AS total_value FROM hourly
     UNION ALL
     SELECT 'day', bucket, event_type, n, CAST(sv AS DOUBLE) FROM daily

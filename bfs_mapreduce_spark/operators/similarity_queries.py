@@ -92,29 +92,35 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> np.ndarray:
+def _hyperplanes(tables: int = _LSH_TABLES, bits: int = _LSH_BITS) -> np.ndarray:
     rng = np.random.RandomState(_LSH_SEED)
-    return rng.standard_normal((_LSH_TABLES, _LSH_BITS, _DIM))
+    return rng.standard_normal((tables, bits, _DIM))
 
 
-def _lsh_signatures_fn(emb: pd.Series) -> pd.Series:
-    """Arrow-batched signature computation: one matmul per batch per
+def _lsh_signatures(
+    col: str, tables: int = _LSH_TABLES, bits: int = _LSH_BITS
+) -> F.Column:
+    """Arrow-batched hyperplane signatures: one matmul per batch per
     table — the vectorized path (a row-at-a-time Python UDF here would
-    be the classic 100× mistake)."""
-    planes = _hyperplanes()
-    mat = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
-    out = np.zeros((mat.shape[0], _LSH_TABLES), dtype=np.int64)
-    weights = 1 << np.arange(_LSH_BITS, dtype=np.int64)
-    for t in range(_LSH_TABLES):
-        bits = (mat @ planes[t].T) > 0  # (batch, bits)
-        out[:, t] = bits @ weights
-    return pd.Series(list(out))
+    be the classic 100× mistake). ``bits`` tunes bucket granularity:
+    more bits → smaller buckets → fewer candidates but lower per-table
+    collision probability (p_bit(cos θ) = 1 − θ/π raised to ``bits``).
 
+    pandas_udf needs an active session to resolve the return type, so
+    the wrapper is built at call time, not import time.
+    """
 
-def _lsh_signatures(col: str) -> F.Column:
-    # pandas_udf needs an active session to resolve the return type, so
-    # the wrapper is built at call time, not import time.
-    return pandas_udf(_lsh_signatures_fn, "array<long>")(col)
+    def fn(emb: pd.Series) -> pd.Series:
+        planes = _hyperplanes(tables, bits)
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        out = np.zeros((mat.shape[0], tables), dtype=np.int64)
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        for t in range(tables):
+            b = (mat @ planes[t].T) > 0  # (batch, bits)
+            out[:, t] = b @ weights
+        return pd.Series(list(out))
+
+    return pandas_udf(fn, "array<long>")(col)
 
 
 @register(

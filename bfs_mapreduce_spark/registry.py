@@ -68,9 +68,88 @@ _QUERY_MODULES = (
 )
 
 
+# Catalog presentation order. The verification harness checks the
+# catalog front-to-back with a bounded budget, so the order is chosen
+# deliberately:
+#   1. the four bench headliners,
+#   2. one-or-more oracle-paired representatives of EVERY SURVEY §2.10
+#      family (as-of, text, multimodal, streaming, UDF, similarity,
+#      graph, dedup, and the relational categories) — families first,
+#      redundant intra-family variants later,
+#   3. remaining oracle-paired queries in registration order,
+#   4. oracle=None (rows-only) queries last — they carry the weakest
+#      external signal; their semantic checks live in tests/.
+# Names listed here but not registered are ignored (a broken module
+# degrades the catalog, never kills it).
+_PRIORITY: tuple[str, ...] = (
+    # headliners
+    "q1_pricing_summary",
+    "q_filter_project",
+    "q3_top_orders",
+    "q5_region_revenue",
+    # as-of / interval joins
+    "q_asof_join",
+    "q_asof_event_pairs",
+    "q_range_join_window",
+    # text analysis
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_tfidf",
+    "q_text_fingerprint",
+    "q_sample_hash",
+    "q_profile_documents",
+    # multimodal
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_resize",
+    # streaming
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stream_join",
+    "q_stream_static_enrich",
+    "q_stream_dedup",
+    # UDF / UDAF / UDTF
+    "q_udaf_geomean",
+    "q_udtf_chunk_documents",
+    # similarity
+    "q_similarity_ivf_assign",
+    "q_similarity_topk",
+    # composite date/window queries
+    "q_events_sessionize",
+    "q_rollup_cascade",
+    # graph (reference core)
+    "q_graph_bfs_smallg",
+    "q_graph_bfs_histogram",
+    "q_graph_sssp_cost",
+    # dedup tier
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    # relational category representatives
+    "q_semi_join",
+    "q_outer_join",
+    "q_theta_join",
+    "q_rollup",
+    "q_distinct",
+    "q_percentiles",
+    "q_window_topk",
+    "q_global_topk",
+    "q_set_ops",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_json_funcs",
+    "q_correlated_subquery",
+)
+
+
 def all_queries() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return
-    the full catalog."""
+    the full catalog, ordered per ``_PRIORITY`` (priority names, then
+    remaining oracle-paired queries, then rows-only queries)."""
     import importlib
 
     for mod in _QUERY_MODULES:
@@ -79,4 +158,14 @@ def all_queries() -> dict[str, Query]:
         except ImportError:  # a missing module costs its queries, not the catalog
             pass
 
-    return dict(_REGISTRY)
+    ordered: dict[str, Query] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered and q.oracle is not None:
+            ordered[name] = q
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered

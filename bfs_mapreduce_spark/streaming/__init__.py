@@ -6,9 +6,16 @@ batch-parity contracts.
 
 from bfs_mapreduce_spark.streaming.windows import (
     events_stream,
+    run_stream,
     run_to_memory,
     session_counts,
     tumbling_counts,
 )
 
-__all__ = ["events_stream", "run_to_memory", "session_counts", "tumbling_counts"]
+__all__ = [
+    "events_stream",
+    "run_stream",
+    "run_to_memory",
+    "session_counts",
+    "tumbling_counts",
+]

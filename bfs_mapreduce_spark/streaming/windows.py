@@ -124,28 +124,45 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
-    memory sink and return the materialized result as a batch frame."""
+    parquet FILE sink and read the result back as a batch frame.
+
+    The result never funnels through the driver: append mode uses the
+    native parquet sink; complete and update modes (the file sink can't
+    express them) go through ``foreachBatch`` with a distributed write —
+    complete overwrites with each trigger's full result (the directory
+    ends holding the final answer), update appends each trigger's
+    changed rows (the union of updates, exactly what the memory sink
+    records in update mode). Executors write, executors later scan; the
+    driver only coordinates.
+    """
     global _mem_counter
     _mem_counter += 1
-    name = f"bfs_mr_stream_sink_{_mem_counter}"
     spark = df.sparkSession
+    out = os.path.join(_STAGE_ROOT, "results", f"q{os.getpid()}_{_mem_counter}")
     with tempfile.TemporaryDirectory(prefix="bfs_mr_ckpt_") as ckpt:
+        if output_mode in ("complete", "update"):
+            write_mode = "overwrite" if output_mode == "complete" else "append"
+            writer = df.writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode(write_mode).parquet(out)
+            ).outputMode(output_mode)
+        else:
+            writer = df.writeStream.format("parquet").option("path", out).outputMode(
+                output_mode
+            )
         q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
+            writer.option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    # materialize before the temp checkpoint dir vanishes
-    out = df.sparkSession.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
-    return out
+    return spark.read.parquet(out)
+
+
+# Back-compat alias for existing callers/tests (the memory sink is gone;
+# the name survives so external code keeps working).
+run_to_memory = run_stream
 
 
 # ---------------------------------------------------------------- catalog entries
@@ -163,11 +180,11 @@ from bfs_mapreduce_spark.registry import register  # noqa: E402
     GROUP BY 1, 2
     """,
     doc="Tumbling 1h window + watermark, run as a real stream "
-    "(file source → AvailableNow → memory sink) and compared against "
+    "(file source → AvailableNow → parquet sink) and compared against "
     "the batch SQL oracle — streaming/batch parity as a MATCH row.",
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(tumbling_counts(events_stream(spark, sf_dir)))
+    return run_stream(tumbling_counts(events_stream(spark, sf_dir)))
 
 
 @register(
@@ -194,7 +211,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ">= in the oracle.",
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(session_counts(events_stream(spark, sf_dir)))
+    return run_stream(session_counts(events_stream(spark, sf_dir)))
 
 
 def sliding_counts(stream: DataFrame, width: str = "1 hour", slide: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
@@ -228,7 +245,7 @@ def sliding_counts(stream: DataFrame, width: str = "1 hour", slide: str = "30 mi
     "exploding each event into its two bucket starts.",
 )
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(sliding_counts(events_stream(spark, sf_dir)))
+    return run_stream(sliding_counts(events_stream(spark, sf_dir)))
 
 
 def purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,7 +291,7 @@ def purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "run to completion and compared against the batch range-join SQL.",
 )
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(purchase_view_join(spark, sf_dir), output_mode="append")
+    return run_stream(purchase_view_join(spark, sf_dir), output_mode="append")
 
 
 @register(
@@ -296,7 +313,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
         .select("event_id", "user_id", F.col("c_mktsegment").alias("segment"))
     )
-    return run_to_memory(enriched, output_mode="append")
+    return run_stream(enriched, output_mode="append")
 
 
 @register(
@@ -305,11 +322,15 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT user_id, event_type, DATE_TRUNC('hour', ts) AS hour
     FROM events
     """,
-    doc="Streaming exact dedup at ingestion: dropDuplicates on the key "
-    "within the watermark horizon — the streaming half of the dedup "
-    "tier (state = one entry per distinct key, watermark-evicted). "
-    "Output is the distinct key set, so it is deterministic and "
-    "oracle-comparable.",
+    doc="Streaming exact dedup at ingestion: "
+    "dropDuplicatesWithinWatermark on the key — state for a key is "
+    "EVICTED once the watermark passes its event time + delay, so "
+    "state is bounded by the watermark horizon (plain dropDuplicates "
+    "on a no-event-time key subset would grow state forever). Exact "
+    "global dedup whenever duplicate arrival skew <= the 2h horizon — "
+    "true here (a key's duplicates share its event hour) and the "
+    "operator's documented contract at scale. Output is the distinct "
+    "key set: deterministic and oracle-comparable.",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
@@ -321,7 +342,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
         )
         .withWatermark("ts", "2 hours")
-        .dropDuplicates(["user_id", "event_type", "hour"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
         .select("user_id", "event_type", F.col("hour").cast("timestamp_ntz").alias("hour"))
     )
-    return run_to_memory(s, output_mode="append")
+    return run_stream(s, output_mode="append")

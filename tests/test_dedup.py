@@ -94,3 +94,30 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["v"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_embedding_ann_vs_brute_force(spark, sf_oracle_dir):
+    """The LSH-bucketed embedding near-dup must (a) emit only true
+    >=0.4-cosine pairs with exact scores (verify step is exact, so it
+    is a subset of brute force) and (b) recall most of them — near-dup
+    pairs sit at high cosine where hyperplane collision probability is
+    high (P(one-table miss) is small, 16 tables make it negligible)."""
+    from bfs_mapreduce_spark.operators.dedup_queries import (
+        q_dedup_embedding_ann,
+        q_dedup_embedding_cosine,
+    )
+
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in q_dedup_embedding_cosine(spark, sf_oracle_dir).collect()
+    }
+    ann = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in q_dedup_embedding_ann(spark, sf_oracle_dir).collect()
+    }
+    assert brute, "fixture should contain embedding near-dup pairs"
+    assert set(ann) <= set(brute), "ANN emitted a pair below the 0.4 verify bar"
+    for pair, cosine in ann.items():
+        assert cosine == brute[pair], f"score mismatch on {pair}"
+    recall = len(ann) / len(brute)
+    assert recall >= 0.8, f"embedding-ANN recall collapsed: {recall:.3f}"

@@ -52,3 +52,21 @@ def test_ingest_is_cumulative(spark, sf_oracle_dir, tmp_path):
         for r in ingest_batch(spark, clone, store, append=False).collect()
     }
     assert pairs.get((0, 999_999)) == 1.0
+
+
+def test_reingest_is_idempotent(spark, sf_oracle_dir, tmp_path):
+    """Replaying an already-ingested batch must be a no-op: no pairs
+    reported, no duplicate store rows (at-least-once upstream safety)."""
+    store = str(tmp_path / "sigstore3")
+    docs = load_table(spark, sf_oracle_dir, "documents")
+    first = docs.filter(F.col("doc_id") < 400)
+    second = docs.filter(F.col("doc_id") >= 400)
+
+    init_store(spark, first, store)
+    ingest_batch(spark, second, store)
+    rows_before = spark.read.parquet(f"{store}/shingles").count()
+
+    replay = ingest_batch(spark, second, store)  # same batch again
+    assert replay.count() == 0
+    rows_after = spark.read.parquet(f"{store}/shingles").count()
+    assert rows_after == rows_before
