@@ -74,6 +74,21 @@ def main() -> None:
         [(0, 1), (1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
     )
     bfs(toy, with_paths=False).count()
+    # Compile every headline plan shape at sf0.001: whole-stage codegen
+    # caches on the generated source, which is identical across scale
+    # factors — so the sf0.1 timed runs measure execution, not javac.
+    # (The LSH 64-MIN-agg plan and the BFS round shapes are the big
+    # compiles; a cold first run pays ~1 s of codegen.)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            q = catalog.get(name)
+            if q is None:
+                continue
+            try:
+                q.build(spark, warm_dir).count()
+            except Exception:
+                pass  # warmup must never sink the bench
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
