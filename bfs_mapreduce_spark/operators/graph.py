@@ -422,3 +422,88 @@ def pagerank(
         )
     links.unpersist()
     return ranks
+
+
+def connected_components_star(
+    edges: DataFrame, max_iters: int = 30, return_rounds: bool = False
+) -> DataFrame | tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star
+    rounds — the O(log d)-round algorithm from the MapReduce CC
+    literature (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"), for graphs whose diameter makes per-hop min-label
+    propagation (``dedup_queries.connected_components``, O(d) rounds)
+    too slow. Near-dup clusters are shallow, so min-label is fine
+    there; long chains (session graphs, citation paths, road-ish
+    topologies) want this variant.
+
+    Per round, every vertex re-points its neighbors at the minimum of
+    its closed neighborhood:
+
+    - large-star: for each u, every LARGER neighbor v>u re-attaches to
+      m = min(N(u) ∪ {u}) — safe in parallel because v only ever moves
+      to a strictly smaller label;
+    - small-star: each u and its smaller neighbors all attach to m —
+      collapses the chains large-star leaves behind.
+
+    Both are one groupBy + one join per round over the current edge
+    set, which shrinks toward one star per component; convergence is
+    detected by an except-count (edge set reaches a fixed point).
+
+    Input: ``(src, dst)`` edge rows (undirected; symmetrized here).
+    Output: ``(v, cluster_id)`` with cluster_id = min vertex id in the
+    component — identical contract to min-label propagation, which the
+    property tests exploit (tests/test_properties.py).
+    """
+    e = (
+        edges.select(F.col("src").cast("bigint").alias("a"), F.col("dst").cast("bigint").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        return (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        # edges already directed (a > b); min over smaller neighbors
+        mins = cur.groupBy("a").agg(F.min("b").alias("m"))
+        with_m = cur.join(mins, "a")
+        moved = with_m.filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        self_edges = mins.select(F.col("a"), F.col("m").alias("b"))
+        return (
+            moved.unionByName(self_edges)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .distinct()
+        )
+
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        nxt = small_star(large_star(e)).localCheckpoint()
+        # fixed point: the (canonical, deduped) edge sets are equal
+        if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
+            e = nxt
+            break
+        e = nxt
+
+    # converged edge set is a star forest: (v, component-min) pairs
+    labels = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("b").alias("v"), F.col("b").alias("cluster_id"))
+        )
+        .distinct()
+    )
+    return (labels, rounds) if return_rounds else labels

@@ -79,3 +79,42 @@ def test_sssp_matches_hop_bounded_reference(spark, edges):
     assert set(got) == set(best)
     for v, c in best.items():
         assert abs(got[v] - c) < 1e-9, (v, got[v], c)
+
+
+@given(edges=edge_lists)
+@_prop_settings
+def test_star_cc_matches_min_label_propagation(spark, edges):
+    """Large-star/small-star CC must agree with per-hop min-label
+    propagation on every random graph (identical (v, cluster_id)
+    contract, cluster_id = component min)."""
+    from bfs_mapreduce_spark.operators.dedup_queries import connected_components
+    from bfs_mapreduce_spark.operators.graph import connected_components_star
+
+    e = [(a, b) for a, b in edges if a != b]
+    if not e:
+        return
+    star_df = spark.createDataFrame(e, "src bigint, dst bigint")
+    label_df = spark.createDataFrame(e, "s bigint, d bigint")
+    got_star = {
+        (r["v"], r["cluster_id"]) for r in connected_components_star(star_df).collect()
+    }
+    got_label = {
+        (r["v"], r["cluster_id"]) for r in connected_components(label_df).collect()
+    }
+    assert got_star == got_label
+
+
+def test_star_cc_converges_logarithmically_on_path(spark):
+    """On a 64-vertex path (diameter 63) the star variant must converge
+    in O(log d) rounds — min-label propagation would need 63. Bound 10
+    ≈ 2·log2(64) + slack; a linear-round bug blows straight past it."""
+    from bfs_mapreduce_spark.operators.graph import connected_components_star
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src bigint, dst bigint"
+    )
+    labels, rounds = connected_components_star(path, return_rounds=True)
+    assert {(r["v"], r["cluster_id"]) for r in labels.collect()} == {
+        (v, 0) for v in range(64)
+    }
+    assert rounds <= 10, f"expected O(log d) convergence, took {rounds} rounds"
