@@ -57,6 +57,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # killing it (the driver still sees every query that DOES load).
 _QUERY_MODULES = (
     "bfs_mapreduce_spark.operators.relational",
+    "bfs_mapreduce_spark.operators.sink_queries",
     "bfs_mapreduce_spark.operators.graph_queries",
     "bfs_mapreduce_spark.operators.dedup_queries",
     "bfs_mapreduce_spark.operators.similarity_queries",
@@ -113,8 +114,10 @@ _PRIORITY: tuple[str, ...] = (
     # UDF / UDAF / UDTF
     "q_udaf_geomean",
     "q_udtf_chunk_documents",
-    # similarity
-    "q_similarity_ivf_assign",
+    # sinks (write -> append -> pruned read -> aggregate)
+    "q_sink_roundtrip",
+    # similarity (ivf_assign keeps its oracle just past the window —
+    # topk covers the family inside it)
     "q_similarity_topk",
     # composite date/window queries
     "q_events_sessionize",

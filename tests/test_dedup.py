@@ -121,3 +121,20 @@ def test_embedding_ann_vs_brute_force(spark, sf_oracle_dir):
         assert cosine == brute[pair], f"score mismatch on {pair}"
     recall = len(ann) / len(brute)
     assert recall >= 0.8, f"embedding-ANN recall collapsed: {recall:.3f}"
+
+
+def test_embedding_ann_plan_has_no_nested_loop(spark, sf_oracle_dir):
+    """The scale claim, checked in the physical plan: the ANN variant's
+    candidates must come from hash equi-joins on (table, bucket) — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere (the brute-force
+    baseline's all-pairs shape)."""
+    from bfs_mapreduce_spark.operators.dedup_queries import q_dedup_embedding_ann
+
+    plan = (
+        q_dedup_embedding_ann(spark, sf_oracle_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

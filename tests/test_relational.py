@@ -55,6 +55,28 @@ def test_global_topk_avoids_full_sort(spark, sf_oracle_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_sink_roundtrip_read_prunes_partitions(spark, sf_oracle_dir):
+    """The sink query's read-back must prune at the directory level:
+    the priority filter appears as PartitionFilters on the scan, not a
+    post-scan Filter over all partitions."""
+    CATALOG["q_sink_roundtrip"].build(spark, sf_oracle_dir)  # materialize the sink dir
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "bfs_mapreduce_spark_sink",
+        os.path.basename(sf_oracle_dir.rstrip("/")),
+    )
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    part_filters = _plan(back).split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_orderpriority" in part_filters
+
+
 def test_no_cartesian_products_anywhere(spark, sf_oracle_dir):
     """No catalog query may plan a CartesianProduct. (Deliberate small
     broadcast cross joins compile to BroadcastNestedLoopJoin, which is
