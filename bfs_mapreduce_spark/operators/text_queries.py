@@ -300,3 +300,193 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("bigint").alias("max_chars"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------- pipeline hygiene tier
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2-ish
+# (DuckDB): no lookarounds, no backrefs.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+# The synthetic corpus carries no PII, so both engines plant the SAME
+# deterministic contacts on every 10th document before masking — the
+# masking path is then exercised against real positives AND true
+# negatives.
+_SQL_PII_TEXT = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || doc_id"
+    " || '@example.com or call +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+)
+
+
+def _pii_text() -> F.Column:
+    return F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+@register(
+    "q_text_pii_mask",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents),
+    masked AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS m
+      FROM src)
+    SELECT doc_id, n_emails, n_phones, sha256(m) AS masked_sha
+    FROM masked
+    """,
+    doc="PII masking for training-data hygiene: count and redact "
+    "email/phone matches (JVM regexp_extract_all + regexp_replace — "
+    "single projection, no shuffle, no Python). Output carries the "
+    "masked text's sha256 so the oracle proves byte-identical "
+    "redaction, not just matching counts.",
+)
+def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _pii_text().alias("t"))
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).cast("bigint").alias("n_phones"),
+        F.sha2(masked, 256).alias("masked_sha"),
+    )
+
+
+_BENCH_MOD = 10  # every 10th doc acts as the held-out benchmark set
+_CONTAM_N = 8  # 8-gram overlap: long enough that chance collision ~ 0
+
+
+def _ngram_arrays(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, grams array<string>) — distinct word n-grams, built on
+    a materialized words column (same barrier rationale as
+    dedup_queries.shingle_arrays: interpreted HOFs re-evaluate their
+    input per element)."""
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).localCheckpoint()
+    grams = F.when(
+        F.size("w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return w.select("doc_id", grams.alias("grams"))
+
+
+@register(
+    "q_text_contamination",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(w) >= {_CONTAM_N} THEN
+             list_distinct(list_transform(range(len(w) - {_CONTAM_N - 1}),
+               i -> array_to_string(w[i+1:i+{_CONTAM_N}], ' ')))
+           ELSE [] END AS sh FROM w),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM ex JOIN bench USING (s)
+    GROUP BY doc_id
+    """,
+    doc="Benchmark-contamination check: flag training documents that "
+    "share any 8-gram with the held-out benchmark set (every 10th "
+    "doc), with the count of shared distinct 8-grams. Inverted-index "
+    "equi-join on the gram — candidates are gram-bucket-bounded, and "
+    "the benchmark gram set is broadcast-sized at any corpus scale "
+    "(it is bounded by benchmark size, not corpus size).",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _ngram_arrays(docs, _CONTAM_N)
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("grams").alias("s"))
+        .distinct()
+    )
+    ex = sh.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.explode("grams").alias("s")
+    )
+    return (
+        ex.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    base AS (
+      SELECT doc_id, len(w) AS n_words,
+             len(w) - len(list_distinct(w)) AS dup_words,
+             CASE WHEN len(w) >= 2 THEN
+               len(w) - 1 - len(list_distinct(list_transform(range(len(w) - 1),
+                 i -> w[i+1] || ' ' || w[i+2])))
+             ELSE 0 END AS dup_bigrams
+      FROM w),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_word_n FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS word FROM w)
+        GROUP BY doc_id, word)
+      GROUP BY doc_id)
+    SELECT base.doc_id,
+           ROUND(dup_words * 1.0 / n_words, 6) AS dup_word_frac,
+           ROUND(dup_bigrams * 1.0 / GREATEST(n_words - 1, 1), 6) AS dup_bigram_frac,
+           ROUND(top_word_n * 1.0 / n_words, 6) AS top_word_frac
+    FROM base JOIN top ON base.doc_id = top.doc_id
+    """,
+    doc="Repetition-based quality signals (the Gopher-style filters): "
+    "duplicate-word fraction, duplicate-bigram fraction, and the top "
+    "word's share of the document. Fractions are per-doc projections "
+    "over a materialized words column; only the top-word count "
+    "shuffles (explode -> per-(doc,word) count with map-side partial "
+    "agg -> per-doc max).",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).localCheckpoint()
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = w.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        (F.size("w") - F.size(F.array_distinct("w"))).alias("dup_words"),
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).alias("dup_bigrams"),
+    )
+    top = (
+        w.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_n"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        F.round(F.col("dup_words") / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.round(
+            F.col("dup_bigrams") / F.greatest(F.col("n_words") - 1, F.lit(1)), 6
+        ).alias("dup_bigram_frac"),
+        F.round(F.col("top_word_n") / F.col("n_words"), 6).alias("top_word_frac"),
+    )
