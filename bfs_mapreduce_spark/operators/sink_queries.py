@@ -65,3 +65,60 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem and orders as bucketed+sorted tables (8 buckets
+    on the join key) and return their join — which planner-provably
+    needs NO exchange: both sides' bucket layout satisfies the join's
+    required distribution, so the 100 TB fact-fact shuffle disappears
+    at write time (tests/test_relational.py asserts the plan).
+
+    Idempotent per sf_dir; external table paths live under /tmp so the
+    warehouse metadata is the only session-local state.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_bucketed", tag)
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bq_{tbl}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(root, tbl))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    li = spark.table(f"bq_lineitem_{tag}")
+    orders = spark.table(f"bq_orders_{tag}")
+    return li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+
+
+@register(
+    "q_sink_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="Bucketed fact-fact join: lineitem and orders written as "
+    "bucketed+sorted tables (8 buckets on orderkey), then joined — the "
+    "bucket layout satisfies the join's required distribution, so "
+    "NEITHER fact table shuffles (the prescription DEPLOY.md makes for "
+    "q3 at 100 TB, here as a runnable oracle-checked query). The only "
+    "exchange left is the 3-group aggregate's.",
+)
+def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = bucketed_join_frames(spark, sf_dir)
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )

@@ -77,6 +77,22 @@ def test_sink_roundtrip_read_prunes_partitions(spark, sf_oracle_dir):
     assert "o_orderpriority" in part_filters
 
 
+def test_bucketed_join_query_is_exchange_free(spark, sf_oracle_dir):
+    """q_sink_bucketed_join's scale claim in the plan: with broadcast
+    disabled, the bucketed fact-fact join is a SortMergeJoin with ZERO
+    exchanges — the bucket layout satisfies the join's distribution."""
+    from bfs_mapreduce_spark.operators.sink_queries import bucketed_join_frames
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(bucketed_join_frames(spark, sf_oracle_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+
 def test_no_cartesian_products_anywhere(spark, sf_oracle_dir):
     """No catalog query may plan a CartesianProduct. (Deliberate small
     broadcast cross joins compile to BroadcastNestedLoopJoin, which is
