@@ -36,14 +36,18 @@ _CHUNK_WORDS = 32
 
 
 def char_entropy_fn(texts: pd.Series) -> pd.Series:
-    """Shannon entropy (bits) of each text's character distribution —
-    a cheap quality/diversity signal; numpy-vectorized per Arrow batch."""
+    """Shannon entropy (bits) of each text's CHARACTER (codepoint)
+    distribution — a cheap quality/diversity signal; numpy-vectorized
+    per Arrow batch. utf-32-le encoding turns the string into one
+    uint32 per codepoint, so the unique/count stays a numpy op for any
+    script (a byte-level view would skew multi-byte scripts)."""
     out = np.empty(len(texts))
     for i, t in enumerate(texts):
         if not t:
             out[i] = 0.0
             continue
-        _, counts = np.unique(np.frombuffer(t.encode(), dtype=np.uint8), return_counts=True)
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        _, counts = np.unique(cps, return_counts=True)
         p = counts / counts.sum()
         out[i] = float(-(p * np.log2(p)).sum())
     return pd.Series(out)
@@ -55,11 +59,18 @@ def char_entropy(col: str) -> F.Column:
 
 @register(
     "q_udf_char_entropy",
-    oracle=None,  # per-char distribution entropy isn't reasonably
-    # SQL-expressible; validated against a pure-Python reference in
-    # tests/test_udfs.py
-    doc="Scalar pandas UDF: per-document character entropy "
-    "(Arrow-batched, numpy-vectorized). Rounded to 6 for stability.",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+    SELECT doc_id, ROUND(entropy(c), 6) AS char_entropy
+    FROM chars GROUP BY doc_id
+    """,
+    doc="Scalar pandas UDF: per-document character (codepoint) entropy "
+    "(Arrow-batched, numpy-vectorized over a utf-32 view). Oracle: "
+    "DuckDB's native entropy() aggregate over exploded characters — "
+    "both engines compute -sum(p log2 p) over the same codepoint "
+    "counts; rounding to 6 absorbs summation-order float noise. Also "
+    "validated against a pure-Python reference in tests/test_udfs.py.",
 )
 def q_udf_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -152,11 +163,12 @@ def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entropy_reference(text: str) -> float:
-    """Pure-Python oracle for char_entropy (tests)."""
+    """Pure-Python oracle for char_entropy (tests): codepoint-level,
+    matching the UDF's utf-32 view."""
     if not text:
         return 0.0
     counts: dict[str, int] = {}
-    for ch in text.encode():
+    for ch in text:
         counts[ch] = counts.get(ch, 0) + 1
-    n = len(text.encode())
+    n = len(text)
     return -sum((c / n) * math.log2(c / n) for c in counts.values())
