@@ -241,7 +241,13 @@ def bfs_rdd(
     Returns the same schema as ``bfs``: (id, dist, path?).
     """
     spark = edges.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    # Partition count follows the INPUT's split count, not default
+    # parallelism: a 250-vertex edge list in one split gets 1 partition
+    # (32 would mean ~1300 near-empty Python tasks over 14 rounds —
+    # measured 2x slower on smallG), while a 100 TB input arrives in
+    # thousands of splits and fans out accordingly. Callers with better
+    # knowledge pass num_partitions explicitly.
+    n = num_partitions or max(edges.rdd.getNumPartitions(), 1)
 
     pairs = edges.select("src", "dst").rdd.map(lambda r: (int(r[0]), int(r[1])))
     if not directed:
