@@ -122,3 +122,33 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(revenue).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "q_scan_csv_json",
+    oracle="""
+    SELECT event_type, 2 * COUNT(*) AS n, CAST(2 * SUM(user_id) AS BIGINT) AS user_id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="CSV and JSON scans as first-class citizens: stage the events "
+    "table once as headered CSV and as JSON lines, read BOTH back "
+    "with explicit schemas (no inference pass at scale), union, "
+    "aggregate. The doubled oracle counts prove each format "
+    "round-trips every row and type exactly.",
+)
+def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_scan", tag)
+    csv_dir, json_dir = os.path.join(root, "csv"), os.path.join(root, "json")
+    ev.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    ev.write.mode("overwrite").json(json_dir)
+    schema = "event_id bigint, user_id bigint, event_type string"
+    from_csv = spark.read.schema(schema).option("header", "true").csv(csv_dir)
+    from_json = spark.read.schema(schema).json(json_dir)
+    both = from_csv.unionByName(from_json)
+    return both.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("user_id_sum"),
+    )

@@ -490,3 +490,34 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_bigram_frac"),
         F.round(F.col("top_word_n") / F.col("n_words"), 6).alias("top_word_frac"),
     )
+
+
+@register(
+    "q_sample_mixture",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_num,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h
+      FROM documents)
+    SELECT doc_id, source
+    FROM w
+    WHERE h < CASE WHEN src_num < 4 THEN 1000
+                   WHEN src_num < 10 THEN 500
+                   ELSE 200 END
+    """,
+    doc="Domain-mixture sampling: per-source target rates (src0-3 keep "
+    "all, src4-9 half, the long tail 20%) applied through the same "
+    "deterministic md5 threshold as q_sample_hash — the training-data "
+    "mixture knob, reproducible across engines, runs, and "
+    "repartitionings. One scan, no shuffle, no RNG state.",
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 1000
+    threshold = (
+        F.when(src_num < 4, 1000).when(src_num < 10, 500).otherwise(200)
+    )
+    return docs.filter(h < threshold).select("doc_id", "source")
