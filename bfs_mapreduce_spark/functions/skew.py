@@ -43,3 +43,38 @@ def salted_join(
         _SALT, F.col(_SALT).cast("bigint")
     )
     return f.join(d, [on, _SALT], how).drop(_SALT)
+
+
+# ---------------------------------------------------------------- catalog entry
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from bfs_mapreduce_spark.registry import register  # noqa: E402
+from bfs_mapreduce_spark.sources.readers import load_table  # noqa: E402
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Salted skew join as a catalog query: the fact side (events) "
+    "gets a deterministic per-row salt (xxhash64 of event_id), the "
+    "dimension side is replicated once per salt, and the join fans any "
+    "hot user over n_salts tasks. Salting is semantics-preserving, so "
+    "the oracle is the PLAIN join — the hash match proves the "
+    "rewritten plan changes distribution, never results.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dims = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(events, dims, on="user_id", n_salts=8, spread_col="event_id")
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )

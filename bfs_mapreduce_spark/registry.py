@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "bfs_mapreduce_spark.operators.multimodal_queries",
     "bfs_mapreduce_spark.streaming.windows",
     "bfs_mapreduce_spark.functions.udfs",
+    "bfs_mapreduce_spark.functions.skew",
 )
 
 
