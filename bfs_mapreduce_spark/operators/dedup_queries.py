@@ -496,9 +496,11 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     return labels
 
 
-@register(
-    "q_dedup_clusters",
-    oracle="""
+# Shared by BOTH clustering entries: the transitive closure of the
+# jaccard>=0.3 pair graph as a UNION-deduped recursive CTE — the two
+# engine-side algorithms (min-label propagation, large-star/small-star)
+# must produce identical labels, so they share one oracle.
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE sh AS (
       SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 3 THEN
         list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
@@ -525,7 +527,12 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
       SELECT e.d, walk.r FROM walk JOIN e ON e.s = walk.v)
     SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
     FROM walk GROUP BY v
-    """,
+    """
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     doc="Near-dup clusters: jaccard>=0.3 pairs -> connected components "
     "(min-label propagation, O(diameter) rounds) -> cluster_id = min "
     "doc in component (the canonical keeper). Oracle = transitive "
@@ -538,6 +545,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     )
     return connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
+    "q_dedup_clusters_star",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Same clusters, computed by the O(log d)-round "
+    "large-star/small-star algorithm (operators/graph.py: "
+    "connected_components_star) instead of per-hop min-label "
+    "propagation — the variant to reach for when component diameter is "
+    "large. Shares q_dedup_clusters' oracle: both algorithms must land "
+    "on identical (doc_id, cluster_id = component min) labels.",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import connected_components_star
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components_star(pairs).select(
         F.col("v").alias("doc_id"), "cluster_id"
     )
 
