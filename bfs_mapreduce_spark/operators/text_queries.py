@@ -277,7 +277,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_profile_documents",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(DISTINCT source) AS n_sources,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
