@@ -71,15 +71,19 @@ _QUERY_MODULES = (
 
 
 # Catalog presentation order. The verification harness checks the
-# catalog front-to-back with a bounded budget, so the order is chosen
-# deliberately:
-#   1. the four bench headliners,
-#   2. one-or-more oracle-paired representatives of EVERY SURVEY §2.10
-#      family (as-of, text, multimodal, streaming, UDF, similarity,
-#      graph, dedup, and the relational categories) — families first,
-#      redundant intra-family variants later,
-#   3. remaining oracle-paired queries in registration order,
-#   4. oracle=None (rows-only) queries last — they carry the weakest
+# catalog front-to-back with a bounded budget (50 queries), so the
+# order is chosen deliberately and ROTATED each round:
+#   1. the bench headliners,
+#   2. every oracle-paired query that has not yet earned a green
+#      driver CORRECTNESS row (rounds 1-3 cumulatively verified 67 of
+#      78; round 4 rotates the remaining 11 in, plus this round's new
+#      queries),
+#   3. one proven representative per SURVEY §2.10 family so no family
+#      goes dark while redundant twice-green intra-family variants
+#      wait outside the window (their identical Spark-vs-DuckDB
+#      compare still runs in tests/test_correctness.py),
+#   4. remaining oracle-paired queries in registration order,
+#   5. oracle=None (rows-only) queries last — they carry the weakest
 #      external signal; their semantic checks live in tests/.
 # Names listed here but not registered are ignored (a broken module
 # degrades the catalog, never kills it).
@@ -89,38 +93,34 @@ _PRIORITY: tuple[str, ...] = (
     "q_filter_project",
     "q3_top_orders",
     "q5_region_revenue",
-    # as-of / interval joins
-    "q_asof_join",
-    "q_asof_event_pairs",
-    "q_range_join_window",
-    # text analysis
-    "q_text_token_stats",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_tfidf",
-    "q_text_fingerprint",
-    "q_sample_hash",
+    # red in r03 (oracle type bug, fixed) — re-verify first
     "q_profile_documents",
-    # multimodal
+    # never driver-checked before round 4 — rotated in
+    "q_sink_bucketed_join",
+    "q_scan_csv_json",
+    "q_dedup_clusters_star",
+    "q_similarity_ivf_assign",
+    "q_text_pii_mask",
+    "q_text_contamination",
+    "q_text_repetition",
+    "q_sample_mixture",
+    "q_udf_char_entropy",
+    "q_skew_salted_join",
+    # new in round 4
+    "q_similarity_kmeans_assign",
+    "q_stream_pii_mask",
+    # family representatives (proven green in earlier rounds)
+    "q_asof_join",
+    "q_text_token_stats",
+    "q_text_tfidf",
     "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_resize",
-    # streaming
     "q_stream_tumbling",
-    "q_stream_session",
-    "q_stream_sliding",
     "q_stream_stream_join",
-    "q_stream_static_enrich",
     "q_stream_dedup",
-    # UDF / UDAF / UDTF
     "q_udaf_geomean",
     "q_udtf_chunk_documents",
-    # sinks (write -> append -> pruned read -> aggregate)
     "q_sink_roundtrip",
-    # similarity (ivf_assign keeps its oracle just past the window —
-    # topk covers the family inside it)
     "q_similarity_topk",
-    # composite date/window queries
     "q_events_sessionize",
     "q_rollup_cascade",
     # graph (reference core)
@@ -130,7 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     # dedup tier
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
     # relational category representatives
     "q_semi_join",
     "q_outer_join",
