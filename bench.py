@@ -80,15 +80,19 @@ def main() -> None:
     # (The LSH 64-MIN-agg plan and the BFS round shapes are the big
     # compiles; a cold first run pays ~1 s of codegen.)
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir):
+    # Never warm on the timed dataset itself (when SPARK_GRAFT_SF_DIR IS
+    # sf0.001 the "warmup" would quietly pre-run every timed query).
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
+        sf_dir.rstrip("/")
+    ):
         for name in HEADLINE:
             q = catalog.get(name)
             if q is None:
                 continue
             try:
                 q.build(spark, warm_dir).count()
-            except Exception:
-                pass  # warmup must never sink the bench
+            except Exception as ex:  # warmup must never sink the bench
+                print(f"# warmup {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

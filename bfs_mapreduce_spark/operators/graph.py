@@ -102,14 +102,6 @@ def bfs(
     raw = edges.select(
         F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
     )
-    # Vertex universe comes from the RAW edges — self-loop-only vertices
-    # still exist in the graph even though the loop edge never helps BFS.
-    all_vertices = (
-        raw.select(F.col("src").alias("id"))
-        .union(raw.select(F.col("dst").alias("id")))
-        .union(spark.createDataFrame([(source,)], "id bigint"))
-        .distinct()
-    )
     if not directed:
         rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         sym = raw.unionByName(rev)
@@ -128,6 +120,32 @@ def bfs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    # Vertex universe: self-loop-only vertices still exist in the graph
+    # even though the loop edge never helps BFS, so they come from RAW.
+    # Undirected sym contains every non-loop vertex as a src, and it is
+    # already hash-partitioned on src — its distinct runs exchange-free,
+    # so the big side never reshuffles (the raw-side union would shuffle
+    # all 2|E| endpoint rows instead).
+    loops_and_source = (
+        raw.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .union(spark.createDataFrame([(source,)], "id bigint"))
+    )
+    if not directed:
+        all_vertices = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .unionByName(loops_and_source)
+            .dropDuplicates()
+        )
+    else:
+        all_vertices = (
+            raw.select(F.col("src").alias("id"))
+            .union(raw.select(F.col("dst").alias("id")))
+            .union(loops_and_source)
+            .distinct()
+        )
+
     init_cols = ["id", F.lit(0).cast("bigint").alias("dist")]
     if with_paths:
         init_cols.append(F.array(F.lit(source).cast("bigint")).alias("path"))
@@ -135,54 +153,112 @@ def bfs(
         spark.createDataFrame([(source,)], "id bigint").select(*init_cols).localCheckpoint()
     )
     visited = frontier
+    prev_ids = None  # frontier of the round before last (undirected pruning)
     n_front = 1
+    n_prev = 0
     n_visited = 1
 
+    # Per-round plans are tiny and identical in shape; AQE's per-stage
+    # re-planning adds a fixed latency to every one of them (measured
+    # ~70 ms/round at sf0.1) and buys nothing the loop doesn't already
+    # know — the driver holds exact frontier counts and sizes the
+    # shuffle itself. Disable AQE and drive the shuffle width off the
+    # frontier, capped at the session default so a cluster-sized
+    # default still yields cluster-wide shuffles for huge frontiers.
+    conf = spark.conf
+    saved_aqe = conf.get("spark.sql.adaptive.enabled")
+    saved_parts = conf.get("spark.sql.shuffle.partitions")
+    default_parts = int(saved_parts)
+
     truncated = True
-    for round_no in range(1, max_rounds + 1):
-        # Expand: frontier ⋈ edges on id=src emits (dst, dist+1, path+[dst]).
-        fr = F.broadcast(frontier) if n_front <= broadcast_frontier_rows else frontier
-        cand_cols = [sym["dst"].alias("id"), (frontier["dist"] + 1).alias("dist")]
-        if with_paths:
-            cand_cols.append(F.concat(frontier["path"], F.array(sym["dst"])).alias("path"))
-        candidates = fr.join(sym, frontier["id"] == sym["src"]).select(*cand_cols)
-        # Reduce: per vertex keep the lexicographically smallest path
-        # (all candidates in one round share the same dist, so min(path)
-        # IS the deterministic argmin — sound replacement for the
-        # reference's index-aligned argmin, wart W3). Partial aggregation
-        # before the exchange is Catalyst's map-side combine (= the
-        # reference's apply_map grouping, BFS_map_reduce.py:8-23).
-        # Aggregate BEFORE the visited anti-join: the candidate multiset
-        # is O(frontier x degree), the aggregate is O(distinct dst) —
-        # same result (dropping a whole group after min == dropping its
-        # rows before), far fewer rows through the anti-join. The
-        # visited side is id-only; broadcast it while it is small so the
-        # anti-join adds no exchange at all.
-        aggs = [F.min("dist").alias("dist")]
-        if with_paths:
-            aggs.append(F.min("path").alias("path"))
-        vis_ids = visited.select("id")
-        if n_visited <= broadcast_frontier_rows * 10:
-            vis_ids = F.broadcast(vis_ids)
-        new = (
-            candidates.groupBy("id")
-            .agg(*aggs)
-            .join(vis_ids, "id", "left_anti")
-            .localCheckpoint()  # truncate lineage; also gives AQE exact sizes
-        )
-        n_front = new.count()  # cheap: new is checkpointed; also drives the join hints
-        if n_front == 0:
-            truncated = False
-            break
-        n_visited += n_front
-        # Checkpoint the accumulated visited set every few rounds, not
-        # every round: visited is O(V) — re-materializing it per level
-        # costs O(V * diameter) cumulative writes on high-diameter
-        # graphs. A cadence of 3 keeps lineage bounded at ~3 unions.
-        visited = visited.union(new)
-        if round_no % 3 == 0:
-            visited = visited.localCheckpoint()
-        frontier = new
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for round_no in range(1, max_rounds + 1):
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(default_parts, max(2, n_front // 8_000))),
+            )
+            fr = F.broadcast(frontier) if n_front <= broadcast_frontier_rows else frontier
+            if not directed:
+                # Undirected level-synchronous invariant: a neighbour of
+                # a dist-(k-1) vertex has dist in {k-2, k-1, k}, so the
+                # only already-visited candidates live in the LAST TWO
+                # frontiers. Anti-joining against them instead of the
+                # full visited set keeps the anti-join side O(frontier),
+                # not O(V) — at scale the per-round broadcast stops
+                # growing with the graph.
+                vis_ids = frontier.select("id")
+                if prev_ids is not None:
+                    vis_ids = vis_ids.union(prev_ids)
+                n_vis_side = n_front + n_prev
+            else:
+                # Directed graphs get no such locality (a back edge may
+                # hit an arbitrarily old vertex): anti-join full visited.
+                vis_ids = visited.select("id")
+                n_vis_side = n_visited
+            if n_vis_side <= broadcast_frontier_rows * 10:
+                vis_ids = F.broadcast(vis_ids)
+
+            if with_paths:
+                # Expand: frontier ⋈ edges emits (dst, dist+1, path+[dst]);
+                # per vertex keep the lexicographically smallest path (all
+                # of a round's candidates share one dist, so min(path) IS
+                # the deterministic argmin — sound replacement for the
+                # reference's index-aligned argmin, wart W3). Partial
+                # aggregation before the exchange is Catalyst's map-side
+                # combine (= the reference's apply_map grouping,
+                # BFS_map_reduce.py:8-23). Aggregate BEFORE the visited
+                # anti-join: the candidate multiset is O(frontier x
+                # degree), the aggregate is O(distinct dst).
+                cand_cols = [
+                    sym["dst"].alias("id"),
+                    (frontier["dist"] + 1).alias("dist"),
+                    F.concat(frontier["path"], F.array(sym["dst"])).alias("path"),
+                ]
+                new = (
+                    fr.join(sym, frontier["id"] == sym["src"])
+                    .select(*cand_cols)
+                    .groupBy("id")
+                    .agg(F.min("dist").alias("dist"), F.min("path").alias("path"))
+                    .join(vis_ids, "id", "left_anti")
+                    # Lazy checkpoint: the count() below materializes it —
+                    # one job per round where eager checkpoint + count
+                    # cost two.
+                    .localCheckpoint(eager=False)
+                )
+            else:
+                # dist-only BFS needs no aggregate at all: every vertex
+                # first discovered in round k has dist == k by level
+                # synchrony, so expansion is a semi-join (edge rows never
+                # widen) + distinct, and dist is attached as a literal.
+                new = (
+                    sym.join(fr, frontier["id"] == sym["src"], "left_semi")
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .join(vis_ids, "id", "left_anti")
+                    .select(
+                        "id", F.lit(round_no).cast("bigint").alias("dist")
+                    )
+                    .localCheckpoint(eager=False)
+                )
+            prev_ids, n_prev = frontier.select("id"), n_front
+            n_front = new.count()  # materializes the checkpoint; drives the hints
+            if n_front == 0:
+                truncated = False
+                break
+            n_visited += n_front
+            # The visited set is only consumed at the end now (the
+            # anti-join reads the recent frontiers), so its union chain
+            # is metadata until the final join. Collapse lineage
+            # occasionally anyway: a multi-thousand-round traversal
+            # would otherwise hand the planner an equally deep Union tree.
+            visited = visited.union(new)
+            if round_no % 16 == 0:
+                visited = visited.localCheckpoint()
+            frontier = new
+    finally:
+        conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        conf.set("spark.sql.shuffle.partitions", saved_parts)
 
     if truncated and warn_on_truncation:
         # Exhausted max_rounds with a non-empty frontier: vertices beyond
@@ -196,6 +272,11 @@ def bfs(
             max_rounds,
         )
 
+    # Pin the vertex universe before releasing the edge cache —
+    # all_vertices reads sym, and an unpersisted sym would silently
+    # recompute its repartition+dedup when the caller materializes the
+    # result. Cheap: the distinct is exchange-free over cached data.
+    all_vertices = all_vertices.localCheckpoint()
     sym.unpersist()
     result = all_vertices.join(visited, "id", "left").select(
         "id", "dist", *(["path"] if with_paths else [])
