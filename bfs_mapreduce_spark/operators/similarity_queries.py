@@ -168,6 +168,124 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_frame(pairs: DataFrame) -> DataFrame:
+    """``(cell, pos, x)`` component rows → ``(cell, cv, cn)`` centroid
+    vectors: per-dimension mean, rebuilt into an ordered array. One
+    shuffle on (cell, pos), then one on cell — both tiny (cells ×
+    dims rows)."""
+    return (
+        pairs.groupBy("cell", "pos")
+        .agg(F.avg("x").alias("avg"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
+        .select(
+            "cell",
+            F.transform("pa", lambda s: s["avg"]).alias("cv"),
+        )
+        .withColumn("cn", _norm("cv"))
+    )
+
+
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """Initial coarse centroids: per-label means (k-means seeded from
+    the label partition instead of random vectors — deterministic, so
+    both engines derive the identical starting point)."""
+    return _centroid_frame(
+        emb.select(F.col("label").alias("cell"), F.posexplode(_vecd()).alias("pos", "x"))
+    )
+
+
+def _nearest_cell(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by rounded cosine
+    (deterministic tie-break on cell id — the rounding must match the
+    oracle's so rank flips can't disagree). Centroids broadcast; the
+    corpus never reshuffles."""
+    cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cell"))
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", F.round(cos, 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "cosine")
+    )
+
+
+_KMEANS_ITERS = 2
+
+
+def kmeans_centroids(
+    emb: DataFrame, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Spherical k-means (Lloyd's algorithm), label-mean seeded:
+    alternate nearest-centroid assignment with per-cell re-averaging.
+    Each iteration is one broadcast crossJoin + two small shuffles;
+    ``localCheckpoint`` truncates the growing lineage exactly like the
+    BFS driver loop. Cells that lose every vector simply drop out
+    (standard Lloyd's behavior; cells can die, never appear)."""
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    cent = _label_centroids(emb).localCheckpoint()
+    for _ in range(iters):
+        assign = _nearest_cell(base, cent).select("vec_id", "cell")
+        pairs = base.join(assign, "vec_id").select(
+            "cell", F.posexplode("v").alias("pos", "x")
+        )
+        cent = _centroid_frame(pairs).localCheckpoint()
+    return cent
+
+
+def _sql_assign(cent_cte: str, out: str, with_cosine: bool = False) -> str:
+    """One unrolled Lloyd's assignment step in DuckDB SQL."""
+    cos = f"ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)"
+    cols = "vec_id, cell" + (", cosine" if with_cosine else "")
+    return f"""
+    {out} AS (
+      SELECT {cols} FROM (
+        SELECT e.vec_id, c.cell, {cos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN {cent_cte} c) WHERE rn = 1)"""
+
+
+def _sql_recentroid(assign_cte: str, out: str) -> str:
+    """One unrolled re-centroid step in DuckDB SQL."""
+    return f"""
+    {out} AS (
+      SELECT cell, list(avg ORDER BY pos) AS cv FROM (
+        SELECT {assign_cte}.cell, ex.pos, AVG(ex.x) AS avg
+        FROM ex JOIN {assign_cte} USING (vec_id)
+        GROUP BY {assign_cte}.cell, ex.pos)
+      GROUP BY cell)"""
+
+
+@register(
+    "q_similarity_kmeans_assign",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    cent0 AS (
+      SELECT cell, list(avg ORDER BY pos) AS cv FROM (
+        SELECT label AS cell, pos, AVG(x) AS avg FROM ex GROUP BY label, pos)
+      GROUP BY cell),{_sql_assign("cent0", "a1")},{_sql_recentroid("a1", "cent1")},{_sql_assign("cent1", "a2")},{_sql_recentroid("a2", "cent2")},{_sql_assign("cent2", "final", with_cosine=True)}
+    SELECT vec_id, cell, cosine FROM final
+    """,
+    doc="True k-means (2 Lloyd's iterations, label-mean seeded): "
+    "assignment and re-centroid alternate in a driver loop — the same "
+    "broadcast-crossJoin + tiny-shuffle round shape as BFS. The oracle "
+    "unrolls both iterations in SQL (like q_graph_pagerank2), so the "
+    "learned cells are verified end-to-end, not just the final assign. "
+    "ivf_search's recall against these learned centroids is asserted "
+    "in tests/test_similarity.py.",
+)
+def q_similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    cent = kmeans_centroids(emb, iters=_KMEANS_ITERS)
+    return _nearest_cell(base, cent)
+
+
 @register(
     "q_similarity_ivf_assign",
     oracle="""
@@ -196,29 +314,8 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("label", F.posexplode(_vecd()).alias("pos", "x"))
-    cent = (
-        ex.groupBy("label", "pos")
-        .agg(F.avg("x").alias("avg"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pa", lambda s: s["avg"]).alias("cv"),
-        )
-    )
-    cv_norm = _norm("cv")
-    cent = cent.withColumn("cn", cv_norm)
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cell"))
-    return (
-        base.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cell", F.round(cos, 6).alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "cosine")
-    )
+    return _nearest_cell(base, _label_centroids(emb))
 
 
 _N_PROBE = 3
@@ -237,20 +334,14 @@ _N_PROBE = 3
 )
 def q_similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # centroids: per-label means (stand-in for k-means, as in ivf_assign)
-    ex = emb.select("label", F.posexplode(_vecd()).alias("pos", "x"))
-    cent = (
-        ex.groupBy("label", "pos")
-        .agg(F.avg("x").alias("avg"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pa", lambda s: s["avg"]).alias("cv"),
-        )
-        .withColumn("cn", _norm("cv"))
-        .localCheckpoint()
-    )
+    return ivf_search(emb)
+
+
+def ivf_search(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
+    """IVF probe search against ``centroids`` (``(cell, cv, cn)``) —
+    label-mean centroids by default; pass ``kmeans_centroids(emb)`` to
+    serve from the learned quantizer instead."""
+    cent = (centroids if centroids is not None else _label_centroids(emb)).localCheckpoint()
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
     cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
     scored_cells = base.crossJoin(F.broadcast(cent)).select(

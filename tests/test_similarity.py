@@ -37,6 +37,51 @@ def test_ann_results_are_true_neighbors(spark, sf_oracle_dir):
             assert abs(exact[key] - r["cosine"]) < 1e-9
 
 
+def test_ivf_search_recall_with_kmeans_centroids(spark, sf_oracle_dir):
+    """The learned (2-iteration Lloyd's) quantizer must serve at least
+    as well as raw label-mean cells — k-means tightens cells around the
+    actual data, so recall should never collapse below the label floor."""
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        ivf_search,
+        kmeans_centroids,
+    )
+    from bfs_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_oracle_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in q_similarity_topk(spark, sf_oracle_dir).collect()
+    }
+    learned = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_search(emb, kmeans_centroids(emb)).collect()
+    }
+    recall = len(exact & learned) / len(exact)
+    assert recall >= 0.25, f"IVF-over-kmeans recall collapsed: {recall:.3f}"
+
+
+def test_kmeans_cells_nonempty_and_converging(spark, sf_oracle_dir):
+    """Every surviving cell holds >= 1 vector, and the final assignment
+    is a fixed point of its own centroids' nearest-cell map (assigning
+    again under the same centroids changes nothing) — the Lloyd's
+    invariant that makes the oracle's unrolled SQL meaningful."""
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _nearest_cell,
+        kmeans_centroids,
+    )
+    from bfs_mapreduce_spark.operators.similarity_queries import _vecd, _norm
+    from bfs_mapreduce_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_oracle_dir, "embeddings")
+    cent = kmeans_centroids(emb).localCheckpoint()
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    a1 = _nearest_cell(base, cent).select("vec_id", "cell")
+    sizes = {r["cell"]: r["n"] for r in a1.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert sizes and min(sizes.values()) >= 1
+    a2 = _nearest_cell(base, cent).select("vec_id", "cell")
+    assert a1.exceptAll(a2).isEmpty()
+
+
 def test_ivf_search_recall(spark, sf_oracle_dir):
     from bfs_mapreduce_spark.operators.similarity_queries import q_similarity_ivf_search
 
