@@ -30,6 +30,7 @@ oracle) uses ``xxhash64`` — the cheap JVM hash you'd use at 100 TB.
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,8 @@ from pyspark.sql import functions as F
 
 from bfs_mapreduce_spark.registry import register
 from bfs_mapreduce_spark.sources.readers import load_table
+
+logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------- shared text fragments
 
@@ -473,6 +476,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .withColumn("cluster_id", F.col("v"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         prop = sym.join(labels, sym["s"] == labels["v"]).select(
             sym["d"].alias("v"), F.col("cluster_id")
@@ -492,6 +496,14 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = new_labels
         if converged:
             break
+    if not converged:
+        # Same loud-truncation contract as graph.bfs: an unconverged
+        # labeling silently merges/splits clusters — callers must hear it.
+        logger.warning(
+            "connected_components: max_iters=%d exhausted before the "
+            "label fixed point; cluster ids may split one true component",
+            max_iters,
+        )
     sym.unpersist()
     return labels
 

@@ -576,14 +576,24 @@ def connected_components_star(
         )
 
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         rounds += 1
         nxt = small_star(large_star(e)).localCheckpoint()
         # fixed point: the (canonical, deduped) edge sets are equal
         if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
             e = nxt
+            converged = True
             break
         e = nxt
+    if not converged:
+        # Same loud-truncation contract as bfs above: an unconverged
+        # star forest can still chain labels, splitting true components.
+        logger.warning(
+            "connected_components_star: max_iters=%d exhausted before "
+            "the edge-set fixed point; labels may split one true component",
+            max_iters,
+        )
 
     # converged edge set is a star forest: (v, component-min) pairs
     labels = (

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +31,13 @@ from bfs_mapreduce_spark.registry import register
 from bfs_mapreduce_spark.sources.readers import load_table
 
 _PRIORITIES = ("1-URGENT", "2-HIGH")
+
+# Two sessions benching the same sf_dir concurrently must not race on
+# one /tmp directory (one process's rmtree/overwrite while another's
+# lazily-built result still reads it), so every staging path and
+# bucketed-table name carries a per-process discriminator. Fresh per
+# process, stable within it — queries stay idempotent per session.
+_PROC = f"p{os.getpid()}_{uuid.uuid4().hex[:8]}"
 
 
 @register(
@@ -54,7 +62,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_sink", tag)
+    out = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_sink", _PROC, tag)
     shutil.rmtree(out, ignore_errors=True)  # idempotent per invocation
     evens = orders.filter(F.col("o_orderkey") % 2 == 0)
     odds = orders.filter(F.col("o_orderkey") % 2 == 1)
@@ -78,9 +86,11 @@ def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse metadata is the only session-local state.
     """
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_bucketed", tag)
+    root = os.path.join(
+        tempfile.gettempdir(), "bfs_mapreduce_spark_bucketed", _PROC, tag
+    )
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        name = f"bq_{tbl}_{tag}"
+        name = f"bq_{tbl}_{tag}_{_PROC}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             load_table(spark, sf_dir, tbl)
@@ -90,8 +100,8 @@ def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .saveAsTable(name)
         )
-    li = spark.table(f"bq_lineitem_{tag}")
-    orders = spark.table(f"bq_orders_{tag}")
+    li = spark.table(f"bq_lineitem_{tag}_{_PROC}")
+    orders = spark.table(f"bq_orders_{tag}_{_PROC}")
     return li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
 
 
@@ -140,7 +150,7 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_scan", tag)
+    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_scan", _PROC, tag)
     csv_dir, json_dir = os.path.join(root, "csv"), os.path.join(root, "json")
     ev.write.mode("overwrite").option("header", "true").csv(csv_dir)
     ev.write.mode("overwrite").json(json_dir)

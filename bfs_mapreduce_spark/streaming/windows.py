@@ -26,7 +26,9 @@ accumulates on the driver.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 import pandas as pd
@@ -141,6 +143,10 @@ def run_stream(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     _mem_counter += 1
     spark = df.sparkSession
     out = os.path.join(_STAGE_ROOT, "results", f"q{os.getpid()}_{_mem_counter}")
+    # Idempotence: after a crash + PID reuse the (pid, counter) name can
+    # collide with a stale run's directory and the append-mode sinks
+    # would merge old rows into this run's read-back. Start clean.
+    shutil.rmtree(out, ignore_errors=True)
     with tempfile.TemporaryDirectory(prefix="bfs_mr_ckpt_") as ckpt:
         if output_mode in ("complete", "update"):
             write_mode = "overwrite" if output_mode == "complete" else "append"
@@ -157,6 +163,11 @@ def run_stream(df: DataFrame, output_mode: str = "complete") -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # Zero micro-batches (e.g. an empty staged input) never invokes a
+    # write, so the sink directory may not exist: that is an empty
+    # result, not a PATH_NOT_FOUND error.
+    if not any(f.endswith(".parquet") for f in glob.glob(os.path.join(out, "*"))):
+        return spark.createDataFrame([], df.schema)
     return spark.read.parquet(out)
 
 

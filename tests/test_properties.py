@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from bfs_mapreduce_spark.operators.graph import bfs
 from tests.graph_oracle import bfs_oracle
@@ -102,6 +103,30 @@ def test_star_cc_matches_min_label_propagation(spark, edges):
         (r["v"], r["cluster_id"]) for r in connected_components(label_df).collect()
     }
     assert got_star == got_label
+
+
+def test_cc_loops_warn_on_truncation(spark, caplog):
+    """Both CC loops must be LOUD when max_iters exhausts before the
+    fixed point (the bfs truncation contract): a silently unconverged
+    labeling splits true components."""
+    import logging
+
+    from bfs_mapreduce_spark.operators.dedup_queries import connected_components
+    from bfs_mapreduce_spark.operators.graph import connected_components_star
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "src bigint, dst bigint"
+    )
+    with caplog.at_level(logging.WARNING):
+        connected_components_star(path, max_iters=1).collect()
+    assert any("connected_components_star" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        connected_components(
+            path.select(F.col("src").alias("s"), F.col("dst").alias("d")), max_iters=1
+        ).collect()
+    assert any("connected_components:" in r.message for r in caplog.records)
 
 
 def test_star_cc_converges_logarithmically_on_path(spark):
