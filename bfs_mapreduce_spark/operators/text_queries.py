@@ -333,9 +333,11 @@ def _pii_text() -> F.Column:
     ).otherwise(F.col("text"))
 
 
-@register(
-    "q_text_pii_mask",
-    oracle=f"""
+# Shared by q_text_pii_mask (batch) and q_stream_pii_mask (the same
+# masking inside the dedup-at-ingestion stream, streaming/windows.py):
+# one oracle string, one projection — batch/stream parity by
+# construction.
+PII_MASK_ORACLE = f"""
     WITH src AS (SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents),
     masked AS (
       SELECT doc_id,
@@ -346,15 +348,13 @@ def _pii_text() -> F.Column:
       FROM src)
     SELECT doc_id, n_emails, n_phones, sha256(m) AS masked_sha
     FROM masked
-    """,
-    doc="PII masking for training-data hygiene: count and redact "
-    "email/phone matches (JVM regexp_extract_all + regexp_replace — "
-    "single projection, no shuffle, no Python). Output carries the "
-    "masked text's sha256 so the oracle proves byte-identical "
-    "redaction, not just matching counts.",
-)
-def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """
+
+
+def pii_mask_frame(docs: DataFrame) -> DataFrame:
+    """Count and redact email/phone PII over ``(doc_id, text)`` rows —
+    a stateless JVM-regex projection (no shuffle, no Python), equally
+    valid on a batch or a streaming DataFrame."""
     t = docs.select("doc_id", _pii_text().alias("t"))
     masked = F.regexp_replace(
         F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
@@ -365,6 +365,19 @@ def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).cast("bigint").alias("n_phones"),
         F.sha2(masked, 256).alias("masked_sha"),
     )
+
+
+@register(
+    "q_text_pii_mask",
+    oracle=PII_MASK_ORACLE,
+    doc="PII masking for training-data hygiene: count and redact "
+    "email/phone matches (JVM regexp_extract_all + regexp_replace — "
+    "single projection, no shuffle, no Python). Output carries the "
+    "masked text's sha256 so the oracle proves byte-identical "
+    "redaction, not just matching counts.",
+)
+def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_mask_frame(load_table(spark, sf_dir, "documents"))
 
 
 _BENCH_MOD = 10  # every 10th doc acts as the held-out benchmark set

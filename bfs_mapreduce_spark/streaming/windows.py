@@ -357,3 +357,62 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.col("hour").cast("timestamp_ntz").alias("hour"))
     )
     return run_stream(s, output_mode="append")
+
+
+def stage_documents_with_duplicates(
+    spark: SparkSession, sf_dir: str, copies: int = 2
+) -> str:
+    """Stage the documents table ``copies`` times into one directory —
+    the file-stream source then delivers every doc_id more than once,
+    so dedup-at-ingestion has real duplicates to remove. Idempotent
+    per (sf_dir, copies)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_STAGE_ROOT, tag, f"documents_x{copies}")
+    marker = os.path.join(out, "_ALL_COPIES_STAGED")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").parquet(out)
+        for _ in range(copies - 1):
+            docs.write.mode("append").parquet(out)
+        with open(marker, "w"):
+            pass
+    return out
+
+
+from bfs_mapreduce_spark.operators.text_queries import PII_MASK_ORACLE  # noqa: E402
+
+
+@register(
+    "q_stream_pii_mask",
+    oracle=PII_MASK_ORACLE,
+    doc="Training-data ingest, composed: documents arrive as a stream "
+    "WITH duplicates (staged twice), are exact-deduped at ingestion "
+    "(dropDuplicatesWithinWatermark on doc_id — state evicted past the "
+    "watermark horizon, the q_stream_dedup contract), then PII-masked "
+    "with the same stateless projection as q_text_pii_mask. The oracle "
+    "IS q_text_pii_mask's masked-sha SQL over the single-copy table: "
+    "a lost row, a surviving duplicate, or one unmasked byte all break "
+    "the hash. Ingest time is synthetic (doc_id-derived) — the "
+    "deterministic stand-in for arrival time, identical across copies "
+    "so duplicates always collide inside the horizon.",
+)
+def q_stream_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.text_queries import pii_mask_frame
+
+    staged = stage_documents_with_duplicates(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    s = (
+        spark.readStream.schema(schema)
+        .parquet(staged)
+        # synthetic ingest timestamp: epoch 2024-01-01 + (doc_id mod 1h),
+        # spread across an hour so the watermark story is real, and a
+        # pure function of the key so a duplicate can never be
+        # misclassified as late relative to its first copy
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_704_067_200) + F.col("doc_id") % 3600),
+        )
+        .withWatermark("ingest_ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["doc_id"])
+    )
+    return run_stream(pii_mask_frame(s), output_mode="append")
