@@ -373,11 +373,18 @@ def bfs_rdd(
         return min(a, b)  # (dist, path) tuple order = deterministic argmin
 
     zero = (float("inf"), None)
+    prev = None
     for round_no in range(1, max_rounds + 1):
         candidates = adj.join(frontier, numPartitions=n).mapPartitions(expand)
+        # Same frontier-locality pruning as the DataFrame bfs: on an
+        # undirected graph a candidate can only be already-visited if it
+        # sits in the last two frontiers, so the subtract side stays
+        # O(frontier) instead of O(V). Directed graphs keep the full
+        # visited subtract (a back edge may hit an arbitrarily old vertex).
+        recent = frontier if prev is None else frontier.union(prev)
         new = (
             candidates.aggregateByKey(zero, min_state, min_state, numPartitions=n)
-            .subtractByKey(visited, numPartitions=n)
+            .subtractByKey(recent if not directed else visited, numPartitions=n)
         )
         new = new.persist()
         if new.count() == 0:
@@ -387,6 +394,7 @@ def bfs_rdd(
             # NB: RDD.localCheckpoint marks in place and returns None
             # (unlike DataFrame.localCheckpoint)
             visited.localCheckpoint()
+        prev = frontier
         frontier = new
 
     rows = all_vertices.map(lambda v: (v, 1)).leftOuterJoin(visited, numPartitions=n)

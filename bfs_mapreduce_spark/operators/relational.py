@@ -644,6 +644,38 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    GROUP BY measure
+    """,
+    doc="Unpivot/melt (the inverse of q_pivot): four lineitem measures "
+    "fold into (measure, value) rows via DataFrame.unpivot — a "
+    "zero-shuffle Expand node, NOT four scans unioned — then a "
+    "per-measure decimal-exact aggregate. The oracle spells the same "
+    "semantics as the portable UNION ALL.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    folded = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return folded.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
 # ------------------------------------------------------- events (batch windows)
 
 

@@ -534,3 +534,109 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(src_num < 4, 1000).when(src_num < 10, 500).otherwise(200)
     )
     return docs.filter(h < threshold).select("doc_id", "source")
+
+
+_PACK_CAPACITY = 2048  # context-window size in whitespace tokens
+
+
+@register(
+    "q_text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_SQL_WORDS}) AS n_tokens FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM t)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start AS BIGINT) AS start_offset,
+           CAST(FLOOR(start * 1.0 / {_PACK_CAPACITY}) AS BIGINT) AS bin_first,
+           CAST(GREATEST(FLOOR(start * 1.0 / {_PACK_CAPACITY}),
+                         FLOOR((start + n_tokens - 1) * 1.0 / {_PACK_CAPACITY}))
+                AS BIGINT) AS bin_last
+    FROM packed
+    """,
+    doc="Sequential sequence packing — the LLM-training 'concatenate "
+    "the shard, chunk into fixed context windows' operator: within "
+    "each source shard, documents in doc_id order get a running token "
+    "offset, and every doc reports the window(s) it lands in "
+    "(bin_first..bin_last; docs spanning a boundary split across "
+    "windows, exactly what a packed-dataset writer does). Per-shard "
+    "window functions parallelize across sources — no global sort; a "
+    "single giant shard is the known skew case and gets split upstream "
+    "(mixture sampling / shard rewriting), not here.",
+)
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.size(_words()).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    t = t.select("doc_id", "source", "n_tokens", start)
+    cap = F.lit(_PACK_CAPACITY)
+    bin_first = F.floor(F.col("start") / cap)
+    bin_last = F.greatest(
+        bin_first, F.floor((F.col("start") + F.col("n_tokens") - 1) / cap)
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("start").cast("bigint").alias("start_offset"),
+        bin_first.cast("bigint").alias("bin_first"),
+        bin_last.cast("bigint").alias("bin_last"),
+    )
+
+
+@register(
+    "q_pipeline_prepare",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, text, {_SQL_WORDS} AS w FROM documents),
+    q AS (
+      SELECT doc_id, lang, source, text, len(w) AS n_words
+      FROM t
+      WHERE len(w) BETWEEN 20 AND 80
+        AND len(list_distinct(w)) * 1.0 / len(w) >= 0.3),
+    d AS (
+      SELECT doc_id, lang, source, n_words,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM q)
+    SELECT doc_id, lang, source, CAST(n_words AS BIGINT) AS n_words
+    FROM d
+    WHERE rn = 1
+      AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+    """,
+    doc="The end-to-end training-data prep pipeline as ONE declarative "
+    "plan: quality filter (the q_text_quality keep band) -> exact "
+    "dedup with deterministic keep-first (q_dedup_exact_keep's rule) "
+    "-> deterministic ~50% hash sample (q_sample_hash's threshold). "
+    "Composing the tiers in one DataFrame lets Catalyst pipeline the "
+    "projections into the scan and leaves exactly one shuffle (the "
+    "dedup window's hash partition) — the shape a real 100 TB prep "
+    "job should have, instead of three materialized passes.",
+)
+def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    ttr = F.size(F.array_distinct(w)) / F.size(w)
+    q = docs.filter(F.size(w).between(20, 80) & (ttr >= 0.3)).select(
+        "doc_id", "lang", "source", "text", F.size(w).alias("n_words")
+    )
+    keep = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        q.withColumn("rn", F.row_number().over(keep))
+        .filter((F.col("rn") == 1) & (h % 2 == 0))
+        .select("doc_id", "lang", "source", F.col("n_words").cast("bigint").alias("n_words"))
+    )

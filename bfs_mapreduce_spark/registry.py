@@ -109,6 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 4
     "q_similarity_kmeans_assign",
     "q_stream_pii_mask",
+    "q_text_pack_sequences",
+    "q_pipeline_prepare",
+    "q_unpivot",
     # family representatives (proven green in earlier rounds)
     "q_asof_join",
     "q_text_token_stats",
@@ -140,10 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_topk",
     "q_global_topk",
     "q_set_ops",
-    "q_string_funcs",
     "q_date_funcs",
-    "q_math_funcs",
-    "q_array_funcs",
     "q_json_funcs",
     "q_correlated_subquery",
 )
