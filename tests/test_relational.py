@@ -63,9 +63,12 @@ def test_sink_roundtrip_read_prunes_partitions(spark, sf_oracle_dir):
     import os
     import tempfile
 
+    from bfs_mapreduce_spark.operators.sink_queries import _PROC
+
     out = os.path.join(
         tempfile.gettempdir(),
         "bfs_mapreduce_spark_sink",
+        _PROC,
         os.path.basename(sf_oracle_dir.rstrip("/")),
     )
     from pyspark.sql import functions as F
@@ -91,6 +94,34 @@ def test_bucketed_join_query_is_exchange_free(spark, sf_oracle_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_unpivot_plans_one_scan_one_exchange(spark, sf_oracle_dir):
+    """The melt must be an Expand over ONE 4-column scan (not four
+    scans unioned), with the aggregate's exchange as the only shuffle."""
+    plan = _plan(CATALOG["q_unpivot"].build(spark, sf_oracle_dir))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_pipeline_prepare_plans_single_shuffle(spark, sf_oracle_dir):
+    """The composed prep pipeline (quality filter -> dedup keep-first ->
+    hash sample) must cost exactly one exchange — the dedup window's
+    hash partition; the filters and sample ride the same scan."""
+    plan = _plan(CATALOG["q_pipeline_prepare"].build(spark, sf_oracle_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_pack_sequences_plans_per_shard_window(spark, sf_oracle_dir):
+    """Sequence packing must partition by the shard key (no global
+    sort): one exchange hash-partitioned on source, then an
+    in-partition sort for the running-sum window."""
+    plan = _plan(CATALOG["q_text_pack_sequences"].build(spark, sf_oracle_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_no_cartesian_products_anywhere(spark, sf_oracle_dir):
