@@ -519,6 +519,57 @@ def pagerank(
     return ranks
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts via the degree-ordered node-iterator
+    join (compact-forward): orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher, then a triangle a→b→c
+    with a→c closes exactly once. Ordering by degree instead of raw id
+    is the scale move — each vertex's out-neighborhood is bounded by
+    O(sqrt(E)) on skewed graphs (a hub's edges point INTO it), so the
+    wedge join's fanout never explodes on celebrity vertices. The
+    triangle SET is orientation-independent, which lets a plain
+    least/greatest SQL oracle verify the degree-ordered plan.
+
+    Returns ``(id, n_triangles)`` for vertices in >= 1 triangle.
+    """
+    raw = edges.select(
+        F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    und = (
+        raw.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (
+        sym.join(deg.select(F.col("u").alias("u"), F.col("deg").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+        # orient low-(degree, id) -> high-(degree, id)
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .localCheckpoint()
+    )
+    e1 = ranked.select(F.col("a"), F.col("b"))
+    e2 = ranked.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = ranked.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")), "left_semi")
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def connected_components_star(
     edges: DataFrame, max_iters: int = 30, return_rounds: bool = False
 ) -> DataFrame | tuple[DataFrame, int]:

@@ -158,6 +158,33 @@ def q_graph_bfs_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_graph_triangles_smallg",
+    oracle=f"""
+    WITH e AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    canon AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+              FROM e WHERE src <> dst),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM canon e1
+            JOIN canon e2 ON e2.u = e1.v
+            JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v),
+    x AS (SELECT unnest([a, b, c]) AS id FROM tri)
+    SELECT id, COUNT(*) AS n_triangles FROM x GROUP BY id
+    """,
+    doc="Per-vertex triangle counts on the reference's smallG via the "
+    "degree-ordered compact-forward join (hub edges point INTO the "
+    "hub, so wedge fanout stays bounded on skewed graphs). The oracle "
+    "counts the same orientation-independent triangle set with a plain "
+    "least/greatest id orientation — agreement proves the degree-"
+    "ordered plan finds exactly the true triangles.",
+)
+def q_graph_triangles_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import triangle_counts
+
+    return triangle_counts(read_edge_list(spark, _SMALLG))
+
+
+@register(
     "q_graph_bfs_rdd_histogram",
     oracle=f"""
     WITH RECURSIVE e AS (

@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_pack_sequences",
     "q_pipeline_prepare",
     "q_unpivot",
+    "q_graph_triangles_smallg",
     # family representatives (proven green in earlier rounds)
     "q_asof_join",
     "q_text_token_stats",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_percentiles",
     "q_window_topk",
     "q_global_topk",
-    "q_set_ops",
     "q_date_funcs",
     "q_json_funcs",
     "q_correlated_subquery",

@@ -28,6 +28,30 @@ def test_bfs_matches_serial_oracle_on_random_graphs(spark, edges):
     assert got == bfs_oracle(edges)
 
 
+@given(edges=edge_lists)
+@_prop_settings
+def test_triangle_counts_match_python_oracle(spark, edges):
+    """Degree-ordered compact-forward triangle counting must agree with
+    a brute-force Python enumeration on every random graph."""
+    from itertools import combinations
+
+    from bfs_mapreduce_spark.operators.graph import triangle_counts
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(edges_df).collect()}
+    assert got == expected
+
+
 word = st.sampled_from(["spark", "table", "row", "agg", "scan", "key", "value"])
 texts = st.lists(word, min_size=3, max_size=12).map(" ".join)
 
