@@ -645,6 +645,39 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-RANGE window frame (the frame type ROWS can't express): "
+    "per user, trailing-hour event count and exact-decimal value sum "
+    "at every event. Ordering key is epoch microseconds in BOTH "
+    "dialects so frame boundaries and peer groups agree bit-for-bit; "
+    "equal-timestamp events are peers and share a frame in both "
+    "engines, so the result is deterministic despite ties.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("v_1h"),
+    )
+
+
+@register(
     "q_unpivot",
     oracle="""
     SELECT measure, COUNT(*) AS n,

@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pipeline_prepare",
     "q_unpivot",
     "q_graph_triangles_smallg",
+    "q_window_range_frame",
     # family representatives (proven green in earlier rounds)
     "q_asof_join",
     "q_text_token_stats",
@@ -137,7 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     # relational category representatives
     "q_semi_join",
     "q_outer_join",
-    "q_theta_join",
     "q_rollup",
     "q_distinct",
     "q_percentiles",
