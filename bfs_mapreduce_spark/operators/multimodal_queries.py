@@ -141,6 +141,40 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+    -- ASCII corpus: hashing the VARCHAR hashes the blob's bytes
+    SELECT sha256(text) AS content_sha,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS blob_len
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    doc="Exact multimodal dedup: group binary payloads by content "
+    "sha256 (the standard image/audio dedup key), canonical row = min "
+    "doc_id. The hash is computed in the scan projection so only the "
+    "64-hex key and two numbers reach the exchange — blobs themselves "
+    "never shuffle, which is the entire game at petabyte media scale.",
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _with_blob(spark, sf_dir)
+    return (
+        b.select(
+            F.sha2("blob", 256).alias("content_sha"),
+            "doc_id",
+            F.octet_length("blob").cast("bigint").alias("blob_len"),
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("blob_len").alias("blob_len"),
+        )
+    )
+
+
 def resize_media(blob: bytes, target_w: int, target_h: int) -> dict:
     """Resize stub (see ``decode_media`` — same single swap point).
     Deterministic fake: 'resized' payload length scales with the target

@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_graph_triangles_smallg",
     "q_window_range_frame",
+    "q_multimodal_dedup",
     # family representatives (proven green in earlier rounds)
     "q_asof_join",
     "q_text_token_stats",
@@ -137,7 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_ngram_jaccard",
     # relational category representatives
     "q_semi_join",
-    "q_outer_join",
     "q_rollup",
     "q_distinct",
     "q_percentiles",

@@ -43,3 +43,13 @@ def test_rows_only_runs(spark, sf_oracle_dir, name):
     df = q.build(spark, sf_oracle_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_bench_headline_names_resolve():
+    """bench.py's HEADLINE suite must name real catalog queries — a
+    renamed query would silently drop out of the driver's BENCH run
+    (bench skips unknown names rather than failing)."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in CATALOG]
+    assert not missing, missing
