@@ -138,7 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_ngram_jaccard",
     # relational category representatives
     "q_semi_join",
-    "q_rollup",
+    "q_theta_join",
     "q_distinct",
     "q_percentiles",
     "q_window_topk",
