@@ -199,15 +199,22 @@ def _nearest_cell(base: DataFrame, cent: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid by rounded cosine
     (deterministic tie-break on cell id — the rounding must match the
     oracle's so rank flips can't disagree). Centroids broadcast; the
-    corpus never reshuffles."""
+    argmax is a ``max_by`` aggregate, NOT a window: partial aggregation
+    reduces the corpus×cells candidate rows to one row per vector
+    map-side, so only |corpus| rows reach the exchange (a
+    row_number window would shuffle all corpus×cells rows first —
+    the difference between 10× and 1× corpus traffic at scale).
+    ``max over (cosine, -cell)`` == rank by cosine desc, cell asc."""
     cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cell"))
+    best = F.max_by(
+        F.struct("cell", "cosine"), F.struct(F.col("cosine"), (-F.col("cell")).alias("nc"))
+    )
     return (
         base.crossJoin(F.broadcast(cent))
         .select("vec_id", "cell", F.round(cos, 6).alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "cosine")
+        .groupBy("vec_id")
+        .agg(best.alias("best"))
+        .select("vec_id", F.col("best.cell").alias("cell"), F.col("best.cosine").alias("cosine"))
     )
 
 
@@ -347,14 +354,24 @@ def ivf_search(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     scored_cells = base.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cell", cell_cos.alias("cc")
     )
+    # corpus side: every vector lives in its ONE nearest cell — max_by
+    # aggregate, so partial agg collapses corpus×cells rows map-side
+    # (a corpus-wide row_number window would shuffle them all first)
+    assignment = (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cell"), F.struct(F.col("cc"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        )
+    )
+    # query side: top-N probe cells — the window runs over the (tiny)
+    # filtered query subset only, never the corpus
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell"))
-    ranked = scored_cells.withColumn("rn", F.row_number().over(w_assign))
-    # corpus side: every vector lives in its ONE nearest cell
-    assignment = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
-    # query side: probe the top-N cells
     probes = (
-        ranked.filter(F.col("rn") <= _N_PROBE)
-        .filter(F.col("vec_id") % _QUERY_MOD == 0)
+        scored_cells.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= _N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
     cand = (

@@ -82,6 +82,20 @@ def test_kmeans_cells_nonempty_and_converging(spark, sf_oracle_dir):
     assert a1.exceptAll(a2).isEmpty()
 
 
+def test_nearest_cell_plans_aggregate_not_window(spark, sf_oracle_dir):
+    """Centroid assignment must be a partial-aggregating max_by, not a
+    corpus-wide row_number window: the window shape shuffles all
+    corpus×cells candidate rows; the aggregate ships one row per
+    vector. The broadcast of the centroid side must also survive."""
+    from bfs_mapreduce_spark.registry import all_queries
+
+    df = all_queries()["q_similarity_ivf_assign"].build(spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "max_by" in plan or "MaxBy" in plan or "ObjectHashAggregate" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_ivf_search_recall(spark, sf_oracle_dir):
     from bfs_mapreduce_spark.operators.similarity_queries import q_similarity_ivf_search
 
