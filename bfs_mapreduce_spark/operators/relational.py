@@ -709,6 +709,94 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CASE WHEN t1 IS NULL THEN 0
+                  WHEN t2 IS NULL OR t2 <= t1 THEN 1
+                  WHEN t3 IS NULL OR t3 <= t2 THEN 2
+                  WHEN t4 IS NULL OR t4 <= t3 THEN 3
+                  ELSE 4 END AS stage
+      FROM f)
+    SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+    FROM s GROUP BY stage
+    """,
+    doc="Ordered conversion funnel (signup -> view -> click -> "
+    "purchase): per user, the furthest stage whose FIRST occurrence "
+    "strictly follows the previous stage's first occurrence — the "
+    "standard product-analytics funnel, computed as one conditional-"
+    "min aggregate per user plus a tiny histogram. One shuffle on "
+    "user_id; the stage logic is a pure projection after it.",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    f = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t1"),
+        first_ts("view").alias("t2"),
+        first_ts("click").alias("t3"),
+        first_ts("purchase").alias("t4"),
+    )
+    stage = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull() | (F.col("t2") <= F.col("t1")), 1)
+        .when(F.col("t3").isNull() | (F.col("t3") <= F.col("t2")), 2)
+        .when(F.col("t4").isNull() | (F.col("t4") <= F.col("t3")), 3)
+        .otherwise(4)
+    )
+    return (
+        f.select(stage.cast("bigint").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q_orders_retention",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey, MIN(EXTRACT(YEAR FROM o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey),
+    x AS (
+      SELECT o.o_custkey, f.cohort_year,
+             EXTRACT(YEAR FROM o.o_orderdate) AS order_year
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey)
+    SELECT CAST(cohort_year AS BIGINT) AS cohort_year,
+           CAST(order_year AS BIGINT) AS order_year,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM x GROUP BY cohort_year, order_year
+    """,
+    doc="Cohort retention matrix: customers grouped by first-order "
+    "year, counted distinct in every later order year — the classic "
+    "retention triangle. Both aggregates and the self-join key on "
+    "o_custkey, so at scale ONE hash partitioning serves the "
+    "first-order aggregate, the join, and the distinct — no "
+    "re-shuffle between stages.",
+)
+def q_orders_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", F.year("o_orderdate").alias("yr"))
+    first = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort_year"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("cohort_year").cast("bigint").alias("cohort_year"),
+            F.col("yr").cast("bigint").alias("order_year"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
 # ------------------------------------------------------- events (batch windows)
 
 
