@@ -309,6 +309,54 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    df AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN df USING (s) JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / sa.n, 6) AS containment
+    FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE inter * 1.0 / sa.n >= 0.8
+    """,
+    doc="Asymmetric containment |A∩B| / |A| over trigram shingles — "
+    "catches doc-in-doc duplication (a paragraph pasted into a larger "
+    "page) that symmetric Jaccard dilutes below threshold. Same "
+    "inverted-index + df<=100 stop-shingle bound as q_dedup_ngram_"
+    "jaccard, but DIRECTED pairs: (a contained-in b) and (b "
+    "contained-in a) score independently.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_arrays(docs).localCheckpoint()
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    df_ok = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") <= 100).select("s")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(df_ok, "s")
+        .join(b, "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.filter(F.size("shingles") > 0).select(
+        F.col("doc_id").alias("doc_a"), F.size("shingles").alias("n")
+    )
+    cont = F.col("inter") / F.col("n")
+    return (
+        pairs.join(sizes, "doc_a")
+        .filter(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

@@ -52,6 +52,31 @@ def test_triangle_counts_match_python_oracle(spark, edges):
     assert got == expected
 
 
+def test_pack_sequences_is_contiguous_per_shard(spark, sf_oracle_dir):
+    """Packing invariants per shard: offsets start at 0, every doc
+    begins exactly where its predecessor ended (no gaps, no overlaps),
+    and bin spans are consistent with the fixed capacity."""
+    from bfs_mapreduce_spark.operators.text_queries import (
+        _PACK_CAPACITY,
+        q_text_pack_sequences,
+    )
+
+    rows = q_text_pack_sequences(spark, sf_oracle_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in docs:
+            assert r["start_offset"] == expect, (r["doc_id"], r["start_offset"], expect)
+            assert r["bin_first"] == r["start_offset"] // _PACK_CAPACITY
+            last_token = max(r["start_offset"], r["start_offset"] + r["n_tokens"] - 1)
+            assert r["bin_last"] == last_token // _PACK_CAPACITY
+            expect += r["n_tokens"]
+
+
 word = st.sampled_from(["spark", "table", "row", "agg", "scan", "key", "value"])
 texts = st.lists(word, min_size=3, max_size=12).map(" ".join)
 
