@@ -709,6 +709,42 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One ANSI string, two engines: the Spark side runs it through
+# spark.sql() over temp views — the engine's SQL surface is PySpark's
+# parser, exposed not rebuilt (SURVEY §7 non-goals) — and the SAME
+# string is the DuckDB oracle, so the test is dialect-portability
+# itself.
+_SQL_CUSTOMER_RETURNS = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+
+@register(
+    "q_sql_customer_returns",
+    oracle=_SQL_CUSTOMER_RETURNS,
+    doc="TPC-H Q10-style returned-item revenue per customer, executed "
+    "via spark.sql() over temp views with the IDENTICAL ANSI string "
+    "the oracle runs — demonstrating the engine's SQL entry point "
+    "(PySpark's parser + Catalyst, exposed rather than rebuilt). "
+    "Catalyst plans it exactly like the DataFrame form: dimension "
+    "broadcast, decimal-exact aggregation, TakeOrdered top-k.",
+)
+def q_sql_customer_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_CUSTOMER_RETURNS)
+
+
 @register(
     "q_events_funnel",
     oracle="""
