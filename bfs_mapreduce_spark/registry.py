@@ -122,7 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",
     "q_stream_tumbling",
     "q_stream_stream_join",
-    "q_stream_dedup",
+    "q_stream_stateful_counts",
     "q_udaf_geomean",
     "q_udtf_chunk_documents",
     "q_sink_roundtrip",

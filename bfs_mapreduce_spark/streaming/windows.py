@@ -359,6 +359,28 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream(s, output_mode="append")
 
 
+@register(
+    "q_stream_stateful_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="The custom stateful operator (applyInPandasWithState) as an "
+    "oracle-checked row: per-user running event counts accumulate in "
+    "the executor state store across micro-batches; update mode emits "
+    "each user's count every time it changes, and the final state is "
+    "extracted as max-per-user (counts only grow). The batch oracle is "
+    "the plain per-user COUNT — any lost batch, dropped state row, or "
+    "double-count breaks the hash.",
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    updates = run_stream(
+        running_user_counts(events_stream(spark, sf_dir)), output_mode="update"
+    )
+    return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 def stage_documents_with_duplicates(
     spark: SparkSession, sf_dir: str, copies: int = 2
 ) -> str:
