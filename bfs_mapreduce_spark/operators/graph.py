@@ -519,6 +519,60 @@ def pagerank(
     return ranks
 
 
+def kcore(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+    """The k-core: iteratively peel vertices of degree < k until none
+    remain (Matula-Beck). Returns ``(id, degree)`` — each surviving
+    vertex with its degree inside the core.
+
+    Per round: one degree aggregate + two semi-joins restricting the
+    edge set to surviving endpoints, with the same localCheckpoint
+    discipline as bfs. The edge set only shrinks, so per-round cost is
+    bounded by the current core size; rounds = peeling depth (the
+    longest cascade), typically far below |V|.
+    """
+    cur = (
+        edges.select(
+            F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    cur = (
+        cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(cur.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+
+    converged = False
+    n_vertices = cur.select("src").distinct().count()
+    for _ in range(max_iters):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select(F.col("src").alias("id"))
+        n_keep = keep.count()
+        if n_keep == 0:
+            cur = cur.limit(0)
+            converged = True
+            break
+        if n_keep == n_vertices:
+            converged = True
+            break
+        cur = (
+            cur.join(keep, cur["src"] == keep["id"], "left_semi")
+            .join(keep, F.col("dst") == keep["id"], "left_semi")
+            .localCheckpoint()
+        )
+        n_vertices = n_keep
+    if not converged:
+        logger.warning(
+            "kcore: max_iters=%d exhausted before the peeling fixed point; "
+            "result may retain vertices below core degree %d",
+            max_iters,
+            k,
+        )
+    return cur.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts via the degree-ordered node-iterator
     join (compact-forward): orient every undirected edge from the

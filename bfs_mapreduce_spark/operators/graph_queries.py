@@ -158,6 +158,24 @@ def q_graph_bfs_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_graph_kcore",
+    oracle=None,  # peeling depth is data-dependent, so the iteration
+    # count can't be unrolled in SQL; per-vertex parity vs a pure-Python
+    # Matula-Beck peeling oracle is asserted in tests/test_properties.py
+    doc="3-core of the order↔part graph: iterative degree peeling "
+    "(Matula-Beck) as a driver loop — one degree aggregate + two "
+    "semi-joins per round over an edge set that only shrinks. The "
+    "density screen a graph pipeline runs before expensive per-vertex "
+    "work (vertices outside the core can't be in any >=3-dense "
+    "structure).",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import kcore
+
+    return kcore(_order_part_edges(spark, sf_dir), k=3)
+
+
+@register(
     "q_graph_triangles_smallg",
     oracle=f"""
     WITH e AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',

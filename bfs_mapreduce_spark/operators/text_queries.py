@@ -536,6 +536,44 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < threshold).select("doc_id", "source")
 
 
+@register(
+    "q_profile_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT lang,
+             AVG(n_chars) AS mu,
+             STDDEV_SAMP(n_chars) AS sigma
+      FROM documents GROUP BY lang)
+    SELECT doc_id, d.lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND((n_chars - mu) / sigma, 6) AS z
+    FROM documents d JOIN stats USING (lang)
+    WHERE ABS((n_chars - mu) / sigma) >= 2.5
+    """,
+    doc="Per-group z-score outlier detection over document lengths — "
+    "the data-quality screen that catches truncated or concatenated "
+    "records before training. Two-pass shape: one tiny per-group "
+    "moments aggregate (broadcast back), one filtering scan; the fact "
+    "side never shuffles. Sample stddev in both dialects.",
+)
+def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.avg("n_chars").alias("mu"), F.stddev_samp("n_chars").alias("sigma")
+    )
+    z = (F.col("n_chars") - F.col("mu")) / F.col("sigma")
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .filter(F.abs(z) >= 2.5)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
 _PACK_CAPACITY = 2048  # context-window size in whitespace tokens
 
 

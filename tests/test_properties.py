@@ -52,6 +52,32 @@ def test_triangle_counts_match_python_oracle(spark, edges):
     assert got == expected
 
 
+@given(edges=edge_lists, k=st.integers(2, 4))
+@_prop_settings
+def test_kcore_matches_python_peeling(spark, edges, k):
+    """Distributed k-core must equal pure-Python Matula-Beck peeling
+    (surviving vertex set AND in-core degrees) on every random graph."""
+    from bfs_mapreduce_spark.operators.graph import kcore
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for n in adj[v]:
+                adj[n].discard(v)
+            del adj[v]
+            changed = True
+    expected = {v: len(ns) for v, ns in adj.items()}
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["degree"] for r in kcore(edges_df, k).collect()}
+    assert got == expected
+
+
 def test_pack_sequences_is_contiguous_per_shard(spark, sf_oracle_dir):
     """Packing invariants per shard: offsets start at 0, every doc
     begins exactly where its predecessor ended (no gaps, no overlaps),
