@@ -80,6 +80,7 @@ def bfs(
     directed: bool = False,
     warn_on_truncation: bool = True,
     broadcast_frontier_rows: int = 200_000,
+    reached_only: bool = False,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
 
@@ -88,6 +89,11 @@ def bfs(
     NULL when unreachable. One shuffle stage per BFS level, all
     executor-side; the driver only runs the (cheap) empty-frontier test,
     exactly the Pregel/GraphX iteration shape.
+
+    ``reached_only=True`` skips the vertex-universe build and final
+    left join entirely and returns just the reached rows — callers that
+    drop NULL-dist rows anyway (histograms, reachability sets) save the
+    universe distinct + checkpoint + join.
 
     Join-strategy note: the frontier comes out of ``localCheckpoint`` as
     an RDD scan with NO stats, so the planner can't see it is tiny and
@@ -272,6 +278,9 @@ def bfs(
             max_rounds,
         )
 
+    if reached_only:
+        sym.unpersist()
+        return visited.select("id", "dist", *(["path"] if with_paths else []))
     # Pin the vertex universe before releasing the edge cache —
     # all_vertices reads sym, and an unpersisted sym would silently
     # recompute its repartition+dedup when the caller materializes the

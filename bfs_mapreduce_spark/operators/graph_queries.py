@@ -62,15 +62,15 @@ def _order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_bfs_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _order_part_edges(spark, sf_dir)
     source = edges.agg(F.min("src")).collect()[0][0]
-    # bounded exploration BY DESIGN (depth-6 histogram) — no truncation warning
+    # bounded exploration BY DESIGN (depth-6 histogram) — no truncation
+    # warning; reached_only skips the vertex-universe join the NOT NULL
+    # filter would discard anyway
     res = bfs(
         edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False,
-        warn_on_truncation=False,
+        warn_on_truncation=False, reached_only=True,
     )
-    return (
-        res.filter(F.col("dist").isNotNull())
-        .groupBy(F.col("dist").cast("bigint").alias("dist"))
-        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    return res.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_vertices")
     )
 
 
