@@ -105,6 +105,71 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join_forward",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    od AS (SELECT o.*, ord.o_totalprice
+           FROM o JOIN orders ord USING (o_orderkey))
+    SELECT e.event_id, e.user_id, e.ts,
+           od.o_orderkey AS next_orderkey, od.o_totalprice AS next_totalprice
+    FROM events e ASOF LEFT JOIN od
+      ON e.user_id = od.o_custkey AND od.o_orderdate >= e.ts
+    """,
+    doc="Forward as-of (the mirror direction): for each event, the "
+    "user's NEXT order at or after event time — conversion-lead "
+    "analysis. Same union-tagged plan as q_asof_join but the window "
+    "carries BACKWARD (first following build row, probe sorted before "
+    "build at equal time so an order dated exactly at the event "
+    "matches). Still one shuffle + one ordered pass.",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    od = (
+        orders.withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    build = od.select(
+        F.col("o_custkey").alias("user_id"),
+        _us("o_orderdate").alias("t_us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    probe = ev.select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(0).alias("tag"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    # probe (tag 0) sorts before build (tag 1) at equal time → an order
+    # dated exactly at the event timestamp IS visible (>= semantics);
+    # o_orderkey ascending makes first() deterministic under date ties.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "tag", "o_orderkey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        build.unionByName(probe)
+        .withColumn("next_orderkey", F.first("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("next_totalprice", F.first("o_totalprice", ignorenulls=True).over(w))
+    )
+    return carried.filter(F.col("tag") == 0).select(
+        "event_id", "user_id", "ts", "next_orderkey", "next_totalprice"
+    )
+
+
+@register(
     "q_asof_event_pairs",
     oracle="""
     WITH clicks AS (

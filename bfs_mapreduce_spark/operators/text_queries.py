@@ -537,6 +537,36 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_heavy_hitters",
+    oracle="""
+    WITH ex AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    tot AS (SELECT COUNT(*) AS n_tokens FROM ex)
+    SELECT term, COUNT(*) AS n
+    FROM ex CROSS JOIN tot
+    GROUP BY term, n_tokens
+    HAVING COUNT(*) * 1000 >= n_tokens
+    """,
+    doc="Exact heavy hitters: terms with frequency >= N/1000 (the "
+    "phi=0.001 definition). One explode + one hash aggregate with "
+    "map-side partials; the total-count side is a 1-row broadcast. "
+    "The threshold scales with the corpus, so the query means the "
+    "same thing at sf0.001 and 100 TB — at true scale this exact form "
+    "is the verifier behind a count-min/SpaceSaving sketch pass.",
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    tot = ex.agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        ex.crossJoin(F.broadcast(tot))
+        .groupBy("term", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * 1000 >= F.col("n_tokens"))
+        .select("term", "n")
+    )
+
+
+@register(
     "q_profile_outliers",
     oracle="""
     WITH stats AS (
