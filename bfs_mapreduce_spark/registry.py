@@ -77,7 +77,10 @@ _QUERY_MODULES = (
 #   2. every oracle-paired query that has not yet earned a green
 #      driver CORRECTNESS row (rounds 1-3 cumulatively verified 67 of
 #      78; round 4 rotates the remaining 11 in, plus this round's new
-#      queries),
+#      queries — the round-4 additions that did NOT fit the window
+#      (funnel, retention, sql_customer_returns, containment,
+#      outliers, heavy_hitters, asof_forward, unchecked relational
+#      reps) are round 5's rotation candidates),
 #   3. one proven representative per SURVEY §2.10 family so no family
 #      goes dark while redundant twice-green intra-family variants
 #      wait outside the window (their identical Spark-vs-DuckDB
