@@ -162,3 +162,33 @@ def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("user_id_sum"),
     )
+
+
+@register(
+    "q_scan_orc",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="ORC round-trip: stage the events table as ORC (Spark's other "
+    "built-in columnar format), read it back with an explicit schema, "
+    "aggregate. The oracle aggregates the parquet source directly, so "
+    "any value or row lost in the ORC write/read cycle breaks the "
+    "hash. DuckDB cannot read ORC, which is exactly why the check "
+    "goes through the round-trip rather than the files.",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_scan", _PROC, tag)
+    orc_dir = os.path.join(root, "orc")
+    ev.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.schema("event_id bigint, user_id bigint, event_type string").orc(
+        orc_dir
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("user_id_sum"),
+    )

@@ -537,6 +537,36 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN h < 800 THEN 'train'
+                WHEN h < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000 AS h
+          FROM documents)
+    """,
+    doc="Deterministic train/val/test split (80/10/10) via the same "
+    "md5-threshold mechanism as q_sample_hash: membership is a pure "
+    "function of the key, so the split is identical across engines, "
+    "runs, repartitionings, and incremental re-ingestion — new "
+    "documents join a split without moving any old ones, the property "
+    "that makes held-out sets stay held out at 100 TB.",
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 1000
+    split = (
+        F.when(h < 800, "train").when(h < 900, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@register(
     "q_text_heavy_hitters",
     oracle="""
     WITH ex AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
