@@ -192,3 +192,36 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("user_id_sum"),
     )
+
+
+@register(
+    "q_sink_compaction",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_sum,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+    doc="Small-file compaction — the 100 TB maintenance operator: the "
+    "events table is first written deliberately fragmented (64-way "
+    "round-robin), then compacted with a single repartition to "
+    "target-sized files and read back. The oracle aggregates the "
+    "source, so compaction must be byte-exact (no lost/duplicated "
+    "rows); tests/test_sources.py asserts the file count actually "
+    "shrank. At scale the same two writers run with maxRecordsPerFile "
+    "sized to the block size.",
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_compact", _PROC, tag)
+    frag_dir, compact_dir = os.path.join(root, "frag"), os.path.join(root, "compact")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.repartition(2).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("user_id_sum"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

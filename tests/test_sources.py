@@ -59,3 +59,27 @@ def test_events_ts_normalized_to_ntz(spark, sf_smoke_dir):
     # sanity: values are 2024 wall-clock
     years = ev.select(F.year("ts").alias("y")).distinct().collect()
     assert {r["y"] for r in years} == {2024}
+
+
+def test_compaction_reduces_file_count(spark, sf_oracle_dir):
+    """q_sink_compaction's operational claim: the compacted directory
+    holds far fewer parquet files than the fragmented one, with row
+    parity guaranteed by the oracle row."""
+    import glob
+    import os
+    import tempfile
+
+    from bfs_mapreduce_spark.operators.sink_queries import _PROC
+    from bfs_mapreduce_spark.registry import all_queries
+
+    all_queries()["q_sink_compaction"].build(spark, sf_oracle_dir).collect()
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "bfs_mapreduce_spark_compact",
+        _PROC,
+        os.path.basename(sf_oracle_dir.rstrip("/")),
+    )
+    n_frag = len(glob.glob(os.path.join(root, "frag", "*.parquet")))
+    n_compact = len(glob.glob(os.path.join(root, "compact", "*.parquet")))
+    assert n_frag == 64
+    assert n_compact == 2
