@@ -307,6 +307,7 @@ def bfs_rdd(
     with_paths: bool = True,
     directed: bool = False,
     num_partitions: int | None = None,
+    reached_only: bool = False,
 ) -> DataFrame:
     """The north-star RDD formulation of BFS: ``mapPartitions`` frontier
     expansion + ``aggregateByKey`` min-state reduction (BASELINE.json
@@ -406,6 +407,19 @@ def bfs_rdd(
         prev = frontier
         frontier = new
 
+    schema = "id bigint, dist bigint" + (", path array<bigint>" if with_paths else "")
+    if reached_only:
+        # same contract as bfs(reached_only=True): skip the vertex
+        # universe and the left join for callers that drop NULLs anyway
+        reached = visited.map(
+            lambda kv: (kv[0], kv[1][0], list(kv[1][1]))
+            if with_paths
+            else (kv[0], kv[1][0])
+        )
+        out = spark.createDataFrame(reached, schema)
+        adj.unpersist()
+        return out
+
     rows = all_vertices.map(lambda v: (v, 1)).leftOuterJoin(visited, numPartitions=n)
 
     def to_row(kv):
@@ -415,7 +429,6 @@ def bfs_rdd(
         d, path = state
         return (v, d, list(path)) if with_paths else (v, d)
 
-    schema = "id bigint, dist bigint" + (", path array<bigint>" if with_paths else "")
     out = spark.createDataFrame(rows.map(to_row), schema)
     adj.unpersist()
     return out

@@ -229,11 +229,12 @@ def q_graph_bfs_rdd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _order_part_edges(spark, sf_dir)
     source = edges.agg(F.min("src")).collect()[0][0]
-    res = bfs_rdd(edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False)
-    return (
-        res.filter(F.col("dist").isNotNull())
-        .groupBy(F.col("dist").cast("bigint").alias("dist"))
-        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    res = bfs_rdd(
+        edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False,
+        reached_only=True,
+    )
+    return res.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_vertices")
     )
 
 
