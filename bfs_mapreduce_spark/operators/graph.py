@@ -81,8 +81,14 @@ def bfs(
     warn_on_truncation: bool = True,
     broadcast_frontier_rows: int = 200_000,
     reached_only: bool = False,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
+    Pass ``sources=[...]`` for the multi-source form — dist becomes
+    distance to the NEAREST seed and path starts at that seed (the
+    distance-to-seed primitive behind label propagation / partition
+    growing); the per-round machinery is identical, the min-aggregate
+    already resolves seed collisions.
 
     Returns ``(id BIGINT, dist BIGINT, path ARRAY<BIGINT>)`` for every
     vertex that appears in ``edges`` (plus the source), ``dist``/``path``
@@ -132,10 +138,12 @@ def bfs(
     # already hash-partitioned on src — its distinct runs exchange-free,
     # so the big side never reshuffles (the raw-side union would shuffle
     # all 2|E| endpoint rows instead).
+    seeds = sorted(set(sources)) if sources else [source]
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "id bigint")
     loops_and_source = (
         raw.filter(F.col("src") == F.col("dst"))
         .select(F.col("src").alias("id"))
-        .union(spark.createDataFrame([(source,)], "id bigint"))
+        .union(seeds_df)
     )
     if not directed:
         all_vertices = (
@@ -154,15 +162,13 @@ def bfs(
 
     init_cols = ["id", F.lit(0).cast("bigint").alias("dist")]
     if with_paths:
-        init_cols.append(F.array(F.lit(source).cast("bigint")).alias("path"))
-    frontier = (
-        spark.createDataFrame([(source,)], "id bigint").select(*init_cols).localCheckpoint()
-    )
+        init_cols.append(F.array(F.col("id")).alias("path"))  # path starts at its seed
+    frontier = seeds_df.select(*init_cols).localCheckpoint()
     visited = frontier
     prev_ids = None  # frontier of the round before last (undirected pruning)
-    n_front = 1
+    n_front = len(seeds)
     n_prev = 0
-    n_visited = 1
+    n_visited = len(seeds)
 
     # Per-round plans are tiny and identical in shape; AQE's per-stage
     # re-planning adds a fixed latency to every one of them (measured

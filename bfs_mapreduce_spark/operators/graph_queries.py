@@ -158,6 +158,45 @@ def q_graph_bfs_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_graph_multi_source_bfs",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT l_orderkey AS src, l_partkey + {_PART_OFFSET} AS dst FROM lineitem),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    s0 AS (SELECT DISTINCT l_orderkey AS s FROM lineitem
+           ORDER BY l_orderkey LIMIT 3),
+    walk(id, dist) AS (
+      SELECT s, 0 FROM s0
+      UNION
+      SELECT sym.dst, walk.dist + 1
+      FROM walk JOIN sym ON sym.src = walk.id
+      WHERE walk.dist < {_MAX_DIST})
+    SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_vertices
+    FROM (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id)
+    GROUP BY dist
+    """,
+    doc="Multi-source BFS histogram (3 seed orders, depth-bounded at "
+    "6): dist = distance to the NEAREST seed — the distance-to-seed "
+    "primitive behind label propagation and partition growing. Same "
+    "per-round machinery as single-source; the min-aggregate resolves "
+    "seed collisions for free.",
+)
+def q_graph_multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _order_part_edges(spark, sf_dir)
+    seeds = [
+        int(r[0])
+        for r in edges.select("src").distinct().orderBy("src").limit(3).collect()
+    ]
+    res = bfs(
+        edges, sources=seeds, max_rounds=_MAX_DIST, with_paths=False,
+        warn_on_truncation=False, reached_only=True,
+    )
+    return res.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
+
+
+@register(
     "q_graph_kcore",
     oracle=None,  # peeling depth is data-dependent, so the iteration
     # count can't be unrolled in SQL; per-vertex parity vs a pure-Python
