@@ -225,3 +225,41 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").alias("user_id_sum"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "q_scan_xml",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="XML round-trip (Spark 4's built-in XML source): stage events "
+    "as row-tagged XML, read back with an explicit schema (no "
+    "inference pass), aggregate against the parquet-source oracle — "
+    "the semi-structured-feed ingestion shape, value-exact or the "
+    "hash breaks.",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_scan", _PROC, tag)
+    xml_dir = os.path.join(root, "xml")
+    (
+        ev.write.mode("overwrite")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .format("xml")
+        .save(xml_dir)
+    )
+    back = (
+        spark.read.schema("event_id bigint, user_id bigint, event_type string")
+        .option("rowTag", "event")
+        .format("xml")
+        .load(xml_dir)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("user_id_sum"),
+    )
