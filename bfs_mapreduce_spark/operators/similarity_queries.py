@@ -172,10 +172,19 @@ def _centroid_frame(pairs: DataFrame) -> DataFrame:
     """``(cell, pos, x)`` component rows → ``(cell, cv, cn)`` centroid
     vectors: per-dimension mean, rebuilt into an ordered array. One
     shuffle on (cell, pos), then one on cell — both tiny (cells ×
-    dims rows)."""
+    dims rows).
+
+    Components are rounded to 9 decimals: per-dimension AVG over
+    doubles differs in summation order between Spark and DuckDB by
+    ~1 ulp, and in the iterated k-means oracle that divergence
+    compounds — a near-boundary rounded-cosine tie in iteration 1 can
+    flip an assignment that cascades into different centroids. Snapping
+    both engines' centroids to the same 1e-9 grid makes the next
+    assignment's inputs bit-identical (the 1e-9 grid is coarse vs the
+    ~1e-13 summation noise, fine vs the 1e-6 cosine rounding)."""
     return (
         pairs.groupBy("cell", "pos")
-        .agg(F.avg("x").alias("avg"))
+        .agg(F.round(F.avg("x"), 9).alias("avg"))
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
         .select(
@@ -259,7 +268,7 @@ def _sql_recentroid(assign_cte: str, out: str) -> str:
     return f"""
     {out} AS (
       SELECT cell, list(avg ORDER BY pos) AS cv FROM (
-        SELECT {assign_cte}.cell, ex.pos, AVG(ex.x) AS avg
+        SELECT {assign_cte}.cell, ex.pos, ROUND(AVG(ex.x), 9) AS avg
         FROM ex JOIN {assign_cte} USING (vec_id)
         GROUP BY {assign_cte}.cell, ex.pos)
       GROUP BY cell)"""
@@ -274,7 +283,8 @@ def _sql_recentroid(assign_cte: str, out: str) -> str:
       FROM embeddings),
     cent0 AS (
       SELECT cell, list(avg ORDER BY pos) AS cv FROM (
-        SELECT label AS cell, pos, AVG(x) AS avg FROM ex GROUP BY label, pos)
+        SELECT label AS cell, pos, ROUND(AVG(x), 9) AS avg
+        FROM ex GROUP BY label, pos)
       GROUP BY cell),{_sql_assign("cent0", "a1")},{_sql_recentroid("a1", "cent1")},{_sql_assign("cent1", "a2")},{_sql_recentroid("a2", "cent2")},{_sql_assign("cent2", "final", with_cosine=True)}
     SELECT vec_id, cell, cosine FROM final
     """,
@@ -302,7 +312,8 @@ def q_similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings),
     cent AS (
       SELECT label, list(avg ORDER BY pos) AS cv
-      FROM (SELECT label, pos, AVG(x) AS avg FROM ex GROUP BY label, pos)
+      FROM (SELECT label, pos, ROUND(AVG(x), 9) AS avg
+            FROM ex GROUP BY label, pos)
       GROUP BY label),
     scored AS (
       SELECT e.vec_id, c.label AS cell,

@@ -21,23 +21,16 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bfs_mapreduce_spark.registry import register
 from bfs_mapreduce_spark.sources.readers import load_table
+from bfs_mapreduce_spark.tmputil import PROC as _PROC
+from bfs_mapreduce_spark.tmputil import proc_dir
 
 _PRIORITIES = ("1-URGENT", "2-HIGH")
-
-# Two sessions benching the same sf_dir concurrently must not race on
-# one /tmp directory (one process's rmtree/overwrite while another's
-# lazily-built result still reads it), so every staging path and
-# bucketed-table name carries a per-process discriminator. Fresh per
-# process, stable within it — queries stay idempotent per session.
-_PROC = f"p{os.getpid()}_{uuid.uuid4().hex[:8]}"
 
 
 @register(
@@ -62,7 +55,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_sink", _PROC, tag)
+    out = os.path.join(proc_dir("bfs_mapreduce_spark_sink"), tag)
     shutil.rmtree(out, ignore_errors=True)  # idempotent per invocation
     evens = orders.filter(F.col("o_orderkey") % 2 == 0)
     odds = orders.filter(F.col("o_orderkey") % 2 == 1)
@@ -86,9 +79,7 @@ def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse metadata is the only session-local state.
     """
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), "bfs_mapreduce_spark_bucketed", _PROC, tag
-    )
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_bucketed"), tag)
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bq_{tbl}_{tag}_{_PROC}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -150,7 +141,7 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_scan", _PROC, tag)
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_scan"), tag)
     csv_dir, json_dir = os.path.join(root, "csv"), os.path.join(root, "json")
     ev.write.mode("overwrite").option("header", "true").csv(csv_dir)
     ev.write.mode("overwrite").json(json_dir)
@@ -182,7 +173,7 @@ def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_scan", _PROC, tag)
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_scan"), tag)
     orc_dir = os.path.join(root, "orc")
     ev.write.mode("overwrite").orc(orc_dir)
     back = spark.read.schema("event_id bigint, user_id bigint, event_type string").orc(
@@ -214,7 +205,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_compact", _PROC, tag)
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_compact"), tag)
     frag_dir, compact_dir = os.path.join(root, "frag"), os.path.join(root, "compact")
     ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)
@@ -244,7 +235,7 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_scan", _PROC, tag)
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_scan"), tag)
     xml_dir = os.path.join(root, "xml")
     (
         ev.write.mode("overwrite")

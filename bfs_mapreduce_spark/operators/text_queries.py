@@ -608,13 +608,17 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_chars AS BIGINT) AS n_chars,
            ROUND((n_chars - mu) / sigma, 6) AS z
     FROM documents d JOIN stats USING (lang)
-    WHERE ABS((n_chars - mu) / sigma) >= 2.5
+    WHERE sigma > 0 AND ABS((n_chars - mu) / sigma) >= 2.5
     """,
     doc="Per-group z-score outlier detection over document lengths — "
     "the data-quality screen that catches truncated or concatenated "
     "records before training. Two-pass shape: one tiny per-group "
     "moments aggregate (broadcast back), one filtering scan; the fact "
-    "side never shuffles. Sample stddev in both dialects.",
+    "side never shuffles. Sample stddev in both dialects. A zero-"
+    "variance group would divide by zero, where the engines diverge "
+    "(Spark NULL drops the row; DuckDB NaN, which sorts largest, "
+    "keeps it) — the sigma > 0 guard drops constant-length groups "
+    "identically on both sides.",
 )
 def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -624,7 +628,7 @@ def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n_chars") - F.col("mu")) / F.col("sigma")
     return (
         docs.join(F.broadcast(stats), "lang")
-        .filter(F.abs(z) >= 2.5)
+        .filter((F.col("sigma") > 0) & (F.abs(z) >= 2.5))
         .select(
             "doc_id",
             "lang",

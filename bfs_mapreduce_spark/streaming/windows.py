@@ -38,7 +38,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from bfs_mapreduce_spark.sources.readers import load_table
 
-_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "bfs_mapreduce_spark_stream")
+# Per-process staging root (tmputil): two concurrent sessions staging
+# the same sf_dir must not interleave writes behind each other's
+# done-markers (the overwrite+append+marker sequence in
+# stage_documents_with_duplicates is torn if shared); atexit removal +
+# dead-pid sweep keep /tmp bounded across repeated runs.
+from bfs_mapreduce_spark.tmputil import proc_dir
+
+_STAGE_ROOT = proc_dir("bfs_mapreduce_spark_stream")
 _mem_counter = 0
 
 

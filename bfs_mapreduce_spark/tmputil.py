@@ -1,0 +1,75 @@
+"""Per-process /tmp staging discipline, shared by the sink and
+streaming staging areas.
+
+Three rules, each closing a failure mode observed across rounds:
+
+1. **Per-process discriminator** (``PROC``): two sessions benching the
+   same sf_dir concurrently must not race on one /tmp directory (one
+   process's rmtree/overwrite while another's lazily-built result
+   still reads it). Every staging path carries ``p<pid>_<uuid>``:
+   fresh per process, stable within it, so queries stay idempotent
+   per session.
+2. **atexit removal**: per-process paths are unique, so without
+   cleanup repeated bench/test runs accumulate /tmp data without
+   bound. Every root handed out by :func:`proc_dir` is rmtree'd when
+   the process exits.
+3. **Stale-sibling sweep**: atexit doesn't fire on SIGKILL/crash, so
+   on first use of a family root this process best-effort removes
+   sibling ``p<pid>_*`` entries whose owning pid is gone.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import re
+import shutil
+import tempfile
+import uuid
+
+PROC = f"p{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+_OWNED: list[str] = []
+_SWEPT: set[str] = set()
+_PROC_RE = re.compile(r"p(\d+)_[0-9a-f]{8}")
+
+
+def proc_dir(family: str) -> str:
+    """This process's staging root for ``family`` (a directory name
+    under /tmp, e.g. ``bfs_mapreduce_spark_sink``). Registered for
+    atexit removal; first call per family sweeps dead siblings."""
+    root = os.path.join(tempfile.gettempdir(), family)
+    mine = os.path.join(root, PROC)
+    if mine not in _OWNED:
+        _OWNED.append(mine)
+    if root not in _SWEPT:
+        _SWEPT.add(root)
+        _sweep_stale(root)
+    return mine
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _sweep_stale(root: str) -> None:
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for d in entries:
+        m = _PROC_RE.fullmatch(d)
+        if m and int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+@atexit.register
+def _cleanup() -> None:
+    for d in _OWNED:
+        shutil.rmtree(d, ignore_errors=True)
