@@ -32,6 +32,9 @@ HEADLINE = [
     "q_text_tfidf",
     "q_asof_join",
     "q_graph_bfs_histogram",
+    # end-to-end LLM-training-data prep (quality -> dedup -> sample in
+    # one shuffle) — the composite number a 100 TB pipeline cares about
+    "q_pipeline_prepare",
 ]
 
 
