@@ -214,6 +214,63 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_order_part_edges(spark, sf_dir), k=3)
 
 
+_KCORE_SMALLG_K = 8
+# Peeling depth for k=8 on smallG is 8 rounds (measured by a Python
+# Matula-Beck peel of the static file); unroll a couple extra — once
+# the core is stable each further round is an exact no-op.
+_KCORE_SMALLG_ROUNDS = 10
+
+
+def _kcore_smallg_oracle(
+    k: int = _KCORE_SMALLG_K, rounds: int = _KCORE_SMALLG_ROUNDS
+) -> str:
+    """Exact DuckDB oracle for the k-core on smallG: the peeling loop
+    unrolled as one (keep, restrict) CTE pair per round. Legal only
+    because the input file is static, so the data-dependent iteration
+    count is a measurable constant — the general operator keeps its
+    rows-only entry (q_graph_kcore) plus the Python-peeling property
+    test in tests/test_properties.py."""
+    parts = [
+        f"""
+    WITH raw AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE src <> dst),
+    e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+           UNION ALL SELECT b AS src, a AS dst FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    k{i - 1} AS MATERIALIZED (SELECT src AS id FROM e{i - 1} GROUP BY src
+                 HAVING COUNT(*) >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e
+             JOIN k{i - 1} s ON e.src = s.id
+             JOIN k{i - 1} d ON e.dst = d.id)"""
+        )
+    parts.append(
+        f"""
+    SELECT src AS id, COUNT(*) AS degree FROM e{rounds} GROUP BY src"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_graph_kcore_smallg",
+    oracle=_kcore_smallg_oracle(),
+    doc="8-core of the reference's smallG graph (67 vertices survive "
+    "an 8-round peeling cascade), hash-checked against the peeling "
+    "loop unrolled in SQL — the static file makes the data-dependent "
+    "round count a constant, giving the iterative kcore operator an "
+    "exact external oracle that the sf-scaled q_graph_kcore (rows-"
+    "only) can't have.",
+)
+def q_graph_kcore_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import kcore
+
+    return kcore(read_edge_list(spark, _SMALLG), k=_KCORE_SMALLG_K)
+
+
 @register(
     "q_graph_triangles_smallg",
     oracle=f"""
