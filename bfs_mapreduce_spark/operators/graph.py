@@ -444,6 +444,7 @@ def sssp(
     edges: DataFrame,
     source: int,
     max_hops: int = 8,
+    warn_on_truncation: bool = True,
 ) -> DataFrame:
     """Weighted single-source shortest paths, hop-bounded Bellman-Ford:
     ``dist_k(v) = min cost over walks of <= k hops`` — k synchronous
@@ -468,6 +469,7 @@ def sssp(
     ).repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
 
     dist = spark.createDataFrame([(source, 0.0)], "id bigint, cost double").localCheckpoint()
+    converged = False
     for _hop in range(max_hops):
         cand = dist.join(e, dist["id"] == e["src"]).select(
             e["dst"].alias("id"), (dist["cost"] + e["w"]).alias("cost")
@@ -487,8 +489,37 @@ def sssp(
             )
             if improved.isEmpty():
                 dist = new_dist
+                converged = True
                 break
         dist = new_dist
+
+    if not converged and warn_on_truncation:
+        # Same loud-truncation contract as bfs above: max_hops exhausted
+        # without a proven relaxation fixed point, so reported costs are
+        # only "min over walks of <= max_hops hops" — a deeper graph
+        # would silently under-reach. One extra relax-compare round
+        # decides (only paid on the truncation path); callers doing
+        # bounded exploration on purpose pass warn_on_truncation=False.
+        cand = dist.join(e, dist["id"] == e["src"]).select(
+            e["dst"].alias("id"), (dist["cost"] + e["w"]).alias("cost")
+        )
+        probe = (
+            dist.unionByName(cand).groupBy("id").agg(F.min("cost").alias("cost"))
+        )
+        still_improving = probe.count() != dist.count() or not (
+            probe.alias("n")
+            .join(dist.alias("o"), "id")
+            .filter(F.col("n.cost") < F.col("o.cost"))
+            .isEmpty()
+        )
+        if still_improving:
+            logger.warning(
+                "sssp: max_hops=%d exhausted before the relaxation fixed "
+                "point; costs are only valid as min over <=%d-hop walks — "
+                "deeper shortest paths are unreported",
+                max_hops,
+                max_hops,
+            )
 
     e.unpersist()
     return dist

@@ -52,6 +52,79 @@ def test_triangle_counts_match_python_oracle(spark, edges):
     assert got == expected
 
 
+weighted_edge = st.tuples(
+    st.integers(0, 12), st.integers(0, 12), st.integers(1, 9)
+)
+weighted_edge_lists = st.lists(weighted_edge, min_size=1, max_size=25)
+
+
+def _dijkstra_oracle(edges: list[tuple[int, int, int]], source: int) -> dict[int, float]:
+    """Serial Dijkstra over the undirected weighted multigraph (min
+    weight per parallel edge wins implicitly via relaxation)."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, float(w)))
+        adj.setdefault(b, []).append((a, float(w)))
+    dist: dict[int, float] = {source: 0.0}
+    heap = [(0.0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+@given(edges=weighted_edge_lists)
+@_prop_settings
+def test_sssp_converges_to_dijkstra_on_random_weighted_graphs(spark, edges):
+    """With hops >= |V| (>= any diameter), hop-bounded Bellman-Ford
+    must have converged to true shortest-path costs — Dijkstra parity
+    on every random weighted graph, not just the hop-bounded prefix
+    the catalog query's unrolled-walk oracle checks."""
+    from bfs_mapreduce_spark.operators.graph import sssp
+
+    source = edges[0][0]
+    n_vertices = len({v for e in edges for v in e[:2]})
+    sym = [(a, b, float(w)) for a, b, w in edges] + [
+        (b, a, float(w)) for a, b, w in edges
+    ]
+    edges_df = spark.createDataFrame(sym, "src bigint, dst bigint, w double")
+    got = {
+        r["id"]: r["cost"]
+        for r in sssp(edges_df, source=source, max_hops=n_vertices).collect()
+    }
+    assert got == _dijkstra_oracle(edges, source)
+
+
+def test_sssp_warns_loudly_on_truncation(spark, caplog):
+    """A hop budget below the graph's depth must produce the loud
+    truncation warning (mirroring bfs's contract) — and stay silent
+    when the budget covers the graph."""
+    import logging
+
+    from bfs_mapreduce_spark.operators.graph import sssp
+
+    # a 6-vertex path: depth 5, so max_hops=2 truncates
+    path = [(i, i + 1, 1.0) for i in range(5)]
+    sym = path + [(b, a, w) for a, b, w in path]
+    edges_df = spark.createDataFrame(sym, "src bigint, dst bigint, w double")
+    with caplog.at_level(logging.WARNING, logger="bfs_mapreduce_spark.operators.graph"):
+        sssp(edges_df, source=0, max_hops=2).collect()
+    assert any("sssp: max_hops=" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="bfs_mapreduce_spark.operators.graph"):
+        got = {r["id"]: r["cost"] for r in sssp(edges_df, source=0, max_hops=8).collect()}
+    assert not any("sssp" in r.message for r in caplog.records)
+    assert got == {i: float(i) for i in range(6)}
+
+
 @given(edges=edge_lists, k=st.integers(2, 4))
 @_prop_settings
 def test_kcore_matches_python_peeling(spark, edges, k):
