@@ -238,26 +238,42 @@ def minhash_signature(shingles: F.Column) -> F.Column:
     return F.array(*[one_perm(a, b) for a, b in _MINHASH_AB])
 
 
-@register(
-    "q_dedup_minhash_lsh",
-    oracle=None,  # banding/bucketing is not SQL-expressible; verified by
-    # tests/test_dedup.py against the exact-Jaccard oracle query instead
-    doc="MinHash-LSH near-dup, the 100 TB path: per-doc 64-hash "
-    "signature (one JVM projection, zero shuffle) → 32 bands of r=2 → "
-    "explode (band, band_hash) → bucket self-join for candidates → "
-    "exact-Jaccard verify at 0.5. Candidate cost is bounded by bucket "
-    "sizes; the all-pairs product never forms. P(miss | j=0.5) ~ 1e-4.",
-)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Parameterized MinHash-LSH near-dup pairs over ``documents``.
+
+    The (n_hashes, rows_per_band) point sets the recall/cost tradeoff:
+    with b = n_hashes/rows_per_band bands of r rows,
+    P(candidate | j) = 1 - (1 - j^r)^b, so at the 0.5 verify threshold
+
+    - 64 hashes, r=2 (32 bands): P(miss) = 0.75^32 ≈ 1e-4 — the
+      default; a planted near-dup escaping means miswired banding,
+      not bad luck.
+    - 32 hashes, r=2 (16 bands): P(miss) = 0.75^16 ≈ 1e-2 — half the
+      signature cost (the suite's biggest line, BASELINE.md), but ~1%
+      of borderline pairs slip per run. Offered for corpora where the
+      exact-verify step (not the signature agg) dominates.
+
+    False positives never escape either way — every candidate passes
+    the exact-Jaccard verify, so precision is 1.0 by construction and
+    the parameters trade only recall against signature cost.
+    """
+    if not 0 < n_hashes <= len(_MINHASH_AB):
+        raise ValueError(f"n_hashes must be in 1..{len(_MINHASH_AB)}")
+    if n_hashes % rows_per_band:
+        raise ValueError("rows_per_band must divide n_hashes")
     # shingle arrays feed both the signature agg (via explode) and the
     # verify step directly — one checkpointed materialization, no
     # collect_set rebuild (at scale this is the layer you'd write to
     # parquet between pipeline stages)
     sh = shingle_arrays(docs).localCheckpoint()
     rows = sh.select("doc_id", F.explode("shingles").alias("s"))
-    # Signatures via shingle ROWS → 64 codegen'd MIN aggregates (one
-    # shuffle, map-side partial agg). Identical values to
+    # Signatures via shingle ROWS → n_hashes codegen'd MIN aggregates
+    # (one shuffle, map-side partial agg). Identical values to
     # minhash_signature()'s array form, but whole-stage-codegen'd:
     # Spark higher-order functions are interpreted per element, and 64
     # of them per row was the dominant cost of this query (measured
@@ -266,16 +282,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_P))).alias(f"m{j}")
-            for j, (a, b) in enumerate(_MINHASH_AB)
+            for j, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
         ]
     )
-    n_bands = 64 // _LSH_ROWS_PER_BAND
+    n_bands = n_hashes // rows_per_band
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
                 F.xxhash64(
-                    *[f"m{i * _LSH_ROWS_PER_BAND + r}" for r in range(_LSH_ROWS_PER_BAND)]
+                    *[f"m{i * rows_per_band + r}" for r in range(rows_per_band)]
                 ).alias("h"),
             )
             for i in range(n_bands)
@@ -304,9 +320,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # banding/bucketing is not SQL-expressible; verified by
+    # tests/test_dedup.py against the exact-Jaccard oracle query instead
+    doc="MinHash-LSH near-dup, the 100 TB path: per-doc 64-hash "
+    "signature (one JVM projection, zero shuffle) → 32 bands of r=2 → "
+    "explode (band, band_hash) → bucket self-join for candidates → "
+    "exact-Jaccard verify at 0.5. Candidate cost is bounded by bucket "
+    "sizes; the all-pairs product never forms. P(miss | j=0.5) ~ 1e-4. "
+    "(n_hashes, rows_per_band) are exposed on minhash_lsh_pairs — the "
+    "32-hash/16-band half-cost point trades to P(miss) ~ 1e-2; the "
+    "catalog keeps 64 so the recall bound stays assert-tight, see "
+    "BASELINE.md.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 @register(

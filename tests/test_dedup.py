@@ -177,3 +177,26 @@ def test_connected_components_warns_and_refines_monotonically(spark, caplog):
     assert full == {v: 0 for v in range(11)}
     # monotone refinement: more iterations never move a label UP
     assert all(full[v] <= coarse[v] for v in coarse)
+
+
+def test_lsh_half_cost_point_precision_and_recall(spark, sf_oracle_dir):
+    """The parameterized 32-hash/16-band point: precision stays 1.0 by
+    construction (every candidate passes the exact-Jaccard verify, so
+    its pairs are a SUBSET of the exact >=0.5 set), and recall stays
+    high (P(miss | j=0.5) ≈ 1e-2 per pair — on the planted fixture a
+    collapse below 0.8 means the parameterization is wired wrong)."""
+    from bfs_mapreduce_spark.operators.dedup_queries import minhash_lsh_pairs
+    from bfs_mapreduce_spark.sources.readers import load_table
+
+    exact = _pairs(
+        q_dedup_ngram_jaccard(spark, sf_oracle_dir).filter(F.col("jaccard") >= 0.5)
+    )
+    half = _pairs(
+        minhash_lsh_pairs(
+            load_table(spark, sf_oracle_dir, "documents"), n_hashes=32, rows_per_band=2
+        )
+    )
+    assert half <= exact, f"false positives escaped the verify: {half - exact}"
+    assert exact, "fixture should contain planted near-dup pairs"
+    recall = len(half) / len(exact)
+    assert recall >= 0.8, f"32-hash LSH recall collapsed: {recall:.3f}"
