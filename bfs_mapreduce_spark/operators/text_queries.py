@@ -186,17 +186,25 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; at scale this is a cached metadata count
+    # corpus size as an in-plan 1-row broadcast (not a .count() scalar
+    # job): no driver sync point, no second scan scheduled before the
+    # main plan — at 100 TB the count aggregate rides the same scan
+    # Catalyst already prunes to the doc_id column
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     ex = docs.select("doc_id", F.explode(_words()).alias("term"))
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df derived from tf (already one row per (doc, term)): a plain
     # count beats countDistinct's expand — two fewer shuffles, and the
     # input is the (much smaller) tf table instead of the raw explode
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -741,4 +749,136 @@ def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("rn", F.row_number().over(keep))
         .filter((F.col("rn") == 1) & (h % 2 == 0))
         .select("doc_id", "lang", "source", F.col("n_words").cast("bigint").alias("n_words"))
+    )
+
+
+_VOCAB_SIZE = 20
+
+
+@register(
+    "q_text_vocabulary",
+    oracle=f"""
+    WITH ex AS (SELECT unnest({_SQL_WORDS}) AS term FROM documents),
+    counts AS (SELECT term, COUNT(*) AS n FROM ex GROUP BY term),
+    top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT {_VOCAB_SIZE})
+    SELECT term,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS term_id,
+           n
+    FROM top
+    """,
+    doc="Tokenizer-vocabulary build: corpus term counts, frequency-"
+    "ranked top-K, dense contiguous term ids — the table a BPE/word "
+    "tokenizer training step starts from. Scale shape: explode -> one "
+    "map-side-combined count aggregate, then TakeOrderedAndProject for "
+    "the top-K (no global sort of the vocabulary); the row_number "
+    "window that assigns ids runs over only the K surviving rows, so "
+    "its single-partition shape is bounded by vocab size, never corpus "
+    "size. Deterministic total order (count desc, term asc) keeps ids "
+    "stable across engines and runs.",
+)
+def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(_VOCAB_SIZE)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return top.select(
+        "term", F.row_number().over(w).cast("bigint").alias("term_id"), "n"
+    )
+
+
+_N_SHARDS = 8
+_SHUFFLE_EPOCH = 1
+
+
+@register(
+    "q_sample_shard_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_EPOCH}'),
+                             1, 15))::BIGINT AS hv
+      FROM documents)
+    SELECT doc_id, hv % {_N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_N_SHARDS}
+                                   ORDER BY hv, doc_id) AS BIGINT) AS position
+    FROM h
+    """,
+    doc="Deterministic epoch shuffle + shard assignment — the "
+    "dataloader-prep operator: every document gets a shard (hash mod "
+    "n_shards) and a position within its shard (rank by hash), both "
+    "pure functions of (doc_id, epoch), so the 'random' training order "
+    "is reproducible across engines, runs, and repartitionings, and "
+    "changing the epoch constant reshuffles globally with zero state. "
+    "Scale shape: one projection plus one window partitioned BY SHARD "
+    "— each shard's rank sorts 1/n_shards of the corpus and shards "
+    "sort in parallel; no global total order is ever materialized.",
+)
+def q_sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SHUFFLE_EPOCH}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", hv.alias("hv"), F.pmod(hv, F.lit(_N_SHARDS)).alias("shard"))
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "position")
+    )
+
+
+_TOKEN_BUDGET = 800
+
+
+@register(
+    "q_text_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_SQL_WORDS}) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+      FROM t)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM r WHERE cum_before + n_tokens <= {_TOKEN_BUDGET}
+    """,
+    doc="Per-source token-budget selection — the data-mixing operator "
+    "that caps each source's contribution: documents are ordered by "
+    "their deterministic hash (a reproducible 'uniform random' "
+    "priority), and the maximal prefix whose running token total fits "
+    "the budget survives (the running sum is monotone, so the cut is a "
+    "clean prefix). Pure function of the corpus: re-runs, engines, and "
+    "repartitionings agree row-for-row. Scale shape: one per-source "
+    "window (cumulative sum) — the same partitioned-running-sum plan "
+    "as sequence packing, no global coordination.",
+)
+def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "doc_id", "source", F.size(_words()).cast("bigint").alias("n_tokens"), hv.alias("hv")
+    )
+    r = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return r.filter(F.col("cum_before") + F.col("n_tokens") <= _TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", F.col("cum_before").cast("bigint").alias("cum_before")
     )

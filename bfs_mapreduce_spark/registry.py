@@ -118,6 +118,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_asof_join_forward",
     # new in round 5
     "q_graph_kcore_smallg",
+    "q_text_vocabulary",
+    "q_sample_shard_shuffle",
+    "q_text_token_budget",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
@@ -139,8 +142,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",
     "q_stream_tumbling",
     "q_stream_stateful_counts",
-    "q_udaf_geomean",
-    "q_udtf_chunk_documents",
     "q_sink_roundtrip",
     "q_rollup_cascade",
     "q_graph_bfs_smallg",
