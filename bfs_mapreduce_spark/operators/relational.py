@@ -1111,3 +1111,97 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(hourly, "hour").unionByName(tag(daily, "day")).unionByName(
         tag(monthly, "month")
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 4 <> 0),
+    updates AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS price
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+           CAST(COALESCE(u.price, b.price) AS DOUBLE) AS price,
+           CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                WHEN u.o_orderkey IS NULL THEN 'kept'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+    doc="MERGE-style upsert (update-matched / insert-unmatched / keep-"
+    "rest) as a declarative plan: one FULL OUTER join on the key with "
+    "COALESCE(new, old) — the incremental-table-maintenance primitive "
+    "behind every warehouse MERGE INTO, expressed engine-natively "
+    "(no table format required). Scale shape: a single shuffle on the "
+    "merge key for both sides; with the base written bucketed on the "
+    "key (q_sink_bucketed_join's layout) even that exchange disappears "
+    "and only the update batch moves. Decimal-exact money math.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", price.alias("price")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", (price + 1).alias("price")
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    return b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("u.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.price"), F.col("b.price")).cast("double").alias("price"),
+        F.when(F.col("b.o_orderkey").isNull(), "inserted")
+        .when(F.col("u.o_orderkey").isNull(), "kept")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM marked WHERE is_change = 1)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+    FROM runs
+    """,
+    doc="SCD type-2 interval build: compress each user's event-type "
+    "stream into state runs with [valid_from, valid_to) validity "
+    "(valid_to NULL = current) — the dimension-history operator every "
+    "warehouse load runs. Gaps-and-islands change detection (lag) plus "
+    "one lead for the closing edge, both over the same (user_id, ts) "
+    "window partitioning, so Catalyst plans ONE sort+shuffle and runs "
+    "both window functions on it. Deterministic (ts, event_id) "
+    "ordering keeps run boundaries identical across engines.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (prev.isNull() | (prev != F.col("event_type"))).alias("is_change"),
+        )
+        .filter("is_change")
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    # tie-break on event_id: two change points CAN share a timestamp
+    # (duplicate ts, alternating types) and the lead must close runs in
+    # the same order on both engines
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return runs.withColumn("valid_to", F.lead("valid_from").over(w2)).drop("event_id")

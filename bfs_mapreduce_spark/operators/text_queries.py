@@ -269,13 +269,38 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sample_stratified",
-    oracle=None,  # Spark's seeded Bernoulli sampler is engine-specific;
-    # per-stratum fractions are asserted in tests/test_text.py
-    doc="Stratified sampling via sampleBy: per-language fractions "
-    "(en 0.2, others 0.5), seeded. The per-partition Bernoulli draw "
-    "keeps it one scan with no shuffle.",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000 AS h
+          FROM documents)
+    WHERE h < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+    """,
+    doc="Stratified sampling with per-stratum fractions (en 0.2, "
+    "others 0.5) via the deterministic md5-threshold mechanism of "
+    "q_sample_hash — membership is a pure function of the key, so the "
+    "per-language sample is identical across engines, runs, and "
+    "repartitionings (seeded Bernoulli sampling is partitioning-"
+    "dependent, which is why the engine-native sampleBy variant lives "
+    "in stratified_sample_by with its own fraction test). One scan, "
+    "no shuffle.",
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 1000
+    cutoff = F.when(F.col("lang") == "en", 200).otherwise(500)
+    return docs.filter(h < cutoff).select("doc_id", "lang")
+
+
+def stratified_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native stratified sampler (``DataFrame.sampleBy``,
+    seeded per-partition Bernoulli): kept as API surface with its
+    fraction test in tests/test_text.py. The catalog row uses the
+    hash-threshold variant above, whose membership an external oracle
+    can reproduce exactly."""
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -121,6 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_vocabulary",
     "q_sample_shard_shuffle",
     "q_text_token_budget",
+    "q_merge_upsert",
+    "q_scd2_intervals",
+    "q_sample_stratified",  # newly oracle-paired (was rows-only sampleBy)
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
@@ -139,11 +142,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_triangles_smallg",
     "q_window_range_frame",
     "q_multimodal_dedup",
-    "q_multimodal_features",
-    "q_stream_tumbling",
     "q_stream_stateful_counts",
     "q_sink_roundtrip",
-    "q_rollup_cascade",
     "q_graph_bfs_smallg",
     "q_graph_sssp_cost",
     "q_dedup_ngram_jaccard",
