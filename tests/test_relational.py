@@ -163,3 +163,33 @@ def test_approx_percentile_accuracy(spark, sf_oracle_dir):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / e < 0.02, f"{k}: approx={a} exact={e}"
+
+
+def test_scd2_plans_one_sort_for_both_windows(spark, sf_oracle_dir):
+    """q_scd2_intervals' scale claim: the lag change-detection and the
+    lead interval-close share one (user_id, ts)-compatible partitioning
+    — the plan carries exactly ONE exchange (the window hash partition
+    on user_id); the second window reuses the first's sort order."""
+    plan = _plan(CATALOG["q_scd2_intervals"].build(spark, sf_oracle_dir))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(exchanges) == 1, plan
+
+
+def test_merge_upsert_is_single_join_no_extra_exchange(spark, sf_oracle_dir):
+    """q_merge_upsert's shape: one full-outer SortMergeJoin on the
+    merge key; both sides read the same scan with pushed filters —
+    no cartesian, no nested loop."""
+    plan = _plan(CATALOG["q_merge_upsert"].build(spark, sf_oracle_dir))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocabulary_topk_is_take_ordered(spark, sf_oracle_dir):
+    """q_text_vocabulary's scale claim: the top-K over the vocabulary
+    is TakeOrderedAndProject (bounded by K), never a global Sort of
+    all terms."""
+    plan = _plan(CATALOG["q_text_vocabulary"].build(spark, sf_oracle_dir))
+    assert "TakeOrderedAndProject" in plan, plan
