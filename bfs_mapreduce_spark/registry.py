@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_merge_upsert",
     "q_scd2_intervals",
     "q_sample_stratified",  # newly oracle-paired (was rows-only sampleBy)
+    "q_stream_outer_join",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_triangles_smallg",
     "q_window_range_frame",
     "q_multimodal_dedup",
-    "q_stream_stateful_counts",
     "q_sink_roundtrip",
     "q_graph_bfs_smallg",
     "q_graph_sssp_cost",

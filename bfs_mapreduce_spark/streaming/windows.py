@@ -312,6 +312,74 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream(purchase_view_join(spark, sf_dir), output_mode="append")
 
 
+# Static emission horizon for the OUTER stream-stream join: NULL-
+# extended rows only emit once the watermark proves no match can
+# arrive, and rows still inside the final watermark horizon when an
+# AvailableNow run ends stay in state, unemitted. The testdata
+# generator spans 2024-01-01..30 at every sf, so a cutoff one day
+# before the end sits >= 20h below any final watermark (max ts - 1h)
+# — everything at or before it is provably emitted.
+_OUTER_JOIN_CUTOFF = "2024-01-30 00:00:00"
+
+
+@register(
+    "q_stream_outer_join",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts
+          FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts, v.v_event_id, v.v_ts
+    FROM p LEFT JOIN v ON p.user_id = v.v_user_id
+       AND v.v_ts >= p.ts - INTERVAL 1 HOUR AND v.v_ts < p.ts
+    WHERE p.ts <= TIMESTAMP '{_OUTER_JOIN_CUTOFF}'
+    """,
+    doc="Stream-stream LEFT OUTER join — the semantics trap the inner "
+    "variant can't exercise: a purchase with no preceding same-user "
+    "view must surface NULL-extended, but only after the watermark "
+    "proves no matching view can still arrive (emitting earlier would "
+    "be wrong-then-retracted; append mode never retracts). Both sides "
+    "watermarked, time-range condition bounding state exactly as the "
+    "inner join; the static cutoff keeps the comparison to rows whose "
+    "emission the final watermark provably forced, which is the honest "
+    "contract of an outer join over a stream that ends.",
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+    )
+    v = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_event_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    j = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("ts")),
+            "left_outer",
+        )
+        .filter(F.col("ts") <= F.lit(_OUTER_JOIN_CUTOFF).cast("timestamp"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "v_event_id",
+            F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
+        )
+    )
+    return run_stream(j, output_mode="append")
+
+
 @register(
     "q_stream_static_enrich",
     oracle="""
