@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scd2_intervals",
     "q_sample_stratified",  # newly oracle-paired (was rows-only sampleBy)
     "q_stream_outer_join",
+    "q_window_distribution_scalable",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
@@ -143,7 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_triangles_smallg",
     "q_window_range_frame",
     "q_multimodal_dedup",
-    "q_sink_roundtrip",
     "q_graph_bfs_smallg",
     "q_graph_sssp_cost",
     "q_dedup_ngram_jaccard",

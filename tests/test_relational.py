@@ -193,3 +193,15 @@ def test_vocabulary_topk_is_take_ordered(spark, sf_oracle_dir):
     all terms."""
     plan = _plan(CATALOG["q_text_vocabulary"].build(spark, sf_oracle_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_distribution_scalable_uses_range_partitioning(spark, sf_oracle_dir):
+    """The scalable global-rank decomposition must range-partition the
+    fact rows (parallel bucket sorts), never move them through a
+    single-partition global window; the only single-partition work is
+    over the bucket-count table."""
+    plan = _plan(CATALOG["q_window_distribution_scalable"].build(spark, sf_oracle_dir))
+    assert "rangepartitioning" in plan, plan
+    # the fact-side window partitions by bucket id, so no
+    # Exchange SinglePartition feeds a row_number over fact rows
+    assert plan.count("SinglePartition") <= 2, plan
