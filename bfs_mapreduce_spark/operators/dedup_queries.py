@@ -531,6 +531,88 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- semantic dedup (SemDeDup)
+
+_SEMANTIC_TAU = 0.4
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    cent AS (
+      SELECT cell, list(avg ORDER BY pos) AS cv FROM (
+        SELECT label AS cell, pos, ROUND(AVG(x), 9) AS avg
+        FROM ex GROUP BY label, pos)
+      GROUP BY cell),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                          c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]), 6) >= {_SEMANTIC_TAU})
+    SELECT s.vec_id, s.cell,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public "
+    "method): cluster embeddings (here the deterministic label-mean "
+    "centroid assignment shared with q_similarity_ivf_assign; at "
+    "production scale, kmeans_centroids with k ~ corpus/cell_target), "
+    "then drop any vector with a LOWER-ID in-cell neighbour at cosine "
+    ">= tau. The pairwise scan is keyed on the cell — candidate cost "
+    "is sum(cell_size^2), never the corpus cross product, and the "
+    "keep rule needs no transitive closure (single pass, no driver "
+    "iteration). Output keeps every row with a keep flag so the "
+    "decision itself is oracle-audited, not just the survivor set.",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _dot,
+        _label_centroids,
+        _nearest_cell,
+        _norm,
+        _vecd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    assign = _nearest_cell(base, _label_centroids(emb)).select("vec_id", "cell")
+    withv = assign.join(base, "vec_id")
+    a = withv.select(
+        "cell", F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = withv.select(
+        "cell", F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(cos, 6) >= _SEMANTIC_TAU)
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(
+        dropped.withColumn("hit", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.when(F.col("hit").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------- near-dup clusters
 
 

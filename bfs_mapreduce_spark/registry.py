@@ -126,6 +126,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_sample_stratified",  # newly oracle-paired (was rows-only sampleBy)
     "q_stream_outer_join",
     "q_window_distribution_scalable",
+    "q_dedup_semantic",
+    "q7_nation_volume",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracket_revenue",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
