@@ -578,6 +578,45 @@ def pagerank(
     return ranks
 
 
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation (community detection, Raghavan et
+    al. 2007): every vertex starts labelled with its own id; each round
+    every vertex adopts the most frequent label among its neighbours
+    (ties broken toward the SMALLEST label, so the synchronous sweep is
+    fully deterministic and oracle-checkable). Returns ``(id, label)``
+    after exactly ``rounds`` sweeps — a fixed round count rather than a
+    convergence test, because synchronous LPA can oscillate on
+    near-bipartite structures; callers pick rounds ≈ expected community
+    diameter.
+
+    Per round: one edge⋈label join (shuffle keyed on the label side's
+    id) and one two-level aggregate — the (src, label) count collapses
+    map-side before the argmax, so the exchange carries at most
+    |V|·distinct-neighbour-labels rows, never the raw edge fanout.
+    Same localCheckpoint lineage discipline as bfs/kcore.
+    """
+    sym = undirected_edges(edges).localCheckpoint()
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    best = F.max_by(
+        F.col("label"), F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(best.alias("label"))
+            .select(F.col("src").alias("id"), "label")
+            .localCheckpoint()
+        )
+    return labels
+
+
 def kcore(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
     """The k-core: iteratively peel vertices of degree < k until none
     remain (Matula-Beck). Returns ``(id, degree)`` — each surviving

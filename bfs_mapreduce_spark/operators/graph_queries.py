@@ -271,6 +271,58 @@ def q_graph_kcore_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(read_edge_list(spark, _SMALLG), k=_KCORE_SMALLG_K)
 
 
+_LABELPROP_ROUNDS = 5
+
+
+def _labelprop_smallg_oracle(rounds: int = _LABELPROP_ROUNDS) -> str:
+    """Synchronous LPA unrolled in SQL, one CTE per sweep: the argmax
+    (most frequent neighbour label, tie -> smallest) is a ROW_NUMBER
+    over the per-(vertex,label) counts. Legal as an exact oracle
+    because the round count is a fixed parameter, not data-dependent."""
+    parts = [
+        f"""
+    WITH raw AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE src <> dst),
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+         UNION ALL SELECT b AS src, a AS dst FROM und),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    l{i} AS MATERIALIZED (
+      SELECT src AS id, label FROM (
+        SELECT src, label, ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY c DESC, label) AS rn
+        FROM (SELECT e.src, l.label, COUNT(*) AS c
+              FROM e JOIN l{i - 1} l ON e.dst = l.id
+              GROUP BY e.src, l.label))
+      WHERE rn = 1)"""
+        )
+    parts.append(f"""
+    SELECT id, label FROM l{rounds}""")
+    return "".join(parts)
+
+
+@register(
+    "q_graph_labelprop_smallg",
+    oracle=_labelprop_smallg_oracle(),
+    doc="Community detection by synchronous label propagation on the "
+    "reference's smallG graph, 5 deterministic sweeps (most-frequent "
+    "neighbour label, ties to the smallest), hash-checked against the "
+    "sweep loop unrolled in SQL — per-vertex labels verified exactly, "
+    "like q_graph_kcore_smallg. The general operator "
+    "(graph.label_propagation) takes rounds as a parameter; its "
+    "two-level partial-agg vote never shuffles the raw edge fanout.",
+)
+def q_graph_labelprop_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import label_propagation
+
+    return label_propagation(read_edge_list(spark, _SMALLG), rounds=_LABELPROP_ROUNDS)
+
+
 @register(
     "q_graph_triangles_smallg",
     oracle=f"""

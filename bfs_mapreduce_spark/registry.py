@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_outer_join",
     "q_window_distribution_scalable",
     "q_dedup_semantic",
+    "q_graph_labelprop_smallg",
     "q7_nation_volume",
     "q14_promo_share",
     "q18_large_orders",

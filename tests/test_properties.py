@@ -291,3 +291,38 @@ def test_star_cc_converges_logarithmically_on_path(spark):
         (v, 0) for v in range(64)
     }
     assert rounds <= 10, f"expected O(log d) convergence, took {rounds} rounds"
+
+
+def _lpa_python(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Independent synchronous LPA sweep: most frequent neighbour
+    label, ties to the smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v in adj:
+            counts = Counter(labels[u] for u in adj[v])
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+@given(edges=edge_lists, rounds=st.integers(min_value=1, max_value=4))
+@_prop_settings
+def test_label_propagation_matches_python_sweep(spark, edges, rounds):
+    """The distributed synchronous LPA must agree per-vertex with an
+    independent single-machine sweep on every random graph — including
+    oscillating near-bipartite cases, since both run the identical
+    fixed round count."""
+    from bfs_mapreduce_spark.operators.graph import label_propagation
+
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["label"] for r in label_propagation(edges_df, rounds).collect()}
+    assert got == _lpa_python(edges, rounds)
