@@ -1094,6 +1094,35 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4)            AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 6)                    AS var_qty,
+           COUNT(*)                                          AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistics per group: Pearson correlation, sample "
+    "covariance/stddev/variance — single-pass aggregates with partial "
+    "(moment-based) map-side combine, the profiling pass a feature-"
+    "engineering pipeline runs before training. Rounding is coarser "
+    "for the large-magnitude moments (covar ~1e5) so last-ulp "
+    "summation-order noise can't flip the driver hash.",
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "q_map_funcs",
     oracle="""
     SELECT event_id,

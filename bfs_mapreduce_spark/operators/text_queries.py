@@ -119,6 +119,43 @@ def _lang_score_sql(markers: tuple[str, ...]) -> str:
 
 
 @register(
+    "q_text_lm_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents),
+    freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM freq)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(-AVG(LN(c * 1.0 / t)), 6) AS unigram_nll
+    FROM tok JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model scoring (the CCNet/Wenzek et al. 2020 "
+    "perplexity-filter shape with the corpus itself as the LM): "
+    "negative mean log-probability of each document's tokens under "
+    "corpus unigram frequencies. Low NLL = stereotypical text, high = "
+    "rare-token soup; production pipelines threshold the tails. The "
+    "frequency table is vocabulary-bounded (broadcastable at 100 TB); "
+    "the corpus total folds into the plan as a one-row crossJoin — no "
+    "driver-side count. Stopword skew on the token join is the AQE "
+    "skew-split case.",
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_words()).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("c") / F.col("t"))), 6).alias("unigram_nll"),
+        )
+    )
+
+
+@register(
     "q_text_langid",
     oracle=f"""
     WITH scores AS (

@@ -132,6 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     "q14_promo_share",
     "q18_large_orders",
     "q19_bracket_revenue",
+    "q_text_lm_score",
+    "q_stats_corr",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
