@@ -1094,6 +1094,73 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_orders_rfm",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    q AS (
+      SELECT ROUND(quantile_cont(recency_days * 1.0, 0.5), 6) AS r50,
+             ROUND(quantile_cont(frequency * 1.0, 0.5), 6)    AS f50,
+             ROUND(quantile_cont(monetary, 0.5), 6)           AS m50
+      FROM m)
+    SELECT c_custkey, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= r50 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency   >= f50 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary    >= m50 THEN 2 ELSE 1 END AS m_score
+    FROM m CROSS JOIN q
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary per "
+    "customer in one aggregate pass, then scores against median "
+    "thresholds. The thresholds come from a one-row percentile "
+    "aggregate broadcast back over the metric table — NO global "
+    "ntile window, so nothing ever sorts the full customer set on "
+    "one partition (the q_window_distribution_scalable lesson, "
+    "applied). Thresholds rounded to 1e-6 in both engines so an "
+    "interpolation ulp can't flip a boundary customer's score.",
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    gmax = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    m = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "c_custkey",
+            F.datediff("gmax", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    q = m.agg(
+        F.round(F.percentile(F.col("recency_days").cast("double"), F.lit(0.5)), 6).alias("r50"),
+        F.round(F.percentile(F.col("frequency").cast("double"), F.lit(0.5)), 6).alias("f50"),
+        F.round(F.percentile("monetary", F.lit(0.5)), 6).alias("m50"),
+    )
+    score = lambda c: F.when(c, 2).otherwise(1).cast("int")
+    return m.crossJoin(F.broadcast(q)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score(F.col("recency_days") <= F.col("r50")).alias("r_score"),
+        score(F.col("frequency") >= F.col("f50")).alias("f_score"),
+        score(F.col("monetary") >= F.col("m50")).alias("m_score"),
+    )
+
+
+@register(
     "q_stats_corr",
     oracle="""
     SELECT l_returnflag,

@@ -119,6 +119,83 @@ def _lang_score_sql(markers: tuple[str, ...]) -> str:
 
 
 @register(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    m AS (
+      SELECT doc_id, len(w) AS n_words,
+             ROUND(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 6)
+               AS mean_word_len,
+             ROUND(list_max(list_transform(list_distinct(w),
+                     d -> len(list_filter(w, x -> x = d)))) * 1.0 / len(w), 6)
+               AS top_word_frac,
+             len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+               AS n_stopwords
+      FROM t)
+    SELECT doc_id, n_words, mean_word_len, top_word_frac, n_stopwords,
+           CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS rule_word_count,
+           CASE WHEN mean_word_len BETWEEN 4.3 AND 4.7 THEN 1 ELSE 0 END AS rule_mean_word_len,
+           CASE WHEN top_word_frac <= 0.12 THEN 1 ELSE 0 END AS rule_top_word,
+           CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS rule_stopwords,
+           CASE WHEN n_words BETWEEN 20 AND 80
+                 AND mean_word_len BETWEEN 4.3 AND 4.7
+                 AND top_word_frac <= 0.12
+                 AND n_stopwords >= 2 THEN 1 ELSE 0 END AS gopher_pass
+    FROM m
+    """,
+    doc="Gopher-style quality rules (Rae et al. 2021, public method): "
+    "word-count bounds, mean-word-length bounds, most-frequent-word "
+    "cap (the cheap repetition screen), stopword minimum — each rule "
+    "reported separately plus the conjunction, so downstream can "
+    "re-weight without recomputing. Pure projection (the top-word "
+    "mode is an array-native O(distinct²) scan per row — bounded by "
+    "document length, zero shuffle; q_text_repetition covers the "
+    "n-gram generalization). Thresholds are data-calibrated here; "
+    "production swaps the published constants.",
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    mean_wl = F.round(
+        F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+        / F.size(w),
+        6,
+    )
+    top_frac = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda d: F.size(F.filter(w, lambda x: x == d)),
+            )
+        )
+        / F.size(w),
+        6,
+    )
+    n_stop = F.size(F.filter(w, lambda x: x.isin("the", "a", "and", "of", "to")))
+    m = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        top_frac.alias("top_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    r_wc = F.col("n_words").between(20, 80)
+    r_wl = F.col("mean_word_len").between(4.3, 4.7)
+    r_top = F.col("top_word_frac") <= 0.12
+    r_stop = F.col("n_stopwords") >= 2
+    as_int = lambda c: F.when(c, 1).otherwise(0).cast("int")
+    return m.select(
+        "*",
+        as_int(r_wc).alias("rule_word_count"),
+        as_int(r_wl).alias("rule_mean_word_len"),
+        as_int(r_top).alias("rule_top_word"),
+        as_int(r_stop).alias("rule_stopwords"),
+        as_int(r_wc & r_wl & r_top & r_stop).alias("gopher_pass"),
+    )
+
+
+@register(
     "q_text_lm_score",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents),

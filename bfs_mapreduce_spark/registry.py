@@ -134,6 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "q19_bracket_revenue",
     "q_text_lm_score",
     "q_stats_corr",
+    "q_text_gopher_rules",
+    "q_orders_rfm",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
