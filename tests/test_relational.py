@@ -205,3 +205,46 @@ def test_distribution_scalable_uses_range_partitioning(spark, sf_oracle_dir):
     # the fact-side window partitions by bucket id, so no
     # Exchange SinglePartition feeds a row_number over fact rows
     assert plan.count("SinglePartition") <= 2, plan
+
+
+def test_q19_pushes_per_arm_filters_to_both_scans(spark, sf_oracle_dir):
+    """Catalyst must factor the disjunctive bracket predicate: the
+    part-only disjunction (brand/size arms) lands on the part scan and
+    the lineitem-only quantity disjunction on the lineitem scan — the
+    difference between shipping candidate parts and shipping the whole
+    dimension at 100 TB."""
+    plan = _plan(CATALOG["q19_bracket_revenue"].build(spark, sf_oracle_dir))
+    part_scan = [l for l in plan.splitlines() if "part.parquet" in l or ("FileScan" in l and "p_partkey" in l)]
+    assert any("p_brand" in l for l in part_scan), plan
+    li_scan = [l for l in plan.splitlines() if "FileScan" in l and "l_quantity" in l]
+    assert any("l_quantity" in l.split("DataFilters")[-1] for l in li_scan if "DataFilters" in l), plan
+
+
+def test_q18_aggregates_before_joining(spark, sf_oracle_dir):
+    """The HAVING aggregate must reduce lineitem to the big-order key
+    set BEFORE the orders join, and that key set must broadcast — the
+    aggregate-then-join order that keeps the wide joins off the fact
+    table."""
+    plan = _plan(CATALOG["q18_large_orders"].build(spark, sf_oracle_dir))
+    assert "BroadcastHashJoin" in plan
+    bcast_section = plan.split("BroadcastExchange")[1] if "BroadcastExchange" in plan else ""
+    assert "HashAggregate" in bcast_section, plan
+
+
+def test_gopher_rules_plan_is_projection_only(spark, sf_oracle_dir):
+    """Every Gopher rule is array arithmetic over the words column —
+    the plan must contain NO shuffle at all."""
+    plan = _plan(CATALOG["q_text_gopher_rules"].build(spark, sf_oracle_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_semantic_pairs_join_on_cell(spark, sf_oracle_dir):
+    """Semantic-dedup candidates must come from an equi-join keyed on
+    the centroid cell (bucket-bounded), never a broadcast nested loop
+    over the corpus."""
+    plan = _plan(CATALOG["q_dedup_semantic"].build(spark, sf_oracle_dir))
+    joins = [l for l in plan.splitlines() if "Join" in l and "cell" in l]
+    assert any(
+        ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
+        for l in joins
+    ), plan
