@@ -175,6 +175,46 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_manifest",
+    oracle="""
+    -- ASCII corpus: octet_length(encode(..)) == the blob's byte length
+    SELECT source,
+           COUNT(*) AS n_blobs,
+           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           COUNT(DISTINCT sha256(text)) AS n_distinct_content,
+           ROUND(1.0 - COUNT(DISTINCT sha256(text)) * 1.0 / COUNT(*), 6) AS dup_rate,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_blob_bytes
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Shard manifest / dataset-card statistics per source: blob "
+    "count, total bytes, distinct-content count, duplication rate, max "
+    "payload — the summary a multimodal ingestion job publishes next "
+    "to every shard. Hashes and lengths are computed in the scan "
+    "projection, so the exchange carries (source, sha, len) triples, "
+    "never payload bytes; the distinct-count is the only state that "
+    "grows with content variety (swap approx_count_distinct at "
+    "petabyte scale — q_approx_count_distinct is the anchor).",
+)
+def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.sha2(F.encode("text", "utf-8"), 256).alias("content_sha"),
+        F.octet_length(F.encode("text", "utf-8")).cast("bigint").alias("blob_len"),
+    )
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("blob_len").alias("total_bytes"),
+        F.countDistinct("content_sha").alias("n_distinct_content"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("content_sha") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.max("blob_len").alias("max_blob_bytes"),
+    )
+
+
 def resize_media(blob: bytes, target_w: int, target_h: int) -> dict:
     """Resize stub (see ``decode_media`` — same single swap point).
     Deterministic fake: 'resized' payload length scales with the target

@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stats_corr",
     "q_text_gopher_rules",
     "q_orders_rfm",
+    "q_multimodal_manifest",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
