@@ -404,3 +404,64 @@ def ivf_search(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+_TOPK_JOIN_K = 50
+
+
+@register(
+    "q_similarity_topk_join",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    cent AS (
+      SELECT cell, list(avg ORDER BY pos) AS cv FROM (
+        SELECT label AS cell, pos, ROUND(AVG(x), 9) AS avg
+        FROM ex GROUP BY label, pos)
+      GROUP BY cell),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                          c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cosine
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT {_TOPK_JOIN_K}
+    """,
+    doc="Top-K similarity JOIN (the ICDE'12 'Parallel Top-K Similarity "
+    "Join' problem shape): the K most-similar pairs across the corpus, "
+    "with candidates bounded to centroid-cell cohabitants — the same "
+    "bucketing that makes SemDeDup scale — and the global K taken by "
+    "TakeOrderedAndProject over per-partition top-Ks, never a full "
+    "sort. Deterministic total order (rounded cosine DESC, then ids) "
+    "so both engines cut the same K. Within-cell is the serving "
+    "semantics; raise k/cells so cells bound recall at scale.",
+)
+def q_similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    assign = _nearest_cell(base, _label_centroids(emb)).select("vec_id", "cell")
+    withv = assign.join(base, "vec_id")
+    a = withv.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = withv.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(_TOPK_JOIN_K)
+    )

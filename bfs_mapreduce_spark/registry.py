@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_gopher_rules",
     "q_orders_rfm",
     "q_multimodal_manifest",
+    "q_similarity_topk_join",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
