@@ -200,3 +200,41 @@ def test_lsh_half_cost_point_precision_and_recall(spark, sf_oracle_dir):
     assert exact, "fixture should contain planted near-dup pairs"
     recall = len(half) / len(exact)
     assert recall >= 0.8, f"32-hash LSH recall collapsed: {recall:.3f}"
+
+
+def test_semantic_dedup_keep_rule_invariant(spark, sf_oracle_dir):
+    """Independent (numpy) audit of q_dedup_semantic's contract: a
+    vector is dropped IFF some lower-id vector in its cell sits at
+    rounded cosine >= tau. The DuckDB oracle recomputes the same SQL;
+    this check recomputes it from raw vectors in a different engine
+    entirely, so a shared SQL-level misunderstanding can't hide."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.operators.dedup_queries import (
+        _SEMANTIC_TAU,
+        q_dedup_semantic,
+    )
+    from bfs_mapreduce_spark.sources.readers import load_table
+
+    out = q_dedup_semantic(spark, sf_oracle_dir).toPandas()
+    emb = load_table(spark, sf_oracle_dir, "embeddings").toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    by_cell: dict[int, list[int]] = {}
+    for r in out.itertuples():
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    expect_keep = {}
+    for cell, ids in by_cell.items():
+        for v in ids:
+            dropped = False
+            for u in ids:
+                if u >= v:
+                    continue
+                a, b = vecs[u], vecs[v]
+                cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if round(cos, 6) >= _SEMANTIC_TAU:
+                    dropped = True
+                    break
+            expect_keep[v] = 0 if dropped else 1
+    got = dict(zip(out.vec_id, out.keep))
+    assert got == expect_keep
+    assert 0 < sum(got.values()) < len(got)  # both classes present
