@@ -138,3 +138,122 @@ def ingest_batch(
         new_bands.write.mode("append").partitionBy("band").parquet(f"{store_path}/bands")
         new_sh.write.mode("append").parquet(f"{store_path}/shingles")
     return pairs
+
+
+# ---------------------------------------------------------------- semantic store
+
+_SEM_TAU = 0.4  # mirrors dedup_queries._SEMANTIC_TAU
+
+
+def _sem_base(emb: DataFrame) -> DataFrame:
+    from bfs_mapreduce_spark.operators.similarity_queries import _norm, _vecd
+
+    return emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+
+
+def semantic_pairs(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """All within-cell pairs at rounded cosine >= tau, assignments
+    taken against ``centroids`` — the pair-form ground truth of
+    q_dedup_semantic's keep rule (which is 'has no lower-id partner
+    in this frame')."""
+    from bfs_mapreduce_spark.operators.similarity_queries import _dot, _nearest_cell
+
+    base = _sem_base(emb)
+    assign = _nearest_cell(base, centroids).select("vec_id", "cell")
+    withv = assign.join(base, "vec_id")
+    a = withv.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = withv.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cos, 6) >= _SEM_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def init_semantic_store(spark: SparkSession, emb: DataFrame, store_path: str) -> None:
+    """Create (or overwrite) the semantic store: the quantizer
+    (centroids) is FROZEN at init — incremental consistency requires
+    every later batch to be assigned against the same cells, so the
+    centroids are part of the store, not recomputed per batch
+    (recomputing would silently move cell boundaries and un-find old
+    neighbours). Re-train offline and rebuild the store to rotate the
+    quantizer."""
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _label_centroids,
+        _nearest_cell,
+    )
+
+    cent = _label_centroids(emb)
+    cent.write.mode("overwrite").parquet(f"{store_path}/centroids")
+    base = _sem_base(emb)
+    rows = _nearest_cell(base, cent).select("vec_id", "cell").join(base, "vec_id")
+    rows.write.mode("overwrite").partitionBy("cell").parquet(f"{store_path}/vectors")
+
+
+def ingest_semantic_batch(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    store_path: str,
+    append: bool = True,
+) -> DataFrame:
+    """Near-dup pairs introduced by ``new_emb`` — against the store AND
+    within the batch — then (optionally) fold the batch in. Returns
+    (vec_a, vec_b, cosine) with vec_a < vec_b. Cost per batch:
+    O(batch) assignment against the broadcast frozen centroids + a
+    cell-partition-pruned join against the store — never O(corpus).
+    Replay-safe like ingest_batch: known vec_ids are anti-joined out."""
+    from bfs_mapreduce_spark.operators.similarity_queries import _dot, _nearest_cell
+
+    cent = spark.read.parquet(f"{store_path}/centroids")
+    old = spark.read.parquet(f"{store_path}/vectors")
+
+    known = old.select("vec_id")
+    base = _sem_base(new_emb.join(known, "vec_id", "left_anti"))
+    new_rows = (
+        _nearest_cell(base, cent).select("vec_id", "cell").join(base, "vec_id")
+    ).localCheckpoint()
+
+    def _sides(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "cell",
+            F.col("vec_id").alias(f"vec_{tag}"),
+            F.col("v").alias(f"v{tag}"),
+            F.col("n").alias(f"n{tag}"),
+        )
+
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    # new x store (both directions collapse via least/greatest) ...
+    cross = (
+        _sides(new_rows, "a")
+        .join(_sides(old, "b"), ["cell"])
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            "cosine",
+        )
+    )
+    # ... plus new x new (within-batch near-dups)
+    self_pairs = (
+        _sides(new_rows, "a")
+        .join(_sides(new_rows, "b"), ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    pairs = cross.unionByName(self_pairs).distinct().localCheckpoint()
+
+    if append:
+        new_rows.write.mode("append").partitionBy("cell").parquet(
+            f"{store_path}/vectors"
+        )
+    return pairs

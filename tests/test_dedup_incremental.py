@@ -70,3 +70,39 @@ def test_reingest_is_idempotent(spark, sf_oracle_dir, tmp_path):
     assert replay.count() == 0
     rows_after = spark.read.parquet(f"{store}/shingles").count()
     assert rows_after == rows_before
+
+
+def _sem_pairs(df):
+    return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+
+def test_semantic_incremental_matches_batch(spark, sf_oracle_dir, tmp_path):
+    """Ingesting the embedding corpus in two batches against a frozen
+    quantizer must find exactly the full-corpus within-cell pairs,
+    split by which batch could introduce them."""
+    from bfs_mapreduce_spark.operators.dedup_incremental import (
+        ingest_semantic_batch,
+        init_semantic_store,
+        semantic_pairs,
+    )
+
+    store = str(tmp_path / "semstore")
+    emb = load_table(spark, sf_oracle_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") < 400)
+    second = emb.filter(F.col("vec_id") >= 400)
+
+    init_semantic_store(spark, first, store)
+    inc = _sem_pairs(ingest_semantic_batch(spark, second, store))
+
+    cent = spark.read.parquet(f"{store}/centroids")
+    full = _sem_pairs(semantic_pairs(emb, cent))
+    want = {(a, b) for a, b in full if a >= 400 or b >= 400}
+    assert inc == want
+    assert all(a >= 400 or b >= 400 for a, b in inc)
+
+    # replay safety: re-ingesting the same batch reports nothing new
+    # and leaves the store row count unchanged
+    n_rows = spark.read.parquet(f"{store}/vectors").count()
+    again = _sem_pairs(ingest_semantic_batch(spark, second, store))
+    assert again == set()
+    assert spark.read.parquet(f"{store}/vectors").count() == n_rows
