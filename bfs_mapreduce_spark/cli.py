@@ -80,6 +80,24 @@ def _query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _explain(args: argparse.Namespace) -> int:
+    """Print the formatted physical plan of a catalog query — the
+    first thing to read when a query misbehaves at scale (is the
+    filter pushed? which side broadcasts? where are the exchanges?)."""
+    from bfs_mapreduce_spark.registry import all_queries
+
+    catalog = all_queries()
+    if args.name not in catalog:
+        print(f"unknown query {args.name!r}; available: {', '.join(sorted(catalog))}", file=sys.stderr)
+        return 2
+    spark, owned = _owned_session(app_name=f"explain_{args.name}")
+    df = catalog[args.name].build(spark, args.sf_dir)
+    df.explain(args.mode)
+    if owned:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bfs_mapreduce_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -98,6 +116,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=_query)
+
+    e = sub.add_parser("explain", help="print a catalog query's physical plan")
+    e.add_argument("name")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    e.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    e.set_defaults(fn=_explain)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -57,3 +57,17 @@ def test_cli_unknown_query(capsys):
     rc = main(["query", "no_such_query"])
     assert rc == 2
     assert "available" in capsys.readouterr().err
+
+
+def test_cli_explain(capsys):
+    from bfs_mapreduce_spark.cli import main
+
+    assert main(["explain", "q_filter_project"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
+
+
+def test_cli_explain_unknown(capsys):
+    from bfs_mapreduce_spark.cli import main
+
+    assert main(["explain", "nope"]) == 2
