@@ -1094,6 +1094,52 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM t
+    """,
+    doc="Event-sequence transition matrix (first-order Markov): "
+    "per-user lag pairs -> global bigram counts -> row-normalized "
+    "probabilities. The lag window partitions by user (parallel in "
+    "the user count, ordered by (ts, event_id) so timestamp ties "
+    "can't reorder between engines); the normalizing window runs "
+    "over the tiny event-type x event-type matrix, never the events. "
+    "The shape behind funnel discovery and session-model features.",
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wnorm), 6).alias("p"),
+    )
+
+
+@register(
     "q_orders_rfm",
     oracle="""
     WITH m AS (

@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_orders_rfm",
     "q_multimodal_manifest",
     "q_similarity_topk_join",
+    "q_events_transitions",
     # family representatives (proven green in earlier rounds)
     "q_filter_project",
     "q_profile_documents",
