@@ -7,9 +7,14 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Everything here delegates to the engine's named-query catalog
 (``bfs_mapreduce_spark.registry.all_queries``) — one entry per
-implemented operator from SURVEY.md §2.10. Queries whose semantics
-SQL can't express (iterative BFS, LSH banding, streaming) register
-``oracle=None`` and get the driver's weaker rows-only check.
+implemented operator from SURVEY.md §2.10. The few queries whose
+semantics SQL can't express (LSH candidate generation, approximate
+sketches, data-dependent iteration depth at sf scale) register
+``oracle=None`` and get the driver's weaker rows-only check; their
+semantic tests live in tests/. Iterative operators on the static
+reference graphs (BFS, k-core, label propagation) DO carry exact
+oracles — their loops unroll as SQL CTEs because the round count is
+a measured constant there.
 """
 
 from __future__ import annotations
