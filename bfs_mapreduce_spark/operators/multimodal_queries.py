@@ -181,7 +181,7 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- ASCII corpus: octet_length(encode(..)) == the blob's byte length
     SELECT source,
            COUNT(*) AS n_blobs,
-           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT sha256(text)) AS n_distinct_content,
            ROUND(1.0 - COUNT(DISTINCT sha256(text)) * 1.0 / COUNT(*), 6) AS dup_rate,
            CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_blob_bytes
