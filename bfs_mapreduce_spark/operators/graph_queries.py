@@ -323,6 +323,76 @@ def q_graph_labelprop_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(read_edge_list(spark, _SMALLG), rounds=_LABELPROP_ROUNDS)
 
 
+_LINKPRED_TOP = 50
+
+
+@register(
+    "q_graph_linkpred_smallg",
+    oracle=f"""
+    WITH raw AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE src <> dst),
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+         UNION ALL SELECT b AS src, a AS dst FROM und),
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+    wedge AS (
+      SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cn
+      FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY a, b),
+    nonedge AS (
+      SELECT w.a, w.b, w.cn FROM wedge w
+      LEFT JOIN und ON und.a = w.a AND und.b = w.b
+      WHERE und.a IS NULL)
+    SELECT a, b, cn,
+           ROUND(cn * 1.0 / (da.d + db.d - cn), 6) AS jaccard
+    FROM nonedge JOIN deg da ON da.id = a JOIN deg db ON db.id = b
+    ORDER BY cn DESC, a, b LIMIT {_LINKPRED_TOP}
+    """,
+    doc="Link prediction on smallG: common-neighbour counts via the "
+    "wedge self-join (bounded by sum of degree² — the triangle-count "
+    "shape), existing edges anti-joined out, neighbourhood-Jaccard "
+    "from broadcast degrees, top-50 candidate pairs by "
+    "TakeOrderedAndProject. The classic cheap recommender / graph-"
+    "completion primitive.",
+)
+def q_graph_linkpred_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import undirected_edges
+
+    sym = undirected_edges(read_edge_list(spark, _SMALLG))
+    canon = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("ca"), F.col("dst").alias("cb")
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("a"))
+    e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    wedges = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = wedges.join(
+        canon, (wedges["a"] == canon["ca"]) & (wedges["b"] == canon["cb"]), "left_anti"
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    return (
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(F.col("cn") / (F.col("da") + F.col("db") - F.col("cn")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.desc("cn"), F.asc("a"), F.asc("b"))
+        .limit(_LINKPRED_TOP)
+    )
+
+
 @register(
     "q_graph_triangles_smallg",
     oracle=f"""

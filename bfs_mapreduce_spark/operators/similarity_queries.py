@@ -465,3 +465,45 @@ def q_similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(_TOPK_JOIN_K)
     )
+
+
+@register(
+    "q_similarity_cluster_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    cent AS (
+      SELECT cell, list(avg ORDER BY pos) AS cv FROM (
+        SELECT label AS cell, pos, ROUND(AVG(x), 9) AS avg
+        FROM ex GROUP BY label, pos)
+      GROUP BY cell),
+    assign AS (
+      SELECT vec_id, cell, cosine FROM (
+        SELECT e.vec_id, c.cell,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                          c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+    SELECT cell, COUNT(*) AS n_members,
+           ROUND(AVG(cosine), 6) AS avg_cohesion,
+           ROUND(MIN(cosine), 6) AS min_cohesion
+    FROM assign GROUP BY cell
+    """,
+    doc="Clustering-quality profile: per-cell member count and "
+    "centroid-cosine cohesion (mean + worst member) straight off the "
+    "assignment — the health check run after (re)training a quantizer "
+    "before trusting it for IVF serving or semantic dedup. One "
+    "aggregate over the assignment; no new shuffles beyond it.",
+)
+def q_similarity_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    assign = _nearest_cell(base, _label_centroids(emb))
+    return assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("cosine"), 6).alias("avg_cohesion"),
+        F.round(F.min("cosine"), 6).alias("min_cohesion"),
+    )

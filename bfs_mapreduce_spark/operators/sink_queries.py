@@ -219,6 +219,46 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Schema evolution across parquet batches: an early batch is "
+    "written WITHOUT the status column, a later batch with it; "
+    "``mergeSchema`` reconciles the footers at read time and "
+    "NULL-fills the missing column for old files — append-only "
+    "ingestion evolving its schema without rewriting history, the "
+    "default posture for a long-lived 100 TB table. The oracle "
+    "reproduces the NULL-fill with a CASE on the batch predicate, so "
+    "a wrong merge (dropped column, misaligned fill) breaks the hash.",
+)
+def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_evolve"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "basePath", root
+    ).parquet(os.path.join(root, "batch=1"), os.path.join(root, "batch=2"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
     "q_scan_xml",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

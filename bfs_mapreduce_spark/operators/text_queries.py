@@ -328,6 +328,73 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("table", "query", "spark")
+_BM25_TOP = 20
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id, len({_SQL_WORDS}) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    ex AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+           WHERE term IN {_BM25_TERMS!r} GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * tf * ({_BM25_K1} + 1)
+                 / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)))
+               AS s
+      FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(s, 6) AS bm25
+    FROM scored ORDER BY ROUND(s, 6) DESC, doc_id LIMIT {_BM25_TOP}
+    """,
+    doc="BM25 retrieval scoring (Robertson-Sparck Jones, the classic "
+    "public formula, k1=1.2 b=0.75) for a fixed query term set: tf "
+    "restricted to query terms AT THE EXPLODE (the corpus-sized "
+    "explode never aggregates non-query terms), df/avgdl/N all "
+    "vocabulary- or one-row-sized in-plan broadcasts, global top-20 "
+    "via TakeOrderedAndProject. The retrieval scorer a RAG corpus "
+    "pipeline runs next to its embedding index.",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(_words()).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    ex = docs.select("doc_id", F.explode(_words()).alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
+
+
 @register(
     "q_text_fingerprint",
     oracle=f"""

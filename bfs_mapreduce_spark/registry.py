@@ -139,7 +139,18 @@ _PRIORITY: tuple[str, ...] = (
     "q_multimodal_manifest",
     "q_similarity_topk_join",
     "q_events_transitions",
-    # family representatives (proven green in earlier rounds)
+    "q_text_bm25",
+    "q_sink_schema_evolution",
+    "q_graph_linkpred_smallg",
+    "q_similarity_cluster_stats",
+    # family representatives (proven green in earlier rounds). The 22
+    # round-5 additions above consume most of the 50-query window this
+    # round; every §2.10 family still keeps an in-window entry (scans
+    # via orc/xml, sinks via compaction/schema-evolution, profiling
+    # via outliers, dedup/similarity/text/graph via their round-5
+    # members), and the displaced reps below are all cumulatively
+    # driver-green from rounds 2-4 with identical local hash checks in
+    # tests/test_correctness.py.
     "q_filter_project",
     "q_profile_documents",
     "q_sink_bucketed_join",
