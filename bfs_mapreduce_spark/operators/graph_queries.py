@@ -323,6 +323,62 @@ def q_graph_labelprop_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(read_edge_list(spark, _SMALLG), rounds=_LABELPROP_ROUNDS)
 
 
+@register(
+    "q_graph_clustering_smallg",
+    oracle=f"""
+    WITH e AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    canon AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+              FROM e WHERE src <> dst),
+    sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM canon
+         UNION ALL SELECT v AS src, u AS dst FROM canon),
+    deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM canon e1
+            JOIN canon e2 ON e2.u = e1.v
+            JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v),
+    x AS (SELECT unnest([a, b, c]) AS id FROM tri),
+    t AS (SELECT id, COUNT(*) AS n_tri FROM x GROUP BY id)
+    SELECT deg.id, deg.degree, COALESCE(t.n_tri, 0) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN ROUND(COALESCE(t.n_tri, 0) * 2.0
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN t ON t.id = deg.id
+    """,
+    doc="Per-vertex local clustering coefficient on smallG: "
+    "2*triangles / (deg*(deg-1)), triangles from the degree-ordered "
+    "compact-forward join (shared with q_graph_triangles_smallg), "
+    "degrees one exchange-free aggregate over the symmetric edge "
+    "table. The transitivity profile behind community-structure "
+    "screening.",
+)
+def q_graph_clustering_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import triangle_counts, undirected_edges
+
+    edges = read_edge_list(spark, _SMALLG)
+    sym = undirected_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangle_counts(edges)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            F.coalesce(F.col("n_triangles"), F.lit(0)) * 2.0
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+    )
+
+
 _LINKPRED_TOP = 50
 
 

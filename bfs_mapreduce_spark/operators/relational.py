@@ -1140,6 +1140,66 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_cooccurrence",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    supp AS (SELECT event_type, COUNT(*) AS s FROM b GROUP BY event_type),
+    pair AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS both_users
+      FROM b x JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY type_a, type_b)
+    SELECT type_a, type_b, both_users,
+           ROUND(both_users * 1.0 / n_users, 6) AS support,
+           ROUND((both_users * 1.0 / n_users)
+                 / ((sa.s * 1.0 / n_users) * (sb.s * 1.0 / n_users)), 6) AS lift
+    FROM pair
+    JOIN supp sa ON sa.event_type = type_a
+    JOIN supp sb ON sb.event_type = type_b
+    CROSS JOIN n
+    """,
+    doc="Event-type co-occurrence with support and lift (market-basket "
+    "association over per-user baskets): the distinct (user, type) "
+    "basket self-joins on user — fanout bounded by types-per-user "
+    "(<=5 here; at scale cap basket width first, the standard "
+    "frequent-itemset guard), singleton supports broadcast back, the "
+    "user count folded in-plan. Lift > 1 = types that travel "
+    "together; the screen behind 'users who X also Y'.",
+)
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    supp = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("s"))
+    x = b.select("user_id", F.col("event_type").alias("type_a"))
+    y = b.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("both_users"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("s").alias("sb"))
+    sup = F.col("both_users") / F.col("n_users")
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "both_users",
+            F.round(sup, 6).alias("support"),
+            F.round(
+                sup / ((F.col("sa") / F.col("n_users")) * (F.col("sb") / F.col("n_users"))),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
     "q_orders_rfm",
     oracle="""
     WITH m AS (

@@ -172,6 +172,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_sssp_cost",
     "q_dedup_ngram_jaccard",
     "q_correlated_subquery",
+    # round-5 additions landing after the 50-query window filled —
+    # locally hash-green in tests/test_correctness.py; rotate to the
+    # FRONT of the round-6 window (the round-4 stragglers' playbook)
+    "q_events_cooccurrence",
+    "q_graph_clustering_smallg",
 )
 
 
