@@ -341,14 +341,57 @@ _N_PROBE = 3
 
 @register(
     "q_similarity_ivf_search",
-    oracle=None,  # cell-bounded candidate generation is not
-    # SQL-expressible; recall vs q_similarity_topk asserted in
-    # tests/test_similarity.py
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    cent AS (
+      SELECT cell, list(avg ORDER BY pos) AS cv FROM (
+        SELECT label AS cell, pos, ROUND(AVG(x), 9) AS avg
+        FROM ex GROUP BY label, pos)
+      GROUP BY cell),
+    scored AS (
+      SELECT e.vec_id, c.cell,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cc
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+        FROM scored WHERE vec_id % {_QUERY_MOD} = 0) WHERE rn <= {_N_PROBE}),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.vec_id <> p.query_id),
+    rer AS (
+      SELECT c.query_id, c.vec_id,
+             ROUND(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          ev.embedding::DOUBLE[]), 6) AS cosine
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings ev ON ev.vec_id = c.vec_id)
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM rer) WHERE rn <= {_TOP_K}
+    """,
     doc="IVF probe search, the other ANN scale path: nearest-centroid "
     "assignment buckets the corpus into cells once; each query then "
     "scores only the vectors in its top-3 cells (n_probe=3) and "
     "re-ranks exactly. Candidate cost = probed-cell sizes, never the "
-    "corpus. Same output schema as q_similarity_topk.",
+    "corpus. Same output schema as q_similarity_topk. Every ranking "
+    "cosine (probe, assignment, rerank) is snapped to the 1e-6 grid "
+    "in both engines, so the whole probe pipeline — not just the "
+    "final ranks — is reproduced by the SQL oracle (previously a "
+    "rows-only entry; recall vs the exact top-k stays asserted in "
+    "tests/test_similarity.py).",
 )
 def q_similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -362,8 +405,12 @@ def ivf_search(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     cent = (centroids if centroids is not None else _label_centroids(emb)).localCheckpoint()
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
     cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
+    # cc rounded to the same 1e-6 grid as every other ranking cosine
+    # in this module: probe/assignment choices then can't flip on
+    # engine-specific last-ulp noise, which is what makes the probe
+    # search exactly reproducible by the SQL oracle
     scored_cells = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cell", cell_cos.alias("cc")
+        "vec_id", "cell", F.round(cell_cos, 6).alias("cc")
     )
     # corpus side: every vector lives in its ONE nearest cell — max_by
     # aggregate, so partial agg collapses corpus×cells rows map-side
