@@ -170,6 +170,124 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, MAX(event_id) AS p_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT c.event_id, c.user_id, c.ts, p.p_event_id AS bk, p.ts AS bd
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND p.ts <= c.ts),
+    f AS (
+      SELECT c.event_id, p.p_event_id AS fk, p.ts AS fd
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND p.ts >= c.ts),
+    d AS (
+      SELECT b.event_id, b.user_id, b.ts, bk, bd, fk, fd,
+             CASE WHEN bk IS NULL AND fk IS NULL THEN NULL
+                  WHEN fk IS NULL THEN 'backward'
+                  WHEN bk IS NULL THEN 'forward'
+                  WHEN date_diff('microsecond', bd, b.ts)
+                       <= date_diff('microsecond', b.ts, fd) THEN 'backward'
+                  ELSE 'forward' END AS direction
+      FROM b JOIN f USING (event_id))
+    SELECT event_id, user_id, ts,
+           CASE direction WHEN 'backward' THEN bk WHEN 'forward' THEN fk END
+             AS p_event_id,
+           CASE direction WHEN 'backward' THEN bd WHEN 'forward' THEN fd END
+             AS p_ts,
+           direction
+    FROM d
+    """,
+    doc="Nearest as-of: each click matched to the same user's CLOSEST "
+    "purchase in either direction, ties to the earlier (backward) "
+    "one — attribution when sessions interleave. Both direction "
+    "carries run as two window frames over the SAME union-tagged "
+    "sorted stream: still one shuffle on user_id, one sort. The "
+    "equal-time edge is absorbed by the tie rule: a purchase at "
+    "exactly the click's timestamp is the backward match at delta 0, "
+    "which always wins, so the forward frame's equal-time blindness "
+    "(build sorts before probe) cannot change the answer.",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    build = purch.select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.struct(
+            _us("ts").alias("p_us"),
+            F.col("p_event_id"),
+            F.col("ts").cast("timestamp_ntz").alias("p_ts"),
+        ).alias("p"),
+    )
+    probe = clicks.select(
+        "user_id",
+        _us("ts").alias("t_us"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.lit(None)
+        .cast("struct<p_us:bigint,p_event_id:bigint,p_ts:timestamp_ntz>")
+        .alias("p"),
+    )
+    order_cols = [F.col("t_us"), F.col("tag"), F.col("p.p_event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        build.unionByName(probe)
+        .withColumn("b", F.last("p", ignorenulls=True).over(wb))
+        .withColumn("f", F.first("p", ignorenulls=True).over(wf))
+        .filter(F.col("tag") == 1)
+    )
+    bdelta = F.col("t_us") - F.col("b.p_us")
+    fdelta = F.col("f.p_us") - F.col("t_us")
+    direction = (
+        F.when(F.col("b").isNull() & F.col("f").isNull(), F.lit(None).cast("string"))
+        .when(F.col("f").isNull(), F.lit("backward"))
+        .when(F.col("b").isNull(), F.lit("forward"))
+        .when(bdelta <= fdelta, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    pick = lambda field: (
+        F.when(F.col("direction") == "backward", F.col(f"b.{field}"))
+        .when(F.col("direction") == "forward", F.col(f"f.{field}"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        carried.withColumn("direction", direction)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            pick("p_event_id").alias("p_event_id"),
+            pick("p_ts").alias("p_ts"),
+            "direction",
+        )
+    )
+
+
+@register(
     "q_asof_event_pairs",
     oracle="""
     WITH clicks AS (

@@ -177,6 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     # FRONT of the round-6 window (the round-4 stragglers' playbook)
     "q_events_cooccurrence",
     "q_graph_clustering_smallg",
+    "q_asof_join_nearest",
 )
 
 
