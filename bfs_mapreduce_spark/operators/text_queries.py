@@ -328,6 +328,55 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W = 32  # window (words per chunk)
+_CHUNK_STRIDE = 24  # stride; W - stride = 8 words of overlap
+
+
+@register(
+    "q_text_chunk_overlap",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    idx AS (
+      SELECT doc_id, words,
+             unnest(range(CASE WHEN len(words) <= {_CHUNK_W} THEN 1
+                          ELSE (len(words) - {_CHUNK_W} + {_CHUNK_STRIDE} - 1)
+                               // {_CHUNK_STRIDE} + 1 END)) AS chunk_idx
+      FROM w)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(
+             words[(chunk_idx * {_CHUNK_STRIDE} + 1)
+                   :(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_W})], ' ') AS chunk_text,
+           CAST(LEAST({_CHUNK_W}, len(words) - chunk_idx * {_CHUNK_STRIDE}) AS INT)
+             AS n_words
+    FROM idx
+    """,
+    doc="Overlapping-window chunking (RAG-style: 32-word windows, "
+    "stride 24, 8 words of overlap so no boundary sentence is lost "
+    "to retrieval): chunk count = ceil((len - W)/stride) + 1, every "
+    "trailing chunk keeps >= W-stride words. Array-native sequence + "
+    "transform + explode — no UDTF, no Python, pure codegen "
+    "projection; the fixed-window UDTF twin is q_udtf_chunk_documents.",
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n_chunks = F.when(F.size(w) <= _CHUNK_W, F.lit(1)).otherwise(
+        (F.size(w) - _CHUNK_W + _CHUNK_STRIDE - 1) / _CHUNK_STRIDE + 1
+    ).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        w.alias("words"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("words", start + 1, _CHUNK_W)).alias("chunk_text"),
+        F.least(F.lit(_CHUNK_W), F.size("words") - start).cast("int").alias("n_words"),
+    )
+
+
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TERMS = ("table", "query", "spark")

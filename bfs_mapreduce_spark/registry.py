@@ -178,6 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_events_cooccurrence",
     "q_graph_clustering_smallg",
     "q_asof_join_nearest",
+    "q_text_chunk_overlap",
 )
 
 
