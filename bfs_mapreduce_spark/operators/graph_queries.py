@@ -324,6 +324,43 @@ def q_graph_labelprop_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_graph_assortativity_smallg",
+    oracle=f"""
+    WITH raw AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE src <> dst),
+    e AS (SELECT a AS src, b AS dst FROM und
+          UNION ALL SELECT b AS src, a AS dst FROM und),
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src)
+    SELECT COUNT(*) AS n_directed_edges,
+           ROUND(CORR(da.d, db.d), 6) AS assortativity
+    FROM e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst
+    """,
+    doc="Degree assortativity (Newman 2002) on smallG: Pearson "
+    "correlation of endpoint degrees over the symmetric edge list — "
+    "positive means hubs link hubs. Degrees broadcast back onto the "
+    "edges, one single-pass moment aggregate (the q_stats_corr "
+    "machinery applied to graph structure).",
+)
+def q_graph_assortativity_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import undirected_edges
+
+    sym = undirected_edges(read_edge_list(spark, _SMALLG))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("id").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("dst"), F.col("d").alias("db"))
+    return (
+        sym.join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_directed_edges"),
+            F.round(F.corr("da", "db"), 6).alias("assortativity"),
+        )
+    )
+
+
+@register(
     "q_graph_clustering_smallg",
     oracle=f"""
     WITH e AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',

@@ -328,6 +328,62 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_ALPHA = 0.5  # temperature exponent: keep-rate ∝ (n_s / n_max)^alpha
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH n AS (SELECT source, lang, COUNT(*) AS ns
+               FROM documents GROUP BY source, lang),
+    mx AS (SELECT MAX(ns) AS nmax FROM n),
+    thr AS (
+      SELECT source, lang,
+             ROUND(1000 * POWER(ns * 1.0 / nmax, {_TEMP_ALPHA}), 6) AS keep_thr
+      FROM n CROSS JOIN mx),
+    w AS (
+      SELECT doc_id, source, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h
+      FROM documents)
+    SELECT doc_id, w.source, w.lang, keep_thr
+    FROM w JOIN thr ON w.source = thr.source AND w.lang = thr.lang
+    WHERE h < keep_thr
+    """,
+    doc="Temperature-scaled rebalancing (the multilingual-corpus rule, "
+    "keep-rate ∝ (n_cell/n_max)^alpha, alpha=0.5) over the "
+    "source x language grid: unlike q_sample_mixture's hand-set "
+    "rates, the per-cell thresholds are DERIVED from cell counts "
+    "inside the plan (one grid-sized aggregate broadcast back), then "
+    "applied through the same deterministic md5 threshold — "
+    "over-represented cells are downsampled hardest and the mixture "
+    "recomputes itself as the corpus drifts. Thresholds rounded to "
+    "1e-6 in both engines so a POWER() ulp can't flip a boundary "
+    "document.",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("ns"))
+    mx = n.agg(F.max("ns").alias("nmax"))
+    thr = (
+        n.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "lang",
+            F.round(
+                1000 * F.pow(F.col("ns") / F.col("nmax"), _TEMP_ALPHA), 6
+            ).alias("keep_thr"),
+        )
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 1000
+    return (
+        docs.join(F.broadcast(thr), ["source", "lang"])
+        .filter(h < F.col("keep_thr"))
+        .select("doc_id", "source", "lang", "keep_thr")
+    )
+
+
 _CHUNK_W = 32  # window (words per chunk)
 _CHUNK_STRIDE = 24  # stride; W - stride = 8 words of overlap
 

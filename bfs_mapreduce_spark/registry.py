@@ -179,6 +179,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_clustering_smallg",
     "q_asof_join_nearest",
     "q_text_chunk_overlap",
+    "q_sample_temperature",
+    "q_graph_assortativity_smallg",
 )
 
 
