@@ -40,26 +40,28 @@ def _bfs(args: argparse.Namespace) -> int:
         master=f"local[{args.workers}]" if args.workers else None,
         shuffle_partitions=args.workers or None,
     )
-    t0 = time.perf_counter()
-    edges = read_edge_list(spark, args.path)
-    res = bfs(edges, source=args.source, with_paths=not args.no_paths)
-    out_cols = ["id", "dist"] + ([] if args.no_paths else ["path_str"])
-    shown = res
-    if not args.no_paths:
-        shown = res.withColumn("path_str", F.array_join("path", "->"))
-    rows = shown.select(*out_cols).orderBy("id").collect()
-    elapsed = time.perf_counter() - t0
-    for r in rows[: args.limit]:
-        print("\t".join("" if r[c] is None else str(r[c]) for c in out_cols))
-    print(f"# {len(rows)} vertices in {elapsed:.3f}s", file=sys.stderr)
-    if args.results:
-        row = spark.createDataFrame(
-            [(os.path.basename(args.path), args.workers or (os.cpu_count() or 0), elapsed)],
-            "Dataset string, n_Workers int, Tempo double",
-        )
-        write_csv_append(row, args.results)
-    if owned:
-        spark.stop()
+    try:
+        t0 = time.perf_counter()
+        edges = read_edge_list(spark, args.path)
+        res = bfs(edges, source=args.source, with_paths=not args.no_paths)
+        out_cols = ["id", "dist"] + ([] if args.no_paths else ["path_str"])
+        shown = res
+        if not args.no_paths:
+            shown = res.withColumn("path_str", F.array_join("path", "->"))
+        rows = shown.select(*out_cols).orderBy("id").collect()
+        elapsed = time.perf_counter() - t0
+        for r in rows[: args.limit]:
+            print("\t".join("" if r[c] is None else str(r[c]) for c in out_cols))
+        print(f"# {len(rows)} vertices in {elapsed:.3f}s", file=sys.stderr)
+        if args.results:
+            row = spark.createDataFrame(
+                [(os.path.basename(args.path), args.workers or (os.cpu_count() or 0), elapsed)],
+                "Dataset string, n_Workers int, Tempo double",
+            )
+            write_csv_append(row, args.results)
+    finally:
+        if owned:
+            spark.stop()
     return 0
 
 
@@ -71,12 +73,14 @@ def _query(args: argparse.Namespace) -> int:
         print(f"unknown query {args.name!r}; available: {', '.join(sorted(catalog))}", file=sys.stderr)
         return 2
     spark, owned = _owned_session(app_name=f"query_{args.name}")
-    t0 = time.perf_counter()
-    df = catalog[args.name].build(spark, args.sf_dir)
-    df.show(args.limit, truncate=False)
-    print(f"# {df.count()} rows in {time.perf_counter() - t0:.3f}s", file=sys.stderr)
-    if owned:
-        spark.stop()
+    try:
+        t0 = time.perf_counter()
+        df = catalog[args.name].build(spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+        print(f"# {df.count()} rows in {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    finally:
+        if owned:
+            spark.stop()
     return 0
 
 
@@ -91,10 +95,12 @@ def _explain(args: argparse.Namespace) -> int:
         print(f"unknown query {args.name!r}; available: {', '.join(sorted(catalog))}", file=sys.stderr)
         return 2
     spark, owned = _owned_session(app_name=f"explain_{args.name}")
-    df = catalog[args.name].build(spark, args.sf_dir)
-    df.explain(args.mode)
-    if owned:
-        spark.stop()
+    try:
+        df = catalog[args.name].build(spark, args.sf_dir)
+        df.explain(args.mode)
+    finally:
+        if owned:
+            spark.stop()
     return 0
 
 

@@ -142,7 +142,10 @@ def ingest_batch(
 
 # ---------------------------------------------------------------- semantic store
 
-_SEM_TAU = 0.4  # mirrors dedup_queries._SEMANTIC_TAU
+# Single source of truth: the incremental store must apply the exact
+# keep-rule threshold q_dedup_semantic certifies, or replayed ingestion
+# silently diverges from the batch ground truth.
+from bfs_mapreduce_spark.operators.dedup_queries import _SEMANTIC_TAU as _SEM_TAU
 
 
 def _sem_base(emb: DataFrame) -> DataFrame:

@@ -230,9 +230,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_share",
     oracle=f"""
-    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    SELECT ROUND(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
                                  THEN {_PRICE} * {_DISC} ELSE 0 END) AS DOUBLE)
-           / CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE) AS promo_revenue_pct
+           / CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE), 6) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
     """,
@@ -254,9 +254,10 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
-            (
+            F.round(
                 F.lit(100.0) * F.sum(promo).cast("double")
-                / F.sum(revenue).cast("double")
+                / F.sum(revenue).cast("double"),
+                6,
             ).alias("promo_revenue_pct")
         )
     )
@@ -1361,6 +1362,23 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_distribution_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-partition global window — NOT in the catalog. Kept
+    only as the documented anti-pattern twin for tests/test_relational.py:
+    a `Window.orderBy` with no partitionBy funnels the whole table
+    through one task, which is a scale-killer on an unbounded input.
+    The catalog's q_window_distribution routes to the range-bucket
+    decomposition below instead."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 @register(
     "q_window_distribution",
     oracle="""
@@ -1372,19 +1390,15 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
     """,
     doc="Distribution window family: ntile / percent_rank / cume_dist "
-    "over a global ordering (single-partition window — fine for ranked "
-    "reports, the documented anti-pattern for 100 TB fact tables where "
-    "you'd partition by a bucketing key first).",
+    "over a global ordering. Routes to the scalable range-bucket "
+    "decomposition (q_window_distribution_scalable) so no catalog "
+    "entry plans a single-partition window over an unbounded input; "
+    "the naive global-window plan survives only as "
+    "_window_distribution_naive, exercised in tests as the documented "
+    "anti-pattern.",
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    )
+    return q_window_distribution_scalable(spark, sf_dir)
 
 
 @register(

@@ -245,11 +245,16 @@ def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
-    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
-    back = spark.read.option("mergeSchema", "true").option(
-        "basePath", root
-    ).parquet(os.path.join(root, "batch=1"), os.path.join(root, "batch=2"))
+    # Non-partition-style dir names (batch_N, not batch=N) so partition
+    # discovery can't materialize an inferred `batch` column; the read
+    # depends only on the parquet footers, never on path inference.
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch_1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch_2"))
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "batch_1"), os.path.join(root, "batch_2"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))

@@ -102,59 +102,66 @@ _PRIORITY: tuple[str, ...] = (
     "q_asof_join",
     "q_graph_bfs_histogram",
     "q_pipeline_prepare",
-    # never driver-checked (round-4 additions outside the window) —
-    # rotated to the front so CORRECTNESS_r05 certifies the full catalog
-    "q_events_funnel",
-    "q_orders_retention",
-    "q_sql_customer_returns",
+    # the 7 oracle-paired queries that have never earned an external
+    # driver row (round-5 stragglers + ivf_search) — rotated to the
+    # front so CORRECTNESS_r06 certifies the full catalog cumulatively
+    "q_asof_join_nearest",
+    "q_events_cooccurrence",
+    "q_sample_temperature",
+    "q_similarity_ivf_search",
+    "q_text_chunk_overlap",
+    "q_graph_assortativity_smallg",
+    "q_graph_clustering_smallg",
+    # new in round 6
+    "q_multimodal_features",
+    "q_window_distribution",
+    # family representatives (every §2.10 family keeps an in-window
+    # entry; all are cumulatively driver-green from rounds 2-5 with
+    # identical local hash checks in tests/test_correctness.py)
+    "q_filter_project",
+    "q_scan_csv_json",
     "q_scan_orc",
-    "q_scan_xml",
     "q_sink_compaction",
-    "q_graph_multi_source_bfs",
-    "q_dedup_containment",
-    "q_sample_split",
-    "q_text_heavy_hitters",
-    "q_profile_outliers",
-    "q_asof_join_forward",
-    # new in round 5
-    "q_graph_kcore_smallg",
-    "q_text_vocabulary",
-    "q_sample_shard_shuffle",
-    "q_text_token_budget",
-    "q_merge_upsert",
-    "q_scd2_intervals",
-    "q_sample_stratified",  # newly oracle-paired (was rows-only sampleBy)
-    "q_stream_outer_join",
-    "q_window_distribution_scalable",
-    "q_dedup_semantic",
-    "q_graph_labelprop_smallg",
+    "q_sink_schema_evolution",
     "q7_nation_volume",
     "q14_promo_share",
     "q18_large_orders",
-    "q19_bracket_revenue",
-    "q_text_lm_score",
-    "q_stats_corr",
-    "q_text_gopher_rules",
+    "q_sql_customer_returns",
+    "q_events_funnel",
+    "q_orders_retention",
     "q_orders_rfm",
-    "q_multimodal_manifest",
-    "q_similarity_topk_join",
-    "q_events_transitions",
-    "q_text_bm25",
-    "q_sink_schema_evolution",
+    "q_stats_corr",
+    "q_merge_upsert",
+    "q_scd2_intervals",
+    "q_window_distribution_scalable",
+    "q_correlated_subquery",
+    "q_stream_outer_join",
+    "q_graph_multi_source_bfs",
+    "q_graph_kcore_smallg",
+    "q_graph_labelprop_smallg",
     "q_graph_linkpred_smallg",
+    "q_dedup_containment",
+    "q_dedup_semantic",
+    "q_similarity_topk_join",
     "q_similarity_cluster_stats",
-    # family representatives (proven green in earlier rounds). The 22
-    # round-5 additions above consume most of the 50-query window this
-    # round; every §2.10 family still keeps an in-window entry (scans
-    # via orc/xml, sinks via compaction/schema-evolution, profiling
-    # via outliers, dedup/similarity/text/graph via their round-5
-    # members), and the displaced reps below are all cumulatively
-    # driver-green from rounds 2-4 with identical local hash checks in
-    # tests/test_correctness.py.
-    "q_filter_project",
+    "q_text_gopher_rules",
+    "q_text_lm_score",
+    "q_text_bm25",
+    "q_text_vocabulary",
+    "q_text_heavy_hitters",
+    "q_text_token_budget",
+    "q_sample_stratified",
+    "q_sample_split",
+    "q_sample_shard_shuffle",
+    "q_multimodal_manifest",
+    "q_profile_outliers",
+    # displaced reps (driver-green rounds 2-5; local hash checks
+    # continue in tests/test_correctness.py)
+    "q19_bracket_revenue",
+    "q_events_transitions",
+    "q_scan_xml",
     "q_profile_documents",
     "q_sink_bucketed_join",
-    "q_scan_csv_json",
     "q_dedup_clusters_star",
     "q_similarity_ivf_assign",
     "q_similarity_kmeans_assign",
@@ -171,16 +178,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_bfs_smallg",
     "q_graph_sssp_cost",
     "q_dedup_ngram_jaccard",
-    "q_correlated_subquery",
-    # round-5 additions landing after the 50-query window filled —
-    # locally hash-green in tests/test_correctness.py; rotate to the
-    # FRONT of the round-6 window (the round-4 stragglers' playbook)
-    "q_events_cooccurrence",
-    "q_graph_clustering_smallg",
-    "q_asof_join_nearest",
-    "q_text_chunk_overlap",
-    "q_sample_temperature",
-    "q_graph_assortativity_smallg",
 )
 
 

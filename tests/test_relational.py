@@ -207,6 +207,21 @@ def test_distribution_scalable_uses_range_partitioning(spark, sf_oracle_dir):
     assert plan.count("SinglePartition") <= 2, plan
 
 
+def test_catalog_window_distribution_is_the_scalable_plan(spark, sf_oracle_dir):
+    """No catalog entry may plan a single-partition window over an
+    unbounded input: q_window_distribution routes to the range-bucket
+    decomposition, while the naive global-window plan survives only as
+    the unregistered anti-pattern twin (whose plan this test documents)."""
+    from bfs_mapreduce_spark.operators.relational import _window_distribution_naive
+
+    plan = _plan(CATALOG["q_window_distribution"].build(spark, sf_oracle_dir))
+    assert "rangepartitioning" in plan, plan
+    assert plan.count("SinglePartition") <= 2, plan
+    naive = _plan(_window_distribution_naive(spark, sf_oracle_dir))
+    # the anti-pattern: every fact row funnels through one partition
+    assert "SinglePartition" in naive and "rangepartitioning" not in naive, naive
+
+
 def test_q19_pushes_per_arm_filters_to_both_scans(spark, sf_oracle_dir):
     """Catalyst must factor the disjunctive bracket predicate: the
     part-only disjunction (brand/size arms) lands on the part scan and
