@@ -2,13 +2,17 @@
 payloads as opaque ``binary`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` pipelines.
 
-No real media decoders ship in this container, so the decode step is a
-STUB (see ``decode_media``): it produces deterministic fake features
-from the raw bytes. Everything around the stub is real and tested —
-the binary column construction, Arrow batch transfer, mapInPandas
-schema contract, and the chunk/frame-sampling arithmetic — so swapping
-in PIL/torchaudio/ffmpeg later changes one function body, not the
-pipeline.
+The decode step is REAL for ``kind='ppm'``: a pure-Python/numpy
+binary P6 (portable pixmap) parser — header tokenizer with comment
+handling, pixel-plane length validation, uint8 decode — proving the
+swap point with an actual image codec. Formats that need external
+libraries (jpeg/png/audio/video: PIL / torchaudio / ffmpeg, not in
+this container) still raise ``NotImplementedError`` from the same
+single function; ``kind='fake'`` keeps the deterministic byte-derived
+path used by the earlier feature queries. Everything around the
+decoder — binary column construction, Arrow batch transfer,
+mapInPandas schema contract, chunk/frame-sampling arithmetic — is
+shared by every kind.
 
 The test corpus has no binary table, so blobs are derived
 deterministically from ``documents.text`` (utf-8 bytes). That keeps
@@ -36,17 +40,88 @@ from bfs_mapreduce_spark.sources.readers import load_table
 
 _CHUNK = 32  # bytes per fake "frame"
 
+# PPM image geometry used by the synthetic corpus: 8x8 RGB.
+_PPM_W, _PPM_H = 8, 8
+_PPM_PIXEL_BYTES = _PPM_W * _PPM_H * 3
+_PPM_HEADER = f"P6\n{_PPM_W} {_PPM_H}\n255\n".encode("ascii")
+
+
+def parse_ppm(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Real binary P6 (portable pixmap) parser: returns
+    ``(width, height, maxval, pixel_bytes)``.
+
+    Implements the netpbm header grammar — ``P6``, then three ASCII
+    integers (width, height, maxval) separated by whitespace, with
+    ``#``-to-end-of-line comments allowed anywhere in the header, then
+    exactly ONE whitespace byte, then ``width*height*3`` binary pixel
+    bytes. Raises ``ValueError`` on bad magic, malformed header, or a
+    truncated pixel plane."""
+    if blob[:2] != b"P6":
+        raise ValueError(f"not a P6 ppm (magic {blob[:2]!r})")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(blob):
+            raise ValueError("truncated ppm header")
+        c = blob[pos : pos + 1]
+        if c == b"#":  # comment runs to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(blob) and blob[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(blob[start:pos]))
+        else:
+            raise ValueError(f"unexpected byte {c!r} in ppm header")
+    w, h, maxval = tokens
+    if not (0 < maxval < 65536):
+        raise ValueError(f"ppm maxval {maxval} out of range")
+    if maxval > 255:
+        raise NotImplementedError("16-bit ppm (maxval > 255) not supported")
+    # exactly one whitespace byte separates header from pixel plane
+    if pos >= len(blob) or not blob[pos : pos + 1].isspace():
+        raise ValueError("missing whitespace after ppm maxval")
+    pos += 1
+    pixels = blob[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError(f"truncated pixel plane: want {w * h * 3}, got {len(pixels)}")
+    return w, h, maxval, pixels
+
+
+def encode_ppm(width: int, height: int, pixels: bytes, maxval: int = 255) -> bytes:
+    """Inverse of ``parse_ppm`` — used by tests to round-trip images."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel plane length mismatch")
+    return f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + pixels
+
 
 def decode_media(blob: bytes, kind: str = "fake") -> dict:
-    """Decode stub. ``kind='fake'`` returns deterministic pseudo-features
-    (length, sha256, a byte-derived 'brightness'); any real kind raises
-    until a decoder library is available.
+    """Single decode swap point for every media kind.
 
-    STUB: real image/audio decode (PIL / torchaudio / ffmpeg) is not
-    installed in this environment. The Spark-side plumbing (binary
-    schema, Arrow batching, mapInPandas signature) is the deliverable;
-    this function body is the single swap point.
+    - ``kind='ppm'`` — REAL decode: parse the P6 header, validate and
+      load the pixel plane (numpy uint8), and compute decoded-pixel
+      features (dimensions + mean brightness over all channels,
+      normalized by maxval).
+    - ``kind='fake'`` — deterministic byte-derived pseudo-features
+      (length, sha256, length-mod brightness), kept for the plumbing
+      queries that predate the real codec.
+    - anything else — ``NotImplementedError``: jpeg/png/audio/video
+      need PIL / torchaudio / ffmpeg, which this container lacks.
     """
+    import numpy as np
+
+    if kind == "ppm":
+        w, h, maxval, pixels = parse_ppm(bytes(blob))
+        arr = np.frombuffer(pixels, dtype=np.uint8)
+        return {
+            "width": w,
+            "height": h,
+            "blob_len": len(blob),
+            "content_sha": hashlib.sha256(bytes(blob)).hexdigest(),
+            "mean_brightness": round(float(arr.mean()) / maxval, 6),
+        }
     if kind != "fake":
         raise NotImplementedError(
             f"media decode for kind={kind!r} requires a decoder library "
@@ -60,15 +135,19 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: one Arrow batch in, one feature frame out."""
+    """mapInPandas body: one Arrow batch in, one decoded feature frame
+    out — the REAL ppm decode path."""
     for pdf in batches:
-        feats = [decode_media(b) for b in pdf["blob"]]
+        feats = [decode_media(b, kind="ppm") for b in pdf["blob"]]
         out = pd.DataFrame(feats)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
 
 
-_FEATURE_SCHEMA = "doc_id bigint, blob_len int, content_sha string, fake_brightness double"
+_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, blob_len int, "
+    "content_sha string, mean_brightness double"
+)
 
 
 def _with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,24 +161,58 @@ def _with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as REAL binary P6 images: the 8x8 RGB pixel
+    plane is the doc's text bytes cycled to 192 bytes (ASCII corpus,
+    so the oracle can reconstruct the identical blob from SQL). Blob
+    assembly is pure JVM — concat of a literal header with a
+    repeat+substring projection, no Python until the decoder."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    reps = F.ceil(F.lit(float(_PPM_PIXEL_BYTES)) / F.length("text")).cast("int")
+    pix = F.substring(F.repeat(F.col("text"), reps), 1, _PPM_PIXEL_BYTES)
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(_PPM_HEADER), F.encode(pix, "utf-8")).alias("blob"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+    )
+
+
 @register(
     "q_multimodal_features",
-    oracle="""
-    -- corpus text is pure ASCII (asserted by octet_length == length),
-    -- so hashing the VARCHAR hashes the same bytes Spark's blob holds
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS blob_len,
-           sha256(text) AS content_sha,
-           ROUND((octet_length(encode(text)) % 251) / 251.0, 6) AS fake_brightness
-    FROM documents
+    oracle=f"""
+    -- Reconstruct the exact P6 blob the engine builds (ASCII corpus,
+    -- so varchar ops == byte ops), then recompute the decoded-pixel
+    -- mean brightness from the raw character codes — an oracle that
+    -- checks the REAL decoder's output, not a stub's.
+    WITH blob AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
+                       1, {_PPM_PIXEL_BYTES}) AS pix
+      FROM documents WHERE length(text) > 0),
+    px AS (
+      SELECT doc_id, AVG(ascii(substring(pix, CAST(u.range + 1 AS INT), 1))) AS mb
+      FROM blob, range({_PPM_PIXEL_BYTES}) AS u
+      GROUP BY doc_id)
+    SELECT blob.doc_id,
+           {_PPM_W} AS width, {_PPM_H} AS height,
+           CAST({len(_PPM_HEADER)} + {_PPM_PIXEL_BYTES} AS INT) AS blob_len,
+           sha256('P6' || chr(10) || '{_PPM_W} {_PPM_H}' || chr(10) || '255' || chr(10) || pix)
+             AS content_sha,
+           ROUND(px.mb / 255.0, 6) AS mean_brightness
+    FROM blob JOIN px USING (doc_id)
     """,
-    doc="Feature extraction over a binary column via Arrow-batched "
-    "mapInPandas (decode step stubbed — deterministic byte-derived "
-    "features, reproduced exactly by the DuckDB oracle). Blobs are "
-    "consumed where they are read; only features leave the stage.",
+    doc="REAL image decode over a binary column via Arrow-batched "
+    "mapInPandas: documents are rendered as genuine binary P6 ppm "
+    "images (JVM-side blob assembly), then parse_ppm tokenizes the "
+    "header and decodes the uint8 pixel plane, emitting dimensions and "
+    "mean brightness. The DuckDB oracle reconstructs the identical "
+    "blob and recomputes the mean from character codes — so a decoder "
+    "bug (wrong offset, wrong plane length, header misparse) breaks "
+    "the value hash. Blobs are consumed where they are read; only the "
+    "small feature columns leave the stage.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+    return _with_ppm_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
         _extract_features, schema=_FEATURE_SCHEMA
     )
 

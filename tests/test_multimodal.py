@@ -1,0 +1,73 @@
+"""Multimodal decode path: the REAL ppm codec and its Spark plumbing.
+
+The oracle-parity check for q_multimodal_features runs with every
+other pair in tests/test_correctness.py; these tests pin the decoder
+itself — grammar corners (comments, whitespace, truncation) and the
+decoded-feature math — against hand-built images.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from bfs_mapreduce_spark.operators.multimodal_queries import (
+    decode_media,
+    encode_ppm,
+    parse_ppm,
+)
+
+
+def test_ppm_roundtrip_known_image():
+    # 2x2 RGB: red, green, blue, white
+    pixels = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    blob = encode_ppm(2, 2, pixels)
+    w, h, maxval, out = parse_ppm(blob)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert out == pixels
+
+
+def test_ppm_decode_features_match_independent_recompute():
+    pixels = bytes(range(192))  # 8x8x3, values 0..191
+    blob = encode_ppm(8, 8, pixels)
+    feats = decode_media(blob, kind="ppm")
+    assert feats["width"] == 8 and feats["height"] == 8
+    assert feats["blob_len"] == len(blob)
+    assert feats["content_sha"] == hashlib.sha256(blob).hexdigest()
+    # mean of 0..191 = 95.5; normalized by maxval
+    assert feats["mean_brightness"] == round(95.5 / 255, 6)
+
+
+def test_ppm_header_comments_and_whitespace():
+    pixels = bytes(12)
+    blob = b"P6\n# a comment\n 2 # mid\n2\n# more\n255\n" + pixels
+    w, h, maxval, out = parse_ppm(blob)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert out == pixels
+
+
+def test_ppm_rejects_bad_magic_and_truncation():
+    with pytest.raises(ValueError, match="magic"):
+        parse_ppm(b"P5\n1 1\n255\n" + bytes(3))
+    with pytest.raises(ValueError, match="truncated pixel plane"):
+        parse_ppm(b"P6\n2 2\n255\n" + bytes(11))  # needs 12
+    with pytest.raises(ValueError, match="truncated ppm header"):
+        parse_ppm(b"P6\n2 2")
+    with pytest.raises(ValueError, match="unexpected byte"):
+        parse_ppm(b"P6\nx 2\n255\n" + bytes(12))
+
+
+def test_ppm_16bit_and_unknown_kinds_are_explicit():
+    blob = b"P6\n1 1\n65535\n" + bytes(6)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        parse_ppm(blob)
+    # unavailable codecs fail loudly at the single swap point
+    with pytest.raises(NotImplementedError, match="decoder library"):
+        decode_media(b"\xff\xd8\xff", kind="jpeg")
+
+
+def test_fake_kind_still_supported_for_plumbing_queries():
+    feats = decode_media(b"abc", kind="fake")
+    assert feats["blob_len"] == 3
+    assert feats["content_sha"] == hashlib.sha256(b"abc").hexdigest()
