@@ -82,6 +82,7 @@ def bfs(
     broadcast_frontier_rows: int = 200_000,
     reached_only: bool = False,
     sources: list[int] | None = None,
+    source_df: DataFrame | None = None,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
     Pass ``sources=[...]`` for the multi-source form — dist becomes
@@ -89,6 +90,12 @@ def bfs(
     distance-to-seed primitive behind label propagation / partition
     growing); the per-round machinery is identical, the min-aggregate
     already resolves seed collisions.
+
+    ``source_df`` is the broadcast-scalar-subquery form of ``source``:
+    a 1-row, 1-column DataFrame (e.g. a ``min()`` aggregate) whose
+    value seeds the traversal. The seed plan is folded into round 1's
+    job via a lazy checkpoint instead of costing a separate driver
+    ``collect()`` job before the loop starts.
 
     Returns ``(id BIGINT, dist BIGINT, path ARRAY<BIGINT>)`` for every
     vertex that appears in ``edges`` (plus the source), ``dist``/``path``
@@ -138,12 +145,29 @@ def bfs(
     # already hash-partitioned on src — its distinct runs exchange-free,
     # so the big side never reshuffles (the raw-side union would shuffle
     # all 2|E| endpoint rows instead).
-    seeds = sorted(set(sources)) if sources else [source]
-    seeds_df = spark.createDataFrame([(s,) for s in seeds], "id bigint")
+    if source_df is not None:
+        if sources is not None:
+            raise ValueError("pass either source_df or sources, not both")
+        # contract: exactly one row — the scalar-subquery seed
+        seeds_df = source_df.toDF("id").select(F.col("id").cast("bigint").alias("id"))
+        n_seeds = 1
+    else:
+        seeds = sorted(set(sources)) if sources else [source]
+        seeds_df = spark.createDataFrame([(s,) for s in seeds], "id bigint")
+        n_seeds = len(seeds)
+    init_cols = ["id", F.lit(0).cast("bigint").alias("dist")]
+    if with_paths:
+        init_cols.append(F.array(F.col("id")).alias("path"))  # path starts at its seed
+    # Lazy checkpoint: round 1's count() materializes the seed plan
+    # inside round 1's job — for a source_df seed the min()-aggregate
+    # scan runs as part of that job instead of as its own, and later
+    # consumers (prev_ids, loops_and_source) read the cached rows.
+    frontier = seeds_df.select(*init_cols).localCheckpoint(eager=False)
+
     loops_and_source = (
         raw.filter(F.col("src") == F.col("dst"))
         .select(F.col("src").alias("id"))
-        .union(seeds_df)
+        .union(frontier.select("id"))  # reads the cached seed, not its plan
     )
     if not directed:
         all_vertices = (
@@ -160,15 +184,11 @@ def bfs(
             .distinct()
         )
 
-    init_cols = ["id", F.lit(0).cast("bigint").alias("dist")]
-    if with_paths:
-        init_cols.append(F.array(F.col("id")).alias("path"))  # path starts at its seed
-    frontier = seeds_df.select(*init_cols).localCheckpoint()
     visited = frontier
     prev_ids = None  # frontier of the round before last (undirected pruning)
-    n_front = len(seeds)
+    n_front = n_seeds
     n_prev = 0
-    n_visited = len(seeds)
+    n_visited = n_seeds
 
     # Per-round plans are tiny and identical in shape; AQE's per-stage
     # re-planning adds a fixed latency to every one of them (measured
@@ -314,11 +334,14 @@ def bfs_rdd(
     directed: bool = False,
     num_partitions: int | None = None,
     reached_only: bool = False,
+    source_df: DataFrame | None = None,
 ) -> DataFrame:
     """The north-star RDD formulation of BFS: ``mapPartitions`` frontier
     expansion + ``aggregateByKey`` min-state reduction (BASELINE.json
     spark_approach), kept alongside the DataFrame ``bfs`` as the
-    per-partition-imperative variant.
+    per-partition-imperative variant. ``source_df`` (1-row, 1-column)
+    is the scalar-subquery seed form — see ``bfs``; the seed RDD is
+    persisted and first materialized inside round 1's count job.
 
     Faithful mapping of the reference's round structure
     (``BFS_map_reduce.py:115-150``), with each piece landing where
@@ -363,14 +386,18 @@ def bfs_rdd(
         .persist()
     )
 
-    all_vertices = (
-        pairs.flatMap(lambda e: e)
-        .union(spark.sparkContext.parallelize([source]))
-        .distinct()
-    )
+    if source_df is not None:
+        # scalar-subquery seed: 1-row plan, persisted so round 2's
+        # `recent` union and the vertex-universe read hit the cache
+        seed_ids = source_df.rdd.map(lambda r: int(r[0])).persist()
+    else:
+        seed_ids = spark.sparkContext.parallelize([source])
+    all_vertices = pairs.flatMap(lambda e: e).union(seed_ids).distinct()
 
-    init_state = (0, (source,)) if with_paths else (0, None)
-    frontier = spark.sparkContext.parallelize([(source, init_state)]).partitionBy(n)
+    def init_state(s):
+        return (s, (0, (s,)) if with_paths else (0, None))
+
+    frontier = seed_ids.map(init_state).partitionBy(n)
     visited = frontier
 
     def expand(part):

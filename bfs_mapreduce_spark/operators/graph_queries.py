@@ -61,13 +61,13 @@ def _order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_bfs_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _order_part_edges(spark, sf_dir)
-    source = edges.agg(F.min("src")).collect()[0][0]
     # bounded exploration BY DESIGN (depth-6 histogram) — no truncation
     # warning; reached_only skips the vertex-universe join the NOT NULL
-    # filter would discard anyway
+    # filter would discard anyway. The min-src seed rides into round 1's
+    # job as a broadcast scalar subquery — no separate collect() job.
     res = bfs(
-        edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False,
-        warn_on_truncation=False, reached_only=True,
+        edges, source_df=edges.agg(F.min("src")), max_rounds=_MAX_DIST,
+        with_paths=False, warn_on_truncation=False, reached_only=True,
     )
     return res.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_vertices")
@@ -539,10 +539,9 @@ def q_graph_bfs_rdd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.operators.graph import bfs_rdd
 
     edges = _order_part_edges(spark, sf_dir)
-    source = edges.agg(F.min("src")).collect()[0][0]
     res = bfs_rdd(
-        edges, source=int(source), max_rounds=_MAX_DIST, with_paths=False,
-        reached_only=True,
+        edges, source_df=edges.agg(F.min("src")), max_rounds=_MAX_DIST,
+        with_paths=False, reached_only=True,
     )
     return res.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_vertices")
@@ -582,6 +581,13 @@ def q_graph_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.operators.graph import sssp
 
     li = load_table(spark, sf_dir, "lineitem")
+    # Deliberate driver-side scalar (NOT a folded scalar subquery): the
+    # collected value becomes a PLAN-TIME literal in the window filter
+    # below, which Spark pushes into the parquet scan (row-group
+    # pruning on l_orderkey). A broadcast-scalar-subquery bound would
+    # save this one cheap single-column min job but un-push the
+    # predicate and read the whole fact table — the wrong trade at
+    # 100 TB. The same value then seeds sssp for free.
     lo = li.agg(F.min("l_orderkey")).collect()[0][0]
     base = (
         li.filter(F.col("l_orderkey") < lo + _SSSP_ORDERS)
