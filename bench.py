@@ -6,8 +6,11 @@ ONE JSON line:
 
 Each query is forced to full materialization with a count-collect (no
 driver-side row transfer beyond the count), timed wall-clock. The
-headline metric is the sum over the suite — the number BASELINE.md
-tracks round-over-round.
+suite runs $SPARK_GRAFT_BENCH_REPS times (default 3) and each query
+reports its MIN across reps: this host is shared and load-noisy
+(BASELINE.md documents a 15.5-22.1 s spread for one commit), and the
+min is the run least polluted by foreign load — the number BASELINE.md
+argues from. The headline metric is the sum of per-query mins.
 """
 
 from __future__ import annotations
@@ -97,20 +100,23 @@ def main() -> None:
             except Exception as ex:  # warmup must never sink the bench
                 print(f"# warmup {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = catalog.get(name)
-        if q is None:
-            continue
-        t0 = time.perf_counter()
-        try:
-            df = q.build(spark, sf_dir)
-            n = df.count()
-        except Exception as ex:  # one broken query must not sink the suite's JSON
-            print(f"# {name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    for rep in range(1, reps + 1):
+        for name in HEADLINE:
+            q = catalog.get(name)
+            if q is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = q.build(spark, sf_dir)
+                n = df.count()
+            except Exception as ex:  # one broken query must not sink the suite's JSON
+                print(f"# {name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
+                continue
+            t = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, float("inf")), t)
+            print(f"# rep{rep} {name}: {t:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -121,6 +127,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "agg": "min_per_query",
             }
         )
     )

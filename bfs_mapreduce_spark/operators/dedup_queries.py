@@ -238,11 +238,64 @@ def minhash_signature(shingles: F.Column) -> F.Column:
     return F.array(*[one_perm(a, b) for a, b in _MINHASH_AB])
 
 
+def lsh_candidates(
+    exploded: DataFrame, max_bucket_rows: int = 64
+) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs from exploded ``(doc_id, band,
+    h)`` rows, with the hot-bucket skew guard.
+
+    Buckets up to ``max_bucket_rows`` contribute all within-bucket
+    pairs (m*(m-1)/2). Larger buckets — thousands of near-identical
+    boilerplate docs landing in one (band, h) — would go quadratic in
+    the self-join, so they instead contribute a STAR: every member
+    links to the bucket's min doc_id (m-1 candidates). The star is the
+    standard connected-components seed for dedup clustering: every hot-
+    bucket member still reaches a canonical representative (and the
+    exact verify still gates every emitted pair), so dedup recall is
+    preserved while candidate counts stay linear in bucket size. What
+    the star gives up is PAIR completeness inside hot buckets — the
+    full m^2 near-dup pair list within a 10k-copy cluster — which no
+    100 TB pipeline wants materialized anyway.
+    """
+    from pyspark.sql import Window
+
+    # Bucket size and canonical via ONE window over the (band, h)
+    # exchange — no counts join; the downstream self-join's key is the
+    # same (band, h), so its sides reuse this exchange (ReusedExchange)
+    # rather than shuffling again.
+    w = Window.partitionBy("band", "h")
+    ex = exploded.select(
+        "doc_id",
+        "band",
+        "h",
+        F.count(F.lit(1)).over(w).alias("_bn"),
+        F.min("doc_id").over(w).alias("_canon"),
+    )
+    small = ex.filter(F.col("_bn") <= max_bucket_rows)
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    star_pairs = (
+        ex.filter((F.col("_bn") > max_bucket_rows) & (F.col("doc_id") != F.col("_canon")))
+        .select(F.col("_canon").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 64,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_bucket_rows: int = 64,
 ) -> DataFrame:
     """Parameterized MinHash-LSH near-dup pairs over ``documents``.
 
@@ -261,6 +314,11 @@ def minhash_lsh_pairs(
     False positives never escape either way — every candidate passes
     the exact-Jaccard verify, so precision is 1.0 by construction and
     the parameters trade only recall against signature cost.
+
+    ``max_bucket_rows`` is the hot-bucket skew guard (see
+    ``lsh_candidates``): band buckets beyond it link members to a
+    canonical representative instead of forming all pairs, bounding
+    candidate generation linearly in bucket size.
     """
     if not 0 < n_hashes <= len(_MINHASH_AB):
         raise ValueError(f"n_hashes must be in 1..{len(_MINHASH_AB)}")
@@ -300,18 +358,7 @@ def minhash_lsh_pairs(
     exploded = sig.select("doc_id", F.explode(bands).alias("bh")).select(
         "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = lsh_candidates(exploded, max_bucket_rows=max_bucket_rows)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -333,7 +380,10 @@ def minhash_lsh_pairs(
     "signature (one JVM projection, zero shuffle) → 32 bands of r=2 → "
     "explode (band, band_hash) → bucket self-join for candidates → "
     "exact-Jaccard verify at 0.5. Candidate cost is bounded by bucket "
-    "sizes; the all-pairs product never forms. P(miss | j=0.5) ~ 1e-4. "
+    "sizes; the all-pairs product never forms, and buckets beyond "
+    "max_bucket_rows=64 degrade to star-links on the bucket canonical "
+    "(linear, dedup-clustering-preserving — tests/test_dedup.py "
+    "skew-stresses this). P(miss | j=0.5) ~ 1e-4. "
     "(n_hashes, rows_per_band) are exposed on minhash_lsh_pairs — the "
     "32-hash/16-band half-cost point trades to P(miss) ~ 1e-2; the "
     "catalog keeps 64 so the recall bound stays assert-tight, see "

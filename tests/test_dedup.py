@@ -238,3 +238,46 @@ def test_semantic_dedup_keep_rule_invariant(spark, sf_oracle_dir):
     got = dict(zip(out.vec_id, out.keep))
     assert got == expect_keep
     assert 0 < sum(got.values()) < len(got)  # both classes present
+
+
+def test_lsh_hot_bucket_candidates_stay_linear(spark):
+    """Skew stress for the band join: a corpus where hundreds of
+    near-identical docs land in ONE (band, h) bucket must produce
+    candidates linear in the bucket size (the star on the bucket
+    canonical), never the quadratic all-pairs set — while every hot-
+    bucket member still reaches the canonical (dedup recall) and
+    ordinary small buckets keep their exact all-pairs behavior."""
+    from bfs_mapreduce_spark.operators.dedup_queries import (
+        lsh_candidates,
+        minhash_lsh_pairs,
+    )
+
+    # --- candidate-level bound on a synthetic exploded table
+    hot = [(d, 0, 12345) for d in range(200)]          # one bucket, 200 members
+    small = [(d, 1, 777) for d in range(1000, 1010)]   # one bucket, 10 members
+    exploded = spark.createDataFrame(hot + small, "doc_id bigint, band int, h bigint")
+    cand = lsh_candidates(exploded, max_bucket_rows=64).collect()
+    hot_cand = [(r.doc_a, r.doc_b) for r in cand if r.doc_b < 1000]
+    small_cand = [(r.doc_a, r.doc_b) for r in cand if r.doc_b >= 1000]
+    assert len(hot_cand) == 199, len(hot_cand)          # star, not 19900 pairs
+    assert all(a == 0 for a, _ in hot_cand)             # canonical = min doc_id
+    assert set(b for _, b in hot_cand) == set(range(1, 200))  # every member linked
+    assert len(small_cand) == 45, len(small_cand)       # 10 choose 2: exact pairs
+
+    # --- end-to-end: 300 identical docs (every band bucket hot) plus a
+    # planted ordinary near-dup pair through the small-bucket path
+    boiler = "the quick brown fox jumps over the lazy dog again and again today"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [(d, boiler) for d in range(300)]
+        + [(1000, base + " nu"), (1001, base + " xi")]
+        + [(1002, "completely unrelated words about seventeen green submarines")],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    # hot cluster: exactly the 299 star pairs on the canonical, all
+    # verified at jaccard 1.0; plus the planted near-dup pair
+    assert {(0, d) for d in range(1, 300)} <= pairs
+    assert len([p for p in pairs if p[1] < 1000]) == 299
+    assert (1000, 1001) in pairs
+    assert not any(1002 in p for p in pairs)
