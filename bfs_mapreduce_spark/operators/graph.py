@@ -43,6 +43,7 @@ Scale posture (what changes at 100 TB / 1000 executors):
 from __future__ import annotations
 
 import logging
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -83,6 +84,7 @@ def bfs(
     reached_only: bool = False,
     sources: list[int] | None = None,
     source_df: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
     Pass ``sources=[...]`` for the multi-source form — dist becomes
@@ -96,6 +98,11 @@ def bfs(
     value seeds the traversal. The seed plan is folded into round 1's
     job via a lazy checkpoint instead of costing a separate driver
     ``collect()`` job before the loop starts.
+
+    Pass a dict as ``stats`` to receive per-round instrumentation:
+    ``stats["rounds"]`` = list of ``(round_no, frontier_size,
+    seconds)`` — the raw data behind the scale benchmarks in
+    BASELINE.md (per-round cost vs graph size).
 
     Returns ``(id BIGINT, dist BIGINT, path ARRAY<BIGINT>)`` for every
     vertex that appears in ``edges`` (plus the source), ``dist``/``path``
@@ -203,9 +210,12 @@ def bfs(
     default_parts = int(saved_parts)
 
     truncated = True
+    if stats is not None:
+        stats["rounds"] = []
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         for round_no in range(1, max_rounds + 1):
+            _t_round = time.perf_counter()
             conf.set(
                 "spark.sql.shuffle.partitions",
                 str(min(default_parts, max(2, n_front // 8_000))),
@@ -275,6 +285,10 @@ def bfs(
                 )
             prev_ids, n_prev = frontier.select("id"), n_front
             n_front = new.count()  # materializes the checkpoint; drives the hints
+            if stats is not None:
+                stats["rounds"].append(
+                    (round_no, n_front, round(time.perf_counter() - _t_round, 4))
+                )
             if n_front == 0:
                 truncated = False
                 break

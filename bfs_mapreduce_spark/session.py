@@ -32,10 +32,16 @@ def get_session(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus or (os.cpu_count() or 8)
+    # In local mode the driver JVM IS the executor; Spark's 1g default
+    # heap caps the workload far below the host (measured: a 15 M-edge
+    # BFS OOMs at 1g, runs at 12g). Only effective at JVM launch —
+    # getOrCreate on a live session keeps the old heap.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # AQE: runtime partition coalescing, skew-join splitting, and
         # sort-merge->broadcast conversion. Essential at 100 TB, free locally.
         .config("spark.sql.adaptive.enabled", "true")
