@@ -97,18 +97,100 @@ def encode_ppm(width: int, height: int, pixels: bytes, maxval: int = 255) -> byt
     return f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + pixels
 
 
+# WAV geometry used by the synthetic corpus: mono 16-bit PCM, 8 kHz,
+# 128 samples (256 data bytes).
+_WAV_SR = 8_000
+_WAV_SAMPLES = 128
+_WAV_DATA_BYTES = _WAV_SAMPLES * 2
+
+
+def _wav_header(data_len: int, sample_rate: int = _WAV_SR) -> bytes:
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+_WAV_HEADER = _wav_header(_WAV_DATA_BYTES)
+
+
+def parse_wav(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Real RIFF/WAVE parser: returns ``(sample_rate, n_channels,
+    bits_per_sample, pcm_bytes)``.
+
+    Walks the chunk list (id + LE u32 size, word-aligned) past any
+    non-essential chunks (LIST, fact, ...), requires a PCM ``fmt ``
+    chunk before ``data``, and validates every length. Raises
+    ``ValueError`` on bad magic / truncation / missing chunks and
+    ``NotImplementedError`` for compressed (non-PCM) or non-16-bit
+    payloads — honest boundaries, same contract as ``parse_ppm``."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file (magic {blob[:4]!r}/{blob[8:12]!r})")
+    fmt = None
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk: want {size}, got {len(body)}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_format, n_channels, sample_rate, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1:
+                raise NotImplementedError(
+                    f"compressed wav (format {audio_format}) needs an audio "
+                    "codec library not present in this environment"
+                )
+            if bits != 16:
+                raise NotImplementedError(f"{bits}-bit pcm not supported (16-bit only)")
+            fmt = (sample_rate, n_channels, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            if size % 2:
+                raise ValueError("odd pcm byte count for 16-bit samples")
+            return (*fmt, body)
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    raise ValueError("missing data chunk")
+
+
+def encode_wav(pcm: bytes, sample_rate: int = _WAV_SR) -> bytes:
+    """Inverse of ``parse_wav`` (mono 16-bit PCM) — used by tests."""
+    if len(pcm) % 2:
+        raise ValueError("pcm byte count must be even for 16-bit samples")
+    return _wav_header(len(pcm), sample_rate) + pcm
+
+
 def decode_media(blob: bytes, kind: str = "fake") -> dict:
     """Single decode swap point for every media kind.
 
-    - ``kind='ppm'`` — REAL decode: parse the P6 header, validate and
-      load the pixel plane (numpy uint8), and compute decoded-pixel
-      features (dimensions + mean brightness over all channels,
-      normalized by maxval).
+    - ``kind='ppm'`` — REAL image decode: parse the P6 header,
+      validate and load the pixel plane (numpy uint8), compute
+      decoded-pixel features (dimensions + mean brightness).
+    - ``kind='wav'`` — REAL audio decode: walk the RIFF chunks,
+      decode little-endian int16 PCM (numpy), compute decoded-sample
+      features (rate, duration, RMS level).
     - ``kind='fake'`` — deterministic byte-derived pseudo-features
       (length, sha256, length-mod brightness), kept for the plumbing
-      queries that predate the real codec.
-    - anything else — ``NotImplementedError``: jpeg/png/audio/video
-      need PIL / torchaudio / ffmpeg, which this container lacks.
+      queries that predate the real codecs.
+    - anything else — ``NotImplementedError``: jpeg/png/video and
+      compressed audio need PIL / torchaudio / ffmpeg, which this
+      container lacks.
     """
     import numpy as np
 
@@ -121,6 +203,18 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
             "blob_len": len(blob),
             "content_sha": hashlib.sha256(bytes(blob)).hexdigest(),
             "mean_brightness": round(float(arr.mean()) / maxval, 6),
+        }
+    if kind == "wav":
+        sample_rate, n_channels, _bits, pcm = parse_wav(bytes(blob))
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+        n = len(samples) // n_channels
+        rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+        return {
+            "sample_rate": sample_rate,
+            "n_samples": n,
+            "duration_ms": round(n * 1000.0 / sample_rate, 6),
+            "rms": round(rms / 32768.0, 6),
+            "data_sha": hashlib.sha256(pcm).hexdigest(),
         }
     if kind != "fake":
         raise NotImplementedError(
@@ -214,6 +308,77 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_ppm_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
         _extract_features, schema=_FEATURE_SCHEMA
+    )
+
+
+def _extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [decode_media(b, kind="wav") for b in pdf["blob"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def _with_wav_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as REAL RIFF/WAVE blobs: mono 16-bit PCM at
+    8 kHz whose 256 data bytes are the doc's text cycled (ASCII corpus
+    — the oracle reconstructs the identical PCM from SQL). The 44-byte
+    canonical header is a constant for this geometry, so blob assembly
+    is one JVM concat."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    reps = F.ceil(F.lit(float(_WAV_DATA_BYTES)) / F.length("text")).cast("int")
+    pcm = F.substring(F.repeat(F.col("text"), reps), 1, _WAV_DATA_BYTES)
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(_WAV_HEADER), F.encode(pcm, "utf-8")).alias("blob"),
+        F.lit("audio/x-wav").alias("mime"),
+    )
+
+
+@register(
+    "q_multimodal_audio_features",
+    oracle=f"""
+    -- Reconstruct the PCM payload the engine wraps in a RIFF header
+    -- (ASCII corpus: varchar ops == byte ops; samples are LE int16,
+    -- high byte < 128 so no sign handling needed HERE — the decoder's
+    -- sign path is unit-tested with crafted negative samples), then
+    -- recompute the decoded-sample features the REAL wav parser
+    -- emits. A parser bug (wrong chunk offset, wrong sample width)
+    -- breaks rms and data_sha.
+    WITH pcm AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_WAV_DATA_BYTES}.0 / length(text)) AS INT)),
+                       1, {_WAV_DATA_BYTES}) AS d
+      FROM documents WHERE length(text) > 0),
+    px AS (
+      SELECT doc_id,
+             AVG(CAST(ascii(substring(d, CAST(2 * u.range + 1 AS INT), 1))
+                 + 256 * ascii(substring(d, CAST(2 * u.range + 2 AS INT), 1)) AS DOUBLE)
+                 * (ascii(substring(d, CAST(2 * u.range + 1 AS INT), 1))
+                 + 256 * ascii(substring(d, CAST(2 * u.range + 2 AS INT), 1)))) AS mean_sq
+      FROM pcm, range({_WAV_SAMPLES}) AS u
+      GROUP BY doc_id)
+    SELECT pcm.doc_id,
+           {_WAV_SR} AS sample_rate,
+           {_WAV_SAMPLES} AS n_samples,
+           ROUND({_WAV_SAMPLES} * 1000.0 / {_WAV_SR}, 6) AS duration_ms,
+           ROUND(sqrt(px.mean_sq) / 32768.0, 6) AS rms,
+           sha256(d) AS data_sha
+    FROM pcm JOIN px USING (doc_id)
+    """,
+    doc="REAL audio decode over a binary column via Arrow-batched "
+    "mapInPandas: documents are wrapped as genuine RIFF/WAVE blobs "
+    "(mono 16-bit PCM, canonical 44-byte header), then parse_wav "
+    "walks the chunk list and decodes the int16 samples, emitting "
+    "rate / duration / RMS level / payload hash. The DuckDB oracle "
+    "reconstructs the identical PCM and recomputes every feature from "
+    "character codes. Blobs are consumed where they are read.",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_wav_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+        _extract_audio,
+        schema="doc_id bigint, sample_rate int, n_samples int, "
+        "duration_ms double, rms double, data_sha string",
     )
 
 

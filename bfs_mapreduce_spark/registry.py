@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_clustering_smallg",
     # new in round 6
     "q_multimodal_features",
+    "q_multimodal_audio_features",
     "q_window_distribution",
     # family representatives (every §2.10 family keeps an in-window
     # entry; all are cumulatively driver-green from rounds 2-5 with

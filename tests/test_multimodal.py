@@ -71,3 +71,63 @@ def test_fake_kind_still_supported_for_plumbing_queries():
     feats = decode_media(b"abc", kind="fake")
     assert feats["blob_len"] == 3
     assert feats["content_sha"] == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_wav_roundtrip_and_negative_sample_rms():
+    import numpy as np
+
+    from bfs_mapreduce_spark.operators.multimodal_queries import encode_wav, parse_wav
+
+    samples = np.array([100, -200, 32767, -32768, 0, 5], dtype="<i2")
+    blob = encode_wav(samples.tobytes(), sample_rate=16_000)
+    sr, ch, bits, pcm = parse_wav(blob)
+    assert (sr, ch, bits) == (16_000, 1, 16)
+    assert np.array_equal(np.frombuffer(pcm, dtype="<i2"), samples)
+    feats = decode_media(blob, kind="wav")
+    assert feats["sample_rate"] == 16_000 and feats["n_samples"] == 6
+    expect_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) / 32768.0
+    assert feats["rms"] == round(expect_rms, 6)
+    assert feats["duration_ms"] == round(6 * 1000.0 / 16_000, 6)
+
+
+def test_wav_chunk_walker_skips_extra_chunks():
+    # LIST chunk (odd size => word-aligned pad) between fmt and data
+    import struct
+
+    from bfs_mapreduce_spark.operators.multimodal_queries import (
+        _wav_header,
+        parse_wav,
+    )
+
+    pcm = bytes(4)
+    hdr = _wav_header(len(pcm))
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad to even
+    blob = hdr[:36] + extra + hdr[36:] + pcm  # splice before the data chunk
+    sr, ch, bits, out = parse_wav(blob)
+    assert out == pcm and sr == 8_000
+
+
+def test_wav_rejects_malformed_and_unsupported():
+    import struct
+
+    from bfs_mapreduce_spark.operators.multimodal_queries import (
+        _wav_header,
+        encode_wav,
+        parse_wav,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"RIFX" + bytes(40))
+    with pytest.raises(ValueError, match="missing data chunk"):
+        parse_wav(_wav_header(4)[:36])  # header cut before data chunk
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav(_wav_header(8) + bytes(4))  # data chunk promises 8, holds 4
+    # non-PCM format code => explicit unsupported, not silent garbage
+    blob = bytearray(encode_wav(bytes(4)))
+    blob[20:22] = struct.pack("<H", 3)  # IEEE float format
+    with pytest.raises(NotImplementedError, match="compressed wav"):
+        parse_wav(bytes(blob))
+    blob = bytearray(encode_wav(bytes(4)))
+    blob[34:36] = struct.pack("<H", 8)  # 8-bit samples
+    with pytest.raises(NotImplementedError, match="16-bit only"):
+        parse_wav(bytes(blob))
