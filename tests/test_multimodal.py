@@ -131,3 +131,18 @@ def test_wav_rejects_malformed_and_unsupported():
     blob[34:36] = struct.pack("<H", 8)  # 8-bit samples
     with pytest.raises(NotImplementedError, match="16-bit only"):
         parse_wav(bytes(blob))
+
+
+def test_decode_plans_never_shuffle_blobs(spark, sf_oracle_dir):
+    """The multimodal scale contract: blobs are consumed where they
+    are read. Both real-decoder plans must be scan -> project ->
+    (Arrow) mapInPandas with NO exchange anywhere — the feature
+    columns, not the payload bytes, are what downstream stages see."""
+    from bfs_mapreduce_spark.plans import executed_plan as _plan
+    from bfs_mapreduce_spark.registry import all_queries
+
+    catalog = all_queries()
+    for name in ("q_multimodal_features", "q_multimodal_audio_features"):
+        plan = _plan(catalog[name].build(spark, sf_oracle_dir))
+        assert "MapInPandas" in plan, plan
+        assert "Exchange" not in plan, f"{name} shuffles blobs:\n{plan}"
