@@ -257,37 +257,47 @@ def lsh_candidates(
     full m^2 near-dup pair list within a 10k-copy cluster — which no
     100 TB pipeline wants materialized anyway.
     """
-    from pyspark.sql import Window
+    # ADAPTIVE guard, same move as AQE's runtime re-plan and the BFS
+    # loop's frontier-count-driven hints: probe whether any hot bucket
+    # exists at all (one cheap job over the skinny band table — the
+    # caller checkpoints it), and only add the guard plan nodes when
+    # skew is actually present. The common no-skew corpus keeps the
+    # original two-consumer self-join, which shares one exchange.
+    hot = (
+        exploded.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("_bn"), F.min("doc_id").alias("_canon"))
+        .filter(F.col("_bn") > max_bucket_rows)
+        .select("band", "h", "_canon")
+    )
+    skewed = bool(hot.limit(1).count())
 
-    # Bucket size and canonical via ONE window over the (band, h)
-    # exchange — no counts join; the downstream self-join's key is the
-    # same (band, h), so its sides reuse this exchange (ReusedExchange)
-    # rather than shuffling again.
-    w = Window.partitionBy("band", "h")
-    ex = exploded.select(
-        "doc_id",
-        "band",
-        "h",
-        F.count(F.lit(1)).over(w).alias("_bn"),
-        F.min("doc_id").over(w).alias("_canon"),
-    )
-    small = ex.filter(F.col("_bn") <= max_bucket_rows)
-    a = small.alias("a")
-    b = small.alias("b")
-    small_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def all_pairs(side: DataFrame) -> DataFrame:
+        a = side.alias("a")
+        b = side.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
+
+    if not skewed:
+        return all_pairs(exploded).distinct()
+    # Hot buckets present. They are FEW relative to their member count
+    # (each represents > cap near-identical docs — the heavy-hitters-
+    # are-rare argument behind salting), so broadcast the hot list:
+    # cold buckets keep exact all-pairs, hot buckets emit member ->
+    # bucket-canonical star links (linear in bucket size).
+    cold = exploded.join(F.broadcast(hot.select("band", "h")), ["band", "h"], "left_anti")
     star_pairs = (
-        ex.filter((F.col("_bn") > max_bucket_rows) & (F.col("doc_id") != F.col("_canon")))
+        exploded.join(F.broadcast(hot), ["band", "h"])
+        .filter(F.col("doc_id") != F.col("_canon"))
         .select(F.col("_canon").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    return small_pairs.unionByName(star_pairs).distinct()
+    return all_pairs(cold).unionByName(star_pairs).distinct()
 
 
 def minhash_lsh_pairs(
@@ -355,8 +365,14 @@ def minhash_lsh_pairs(
             for i in range(n_bands)
         ]
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("bh")).select(
-        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    # Materialize the (skinny: doc_id, band, h) band table once — the
+    # skew guard plus both self-join sides are 4 consumers, and without
+    # the barrier each would re-run the 64-MIN signature aggregate's
+    # post-shuffle work (measured ~1 s of recompute at sf0.1).
+    exploded = (
+        sig.select("doc_id", F.explode(bands).alias("bh"))
+        .select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        .localCheckpoint()
     )
     candidates = lsh_candidates(exploded, max_bucket_rows=max_bucket_rows)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
