@@ -55,7 +55,7 @@ def _one_plus_tax() -> F.Column:
            CAST(SUM({_QTY}) AS DOUBLE)                         AS sum_qty,
            CAST(SUM({_PRICE}) AS DOUBLE)                       AS sum_base_price,
            CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE)             AS sum_disc_price,
-           CAST(SUM({_PRICE} * {_DISC} * {_TAX}) AS DOUBLE)    AS sum_charge,
+           ROUND(CAST(SUM({_PRICE} * {_DISC} * {_TAX}) AS DOUBLE), 6) AS sum_charge,
            CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*)              AS avg_qty,
            CAST(SUM({_PRICE}) AS DOUBLE) / COUNT(*)            AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -77,7 +77,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(10,2)")).cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # the double decimal multiply (disc then tax) hits engine-
+            # specific scale capping at the 8th decimal — snap to the
+            # repo's 1e-6 grid so the hash compares value, not ulp
+            F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
             (F.sum(F.col("l_quantity").cast("decimal(10,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(F.col("l_discount").cast("decimal(5,4)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
