@@ -7,6 +7,7 @@ reference cannot handle (disconnected graphs hang it, SURVEY §2.9 W2).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from bfs_mapreduce_spark.operators.graph import adjacency, bfs, undirected_edges
 from bfs_mapreduce_spark.sources.readers import read_edge_list
@@ -148,3 +149,25 @@ def test_pagerank_matches_python_reference(spark):
     assert got.keys() == pr.keys()
     for v in verts:
         assert abs(got[v] - pr[v]) < 1e-9, (v, got[v], pr[v])
+
+
+def test_bfs_source_df_and_sources_are_exclusive(spark):
+    from bfs_mapreduce_spark.operators.graph import bfs
+
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="not both"):
+        bfs(edges, source_df=edges.agg(F.min("src")), sources=[0, 1])
+
+
+def test_bfs_stats_round_instrumentation(spark):
+    from bfs_mapreduce_spark.operators.graph import bfs
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    stats = {}
+    bfs(edges, with_paths=False, stats=stats).count()
+    rounds = stats["rounds"]
+    # 3 discovery rounds + 1 empty terminating round, frontiers 1,1,1,0
+    assert [f for _, f, _ in rounds] == [1, 1, 1, 0]
+    assert all(sec >= 0 for _, _, sec in rounds)
