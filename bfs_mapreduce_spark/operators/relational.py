@@ -1300,6 +1300,67 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stats_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))
+                      * CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))
+                      * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                      * CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Grouped OLS regression (price ~ quantity per return flag) "
+    "computed from EXACT decimal moment sums cast to double, with the "
+    "closed-form slope/intercept/r2 evaluated in the identical "
+    "expression order in both dialects — engine-native REGR_SLOPE "
+    "aggregates use Welford-style streaming moments whose last-ulp "
+    "behavior is engine- and order-specific, while exact integer-"
+    "decimal sums are order-independent by construction. Single-pass, "
+    "map-side-combined, one row per group: the feature/target screen "
+    "a training pipeline runs per segment.",
+)
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(10,2)")
+    y = F.col("l_extendedprice").cast("decimal(10,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
     "q_map_funcs",
     oracle="""
     SELECT event_id,

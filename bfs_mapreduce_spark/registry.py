@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",
     "q_multimodal_audio_features",
     "q_window_distribution",
+    "q_stats_regression",
     # family representatives (every §2.10 family keeps an in-window
     # entry; all are cumulatively driver-green from rounds 2-5 with
     # identical local hash checks in tests/test_correctness.py)

@@ -281,3 +281,33 @@ def test_lsh_hot_bucket_candidates_stay_linear(spark):
     assert len([p for p in pairs if p[1] < 1000]) == 299
     assert (1000, 1001) in pairs
     assert not any(1002 in p for p in pairs)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=150), min_size=1, max_size=8),
+    cap=st.integers(min_value=2, max_value=80),
+)
+def test_lsh_candidate_count_formula(spark, sizes, cap):
+    """lsh_candidates' exact cost contract, property-tested: with
+    disjoint buckets of sizes m_i and cap c, the candidate count is
+    sum(m_i*(m_i-1)/2 for m_i <= c) + sum(m_i - 1 for m_i > c) —
+    quadratic only below the cap, linear above, nothing dropped."""
+    from bfs_mapreduce_spark.operators.dedup_queries import lsh_candidates
+
+    rows, base = [], 0
+    for b, m in enumerate(sizes):
+        rows += [(base + d, b, 1000 + b) for d in range(m)]
+        base += m
+    exploded = spark.createDataFrame(rows, "doc_id bigint, band int, h bigint")
+    got = lsh_candidates(exploded, max_bucket_rows=cap).count()
+    want = sum(m * (m - 1) // 2 if m <= cap else m - 1 for m in sizes)
+    assert got == want, (sizes, cap, got, want)
