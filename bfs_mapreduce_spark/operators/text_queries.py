@@ -927,13 +927,17 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_chars AS BIGINT) AS n_chars,
            ROUND((n_chars - mu) / sigma, 6) AS z
     FROM documents d JOIN stats USING (lang)
-    WHERE sigma > 0 AND ABS((n_chars - mu) / sigma) >= 2.5
+    WHERE sigma > 0 AND ABS(ROUND((n_chars - mu) / sigma, 6)) >= 2.0
     """,
     doc="Per-group z-score outlier detection over document lengths — "
     "the data-quality screen that catches truncated or concatenated "
     "records before training. Two-pass shape: one tiny per-group "
     "moments aggregate (broadcast back), one filtering scan; the fact "
-    "side never shuffles. Sample stddev in both dialects. A zero-"
+    "side never shuffles. Sample stddev in both dialects; the "
+    "threshold compares the 1e-6-ROUNDED z on both sides so an "
+    "engine-ulp in mu/sigma cannot flip a boundary row (and 2.0 "
+    "produces non-empty results at the test scales, a stronger "
+    "external check than an empty set). A zero-"
     "variance group would divide by zero, where the engines diverge "
     "(Spark NULL drops the row; DuckDB NaN, which sorts largest, "
     "keeps it) — the sigma > 0 guard drops constant-length groups "
@@ -947,7 +951,7 @@ def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n_chars") - F.col("mu")) / F.col("sigma")
     return (
         docs.join(F.broadcast(stats), "lang")
-        .filter((F.col("sigma") > 0) & (F.abs(z) >= 2.5))
+        .filter((F.col("sigma") > 0) & (F.abs(F.round(z, 6)) >= 2.0))
         .select(
             "doc_id",
             "lang",
