@@ -53,3 +53,18 @@ def test_bench_headline_names_resolve():
 
     missing = [n for n in bench.HEADLINE if n not in CATALOG]
     assert not missing, missing
+
+
+def test_spark_entry_contract(spark):
+    """The driver executes __spark_entry__ directly: entry() must
+    produce rows with a stable schema, queries() must expose the whole
+    catalog, and every oracle_sql() key must name a queries() entry."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(qs) == set(CATALOG)
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
