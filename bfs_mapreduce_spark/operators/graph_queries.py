@@ -214,6 +214,53 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_order_part_edges(spark, sf_dir), k=3)
 
 
+@register(
+    "q_graph_ecc_smallg",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    w1(id, dist) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT sym.dst, w1.dist + 1 FROM w1 JOIN sym ON sym.src = w1.id
+      WHERE w1.dist < 20),
+    d1 AS (SELECT id, MIN(dist) AS dist FROM w1 GROUP BY id),
+    ecc0 AS (SELECT MAX(dist) AS ecc FROM d1),
+    far AS (SELECT MIN(id) AS id FROM d1 WHERE dist = (SELECT ecc FROM ecc0)),
+    w2(id, dist) AS (
+      SELECT (SELECT id FROM far), CAST(0 AS BIGINT)
+      UNION
+      SELECT sym.dst, w2.dist + 1 FROM w2 JOIN sym ON sym.src = w2.id
+      WHERE w2.dist < 20),
+    d2 AS (SELECT id, MIN(dist) AS dist FROM w2 GROUP BY id)
+    SELECT (SELECT ecc FROM ecc0) AS ecc_source,
+           (SELECT id FROM far) AS far_id,
+           (SELECT MAX(dist) FROM d2) AS diameter_lb
+    """,
+    doc="Double-sweep eccentricity / diameter lower bound on the "
+    "reference's smallG — the reference's own headline metric "
+    "(ecc(0)=13, Presentazione slide 9) plus the classic second sweep "
+    "from the farthest vertex (min-id tie-break), whose eccentricity "
+    "lower-bounds the diameter (14 here). The second sweep seeds "
+    "through bfs(source_df=...), so the argmax vertex never round-"
+    "trips through the driver; oracle = both sweeps as recursive CTEs "
+    "over the same edge-list file.",
+)
+def q_graph_ecc_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = read_edge_list(spark, _SMALLG)
+    b1 = bfs(edges, source=0, with_paths=False, reached_only=True).localCheckpoint()
+    ecc0 = b1.agg(F.max("dist").alias("ecc_source"))
+    far = (
+        b1.orderBy(F.desc("dist"), F.asc("id")).limit(1).select("id")
+    )
+    b2 = bfs(edges, source_df=far, with_paths=False, reached_only=True)
+    return (
+        ecc0.crossJoin(F.broadcast(far.select(F.col("id").alias("far_id"))))
+        .crossJoin(F.broadcast(b2.agg(F.max("dist").alias("diameter_lb"))))
+    )
+
+
 _KCORE_SMALLG_K = 8
 # Peeling depth for k=8 on smallG is 8 rounds (measured by a Python
 # Matula-Beck peel of the static file); unroll a couple extra — once
