@@ -493,6 +493,88 @@ def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINARY_FILES_DOCS = 20  # staged media files per sf tag
+
+
+@register(
+    "q_scan_binary_files",
+    oracle=f"""
+    -- The staged .ppm files are rendered from the first {_BINARY_FILES_DOCS}
+    -- documents exactly as q_multimodal_features renders blobs, so the
+    -- oracle reconstructs the decoded features from the table.
+    WITH blob AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
+                       1, {_PPM_PIXEL_BYTES}) AS pix
+      FROM documents WHERE doc_id < {_BINARY_FILES_DOCS} AND length(text) > 0),
+    px AS (
+      SELECT doc_id, AVG(ascii(substring(pix, CAST(u.range + 1 AS INT), 1))) AS mb
+      FROM blob, range({_PPM_PIXEL_BYTES}) AS u
+      GROUP BY doc_id)
+    SELECT blob.doc_id,
+           CAST({len(_PPM_HEADER)} + {_PPM_PIXEL_BYTES} AS BIGINT) AS file_len,
+           ROUND(px.mb / 255.0, 6) AS mean_brightness
+    FROM blob JOIN px USING (doc_id)
+    """,
+    doc="Media-file ingestion end-to-end with Spark's built-in "
+    "binaryFile source: real .ppm image FILES are staged to disk, "
+    "scanned as (path, length, content) rows, and decoded by the real "
+    "parse_ppm codec inside mapInPandas — the shape a petabyte image "
+    "corpus arrives in (files on object storage, not rows in a "
+    "table). doc_id is recovered from the file name; features are "
+    "oracle-recomputed from the source table. binaryFile partitions "
+    "by file, so blobs still never shuffle.",
+)
+def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_media"), tag)
+    os.makedirs(root, exist_ok=True)
+    staged = (
+        _with_ppm_blob(spark, sf_dir)
+        .filter(F.col("doc_id") < _BINARY_FILES_DOCS)
+        .select("doc_id", "blob")
+        .toPandas()
+    )
+    for r in staged.itertuples():
+        with open(os.path.join(root, f"doc_{r.doc_id}.ppm"), "wb") as f:
+            f.write(bytes(r.blob))
+
+    def _decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, maxval, pixels = parse_ppm(bytes(content))
+                arr = np.frombuffer(pixels, dtype=np.uint8)
+                doc_id = int(path.rsplit("doc_", 1)[1].split(".")[0])
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "file_len": len(content),
+                        "mean_brightness": round(float(arr.mean()) / maxval, 6),
+                    }
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "file_len", "mean_brightness"]
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(root)
+        .select("path", "content")
+        .mapInPandas(
+            _decode_files,
+            schema="doc_id bigint, file_len bigint, mean_brightness double",
+        )
+    )
+
+
 def resize_media(blob: bytes, target_w: int, target_h: int) -> dict:
     """Resize stub (see ``decode_media`` — same single swap point).
     Deterministic fake: 'resized' payload length scales with the target
