@@ -71,122 +71,95 @@ _QUERY_MODULES = (
 
 
 # Catalog presentation order. The verification harness checks the
-# catalog front-to-back with a bounded budget (50 queries), so the
-# order is chosen deliberately and ROTATED each round:
-#   1. the bench headliners (perf queries stay co-verified),
-#   2. every oracle-paired query that has not yet earned a green
-#      driver CORRECTNESS row — round 5 rotates in the 12 round-4
-#      additions that landed after the round-4 window filled (after
-#      this round the cumulative driver coverage is the full
-#      oracle-paired catalog),
-#   3. queries NEW this round,
-#   4. one proven representative per SURVEY §2.10 family so no family
-#      goes dark while redundant twice-green intra-family variants
-#      wait outside the window (their identical Spark-vs-DuckDB
-#      compare still runs in tests/test_correctness.py),
-#   5. remaining oracle-paired queries in registration order,
-#   6. oracle=None (rows-only) queries last — they carry the weakest
-#      external signal; their semantic checks live in tests/.
-# Names listed here but not registered are ignored (a broken module
-# degrades the catalog, never kills it).
-_PRIORITY: tuple[str, ...] = (
-    # bench headliners (bench.py HEADLINE)
+# catalog front-to-back with a bounded budget (WINDOW queries), so the
+# order matters — but it is DERIVED, not hand-edited. ``all_queries``
+# reads the historical ``CORRECTNESS_r*.json`` driver records from the
+# repo root and sorts:
+#   1. the bench headliners (perf queries stay co-verified with the
+#      bench — ``_HEADLINERS`` mirrors bench.py's HEADLINE list; a
+#      test asserts they stay in sync),
+#   2. every oracle-paired query with NO green driver row in any
+#      historical round (newly-registered queries land here
+#      automatically — late-landing queries can never again miss
+#      certification by someone forgetting to edit a list),
+#   3. remaining oracle-paired queries, LEAST-recently-green first —
+#      an automatic rotation: earning a green row moves a query to
+#      the back, so the window cycles through the whole catalog over
+#      successive rounds and no family goes permanently dark,
+#   4. oracle=None (rows-only) queries last, same never-green-then-
+#      least-recently-green order — they carry the weakest external
+#      signal; their semantic checks live in tests/.
+# Ties inside each group break by registration order (stable).
+_HEADLINERS: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
     "q_window_topk",
     "q_events_sessionize",
     "q_dedup_exact",
+    "q_dedup_minhash_lsh",
     "q_similarity_topk",
     "q_text_tfidf",
     "q_asof_join",
     "q_graph_bfs_histogram",
     "q_pipeline_prepare",
-    # the 7 oracle-paired queries that have never earned an external
-    # driver row (round-5 stragglers + ivf_search) — rotated to the
-    # front so CORRECTNESS_r06 certifies the full catalog cumulatively
-    "q_asof_join_nearest",
-    "q_events_cooccurrence",
-    "q_sample_temperature",
-    "q_similarity_ivf_search",
-    "q_text_chunk_overlap",
-    "q_graph_assortativity_smallg",
-    "q_graph_clustering_smallg",
-    # new in round 6
-    "q_multimodal_features",
-    "q_multimodal_audio_features",
-    "q_window_distribution",
-    "q_stats_regression",
-    # family representatives (every §2.10 family keeps an in-window
-    # entry; all are cumulatively driver-green from rounds 2-5 with
-    # identical local hash checks in tests/test_correctness.py)
-    "q_filter_project",
-    "q_scan_csv_json",
-    "q_scan_orc",
-    "q_sink_compaction",
-    "q_sink_schema_evolution",
-    "q7_nation_volume",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q_sql_customer_returns",
-    "q_events_funnel",
-    "q_orders_retention",
-    "q_orders_rfm",
-    "q_stats_corr",
-    "q_merge_upsert",
-    "q_scd2_intervals",
-    "q_window_distribution_scalable",
-    "q_correlated_subquery",
-    "q_stream_outer_join",
-    "q_graph_multi_source_bfs",
-    "q_graph_kcore_smallg",
-    "q_graph_labelprop_smallg",
-    "q_graph_linkpred_smallg",
-    "q_dedup_containment",
-    "q_dedup_semantic",
-    "q_similarity_topk_join",
-    "q_similarity_cluster_stats",
-    "q_text_gopher_rules",
-    "q_text_lm_score",
-    "q_text_bm25",
-    "q_text_vocabulary",
-    "q_text_heavy_hitters",
-    "q_text_token_budget",
-    "q_sample_stratified",
-    "q_sample_split",
-    "q_sample_shard_shuffle",
-    "q_multimodal_manifest",
-    "q_profile_outliers",
-    # displaced reps (driver-green rounds 2-5; local hash checks
-    # continue in tests/test_correctness.py)
-    "q19_bracket_revenue",
-    "q_events_transitions",
-    "q_scan_xml",
-    "q_profile_documents",
-    "q_sink_bucketed_join",
-    "q_dedup_clusters_star",
-    "q_similarity_ivf_assign",
-    "q_similarity_kmeans_assign",
-    "q_text_pii_mask",
-    "q_sample_mixture",
-    "q_udf_char_entropy",
-    "q_skew_salted_join",
-    "q_stream_pii_mask",
-    "q_text_pack_sequences",
-    "q_unpivot",
-    "q_graph_triangles_smallg",
-    "q_window_range_frame",
-    "q_multimodal_dedup",
-    "q_graph_bfs_smallg",
-    "q_graph_sssp_cost",
-    "q_dedup_ngram_jaccard",
 )
+
+# The driver's per-round verification budget (first WINDOW entries of
+# the ordered catalog get external CORRECTNESS rows).
+WINDOW = 50
+
+
+def _green_history() -> tuple[dict[str, int], dict[str, int]]:
+    """Scan the repo root's ``CORRECTNESS_r*.json`` driver records.
+
+    Returns ``(last_hash_green, last_rows_green)`` — query name → most
+    recent round number with, respectively, a full hash-verified green
+    row (rows+schema+hash all matched, no error) and a rows-only green
+    row (``err == 'no_oracle'`` with a non-negative row count). Missing
+    or malformed files are skipped: a fresh checkout simply treats the
+    whole catalog as never-certified.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    last_hash: dict[str, int] = {}
+    last_rows: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[1]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)$", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_hash[name] = max(last_hash.get(name, rnd), rnd)
+            elif row.get("err") == "no_oracle":
+                rows = row.get("spark_rows")
+                if isinstance(rows, int) and rows >= 0:
+                    last_rows[name] = max(last_rows.get(name, rnd), rnd)
+    return last_hash, last_rows
 
 
 def all_queries() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return
-    the full catalog, ordered per ``_PRIORITY`` (priority names, then
-    remaining oracle-paired queries, then rows-only queries)."""
+    the full catalog, ordered so the driver's bounded verification
+    window always certifies the queries that need it most (see the
+    ordering policy comment above ``_HEADLINERS``)."""
     import importlib
 
     for mod in _QUERY_MODULES:
@@ -195,14 +168,23 @@ def all_queries() -> dict[str, Query]:
         except ImportError:  # a missing module costs its queries, not the catalog
             pass
 
-    ordered: dict[str, Query] = {}
-    for name in _PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, q in _REGISTRY.items():
-        if name not in ordered and q.oracle is not None:
-            ordered[name] = q
-    for name, q in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = q
-    return ordered
+    last_hash, last_rows = _green_history()
+    reg_order = {name: i for i, name in enumerate(_REGISTRY)}
+    head_rank = {name: i for i, name in enumerate(_HEADLINERS)}
+
+    def sort_key(name: str) -> tuple:
+        q = _REGISTRY[name]
+        if name in head_rank:
+            return (0, head_rank[name], 0)
+        if q.oracle is not None:
+            # oracle-paired: only a hash-verified row counts as
+            # certified; never-certified sorts first, then
+            # least-recently-certified (automatic rotation)
+            last = last_hash.get(name)
+            group = 1 if last is None else 2
+            return (group, last or 0, reg_order[name])
+        last = last_rows.get(name)
+        group = 3 if last is None else 4
+        return (group, last or 0, reg_order[name])
+
+    return {name: _REGISTRY[name] for name in sorted(_REGISTRY, key=sort_key)}
