@@ -213,12 +213,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- MinHash + LSH
 
 # Deterministic minhash coefficients (fixed seed → stable results/tests).
-# Hashes are folded to 31 bits and coefficients capped at 2^31 so
-# a*h+b < 2^62 — no long overflow under ANSI arithmetic.
-_P = (1 << 61) - 1  # Mersenne prime 2^61-1
+# Hashes are folded to 31 bits and coefficients capped below 2^31 so
+# a*h+b < 2^62 — no long overflow under ANSI arithmetic. The modulus
+# must sit just ABOVE the folded hash domain, not above the product:
+# with the classic universal family ((a*h + b) mod p), mixing comes
+# from the product wrapping p many (~a) times. An earlier revision
+# used p = 2^61-1 against 31-bit h — products < 2^62 wrap such a p at
+# most twice, leaving the "permutations" nearly monotone in h and
+# heavily correlated across coefficients (measured: 5/64 signature
+# agreement at true jaccard 0.52, vs the ~33/64 an unbiased estimator
+# gives). p = 2^31-1 (Mersenne) restores the textbook family:
+# h < 2^31 ≈ p, a ∈ [1, p), so a*h+b wraps ~a times and the minhash
+# agreement rate is an unbiased jaccard estimate again.
+_P = (1 << 31) - 1  # Mersenne prime 2^31-1, just above the folded domain
 _H31 = 1 << 31
 _rng = random.Random(0x5EED)
-_MINHASH_AB = [(_rng.randrange(1, _H31), _rng.randrange(0, _H31)) for _ in range(64)]
+_MINHASH_AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(64)]
 _LSH_ROWS_PER_BAND = 2  # r=2, b=32: P(candidate | j=0.5) ≈ 0.9999
 
 
@@ -241,63 +251,70 @@ def minhash_signature(shingles: F.Column) -> F.Column:
 def lsh_candidates(
     exploded: DataFrame, max_bucket_rows: int = 64
 ) -> DataFrame:
-    """Candidate (doc_a < doc_b) pairs from exploded ``(doc_id, band,
-    h)`` rows, with the hot-bucket skew guard.
+    """Candidate ``(doc_a < doc_b, star)`` pairs from exploded
+    ``(doc_id, band, h)`` rows, with the hot-bucket skew guard.
 
     Buckets up to ``max_bucket_rows`` contribute all within-bucket
-    pairs (m*(m-1)/2). Larger buckets — thousands of near-identical
-    boilerplate docs landing in one (band, h) — would go quadratic in
-    the self-join, so they instead contribute a STAR: every member
-    links to the bucket's min doc_id (m-1 candidates). The star is the
-    standard connected-components seed for dedup clustering: every hot-
-    bucket member still reaches a canonical representative (and the
-    exact verify still gates every emitted pair), so dedup recall is
-    preserved while candidate counts stay linear in bucket size. What
-    the star gives up is PAIR completeness inside hot buckets — the
-    full m^2 near-dup pair list within a 10k-copy cluster — which no
-    100 TB pipeline wants materialized anyway.
+    pairs (m*(m-1)/2), emitted with ``star = false``. Larger buckets —
+    thousands of near-identical boilerplate docs landing in one
+    (band, h) — would go quadratic, so they instead contribute a STAR:
+    every member links to the bucket's min doc_id (m-1 candidates,
+    ``star = true``). Star links are connected-components SEEDS, not
+    verified near-dup claims: band-signature equality does not imply
+    high full Jaccard, so the caller must treat them as cluster edges
+    whose membership is re-verified downstream (``minhash_lsh_pairs``
+    exempts them from its threshold filter and carries their true
+    jaccard so nothing inside a hot bucket silently drops out of
+    clustering). What the star gives up is PAIR completeness inside
+    hot buckets — the full m^2 pair list within a 10k-copy cluster —
+    which no 100 TB pipeline wants materialized anyway.
+
+    Implementation: ONE aggregation by (band, h) collects each
+    bucket's sorted member list, then pair expansion happens in-row
+    with higher-order functions — no self-join, no skew probe, no
+    driver-side branch, so the no-skew path costs exactly the same
+    plan as the skewed one (an empty hot set). Each bucket
+    materializes as a single array row: linear in bucket size (an
+    exact-dup crowd of 1M docs is an 8 MB row — run q_dedup_exact
+    first in a real pipeline, as any 100 TB flow would).
     """
-    # ADAPTIVE guard, same move as AQE's runtime re-plan and the BFS
-    # loop's frontier-count-driven hints: probe whether any hot bucket
-    # exists at all (one cheap job over the skinny band table — the
-    # caller checkpoints it), and only add the guard plan nodes when
-    # skew is actually present. The common no-skew corpus keeps the
-    # original two-consumer self-join, which shares one exchange.
-    hot = (
+    members = (
         exploded.groupBy("band", "h")
-        .agg(F.count(F.lit(1)).alias("_bn"), F.min("doc_id").alias("_canon"))
-        .filter(F.col("_bn") > max_bucket_rows)
-        .select("band", "h", "_canon")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
-    skewed = bool(hot.limit(1).count())
-
-    def all_pairs(side: DataFrame) -> DataFrame:
-        a = side.alias("a")
-        b = side.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    m = F.size("ms")
+    all_pairs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), m),
+                lambda y: F.struct(
+                    x.alias("doc_a"), y.alias("doc_b"), F.lit(False).alias("star")
+                ),
+            ),
         )
-
-    if not skewed:
-        return all_pairs(exploded).distinct()
-    # Hot buckets present. They are FEW relative to their member count
-    # (each represents > cap near-identical docs — the heavy-hitters-
-    # are-rare argument behind salting), so broadcast the hot list:
-    # cold buckets keep exact all-pairs, hot buckets emit member ->
-    # bucket-canonical star links (linear in bucket size).
-    cold = exploded.join(F.broadcast(hot.select("band", "h")), ["band", "h"], "left_anti")
-    star_pairs = (
-        exploded.join(F.broadcast(hot), ["band", "h"])
-        .filter(F.col("doc_id") != F.col("_canon"))
-        .select(F.col("_canon").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    return all_pairs(cold).unionByName(star_pairs).distinct()
+    star_pairs = F.transform(
+        F.slice("ms", F.lit(2), m),
+        lambda y: F.struct(
+            F.element_at("ms", 1).alias("doc_a"), y.alias("doc_b"), F.lit(True).alias("star")
+        ),
+    )
+    return (
+        members.select(
+            F.explode(
+                F.when(m <= F.lit(max_bucket_rows), all_pairs).otherwise(star_pairs)
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.star")
+        # the same pair can surface from several buckets (possibly once
+        # as a cold all-pair and once as a hot star) — keep one row;
+        # star=true survives the merge so every hot-bucket member's
+        # canonical link is preserved (the clustering guarantee)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("star").alias("star"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -321,9 +338,18 @@ def minhash_lsh_pairs(
       of borderline pairs slip per run. Offered for corpora where the
       exact-verify step (not the signature agg) dominates.
 
-    False positives never escape either way — every candidate passes
-    the exact-Jaccard verify, so precision is 1.0 by construction and
-    the parameters trade only recall against signature cost.
+    Output: ``(doc_a, doc_b, jaccard, star)``. Every row carries its
+    TRUE exact jaccard; rows with ``jaccard >= threshold`` are the
+    strictly-verified near-dup pair set — precision 1.0 by
+    construction; the parameters trade only recall against signature
+    cost. Rows below threshold appear only when ``star = true``:
+    hot-bucket canonical links (see ``lsh_candidates``), emitted
+    UNCONDITIONALLY as clustering seeds — otherwise two hot-bucket
+    members that are near-dups of each other but not of the bucket
+    canonical would silently fall out of every cluster. Downstream
+    clustering should treat star edges as candidate edges and
+    re-verify membership within the resulting components (filter
+    ``jaccard >= threshold`` to recover the strictly-verified set).
 
     ``max_bucket_rows`` is the hot-bucket skew guard (see
     ``lsh_candidates``): band buckets beyond it link members to a
@@ -365,14 +391,14 @@ def minhash_lsh_pairs(
             for i in range(n_bands)
         ]
     )
-    # Materialize the (skinny: doc_id, band, h) band table once — the
-    # skew guard plus both self-join sides are 4 consumers, and without
-    # the barrier each would re-run the 64-MIN signature aggregate's
-    # post-shuffle work (measured ~1 s of recompute at sf0.1).
-    exploded = (
-        sig.select("doc_id", F.explode(bands).alias("bh"))
-        .select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-        .localCheckpoint()
+    # The band table has exactly ONE consumer (lsh_candidates' bucket
+    # aggregation), so it stays lazy: signature agg → band explode →
+    # bucket agg → in-row pair expansion → verify all fuse into a
+    # single job. (Earlier rounds checkpointed it for a skew-probe job
+    # plus a two-sided self-join — three consumers — since collapsed
+    # into the one-aggregation candidate formulation.)
+    exploded = sig.select("doc_id", F.explode(bands).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
     )
     candidates = lsh_candidates(exploded, max_bucket_rows=max_bucket_rows)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -383,8 +409,10 @@ def minhash_lsh_pairs(
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # star links bypass the threshold: they are cluster seeds with
+        # their true jaccard attached (see docstring)
+        .filter((jac >= threshold) | F.col("star"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"), "star")
     )
 
 
@@ -394,12 +422,15 @@ def minhash_lsh_pairs(
     # tests/test_dedup.py against the exact-Jaccard oracle query instead
     doc="MinHash-LSH near-dup, the 100 TB path: per-doc 64-hash "
     "signature (one JVM projection, zero shuffle) → 32 bands of r=2 → "
-    "explode (band, band_hash) → bucket self-join for candidates → "
-    "exact-Jaccard verify at 0.5. Candidate cost is bounded by bucket "
-    "sizes; the all-pairs product never forms, and buckets beyond "
-    "max_bucket_rows=64 degrade to star-links on the bucket canonical "
-    "(linear, dedup-clustering-preserving — tests/test_dedup.py "
-    "skew-stresses this). P(miss | j=0.5) ~ 1e-4. "
+    "explode (band, band_hash) → ONE bucket aggregation with in-row "
+    "pair expansion for candidates → exact-Jaccard verify at 0.5. "
+    "Candidate cost is bounded by bucket sizes; the all-pairs product "
+    "never forms, and buckets beyond max_bucket_rows=64 degrade to "
+    "star-links on the bucket canonical (linear; emitted with "
+    "star=true and EXEMPT from the threshold so hot-bucket members "
+    "stay cluster-reachable even when below threshold vs the "
+    "canonical — tests/test_dedup.py skew-stresses this). "
+    "P(miss | j=0.5) ~ 1e-4. "
     "(n_hashes, rows_per_band) are exposed on minhash_lsh_pairs — the "
     "32-hash/16-band half-cost point trades to P(miss) ~ 1e-2; the "
     "catalog keeps 64 so the recall bound stays assert-tight, see "

@@ -283,6 +283,38 @@ def test_lsh_hot_bucket_candidates_stay_linear(spark):
     assert not any(1002 in p for p in pairs)
 
 
+def test_star_links_survive_below_threshold(spark):
+    """Hot-bucket members must never silently fall out of clustering:
+    a star (canonical) link whose exact jaccard is BELOW the verify
+    threshold is still emitted, marked star=true with its true jaccard
+    (as a cluster seed for downstream re-verification). Scenario: docs
+    1 and 2 are near-dups of each other (j≈0.97) but both sit at
+    j≈0.44 vs the bucket canonical doc 0; with the bucket cap forced
+    to 2, the {0,1,2} band buckets go hot and star on doc 0. Without
+    the exemption both (0,1) and (0,2) fail verify and doc 0's links
+    vanish; the strictly-verified view (jaccard >= threshold) must
+    still exclude them."""
+    from bfs_mapreduce_spark.operators.dedup_queries import minhash_lsh_pairs
+
+    base = [f"w{i}" for i in range(60)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(base[:38] + [f"x{i}" for i in range(22)])),
+            (1, " ".join(base + ["phi"])),
+            (2, " ".join(base + ["chi"])),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in minhash_lsh_pairs(docs, max_bucket_rows=2).collect()}
+    assert set(rows) == {(0, 1), (0, 2), (1, 2)}
+    assert rows[(0, 1)].star and rows[(0, 1)].jaccard < 0.5
+    assert rows[(0, 2)].star and rows[(0, 2)].jaccard < 0.5
+    assert not rows[(1, 2)].star and rows[(1, 2)].jaccard > 0.9
+    # strictly-verified view: threshold filter removes the seeds
+    verified = {p for p, r in rows.items() if r.jaccard >= 0.5}
+    assert verified == {(1, 2)}
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
