@@ -84,6 +84,7 @@ def bfs(
     reached_only: bool = False,
     sources: list[int] | None = None,
     source_df: DataFrame | None = None,
+    source_df_rows: int | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
@@ -93,11 +94,20 @@ def bfs(
     growing); the per-round machinery is identical, the min-aggregate
     already resolves seed collisions.
 
-    ``source_df`` is the broadcast-scalar-subquery form of ``source``:
-    a 1-row, 1-column DataFrame (e.g. a ``min()`` aggregate) whose
-    value seeds the traversal. The seed plan is folded into round 1's
+    ``source_df`` is the DataFrame form of ``source``/``sources``: a
+    single-column DataFrame (e.g. a ``min()`` aggregate, or a
+    ``distinct().limit(k)`` seed set) whose rows seed the traversal —
+    multi-row seed frames run multi-source BFS without ever collecting
+    the seeds to the driver. The seed plan is folded into round 1's
     job via a lazy checkpoint instead of costing a separate driver
-    ``collect()`` job before the loop starts.
+    ``collect()`` job before the loop starts. Seed-count contract:
+    pass ``source_df_rows`` when the caller knows the row count (a
+    scalar aggregate is 1, a ``limit(k)`` is at most k) and the seed
+    plan stays entirely lazy; when omitted, bfs counts the seed
+    checkpoint itself (one extra cheap job) and raises on an empty
+    seed frame. A declared count is trusted for the broadcast/shuffle
+    sizing hints — declaring 1 for a million-row frame mis-sizes
+    round 1's join strategy. More than one column raises.
 
     Pass a dict as ``stats`` to receive per-round instrumentation:
     ``stats["rounds"]`` = list of ``(round_no, frontier_size,
@@ -155,9 +165,16 @@ def bfs(
     if source_df is not None:
         if sources is not None:
             raise ValueError("pass either source_df or sources, not both")
-        # contract: exactly one row — the scalar-subquery seed
-        seeds_df = source_df.toDF("id").select(F.col("id").cast("bigint").alias("id"))
-        n_seeds = 1
+        if len(source_df.columns) != 1:
+            raise ValueError(
+                f"source_df must have exactly one column, got {source_df.columns}"
+            )
+        seeds_df = (
+            source_df.toDF("id")
+            .select(F.col("id").cast("bigint").alias("id"))
+            .dropDuplicates()
+        )
+        n_seeds = source_df_rows  # None → counted after the checkpoint below
     else:
         seeds = sorted(set(sources)) if sources else [source]
         seeds_df = spark.createDataFrame([(s,) for s in seeds], "id bigint")
@@ -170,6 +187,13 @@ def bfs(
     # scan runs as part of that job instead of as its own, and later
     # consumers (prev_ids, loops_and_source) read the cached rows.
     frontier = seeds_df.select(*init_cols).localCheckpoint(eager=False)
+    if n_seeds is None:
+        # undeclared seed count: materialize the seed checkpoint now
+        # (its rows are cached for round 1, so this job costs only the
+        # seed plan itself) and guard the empty-seed silent-NULL case
+        n_seeds = frontier.count()
+        if n_seeds == 0:
+            raise ValueError("source_df produced no seed rows")
 
     loops_and_source = (
         raw.filter(F.col("src") == F.col("dst"))

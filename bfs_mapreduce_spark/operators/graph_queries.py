@@ -66,7 +66,8 @@ def q_graph_bfs_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter would discard anyway. The min-src seed rides into round 1's
     # job as a broadcast scalar subquery — no separate collect() job.
     res = bfs(
-        edges, source_df=edges.agg(F.min("src")), max_rounds=_MAX_DIST,
+        edges, source_df=edges.agg(F.min("src")), source_df_rows=1,
+        max_rounds=_MAX_DIST,
         with_paths=False, warn_on_truncation=False, reached_only=True,
     )
     return res.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
@@ -183,13 +184,13 @@ def q_graph_bfs_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _order_part_edges(spark, sf_dir)
-    seeds = [
-        int(r[0])
-        for r in edges.select("src").distinct().orderBy("src").limit(3).collect()
-    ]
+    # N-row seed frame — the 3 smallest order vertices ride into
+    # round 1 as a DataFrame plan (no driver collect(); the declared
+    # row count keeps the seed plan fully lazy, see bfs docstring)
+    seeds = edges.select("src").distinct().orderBy("src").limit(3)
     res = bfs(
-        edges, sources=seeds, max_rounds=_MAX_DIST, with_paths=False,
-        warn_on_truncation=False, reached_only=True,
+        edges, source_df=seeds, source_df_rows=3, max_rounds=_MAX_DIST,
+        with_paths=False, warn_on_truncation=False, reached_only=True,
     )
     return res.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_vertices")
@@ -254,7 +255,7 @@ def q_graph_ecc_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     far = (
         b1.orderBy(F.desc("dist"), F.asc("id")).limit(1).select("id")
     )
-    b2 = bfs(edges, source_df=far, with_paths=False, reached_only=True)
+    b2 = bfs(edges, source_df=far, source_df_rows=1, with_paths=False, reached_only=True)
     return (
         ecc0.crossJoin(F.broadcast(far.select(F.col("id").alias("far_id"))))
         .crossJoin(F.broadcast(b2.agg(F.max("dist").alias("diameter_lb"))))

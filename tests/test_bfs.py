@@ -159,6 +159,46 @@ def test_bfs_source_df_and_sources_are_exclusive(spark):
         bfs(edges, source_df=edges.agg(F.min("src")), sources=[0, 1])
 
 
+def test_bfs_source_df_contract(spark):
+    """source_df seed contract: >1 column raises; an empty seed frame
+    raises (instead of silently returning all-NULL dists) when the row
+    count is undeclared."""
+    from bfs_mapreduce_spark.operators.graph import bfs
+
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="exactly one column"):
+        bfs(edges, source_df=edges)
+    with pytest.raises(ValueError, match="no seed rows"):
+        bfs(edges, source_df=edges.filter(F.col("src") < 0).select("src"))
+
+
+def test_bfs_multi_row_source_df_matches_sources(spark):
+    """An N-row seed DataFrame runs multi-source BFS identical to the
+    driver-side sources=[...] form — dist to the NEAREST seed — both
+    with a declared row count (lazy seed plan) and counted."""
+    from bfs_mapreduce_spark.operators.graph import bfs
+
+    # path 0-1-2-3-4-5 plus isolated-ish branch 5-6
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src bigint, dst bigint"
+    )
+    want = {
+        (r["id"], r["dist"])
+        for r in bfs(edges, sources=[0, 5], with_paths=False).collect()
+    }
+    seeds = spark.createDataFrame([(0,), (5,)], "id bigint")
+    got_declared = {
+        (r["id"], r["dist"])
+        for r in bfs(edges, source_df=seeds, source_df_rows=2, with_paths=False).collect()
+    }
+    got_counted = {
+        (r["id"], r["dist"])
+        for r in bfs(edges, source_df=seeds, with_paths=False).collect()
+    }
+    assert want == got_declared == got_counted
+    assert (2, 2) in want and (3, 2) in want  # nearest-seed distances
+
+
 def test_bfs_stats_round_instrumentation(spark):
     from bfs_mapreduce_spark.operators.graph import bfs
 
