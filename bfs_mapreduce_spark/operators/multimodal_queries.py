@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -176,6 +177,16 @@ def encode_wav(pcm: bytes, sample_rate: int = _WAV_SR) -> bytes:
     return _wav_header(len(pcm), sample_rate) + pcm
 
 
+def _round6(x: float) -> float:
+    """HALF_UP rounding to the repo's 1e-6 grid, matching Spark
+    ``F.round`` (BigDecimal.valueOf + setScale(HALF_UP)) and DuckDB
+    ``ROUND`` — Python's builtin ``round`` is banker's rounding, which
+    diverges from both on an exact .5 tie at the 7th decimal.
+    ``Decimal(repr(x))`` mirrors Java's shortest-representation
+    ``BigDecimal.valueOf(double)``."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def decode_media(blob: bytes, kind: str = "fake") -> dict:
     """Single decode swap point for every media kind.
 
@@ -202,7 +213,7 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
             "height": h,
             "blob_len": len(blob),
             "content_sha": hashlib.sha256(bytes(blob)).hexdigest(),
-            "mean_brightness": round(float(arr.mean()) / maxval, 6),
+            "mean_brightness": _round6(float(arr.mean()) / maxval),
         }
     if kind == "wav":
         sample_rate, n_channels, _bits, pcm = parse_wav(bytes(blob))
@@ -212,8 +223,8 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
         return {
             "sample_rate": sample_rate,
             "n_samples": n,
-            "duration_ms": round(n * 1000.0 / sample_rate, 6),
-            "rms": round(rms / 32768.0, 6),
+            "duration_ms": _round6(n * 1000.0 / sample_rate),
+            "rms": _round6(rms / 32768.0),
             "data_sha": hashlib.sha256(pcm).hexdigest(),
         }
     if kind != "fake":
@@ -224,7 +235,7 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
     return {
         "blob_len": len(blob),
         "content_sha": hashlib.sha256(blob).hexdigest(),
-        "fake_brightness": round((len(blob) % 251) / 251.0, 6),
+        "fake_brightness": _round6((len(blob) % 251) / 251.0),
     }
 
 
@@ -493,20 +504,35 @@ def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BINARY_FILES_DOCS = 20  # staged media files per sf tag
+# Staged media files scale with the corpus: one file per 25 documents,
+# clamped to [20, 200] — 20 at sf0.001/sf0.01, 200 at sf0.1 — so the
+# file-scan path is actually exercised at a second scale instead of
+# pinning 20 files regardless of sf. Both engines derive the bound
+# from the same table, so the oracle follows automatically.
+_BINARY_FILES_MIN, _BINARY_FILES_MAX, _BINARY_FILES_PER_DOC = 20, 200, 25
+_BINARY_FILES_BOUND_SQL = (
+    f"LEAST({_BINARY_FILES_MAX}, GREATEST({_BINARY_FILES_MIN}, "
+    f"(SELECT COUNT(*) FROM documents) // {_BINARY_FILES_PER_DOC}))"
+)
+
+
+def _binary_files_bound(n_docs: int) -> int:
+    return min(_BINARY_FILES_MAX, max(_BINARY_FILES_MIN, n_docs // _BINARY_FILES_PER_DOC))
 
 
 @register(
     "q_scan_binary_files",
     oracle=f"""
-    -- The staged .ppm files are rendered from the first {_BINARY_FILES_DOCS}
-    -- documents exactly as q_multimodal_features renders blobs, so the
-    -- oracle reconstructs the decoded features from the table.
+    -- The staged .ppm files are rendered from the first
+    -- {_BINARY_FILES_BOUND_SQL} documents exactly as
+    -- q_multimodal_features renders blobs, so the oracle reconstructs
+    -- the decoded features from the table.
     WITH blob AS (
       SELECT doc_id,
              substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
                        1, {_PPM_PIXEL_BYTES}) AS pix
-      FROM documents WHERE doc_id < {_BINARY_FILES_DOCS} AND length(text) > 0),
+      FROM documents
+      WHERE doc_id < {_BINARY_FILES_BOUND_SQL} AND length(text) > 0),
     px AS (
       SELECT doc_id, AVG(ascii(substring(pix, CAST(u.range + 1 AS INT), 1))) AS mb
       FROM blob, range({_PPM_PIXEL_BYTES}) AS u
@@ -523,19 +549,28 @@ _BINARY_FILES_DOCS = 20  # staged media files per sf tag
     "corpus arrives in (files on object storage, not rows in a "
     "table). doc_id is recovered from the file name; features are "
     "oracle-recomputed from the source table. binaryFile partitions "
-    "by file, so blobs still never shuffle.",
+    "by file, so blobs still never shuffle. NOTE: build() performs "
+    "side-effecting driver work — it stages the files eagerly (one "
+    "toPandas + local writes) into a per-(process, sf-tag) directory "
+    "that is cleared first, so a re-build with a different corpus or "
+    "bound under the same tag can never leave stale files for the "
+    "returned lazy plan's glob to pick up.",
 )
 def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
 
     from bfs_mapreduce_spark.tmputil import proc_dir
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     root = os.path.join(proc_dir("bfs_mapreduce_spark_media"), tag)
+    shutil.rmtree(root, ignore_errors=True)  # no stale files from earlier builds
     os.makedirs(root, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    n_files = _binary_files_bound(docs.count())
     staged = (
         _with_ppm_blob(spark, sf_dir)
-        .filter(F.col("doc_id") < _BINARY_FILES_DOCS)
+        .filter(F.col("doc_id") < n_files)
         .select("doc_id", "blob")
         .toPandas()
     )
@@ -556,7 +591,7 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "doc_id": doc_id,
                         "file_len": len(content),
-                        "mean_brightness": round(float(arr.mean()) / maxval, 6),
+                        "mean_brightness": _round6(float(arr.mean()) / maxval),
                     }
                 )
             yield pd.DataFrame(
