@@ -1,0 +1,283 @@
+"""Scale benchmarks: does per-unit cost stay flat as the data grows?
+
+Two harnesses, both exposed as CLI subcommands (``bench-graph``,
+``bench-dedup``) and recorded in BASELINE.md:
+
+- **graph**: synthesizes the reference's declared graph shapes
+  (Presentazione.pdf slide 23: mediumG / largeG-class random graphs,
+  absent from its repo) plus a 10x point, and runs the DataFrame BFS
+  with per-round instrumentation. Claim under test: per-round cost is
+  fixed overhead + O(frontier), NOT O(V) or O(E).
+
+- **dedup/similarity**: synthesizes a ``factor``-times documents +
+  embeddings corpus (replica tokens keep replicas from being
+  near-dups of each other, so the true pair structure grows linearly;
+  a planted 500-copy boilerplate cluster keeps the hot-bucket star
+  guard exercised; replica-suffixed labels grow the semantic-dedup
+  cell count with the corpus, mirroring k ~ corpus/cell_target) and
+  times each MinHash-LSH phase (shingle → signature/banding →
+  candidates → verify) plus the SemDeDup assign/total. Claim under
+  test: no phase's rows or seconds grow super-linearly in the corpus
+  factor — candidate generation stays bucket-bounded.
+
+Staging parquet goes under /tmp (never the read-only /root/testdata);
+synthesis is deterministic per (shape, factor).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# (name, n_vertices, n_edges) — reference-declared shapes + a 10x point
+GRAPHS = [
+    ("mediumG-class", 77_000, 905_000),
+    ("largeG-class", 325_000, 1_500_000),
+    ("largeG-10x", 3_250_000, 15_000_000),
+]
+
+_HOT_COPIES = 500  # planted boilerplate cluster (every band bucket hot)
+_HOT_TEXT = " ".join(
+    ["terms of service privacy policy all rights reserved contact us"] * 5
+)
+
+
+def synthesize_graph(name: str, n: int, m: int, out_dir: str) -> str:
+    """G(n, m)-style random multigraph with a Hamiltonian backbone so
+    BFS reaches every vertex (the reference's graphs are connected).
+    Deterministic per (name, n, m); written as parquet in row-group
+    sized chunks so the Spark scan parallelizes."""
+    path = os.path.join(out_dir, f"{name}.parquet")
+    if os.path.exists(path):
+        return path
+    # zlib.crc32, not hash(): str hashing is salted per process, and
+    # the synthesized graph must be identical across runs
+    import zlib
+
+    rng = np.random.default_rng((zlib.crc32(name.encode()) ^ n ^ m) % (2**32))
+    backbone_src = np.arange(n - 1, dtype=np.int64)
+    backbone_dst = backbone_src + 1
+    extra = m - (n - 1)
+    src = np.concatenate([backbone_src, rng.integers(0, n, size=extra, dtype=np.int64)])
+    dst = np.concatenate([backbone_dst, rng.integers(0, n, size=extra, dtype=np.int64)])
+    table = pa.table({"src": src, "dst": dst})
+    pq.write_table(table, path, row_group_size=1_000_000)
+    return path
+
+
+def run_graph_scale(spark, graphs=None, out_dir: str = "/tmp/bfs_mapreduce_spark_scale") -> Iterator[dict]:
+    """Yield one result dict per graph (see module docstring)."""
+    from bfs_mapreduce_spark.operators.graph import bfs
+
+    os.makedirs(out_dir, exist_ok=True)
+    # warm the BFS machinery so graph #1 doesn't pay codegen/JIT
+    toy = spark.createDataFrame([(0, 1), (1, 2)], "src bigint, dst bigint")
+    bfs(toy, with_paths=False, reached_only=True).count()
+
+    for name, n, m in graphs or GRAPHS:
+        path = synthesize_graph(name, n, m, out_dir)
+        edges = spark.read.parquet(path)
+        stats: dict = {}
+        t0 = time.perf_counter()
+        res = bfs(edges, source=0, with_paths=False, reached_only=True, stats=stats)
+        n_reached = res.count()
+        total = round(time.perf_counter() - t0, 3)
+        rounds = stats["rounds"]
+        yield {
+            "graph": name,
+            "vertices": n,
+            "edges": m,
+            "reached": n_reached,
+            "rounds": len(rounds),
+            "total_sec": total,
+            "sec_per_round": round(total / max(len(rounds), 1), 4),
+            "round_detail": [
+                {"round": r, "frontier": f, "sec": s} for r, f, s in rounds
+            ],
+        }
+
+
+def synthesize_corpus(sf_dir: str, factor: int, out_dir: str) -> str:
+    """Stage a ``factor``-times documents + embeddings corpus under
+    ``out_dir`` in the sf-dir layout (so ``load_table``-based queries
+    run against it unchanged). Replica k of a document suffixes every
+    word with ``_k`` — replicas share no shingles, so the exact
+    near-dup pair set is exactly ``factor`` copies of the original's
+    (linear growth by construction, the right yardstick for candidate
+    linearity). A planted ``_HOT_COPIES``-copy boilerplate cluster
+    exercises the hot-bucket star guard at every factor, and the
+    source column is skewed (90% one source). Embeddings replicate
+    with replica-suffixed labels: cell count grows with the corpus,
+    cell sizes stay constant — the k ~ corpus/cell_target posture of
+    production SemDeDup."""
+    import duckdb
+
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_x{factor}"
+    root = os.path.join(out_dir, tag)
+    if os.path.exists(os.path.join(root, "documents.parquet")) and os.path.exists(
+        os.path.join(root, "embeddings.parquet")
+    ):
+        return root
+    os.makedirs(root, exist_ok=True)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT * FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    emb = con.execute(
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+
+    stride = int(docs["doc_id"].max()) + 1
+    out = []
+    for k in range(factor):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * stride
+        if k:
+            d["text"] = d["text"].map(
+                lambda t, _k=k: " ".join(w + f"_{_k}" for w in t.split(" "))
+            )
+        # skewed source distribution: 90% of rows land on one source
+        d.loc[d["doc_id"] % 10 != 0, "source"] = "web"
+        out.append(d)
+    import pandas as pd
+
+    hot = pd.DataFrame(
+        {
+            "doc_id": np.arange(_HOT_COPIES, dtype=np.int64) + factor * stride,
+            "text": _HOT_TEXT,
+            "lang": "en",
+            "source": "web",
+            "n_chars": len(_HOT_TEXT),
+        }
+    )
+    all_docs = pd.concat(out + [hot], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(all_docs, preserve_index=False),
+        os.path.join(root, "documents.parquet"),
+        row_group_size=100_000,
+    )
+
+    vstride = int(emb["vec_id"].max()) + 1
+    eout = []
+    for k in range(factor):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + k * vstride
+        e["label"] = e["label"] + k * 1000  # replica-local cells
+        if k:
+            # Rotate replica k by a seeded random orthogonal matrix:
+            # orthogonality preserves within-replica cosines (and so
+            # the replica's dedup structure) EXACTLY, while cross-
+            # replica cosines drop to ~N(0, 1/dim) — far below tau.
+            # Without a transform, identical replica vectors make all
+            # replicas' centroids coincide and every vector collapses
+            # into the replica-0 cells; a cyclic np.roll is not enough
+            # either (these embeddings are autocorrelated, so small
+            # rolls keep cross-replica cosine above tau — measured
+            # super-linear dropped counts both ways).
+            dim = len(emb["embedding"].iloc[0])
+            q, _ = np.linalg.qr(
+                np.random.default_rng(1000 + k).standard_normal((dim, dim))
+            )
+            e["embedding"] = e["embedding"].map(
+                lambda v, _q=q: (_q @ np.asarray(v, dtype=np.float64)).astype(
+                    np.float32
+                )
+            )
+        eout.append(e)
+    all_emb = pd.concat(eout, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(all_emb, preserve_index=False),
+        os.path.join(root, "embeddings.parquet"),
+        row_group_size=100_000,
+    )
+    return root
+
+
+def _timed(df, label: str) -> dict:
+    t0 = time.perf_counter()
+    rows = df.count()
+    return {"phase": label, "rows": rows, "sec": round(time.perf_counter() - t0, 3)}
+
+
+def run_dedup_scale(
+    spark,
+    sf_dir: str = "/root/testdata/sf0.1",
+    factors=(1, 10),
+    out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+) -> Iterator[dict]:
+    """Yield one result dict per corpus factor: MinHash-LSH phase
+    timings/row counts (shingle, band table, candidates incl. star
+    split, verified pairs, fused end-to-end) and SemDeDup assign /
+    end-to-end — the data behind BASELINE.md's linearity table."""
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.dedup_queries import (
+        lsh_candidates,
+        minhash_band_table,
+        minhash_lsh_pairs,
+        q_dedup_semantic,
+        shingle_arrays,
+    )
+    from bfs_mapreduce_spark.sources.readers import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for factor in factors:
+        root = synthesize_corpus(sf_dir, factor, out_dir)
+        docs = load_table(spark, root, "documents")
+        phases = []
+        t0 = time.perf_counter()
+        sh = shingle_arrays(docs).localCheckpoint(eager=False)
+        phases.append(_timed(sh, "lsh_shingle"))
+        bt = minhash_band_table(sh).localCheckpoint(eager=False)
+        phases.append(_timed(bt, "lsh_band_table"))
+        cand = lsh_candidates(bt).localCheckpoint(eager=False)
+        phases.append(_timed(cand, "lsh_candidates"))
+        n_star = cand.filter("star").count()
+        phases.append(
+            _timed(
+                minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5),
+                "lsh_verified_pairs_fused",
+            )
+        )
+        phased_total = round(time.perf_counter() - t0, 3)
+
+        sem_phases = []
+        emb_t0 = time.perf_counter()
+        sem = q_dedup_semantic(spark, root).localCheckpoint(eager=False)
+        sem_phases.append(_timed(sem, "semantic_total"))
+        # The COST phase is the in-cell candidate-pair volume
+        # sum(cell_size choose 2) — with cell count scaling with the
+        # corpus (constant cell sizes), this is the line that must stay
+        # linear. Dropped counts are an OUTPUT property: this corpus's
+        # labels don't correlate with vector direction (label-centroid
+        # norms ~0.07 vs unit vectors), so cells are near-random
+        # buckets and the ~5e-4 random-pair tail at tau=0.4 times
+        # ~200-member cells drops a further ~9% of vectors by genuine
+        # coincidental near-dups the synthesis itself creates.
+        n_cand = (
+            sem.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.sum(F.expr("m * (m - 1) / 2")).alias("p"))
+            .collect()[0]["p"]
+        )
+        sem_phases.append(
+            {"phase": "semantic_candidate_pairs", "rows": int(n_cand), "sec": None}
+        )
+        sem_phases.append(_timed(sem.filter("keep = 0"), "semantic_dropped"))
+        sem_total = round(time.perf_counter() - emb_t0, 3)
+
+        yield {
+            "sf_dir": sf_dir,
+            "factor": factor,
+            "corpus": root,
+            "lsh_phases": phases,
+            "lsh_star_candidates": n_star,
+            "lsh_phased_total_sec": phased_total,
+            "semantic_phases": sem_phases,
+            "semantic_total_sec": sem_total,
+        }

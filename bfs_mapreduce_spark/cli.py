@@ -104,6 +104,52 @@ def _explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _parse_graph_spec(spec: str) -> tuple[str, int, int]:
+    name, n, m = spec.split(":")
+    return name, int(n), int(m)
+
+
+def _bench_graph(args: argparse.Namespace) -> int:
+    """Per-round BFS cost vs graph size (BASELINE.md scale table)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import GRAPHS, run_graph_scale
+
+    if args.graph:
+        graphs = [_parse_graph_spec(s) for s in args.graph]
+    else:
+        graphs = GRAPHS[:2] if args.quick else GRAPHS
+    spark, owned = _owned_session(app_name="bench_graph_scale")
+    try:
+        for rec in run_graph_scale(spark, graphs, out_dir=args.out_dir):
+            print(json.dumps(rec))
+            sys.stdout.flush()
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
+def _bench_dedup(args: argparse.Namespace) -> int:
+    """MinHash-LSH / SemDeDup phase timings vs corpus factor
+    (BASELINE.md linearity table)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import run_dedup_scale
+
+    spark, owned = _owned_session(app_name="bench_dedup_scale")
+    try:
+        for rec in run_dedup_scale(
+            spark, sf_dir=args.sf_dir, factors=args.factor or (1, 10), out_dir=args.out_dir
+        ):
+            print(json.dumps(rec))
+            sys.stdout.flush()
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bfs_mapreduce_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -132,6 +178,34 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "codegen", "cost", "formatted"],
     )
     e.set_defaults(fn=_explain)
+
+    bg = sub.add_parser(
+        "bench-graph",
+        help="per-round BFS cost vs graph size (JSON line per graph)",
+    )
+    bg.add_argument("--quick", action="store_true", help="skip the 10x graph")
+    bg.add_argument(
+        "--graph",
+        action="append",
+        metavar="NAME:N:M",
+        help="synthesize NAME with N vertices / M edges instead of the defaults (repeatable)",
+    )
+    bg.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
+    bg.set_defaults(fn=_bench_graph)
+
+    bd = sub.add_parser(
+        "bench-dedup",
+        help="MinHash-LSH / SemDeDup phase cost vs corpus factor (JSON line per factor)",
+    )
+    bd.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    bd.add_argument(
+        "--factor",
+        type=int,
+        action="append",
+        help="corpus multiplier (repeatable; default 1 and 10)",
+    )
+    bd.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
+    bd.set_defaults(fn=_bench_dedup)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -317,6 +317,50 @@ def lsh_candidates(
     )
 
 
+def minhash_band_table(
+    sh: DataFrame, n_hashes: int = 64, rows_per_band: int = 2
+) -> DataFrame:
+    """Exploded LSH band table ``(doc_id, band, h)`` from
+    ``(doc_id, shingles)`` rows — the signature + banding stage of
+    ``minhash_lsh_pairs``, exposed so the scale benchmark can time and
+    count it as its own phase.
+
+    Signatures go via shingle ROWS → ``n_hashes`` codegen'd MIN
+    aggregates (one shuffle, map-side partial agg). Identical values
+    to ``minhash_signature()``'s array form, but whole-stage-codegen'd:
+    Spark higher-order functions are interpreted per element, and 64
+    of them per row was the dominant cost of this query (measured
+    2-3x the rest of the pipeline combined).
+    """
+    if not 0 < n_hashes <= len(_MINHASH_AB):
+        raise ValueError(f"n_hashes must be in 1..{len(_MINHASH_AB)}")
+    if n_hashes % rows_per_band:
+        raise ValueError("rows_per_band must divide n_hashes")
+    rows = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = rows.select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_H31)).alias("h31"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_P))).alias(f"m{j}")
+            for j, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
+        ]
+    )
+    n_bands = n_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    *[f"m{i * rows_per_band + r}" for r in range(rows_per_band)]
+                ).alias("h"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bh")).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 64,
@@ -356,50 +400,18 @@ def minhash_lsh_pairs(
     canonical representative instead of forming all pairs, bounding
     candidate generation linearly in bucket size.
     """
-    if not 0 < n_hashes <= len(_MINHASH_AB):
-        raise ValueError(f"n_hashes must be in 1..{len(_MINHASH_AB)}")
-    if n_hashes % rows_per_band:
-        raise ValueError("rows_per_band must divide n_hashes")
     # shingle arrays feed both the signature agg (via explode) and the
     # verify step directly — one checkpointed materialization, no
     # collect_set rebuild (at scale this is the layer you'd write to
     # parquet between pipeline stages)
     sh = shingle_arrays(docs).localCheckpoint()
-    rows = sh.select("doc_id", F.explode("shingles").alias("s"))
-    # Signatures via shingle ROWS → n_hashes codegen'd MIN aggregates
-    # (one shuffle, map-side partial agg). Identical values to
-    # minhash_signature()'s array form, but whole-stage-codegen'd:
-    # Spark higher-order functions are interpreted per element, and 64
-    # of them per row was the dominant cost of this query (measured
-    # 2-3x the rest of the pipeline combined).
-    ex = rows.select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_H31)).alias("h31"))
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_P))).alias(f"m{j}")
-            for j, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
-        ]
-    )
-    n_bands = n_hashes // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    *[f"m{i * rows_per_band + r}" for r in range(rows_per_band)]
-                ).alias("h"),
-            )
-            for i in range(n_bands)
-        ]
-    )
     # The band table has exactly ONE consumer (lsh_candidates' bucket
     # aggregation), so it stays lazy: signature agg → band explode →
     # bucket agg → in-row pair expansion → verify all fuse into a
     # single job. (Earlier rounds checkpointed it for a skew-probe job
     # plus a two-sided self-join — three consumers — since collapsed
     # into the one-aggregation candidate formulation.)
-    exploded = sig.select("doc_id", F.explode(bands).alias("bh")).select(
-        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
-    )
+    exploded = minhash_band_table(sh, n_hashes=n_hashes, rows_per_band=rows_per_band)
     candidates = lsh_candidates(exploded, max_bucket_rows=max_bucket_rows)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))

@@ -71,3 +71,58 @@ def test_cli_explain_unknown(capsys):
     from bfs_mapreduce_spark.cli import main
 
     assert main(["explain", "nope"]) == 2
+
+
+def test_cli_bench_graph_custom_shape(capsys, tmp_path):
+    """bench-graph emits one JSON line per graph with per-round
+    frontier instrumentation (the BASELINE.md scale-table repro)."""
+    import json
+
+    from bfs_mapreduce_spark.cli import main
+
+    rc = main(["bench-graph", "--graph", "t:500:2000", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    recs = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(recs) == 1 and recs[0]["graph"] == "t"
+    assert recs[0]["reached"] == 500  # backbone keeps it connected
+    assert recs[0]["round_detail"][0]["frontier"] >= 1
+
+
+def test_cli_bench_dedup_linearity(capsys, tmp_path):
+    """bench-dedup emits per-phase rows/sec per corpus factor; the
+    planted hot cluster's star candidates must stay CONSTANT across
+    factors and non-star candidates must scale ~linearly (the
+    no-super-linear-phase claim recorded in BASELINE.md)."""
+    import json
+
+    from bfs_mapreduce_spark.cli import main
+
+    rc = main(
+        [
+            "bench-dedup",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--factor",
+            "1",
+            "--factor",
+            "2",
+            "--out-dir",
+            str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    recs = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert [r["factor"] for r in recs] == [1, 2]
+    by = {
+        r["factor"]: {p["phase"]: p["rows"] for p in r["lsh_phases"] + r["semantic_phases"]}
+        for r in recs
+    }
+    stars = {r["factor"]: r["lsh_star_candidates"] for r in recs}
+    assert stars[1] == stars[2]  # hot cluster constant => star links constant
+    nonstar = {f: by[f]["lsh_candidates"] - stars[f] for f in (1, 2)}
+    assert nonstar[2] <= 2 * nonstar[1] + 16  # ~linear candidate growth
+    assert by[2]["lsh_band_table"] < 2 * by[1]["lsh_band_table"]  # 2x docs + const hot
+    sem = {f: by[f]["semantic_candidate_pairs"] for f in (1, 2)}
+    # cost linearity: cell count scales with the corpus, cell sizes
+    # stay ~constant, so in-cell pair volume must scale ~linearly
+    assert sem[2] <= 2.5 * sem[1]
