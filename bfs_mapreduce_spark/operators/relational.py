@@ -231,6 +231,256 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_PRICE} * CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(5,4)) BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-style forecasting revenue change: pure scan-filter-"
+    "agg with EVERY predicate pushed into the parquet scan (shipdate "
+    "range, discount band, quantity cap) — the query where pushdown "
+    "and column pruning do all the work; the plan reads 3 columns and "
+    "shuffles one partial-aggregated row per partition.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(5,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & disc.between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(10,2)") * disc)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {_PRICE} * {_DISC} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                               ELSE CAST(0 AS DECIMAL(16,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+    doc="TPC-H Q8-style national market share: seven-table snowflake "
+    "(nation in two roles) where every dimension broadcasts and the "
+    "fact table shuffles once for the orders join; the share is a "
+    "conditional-sum-over-sum on exact decimals, rounded to the 1e-6 "
+    "grid only at the final division.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice").cast("decimal(10,2)") * _one_minus_disc()
+    nation_volume = F.when(
+        F.col("supp_nation") == "NATION_1", volume
+    ).otherwise(F.lit(0).cast("decimal(16,6)"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_volume).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-style returned-item reporting: quarter-bounded "
+    "orders join returned lineitems, revenue per customer, "
+    "deterministic top-20 (TakeOrderedAndProject — never a global "
+    "sort of the aggregate).",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(10,2)") * _one_minus_disc()
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13-style customer order-count distribution: LEFT "
+    "OUTER join with a join-side predicate (the filter belongs in the "
+    "ON clause — a WHERE would silently drop zero-order customers), "
+    "then a two-level aggregate. COUNT(o_orderkey) over the null-"
+    "extended rows gives the 0 bucket for free.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_PRICE} * {_DISC}) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total = (SELECT MAX(total) FROM revenue)
+    """,
+    doc="TPC-H Q15-style top supplier: quarter revenue per supplier, "
+    "then the scalar-subquery max filter — Catalyst plans the max as "
+    "a broadcast one-row join against the reused aggregate, so the "
+    "fact table is read and aggregated ONCE. Ties return every "
+    "achieving supplier (exact decimal comparison — no double "
+    "epsilon games), exactly the TPC-H semantics.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(10,2)") * _one_minus_disc()
+            ).alias("total")
+        )
+        .localCheckpoint(eager=False)  # one aggregate feeds max + filter
+    )
+    mx = revenue.agg(F.max("total").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    SELECT ROUND(CAST(SUM({_PRICE}) AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#9'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17-style small-quantity-order revenue: correlated "
+    "per-part average decorrelated into a pre-aggregated threshold "
+    "table joined back to the fact — the fact table is scanned twice "
+    "(once for thresholds, once for revenue) but never per-row "
+    "re-queried; the brand filter broadcasts so both scans prune to "
+    "the brand's parts via dynamic partition-ish semi-join.",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    thresholds = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
+        .select(F.col("l_partkey").alias("t_partkey"), "qty_cap")
+    )
+    return (
+        li.join(F.broadcast(thresholds), li["l_partkey"] == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
     "q14_promo_share",
     oracle=f"""
     SELECT ROUND(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'

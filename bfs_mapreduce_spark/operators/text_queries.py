@@ -1197,3 +1197,66 @@ def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("cum_before") + F.col("n_tokens") <= _TOKEN_BUDGET).select(
         "doc_id", "source", "n_tokens", F.col("cum_before").cast("bigint").alias("cum_before")
     )
+
+
+# ---------------------------------------------------------------- decontamination
+
+_DECON_N = 4  # n-gram width; eval set = doc_id % 20 == 0 (both chosen so
+# the sf0.01 corpus yields a non-trivial contaminated set: 49 train docs)
+
+
+@register(
+    "q_text_decontaminate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(len(ws) - {_DECON_N - 1}),
+               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS ng
+      FROM w WHERE len(ws) >= {_DECON_N}),
+    ev AS (SELECT DISTINCT ng, doc_id AS eval_id FROM g WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, ng FROM g WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.ng) AS BIGINT)      AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs_hit
+    FROM tr JOIN ev ON tr.ng = ev.ng
+    GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination (the GPT-3/Gopher-style n-gram "
+    "overlap check, a standard training-data-pipeline stage): an eval "
+    "set (here doc_id % 20 == 0, the stand-in for a held-out "
+    "benchmark) is 4-gram-shingled and joined against the training "
+    "split's 4-grams; any training doc sharing an n-gram is flagged "
+    "with its collision count and the number of eval docs it hits. "
+    "Scale shape: the eval side is tiny (broadcast), the train side "
+    "never self-joins — one broadcast hash join keyed on the n-gram "
+    "plus one aggregate, linear in corpus n-grams at any corpus size.",
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", _words().alias("ws")).filter(
+        F.size("ws") >= _DECON_N
+    ).localCheckpoint(eager=False)  # words materialized once for the n-gram transform
+    ng = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - _DECON_N),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ws", i + k + 1) for k in range(_DECON_N)]
+            ),
+        )
+    )
+    g = ws.select("doc_id", F.explode(ng).alias("ng"))
+    ev = (
+        g.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("eval_id"), "ng")
+        .distinct()
+    )
+    tr = g.filter(F.col("doc_id") % 20 != 0)
+    return (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
