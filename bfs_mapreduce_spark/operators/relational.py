@@ -1125,6 +1125,38 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_variant_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(JSON_EXTRACT_STRING(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Schemaless semi-structured aggregation via the VARIANT type "
+    "(Spark 4): props parses ONCE into a variant column "
+    "(parse_json), then typed paths are extracted with "
+    "try_variant_get — the modern engine's answer to JSON columns "
+    "whose schema isn't known up front (q_json_funcs is the "
+    "schema-declared twin via get_json_object). At scale the parse "
+    "happens in the scan projection and only the extracted ints "
+    "reach the aggregate exchange — the variant binary never "
+    "shuffles.",
+)
+def q_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+@register(
     "q_pivot",
     oracle=f"""
     SELECT l_returnflag,

@@ -299,3 +299,48 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("user_id_sum"),
     )
+
+
+_SMALLG_PATH = "/root/reference/datasets/smallG.txt"
+
+
+@register(
+    "q_scan_edgelist_source",
+    oracle=f"""
+    WITH e AS (SELECT src, dst FROM read_csv('{_SMALLG_PATH}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    sym AS (SELECT src, dst FROM e WHERE src <> dst
+            UNION SELECT dst, src FROM e WHERE src <> dst),
+    deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY src)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY degree
+    """,
+    doc="Custom Python DataSource end-to-end (Spark 4 "
+    "pyspark.sql.datasource API): the reference's whitespace edge-list "
+    "format becomes a first-class spark.read.format('edgelist') "
+    "source (sources/edgelist_source.py — schema, per-file input "
+    "partitions, strict line grammar), then the ordinary DataFrame "
+    "plan composes on top: symmetrize, dedup, degree histogram on "
+    "smallG. The oracle re-reads the same file with DuckDB's CSV "
+    "reader — so the custom source's parsing itself is what the value "
+    "hash certifies.",
+)
+def q_scan_edgelist_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources.edgelist_source import register_edgelist_source
+
+    register_edgelist_source(spark)
+    e = spark.read.format("edgelist").load(_SMALLG_PATH)
+    sym = (
+        e.filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            e.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )

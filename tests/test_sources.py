@@ -83,3 +83,29 @@ def test_compaction_reduces_file_count(spark, sf_oracle_dir):
     n_compact = len(glob.glob(os.path.join(root, "compact", "*.parquet")))
     assert n_frag == 64
     assert n_compact == 2
+
+
+def test_edgelist_datasource_grammar(spark, tmp_path):
+    """Custom Python DataSource: blank lines and # comments skip;
+    malformed lines raise (never silently drop edges); one input
+    partition per file so parallelism follows the file layout."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from bfs_mapreduce_spark.sources.edgelist_source import register_edgelist_source
+
+    register_edgelist_source(spark)
+    register_edgelist_source(spark)  # idempotent
+    d = tmp_path / "edges"
+    d.mkdir()
+    (d / "a.txt").write_text("# comment\n0 1\n\n1 2\n")
+    (d / "b.txt").write_text("2 3\n")
+    df = spark.read.format("edgelist").load(str(d))
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted((r.src, r.dst) for r in df.collect()) == [(0, 1), (1, 2), (2, 3)]
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("0 1 2\n")
+    import pytest as _pytest
+
+    with _pytest.raises(PythonException, match="expected 2 fields"):
+        spark.read.format("edgelist").load(str(bad)).collect()
