@@ -262,6 +262,65 @@ def q_graph_ecc_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLOSENESS_LANDMARKS = (0, 50, 100)
+
+
+@register(
+    "q_graph_closeness_landmarks",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    """
+    + ",\n    ".join(
+        f"""w{i}(id, dist) AS (
+      SELECT CAST({lm} AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT sym.dst, w{i}.dist + 1 FROM w{i} JOIN sym ON sym.src = w{i}.id
+      WHERE w{i}.dist < 20),
+    d{i} AS (SELECT id, MIN(dist) AS dist FROM w{i} GROUP BY id)"""
+        for i, lm in enumerate(_CLOSENESS_LANDMARKS)
+    )
+    + "\n    "
+    + "UNION ALL\n    ".join(
+        f"""SELECT CAST({lm} AS BIGINT) AS landmark,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           ROUND((COUNT(*) - 1) * 1.0 / SUM(dist), 6) AS closeness
+    FROM d{i}
+    """
+        for i, lm in enumerate(_CLOSENESS_LANDMARKS)
+    ),
+    doc="Landmark closeness centrality on the reference's smallG: one "
+    "BFS sweep per landmark (the standard landmark/pivot approximation "
+    "of all-pairs closeness — exact per landmark, sampled over "
+    "landmarks at scale), closeness = (reached-1)/sum(dist). Each "
+    "sweep is the same O(frontier)-per-round machinery as the ecc "
+    "query; sweeps over different landmarks are independent jobs a "
+    "cluster runs concurrently. Oracle = one recursive-CTE walk per "
+    "landmark over the same edge-list file.",
+)
+def q_graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = read_edge_list(spark, _SMALLG).localCheckpoint(eager=False)
+    parts = []
+    for lm in _CLOSENESS_LANDMARKS:
+        b = bfs(edges, source=lm, with_paths=False, reached_only=True)
+        parts.append(
+            b.agg(
+                F.lit(lm).cast("bigint").alias("landmark"),
+                F.count(F.lit(1)).alias("n_reached"),
+                F.sum("dist").alias("sum_dist"),
+                F.round(
+                    (F.count(F.lit(1)) - 1) / F.sum("dist"), 6
+                ).alias("closeness"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _KCORE_SMALLG_K = 8
 # Peeling depth for k=8 on smallG is 8 rounds (measured by a Python
 # Matula-Beck peel of the static file); unroll a couple extra — once
