@@ -22,6 +22,18 @@ merged-interval state per active (user, session); the stateful op
 keeps O(distinct users) counters partitioned by the groupBy key. All
 state lives in the executor state store, partitioned by key — nothing
 accumulates on the driver.
+
+API-generation note: Spark 4's next-generation arbitrary-state API
+(``transformWithStateInPandas`` / ``StatefulProcessor`` with typed
+state variables, timers, and TTL) is the successor to
+``applyInPandasWithState``. Its Python worker speaks protobuf to the
+JVM state server, and this container ships no ``google.protobuf``
+(verified: the processor initializes then the streaming runner dies
+with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError),
+so the engine keeps ``applyInPandasWithState`` — identical semantics
+for the running-counts operator here — and a transformWithState
+variant is a mechanical swap (groupBy().transformWithStateInPandas
+with a 3-method StatefulProcessor) once the dependency exists.
 """
 
 from __future__ import annotations
