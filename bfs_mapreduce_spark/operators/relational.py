@@ -862,6 +862,127 @@ def q_approx_pct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sketch_distinct_rollup",
+    oracle="""
+    SELECT l_returnflag AS scope,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'GLOBAL', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), TRUE
+    FROM lineitem
+    """,
+    doc="Mergeable-sketch rollup — the pattern that makes distinct "
+    "counts tractable at 100 TB: per-group HLL sketches "
+    "(hll_sketch_agg, Apache DataSketches) are built in ONE pass, "
+    "then the GLOBAL count comes from hll_union_agg over the tiny "
+    "per-group sketch table — never a second scan, and shards/days "
+    "stored as sketch columns union the same way. Emits the derived-"
+    "twin shape: exact counts (cross-checked by the oracle) plus a "
+    "BOOLEAN that every estimate sits within 3 standard errors "
+    "(default lgConfigK=12 → rse ~1.6%, bound 0.05).",
+)
+def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ok = lambda est, exact: (F.abs(est - exact) / exact <= F.lit(0.05))  # noqa: E731
+    per = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.hll_sketch_agg("l_partkey").alias("hs"),
+    ).localCheckpoint(eager=False)  # one row per group; feeds per-group + union
+    per_rows = per.select(
+        F.col("l_returnflag").alias("scope"),
+        "n_exact",
+        ok(F.hll_sketch_estimate("hs"), F.col("n_exact")).alias("within_bounds"),
+    )
+    glob = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("hs")).alias("est"))
+        .crossJoin(li.agg(F.countDistinct("l_partkey").alias("n_exact")))
+        .select(
+            F.lit("GLOBAL").alias("scope"),
+            "n_exact",
+            ok(F.col("est"), F.col("n_exact")).alias("within_bounds"),
+        )
+    )
+    return per_rows.unionByName(glob)
+
+
+@register(
+    "q_sketch_theta_kll",
+    oracle="""
+    WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+    inter AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM (
+        SELECT l_partkey FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+        GROUP BY l_partkey HAVING COUNT(*) = (SELECT COUNT(*) FROM flags)))
+    SELECT n_exact_inter, TRUE AS theta_inter_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n,
+           TRUE AS kll_p50_rank_ok
+    FROM inter
+    """,
+    doc="The other two DataSketches families the engine exposes: "
+    "Theta sketches support SET OPERATIONS on sketches — the "
+    "intersection of every return-flag's part set comes from "
+    "theta_intersection_agg over per-group sketches (at scale: "
+    "audience overlap across shards without materializing either "
+    "side); KLL quantile sketches give bounded-memory percentiles "
+    "whose returned value carries a rank guarantee (checked here: "
+    "the p50 value's true rank interval must intersect 0.5 ± 0.02, "
+    "default k=200 → rank error ~1.65%). The tiny per-group sketch "
+    "table is coalesced to one partition before the intersection agg "
+    "— an empty partial-aggregation buffer would represent the "
+    "infinite set (DataSketches raises on it).",
+)
+def q_sketch_theta_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy("l_returnflag")
+        .agg(F.theta_sketch_agg("l_partkey").alias("ts"))
+        .coalesce(1)
+    )
+    inter_est = per.agg(
+        F.theta_sketch_estimate(F.theta_intersection_agg("ts")).alias("est")
+    )
+    exact_inter = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .crossJoin(
+            F.broadcast(li.agg(F.countDistinct("l_returnflag").alias("n_flags")))
+        )
+        .filter(F.col("nf") == F.col("n_flags"))
+        .agg(F.count(F.lit(1)).alias("n_exact_inter"))
+    )
+    p50 = li.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("l_extendedprice"), F.lit(0.5)
+        ).alias("p50")
+    )
+    ranks = li.crossJoin(F.broadcast(p50)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_extendedprice") < F.col("p50")).cast("long")).alias("lt"),
+        F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("long")).alias("le"),
+    )
+    eps = 0.02
+    return (
+        exact_inter.crossJoin(F.broadcast(inter_est))
+        .crossJoin(F.broadcast(ranks))
+        .select(
+            "n_exact_inter",
+            (
+                F.abs(F.col("est") - F.col("n_exact_inter")) / F.col("n_exact_inter")
+                <= F.lit(0.05)
+            ).alias("theta_inter_ok"),
+            "n",
+            (
+                (F.col("lt") <= (0.5 + eps) * F.col("n"))
+                & (F.col("le") >= (0.5 - eps) * F.col("n"))
+            ).alias("kll_p50_rank_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- windows
 
 
