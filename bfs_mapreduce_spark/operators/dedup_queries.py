@@ -706,6 +706,81 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- substring dedup
+
+_SUB_L, _SUB_S = 40, 20  # window length / stride (chars)
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(CAST(ceil((length(text) - {_SUB_L} + 1) / {_SUB_S}.0) AS BIGINT)),
+               i -> substring(text, CAST(i*{_SUB_S}+1 AS INT), {_SUB_L}))) AS w
+      FROM documents WHERE length(text) >= {_SUB_L}),
+    d AS (SELECT DISTINCT doc_id, w FROM g),
+    n AS (SELECT doc_id, COUNT(*) AS n_windows FROM d GROUP BY doc_id),
+    rep AS (SELECT w FROM d GROUP BY w HAVING COUNT(*) > 1),
+    hit AS (SELECT doc_id, COUNT(*) AS n_repeated FROM d JOIN rep USING (w)
+            GROUP BY doc_id)
+    SELECT hit.doc_id, CAST(n_repeated AS BIGINT) AS n_repeated,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           ROUND(n_repeated * 1.0 / n_windows, 6) AS repeat_frac
+    FROM hit JOIN n USING (doc_id)
+    """,
+    doc="Character-level duplicated-substring detection (the signal "
+    "behind suffix-array substring dedup, Lee et al. 2022 "
+    "'Deduplicating Training Data Makes Language Models Better', "
+    "public method — approximated Spark-first with fixed strided "
+    "windows instead of a suffix array): 40-char windows at stride "
+    "20, a window counts as repeated when the identical span occurs "
+    "in more than one document, and each flagged doc reports its "
+    "repeated-window count and fraction (the span-removal candidate "
+    "list). Scale shape: one explode + distinct, one inverted-index "
+    "aggregate keyed on the window string, one join back — all "
+    "linear in total windows; the window strings never self-join "
+    "all-pairs. The word-level twins (ngram_jaccard, minhash) catch "
+    "reworded near-dups; this catches verbatim boilerplate spans "
+    "inside otherwise-distinct docs.",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _SUB_L
+    )
+    wins = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil((F.length("text") - _SUB_L + 1) / F.lit(float(_SUB_S))).cast(
+                "bigint"
+            )
+            - 1,
+        ),
+        lambda i: F.substring(
+            F.col("text"), (i * _SUB_S + 1).cast("int"), _SUB_L
+        ),
+    )
+    d = (
+        docs.select("doc_id", F.explode(wins).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds per-doc totals + the repeat index
+    )
+    n = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    rep = d.groupBy("w").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    hit = (
+        d.join(rep.select("w"), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_repeated"))
+    )
+    return hit.join(n, "doc_id").select(
+        "doc_id",
+        "n_repeated",
+        "n_windows",
+        F.round(F.col("n_repeated") / F.col("n_windows"), 6).alias("repeat_frac"),
+    )
+
+
 # ---------------------------------------------------------------- semantic dedup (SemDeDup)
 
 _SEMANTIC_TAU = 0.4
