@@ -880,3 +880,153 @@ def connected_components_star(
         .distinct()
     )
     return (labels, rounds) if return_rounds else labels
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 200
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph by the
+    forward-backward coloring algorithm with trimming (Orzan 2004 /
+    the FW-BW-Trim family — the standard distributed SCC method;
+    Tarjan's stack walk is inherently sequential and never an option
+    on a cluster).
+
+    Per pass over the remaining subgraph:
+
+    1. **Trim**: vertices with no in-edges or no out-edges inside the
+       remaining subgraph are singleton SCCs — peel them repeatedly
+       (removes the DAG fringe without any propagation).
+    2. **Color**: forward min-label propagation to fixpoint —
+       ``c(v)`` = smallest vertex that reaches v. Roots are vertices
+       with ``c(r) = r``; a root is the minimum of its own SCC (any
+       smaller SCC member would reach it).
+    3. **Backward mark**: from every root simultaneously, walk the
+       REVERSED edges restricted to the root's color; marked vertices
+       are mutually reachable with their root — exactly SCC(r) for
+       every root r, all extracted in one sweep.
+
+    Extracted vertices leave the subgraph; the loop repeats on the
+    rest (vertices colored by a root outside their own SCC). Output:
+    ``(v, scc_id)`` with scc_id = min member, matching a recursive-
+    closure oracle's canonical labels. ``max_rounds`` bounds TOTAL
+    propagation rounds across all phases (an adversarial long path
+    needs O(path) trim rounds; real condensations are shallow) — on
+    exhaustion the remainder is labeled NULL and a warning logged,
+    the same loud-truncation contract as ``bfs``.
+
+    Scale notes: every phase is frontier-style (messages flow along
+    edges, min/any aggregates, anti-joins against small marked sets);
+    per-round state is O(remaining vertices) and the edge table is
+    filtered once per pass, so cost tracks the surviving subgraph,
+    which shrinks by at least every root's SCC per pass.
+    """
+    e0 = (
+        edges.select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = (
+        e0.select(F.col("src").alias("v"))
+        .union(e0.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    done: DataFrame | None = None
+    rounds_left = max_rounds
+
+    def add(res: DataFrame, part: DataFrame) -> DataFrame:
+        return part if res is None else res.unionByName(part).localCheckpoint()
+
+    while rounds_left > 0:
+        n_rem = remaining.count()
+        if n_rem == 0:
+            break
+        e = (
+            e0.join(remaining.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        # --- trim the DAG fringe
+        trimmed_any = False
+        while rounds_left > 0:
+            rounds_left -= 1
+            srcs = e.select(F.col("src").alias("v")).distinct()
+            dsts = e.select(F.col("dst").alias("v")).distinct()
+            keep = srcs.join(dsts, "v", "left_semi")  # has both in and out edges
+            fringe = remaining.join(keep, "v", "left_anti").localCheckpoint()
+            n_fringe = fringe.count()
+            if n_fringe == 0:
+                break
+            trimmed_any = True
+            done = add(done, fringe.select("v", F.col("v").alias("scc_id")))
+            remaining = remaining.join(fringe, "v", "left_anti").localCheckpoint()
+            e = (
+                e.join(fringe.withColumnRenamed("v", "src"), "src", "left_anti")
+                .join(fringe.withColumnRenamed("v", "dst"), "dst", "left_anti")
+                .localCheckpoint()
+            )
+        if remaining.count() == 0 or rounds_left <= 0:
+            break
+        # --- forward min-label propagation to fixpoint
+        c = remaining.select("v", F.col("v").alias("c")).localCheckpoint()
+        while rounds_left > 0:
+            rounds_left -= 1
+            msgs = e.join(c.withColumnRenamed("v", "src"), "src").select(
+                F.col("dst").alias("v"), "c"
+            )
+            c2 = (
+                c.unionByName(msgs)
+                .groupBy("v")
+                .agg(F.min("c").alias("c"))
+                .localCheckpoint()
+            )
+            changed = (
+                c2.join(c.withColumnRenamed("c", "c_old"), "v")
+                .filter(F.col("c") < F.col("c_old"))
+                .limit(1)
+                .count()
+            )
+            c = c2
+            if changed == 0:
+                break
+        # --- backward mark within colors, from every root at once
+        mark = c.filter(F.col("v") == F.col("c")).localCheckpoint()
+        while rounds_left > 0:
+            rounds_left -= 1
+            # candidate u joins SCC(c(u)) only if it has an edge into an
+            # ALREADY-marked vertex of its own color (reversed-edge walk
+            # restricted to the color partition)
+            new = (
+                e.join(mark.select(F.col("v").alias("dst"), F.col("c").alias("mc")), "dst")
+                .select(F.col("src").alias("v"), "mc")
+                .join(c, "v")
+                .filter(F.col("c") == F.col("mc"))
+                .select("v", "c")
+                .distinct()
+                .join(mark.select("v"), "v", "left_anti")
+                .localCheckpoint()
+            )
+            if new.count() == 0:
+                break
+            mark = mark.unionByName(new).localCheckpoint()
+        done = add(done, mark.select("v", F.col("c").alias("scc_id")))
+        remaining = remaining.join(mark.select("v"), "v", "left_anti").localCheckpoint()
+        if not trimmed_any and mark.count() == 0:  # defensive: no progress
+            break
+    if rounds_left <= 0:
+        n_left = remaining.count()
+        if n_left:
+            logger.warning(
+                "strongly_connected_components: max_rounds=%d exhausted with "
+                "%d vertices unresolved; emitting NULL scc_id for them",
+                max_rounds,
+                n_left,
+            )
+            done = add(
+                done, remaining.select("v", F.lit(None).cast("bigint").alias("scc_id"))
+            )
+    return done

@@ -211,3 +211,74 @@ def test_bfs_stats_round_instrumentation(spark):
     # 3 discovery rounds + 1 empty terminating round, frontiers 1,1,1,0
     assert [f for _, f, _ in rounds] == [1, 1, 1, 0]
     assert all(sec >= 0 for _, _, sec in rounds)
+
+
+def _tarjan_scc(edges):
+    """Reference SCC labels (iterative Tarjan) — min member per SCC."""
+    verts = sorted({v for e in edges for v in e})
+    adj = {v: [] for v in verts}
+    for a, b in edges:
+        adj[a].append(b)
+    index, low, on, stack, out = {}, {}, set(), [], {}
+    counter = [0]
+    for start in verts:
+        if start in index:
+            continue
+        work = [(start, iter(adj[start]))]
+        index[start] = low[start] = counter[0]; counter[0] += 1
+        stack.append(start); on.add(start)
+        while work:
+            x, nbrs = work[-1]
+            advanced = False
+            for w in nbrs:
+                if w not in index:
+                    index[w] = low[w] = counter[0]; counter[0] += 1
+                    stack.append(w); on.add(w)
+                    work.append((w, iter(adj[w]))); advanced = True
+                    break
+                elif w in on:
+                    low[x] = min(low[x], index[w])
+            if not advanced:
+                work.pop()
+                if work:
+                    low[work[-1][0]] = min(low[work[-1][0]], low[x])
+                if low[x] == index[x]:
+                    comp = []
+                    while True:
+                        w = stack.pop(); on.discard(w); comp.append(w)
+                        if w == x:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        out[w] = m
+    return out
+
+
+def test_scc_matches_tarjan_on_random_digraphs(spark):
+    """strongly_connected_components (FW-BW coloring + trim) must
+    produce identical canonical labels (scc_id = min member) to an
+    independent sequential Tarjan on seeded random digraphs covering
+    cycles, DAG fringes, and disconnected pieces."""
+    import random
+
+    from bfs_mapreduce_spark.operators.graph import strongly_connected_components
+
+    rng = random.Random(1234)
+    for n, m in ((12, 18), (25, 50), (40, 60)):
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _tarjan_scc(edges)
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {r.v: r.scc_id for r in strongly_connected_components(df).collect()}
+        assert got == want, (n, m)
+
+
+def test_scc_pure_cycle_and_dag(spark):
+    from bfs_mapreduce_spark.operators.graph import strongly_connected_components
+
+    # 5-cycle plus a tail: cycle is one SCC rooted at its min, tail
+    # vertices trim away as singletons
+    edges = [(i, (i + 1) % 5) for i in range(5)] + [(5, 6), (6, 7), (4, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.v: r.scc_id for r in strongly_connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7}
