@@ -344,3 +344,61 @@ def q_scan_edgelist_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_vertices")
     )
+
+
+@register(
+    "q_scan_avro",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Avro ingestion end-to-end WITHOUT spark-avro (the external "
+    "module this environment genuinely lacks): the documents table is "
+    "staged as deflate-compressed Avro object-container files — one "
+    "file per source value, written by the engine's pure-Python "
+    "spec-conformant writer (sources/avro_py.py) — then read back "
+    "through spark.read.format('avro_py'), a custom Python DataSource "
+    "that parses the container header for the schema at planning time "
+    "and decodes blocks per file partition. The oracle recomputes the "
+    "aggregate from the original table, so the binary encoder AND "
+    "decoder (zigzag varints, unions, deflate blocks, sync markers) "
+    "sit inside the value hash. Same staging hygiene as "
+    "q_scan_binary_files: per-(process, sf-tag) directory, cleared "
+    "before each build; build() performs side-effecting driver work.",
+)
+def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources.avro_py import register_avro_source, write_avro
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_avro"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    schema = {
+        "type": "record",
+        "name": "document",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "source", "type": ["null", "string"]},
+            {"name": "n_chars", "type": "long"},
+        ],
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .toPandas()
+    )
+    for src, part in docs.groupby("source", dropna=False):
+        rows = part.to_dict("records")
+        write_avro(
+            os.path.join(root, f"docs_{src}.avro"), schema, rows, codec="deflate"
+        )
+    register_avro_source(spark)
+    df = spark.read.format("avro_py").load(root)
+    return df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

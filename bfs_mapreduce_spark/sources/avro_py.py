@@ -1,0 +1,362 @@
+"""Pure-Python Apache Avro Object Container File reader/writer, plus a
+Spark DataSource (``spark.read.format("avro_py")``).
+
+Why this exists: Spark's Avro support lives in the external
+``spark-avro`` module, which this environment does not ship (verified:
+no spark-avro jar anywhere on the machine, no network to fetch one,
+and no Python ``avro``/``fastavro`` either). Rather than leave the
+format dark, the engine implements the container format from the
+PUBLIC Avro specification (https://avro.apache.org/docs/current/
+specification/ — magic ``Obj\\x01``, metadata map with
+``avro.schema``/``avro.codec``, 16-byte sync marker, blocks of
+``(row_count, byte_size, payload, sync)``, zigzag-varint binary
+encoding) and plugs it into the same Spark 4 ``pyspark.sql.datasource``
+API as the edge-list source.
+
+Supported subset — enough for tabular interchange, with honest
+boundaries beyond it:
+
+- top-level ``record`` schemas whose fields are primitives (``null``,
+  ``boolean``, ``int``, ``long``, ``float``, ``double``, ``bytes``,
+  ``string``) or 2-branch nullable unions ``["null", <primitive>]``;
+- codecs ``null`` and ``deflate`` (raw zlib, per the spec);
+- anything else (nested records, arrays, maps, enums, fixed, other
+  codecs) raises ``NotImplementedError`` with the offending construct
+  named — never a silent misparse.
+
+Scale posture mirrors binaryFile/edgelist: one input partition per
+container file (an Avro corpus arrives as many files), rows decoded
+lazily per partition. The per-row Python decode is the on-ramp cost
+of a format the JVM lacks here; with the real spark-avro module on a
+cluster this source is swapped out wholesale, plans unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {
+    "null",
+    "boolean",
+    "int",
+    "long",
+    "float",
+    "double",
+    "bytes",
+    "string",
+}
+
+_SPARK_TYPES = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+# ---------------------------------------------------------------- binary primitives
+
+
+def _write_long(n: int) -> bytes:
+    """Zigzag + little-endian base-128 varint (spec 'binary encoding')."""
+    n = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise ValueError("truncated varint")
+        b = raw[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise ValueError(f"truncated bytes: want {n}, got {len(data)}")
+    return data
+
+
+# ---------------------------------------------------------------- schema handling
+
+
+def _normalize_field_type(t) -> tuple[str, bool]:
+    """→ (primitive_name, nullable). Raises on unsupported constructs."""
+    if isinstance(t, str):
+        if t not in _PRIMITIVES:
+            raise NotImplementedError(f"avro type {t!r} not supported")
+        return t, t == "null"
+    if isinstance(t, list):
+        if len(t) == 2 and "null" in t:
+            other = t[0] if t[1] == "null" else t[1]
+            if not isinstance(other, str) or other not in _PRIMITIVES:
+                raise NotImplementedError(f"unsupported union {t!r}")
+            return other, True
+        raise NotImplementedError(f"unsupported union {t!r}")
+    raise NotImplementedError(f"complex avro type {t!r} not supported")
+
+
+def _record_fields(schema: dict) -> list[tuple[str, str, bool]]:
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise NotImplementedError("only top-level record schemas supported")
+    out = []
+    for f in schema["fields"]:
+        prim, nullable = _normalize_field_type(f["type"])
+        out.append((f["name"], prim, nullable))
+    return out
+
+
+def spark_ddl(schema: dict) -> str:
+    """Avro record schema → Spark DDL string (for DataSource.schema)."""
+    cols = []
+    for name, prim, _null in _record_fields(schema):
+        if prim == "null":
+            raise NotImplementedError("bare-null field has no Spark type")
+        cols.append(f"{name} {_SPARK_TYPES[prim]}")
+    return ", ".join(cols)
+
+
+# ---------------------------------------------------------------- value codecs
+
+
+def _decode_value(buf: io.BytesIO, prim: str, nullable: bool):
+    if nullable:
+        branch = _read_long(buf)
+        if branch not in (0, 1):
+            raise ValueError(f"bad union branch {branch}")
+        # spec: branch indexes the union list; ours is ["null", prim]
+        if branch == 0:
+            return None
+    if prim == "null":
+        return None
+    if prim == "boolean":
+        return buf.read(1) == b"\x01"
+    if prim in ("int", "long"):
+        return _read_long(buf)
+    if prim == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if prim == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if prim == "bytes":
+        return _read_bytes(buf)
+    if prim == "string":
+        return _read_bytes(buf).decode("utf-8")
+    raise NotImplementedError(prim)
+
+
+def _encode_value(out: bytearray, value, prim: str, nullable: bool) -> None:
+    if nullable:
+        if value is None:
+            out += _write_long(0)
+            return
+        out += _write_long(1)
+    elif value is None:
+        raise ValueError(f"None for non-nullable {prim} field")
+    if prim == "boolean":
+        out += b"\x01" if value else b"\x00"
+    elif prim in ("int", "long"):
+        out += _write_long(int(value))
+    elif prim == "float":
+        out += struct.pack("<f", value)
+    elif prim == "double":
+        out += struct.pack("<d", value)
+    elif prim == "bytes":
+        out += _write_long(len(value)) + bytes(value)
+    elif prim == "string":
+        b = value.encode("utf-8")
+        out += _write_long(len(b)) + b
+    else:
+        raise NotImplementedError(prim)
+
+
+# ---------------------------------------------------------------- container file
+
+
+def _read_meta_map(buf: io.BytesIO) -> dict[str, bytes]:
+    meta: dict[str, bytes] = {}
+    while True:
+        count = _read_long(buf)
+        if count == 0:
+            return meta
+        if count < 0:  # negative count is followed by the block byte size
+            count = -count
+            _read_long(buf)
+        for _ in range(count):
+            key = _read_bytes(buf).decode("utf-8")
+            meta[key] = _read_bytes(buf)
+
+
+def read_avro_header(path: str) -> tuple[dict, str, bytes, int]:
+    """→ (schema, codec, sync_marker, header_end_offset)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container (bad magic)")
+    meta = _read_meta_map(buf)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise ValueError("truncated sync marker")
+    return schema, codec, sync, buf.tell()
+
+
+def read_avro(path: str) -> tuple[dict, list[dict]]:
+    """Decode a whole container file → (schema, rows as dicts)."""
+    schema, codec, sync, offset = read_avro_header(path)
+    fields = _record_fields(schema)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = io.BytesIO(f.read())
+    rows: list[dict] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        count = _read_long(buf)
+        payload = _read_bytes(buf)
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)  # raw deflate per spec
+        block = io.BytesIO(payload)
+        for _ in range(count):
+            rows.append(
+                {name: _decode_value(block, prim, nul) for name, prim, nul in fields}
+            )
+        if block.read(1):
+            raise ValueError(f"{path}: trailing bytes inside block")
+    return schema, rows
+
+
+def write_avro(
+    path: str,
+    schema: dict,
+    rows: list[dict],
+    codec: str = "null",
+    rows_per_block: int = 1000,
+) -> None:
+    """Write a container file (spec-conformant; sync marker derived
+    deterministically from the path so staging is reproducible)."""
+    import hashlib
+
+    fields = _record_fields(schema)
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
+    sync = hashlib.md5(path.encode("utf-8")).digest()
+    out = bytearray()
+    out += MAGIC
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    out += _write_long(len(meta))
+    for k, v in meta.items():
+        kb = k.encode("utf-8")
+        out += _write_long(len(kb)) + kb + _write_long(len(v)) + v
+    out += _write_long(0)
+    out += sync
+    for i in range(0, len(rows), rows_per_block):
+        chunk = rows[i : i + rows_per_block]
+        body = bytearray()
+        for row in chunk:
+            for name, prim, nul in fields:
+                _encode_value(body, row.get(name), prim, nul)
+        payload = bytes(body)
+        if codec == "deflate":
+            comp = zlib.compressobj(wbits=-15)
+            payload = comp.compress(payload) + comp.flush()
+        out += _write_long(len(chunk)) + _write_long(len(payload)) + payload + sync
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+# ---------------------------------------------------------------- Spark DataSource
+
+
+def _glob(path: str) -> list[str]:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.avro")))
+    return sorted(glob.glob(path)) or [path]
+
+
+class AvroPyDataSource(DataSource):
+    """``spark.read.format("avro_py").load(path_or_glob)`` — schema is
+    read from the first file's header at planning time."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_py"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("avro_py source requires a path")
+        files = _glob(path)
+        schema, _codec, _sync, _off = read_avro_header(files[0])
+        return spark_ddl(schema)
+
+    def reader(self, schema) -> "AvroPyReader":
+        return AvroPyReader(self.options)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AvroPyReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("avro_py source requires a path")
+
+    def partitions(self):
+        return [_FilePartition(p) for p in _glob(self._path)]
+
+    def read(self, partition: _FilePartition):
+        schema, rows = read_avro(partition.path)
+        fields = _record_fields(schema)
+        for row in rows:
+            yield tuple(row[name] for name, _p, _n in fields)
+
+
+def register_avro_source(spark) -> None:
+    """Idempotent per-session registration (same contract as the
+    edgelist source)."""
+    if not getattr(spark, "_avro_py_source_registered", False):
+        spark.dataSource.register(AvroPyDataSource)
+        spark._avro_py_source_registered = True

@@ -109,3 +109,89 @@ def test_edgelist_datasource_grammar(spark, tmp_path):
 
     with _pytest.raises(PythonException, match="expected 2 fields"):
         spark.read.format("edgelist").load(str(bad)).collect()
+
+
+def test_avro_py_roundtrip_and_goldens(tmp_path):
+    """Pure-Python Avro container: spec varint goldens, round-trip of
+    every supported primitive + nullable unions under both codecs, and
+    honest failures on unsupported constructs / corrupt files."""
+    import pytest as _pytest
+
+    from bfs_mapreduce_spark.sources.avro_py import (
+        _write_long,
+        read_avro,
+        spark_ddl,
+        write_avro,
+    )
+
+    # spec binary-encoding examples (Avro specification, 'Primitive Types')
+    assert _write_long(0) == b"\x00"
+    assert _write_long(-1) == b"\x01"
+    assert _write_long(1) == b"\x02"
+    assert _write_long(-64) == b"\x7f"
+    assert _write_long(64) == b"\x80\x01"
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": "boolean"},
+            {"name": "e", "type": "bytes"},
+        ],
+    }
+    rows = [
+        {"a": -(2**40), "b": "héllo", "c": 2.5, "d": True, "e": b"\x00\xff"},
+        {"a": 7, "b": None, "c": -1e300, "d": False, "e": b""},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_avro(p, schema, rows, codec=codec)
+        got_schema, got = read_avro(p)
+        assert got_schema == schema and got == rows
+    assert spark_ddl(schema) == "a bigint, b string, c double, d boolean, e binary"
+
+    with _pytest.raises(NotImplementedError, match="complex avro type"):
+        write_avro(
+            str(tmp_path / "x.avro"),
+            {"type": "record", "name": "x",
+             "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]},
+            [],
+        )
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(b"NOPE" + b"\x00" * 32)
+    with _pytest.raises(ValueError, match="bad magic"):
+        read_avro(str(bad))
+    # corrupt a sync marker → loud failure, not silent rows
+    p = tmp_path / "sync.avro"
+    write_avro(str(p), schema, rows)
+    data = bytearray(p.read_bytes())
+    data[-1] ^= 0xFF
+    p.write_bytes(bytes(data))
+    with _pytest.raises(ValueError, match="sync marker mismatch"):
+        read_avro(str(p))
+
+
+def test_avro_py_datasource(spark, tmp_path):
+    """The avro_py DataSource reads a directory of container files with
+    one partition per file and the header-derived schema."""
+    from bfs_mapreduce_spark.sources.avro_py import register_avro_source, write_avro
+
+    register_avro_source(spark)
+    register_avro_source(spark)  # idempotent
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    write_avro(str(tmp_path / "a.avro"), schema, [{"id": 1, "s": "x"}, {"id": 2, "s": None}])
+    write_avro(str(tmp_path / "b.avro"), schema, [{"id": 3, "s": "y"}], codec="deflate")
+    df = spark.read.format("avro_py").load(str(tmp_path))
+    assert df.schema.simpleString() == "struct<id:bigint,s:string>"
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted((r.id, r.s) for r in df.collect()) == [(1, "x"), (2, None), (3, "y")]
