@@ -1260,3 +1260,76 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_id").alias("n_eval_docs_hit"),
         )
     )
+
+
+# ---------------------------------------------------------------- DSIR selection
+
+_DSIR_B = 1024  # hashed n-gram feature buckets
+_DSIR_K = 100  # selected docs
+
+
+@register(
+    "q_sample_dsir",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 15))::BIGINT % {_DSIR_B} AS bkt
+          FROM tok),
+    tcnt AS (SELECT bkt, COUNT(*) AS c FROM b WHERE doc_id % 20 = 0 GROUP BY bkt),
+    rcnt AS (SELECT bkt, COUNT(*) AS c FROM b WHERE doc_id % 20 <> 0 GROUP BY bkt),
+    tt AS (SELECT SUM(c) AS t FROM tcnt),
+    rt AS (SELECT SUM(c) AS t FROM rcnt),
+    scored AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(LN((COALESCE(tc.c, 0) + 1.0) / (tt.t + {_DSIR_B}))
+                     - LN((COALESCE(rc.c, 0) + 1.0) / (rt.t + {_DSIR_B}))), 6)
+               AS dsir_weight
+      FROM b LEFT JOIN tcnt tc USING (bkt) LEFT JOIN rcnt rc USING (bkt)
+             CROSS JOIN tt CROSS JOIN rt
+      WHERE b.doc_id % 20 <> 0
+      GROUP BY b.doc_id)
+    SELECT doc_id, n_tokens, dsir_weight FROM scored
+    ORDER BY dsir_weight DESC, doc_id LIMIT {_DSIR_K}
+    """,
+    doc="Data Selection via Importance Resampling (DSIR — Xie et al. "
+    "2023, public method): hashed unigram features over "
+    f"{_DSIR_B} buckets (the oracle-reproducible 60-bit md5 hash), "
+    "add-1-smoothed bucket distributions estimated from a target "
+    "split (doc_id % 20 == 0, the same stand-in benchmark split "
+    "q_text_decontaminate uses) and from the raw pool, and each raw "
+    "doc scored by its mean log importance ratio "
+    "ln p_target(b)/p_raw(b) — the top-K most target-like docs "
+    "selected deterministically (TakeOrderedAndProject on the rounded "
+    "weight). Scale shape: the bucket tables are fixed-width "
+    "(broadcastable at any corpus size), the token join is the "
+    "stopword-skew case AQE splits, and corpus totals fold in as "
+    "one-row crossJoins — no driver-side counts.",
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint") % _DSIR_B
+    tok = docs.select("doc_id", F.explode(_words()).alias("w")).select(
+        "doc_id", hv.alias("bkt")
+    ).localCheckpoint(eager=False)  # feeds both distributions + scoring
+    is_target = F.col("doc_id") % 20 == 0
+    tcnt = tok.filter(is_target).groupBy("bkt").agg(F.count(F.lit(1)).alias("tc"))
+    rcnt = tok.filter(~is_target).groupBy("bkt").agg(F.count(F.lit(1)).alias("rc"))
+    tt = tcnt.agg(F.sum("tc").alias("tt"))
+    rt = rcnt.agg(F.sum("rc").alias("rt"))
+    ratio = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tt") + _DSIR_B)
+    ) - F.log((F.coalesce(F.col("rc"), F.lit(0)) + 1.0) / (F.col("rt") + _DSIR_B))
+    return (
+        tok.filter(~is_target)
+        .join(F.broadcast(tcnt), "bkt", "left")
+        .join(F.broadcast(rcnt), "bkt", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(ratio), 6).alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
