@@ -52,6 +52,11 @@ def synthesize_graph(name: str, n: int, m: int, out_dir: str) -> str:
     BFS reaches every vertex (the reference's graphs are connected).
     Deterministic per (name, n, m); written as parquet in row-group
     sized chunks so the Spark scan parallelizes."""
+    if m < n - 1:
+        raise ValueError(
+            f"graph {name!r}: need m >= n-1 edges for the connectivity "
+            f"backbone (got n={n}, m={m})"
+        )
     path = os.path.join(out_dir, f"{name}.parquet")
     if os.path.exists(path):
         return path

@@ -105,8 +105,13 @@ def _explain(args: argparse.Namespace) -> int:
 
 
 def _parse_graph_spec(spec: str) -> tuple[str, int, int]:
-    name, n, m = spec.split(":")
-    return name, int(n), int(m)
+    try:
+        name, n, m = spec.split(":")
+        return name, int(n), int(m)
+    except ValueError:
+        raise SystemExit(
+            f"--graph expects NAME:N_VERTICES:M_EDGES, got {spec!r}"
+        ) from None
 
 
 def _bench_graph(args: argparse.Namespace) -> int:

@@ -15,9 +15,11 @@ Cost per batch: O(batch) signature work + a bucket equi-join against
 the store — never O(corpus). The store parquet is written partitioned
 by band so the candidate join prunes to matching band directories.
 
-Exactness contract (tested): running batches through this path yields
-exactly the pairs the batch LSH finds on the full corpus, restricted
-to pairs that involve at least one new document.
+Exactness contract (tested, including under hot-bucket skew):
+running batches through this path yields exactly the pairs — values,
+star markers, and the max_bucket_rows skew guard included — that the
+batch LSH finds on the full corpus, restricted to pairs that involve
+at least one new document.
 """
 
 from __future__ import annotations
@@ -82,16 +84,34 @@ def ingest_batch(
     store_path: str,
     threshold: float = 0.5,
     append: bool = True,
+    max_bucket_rows: int = 64,
 ) -> DataFrame:
     """Near-dup pairs introduced by ``new_docs`` — against the store
     AND within the batch — then (optionally) fold the batch into the
-    store. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    store. Returns ``(doc_a, doc_b, jaccard, star)`` with doc_a <
+    doc_b — the SAME schema, hot-bucket star-link semantics, and skew
+    guard as the batch ``minhash_lsh_pairs``, by construction: the
+    candidate stage IS ``lsh_candidates`` run over every bucket a new
+    document touches (the store side semi-joins to those (band, h)
+    keys, so bucket membership — and therefore the hot/cold decision
+    at ``max_bucket_rows`` — is identical to what the full-corpus
+    batch run sees). Pairs between two already-stored documents are
+    then dropped: they were reportable in an earlier batch. The one
+    deliberate asymmetry: a bucket an old canonical shares with the
+    batch may emit old-canonical→old-member star links — those
+    involve no new document and are excluded by the contract, exactly
+    like any other old-old pair.
+
+    Cost per batch stays O(batch × matching-bucket sizes), never
+    O(corpus): only buckets containing a new document are aggregated.
 
     Replay-safe: doc_ids already present in the store are anti-joined
     out of the batch first, so re-ingesting a document (a replayed
     batch, an at-least-once upstream) neither duplicates its store rows
     nor re-reports its pairs.
     """
+    from bfs_mapreduce_spark.operators.dedup_queries import lsh_candidates
+
     old_bands = spark.read.parquet(f"{store_path}/bands")
     old_sh = spark.read.parquet(f"{store_path}/shingles")
 
@@ -99,25 +119,26 @@ def ingest_batch(
     new_bands, new_sh = _signatures(new_docs.join(known, "doc_id", "left_anti"))
     new_bands = new_bands.localCheckpoint()
     new_sh = new_sh.localCheckpoint()
+    new_ids = new_sh.select("doc_id")
 
-    nb = new_bands.alias("n")
-    # candidates: new x store (band-partition-pruned join) ...
-    cand_cross = nb.join(
-        old_bands.alias("o"),
-        (F.col("n.band") == F.col("o.band")) & (F.col("n.h") == F.col("o.h")),
-    ).select(
-        F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
-        F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+    # full membership of every bucket the batch touches (the store
+    # side prunes by the band partitioning + broadcastable key set)
+    touched = new_bands.select("band", "h").distinct()
+    relevant = old_bands.join(touched, ["band", "h"], "left_semi").unionByName(
+        new_bands
     )
-    # ... plus new x new (within-batch duplicates)
-    cand_self = nb.join(
-        new_bands.alias("m"),
-        (F.col("n.band") == F.col("m.band"))
-        & (F.col("n.h") == F.col("m.h"))
-        & (F.col("n.doc_id") < F.col("m.doc_id")),
-    ).select(F.col("n.doc_id").alias("doc_a"), F.col("m.doc_id").alias("doc_b"))
-    candidates = (
-        cand_cross.filter(F.col("doc_a") != F.col("doc_b")).unionByName(cand_self).distinct()
+    candidates = lsh_candidates(relevant, max_bucket_rows=max_bucket_rows)
+    # keep pairs involving at least one NEW doc (old-old pairs were
+    # reportable when their second member arrived)
+    cand_new = (
+        candidates.join(new_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .unionByName(
+            candidates.join(
+                new_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+            )
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("star").alias("star"))
     )
 
     all_sh = old_sh.unionByName(new_sh)
@@ -127,10 +148,11 @@ def ingest_batch(
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
     pairs = (
-        candidates.join(sa, "doc_a")
+        cand_new.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # star links bypass the threshold, exactly as in the batch form
+        .filter((jac >= threshold) | F.col("star"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"), "star")
         .localCheckpoint()  # materialize BEFORE mutating the store
     )
 

@@ -400,10 +400,15 @@ def minhash_lsh_pairs(
     canonical representative instead of forming all pairs, bounding
     candidate generation linearly in bucket size.
     """
+    if not 0 < n_hashes <= len(_MINHASH_AB):
+        raise ValueError(f"n_hashes must be in 1..{len(_MINHASH_AB)}")
+    if n_hashes % rows_per_band:
+        raise ValueError("rows_per_band must divide n_hashes")
     # shingle arrays feed both the signature agg (via explode) and the
     # verify step directly — one checkpointed materialization, no
     # collect_set rebuild (at scale this is the layer you'd write to
-    # parquet between pipeline stages)
+    # parquet between pipeline stages); parameters validated FIRST so
+    # a bad call never launches the (eager) shingle job
     sh = shingle_arrays(docs).localCheckpoint()
     # The band table has exactly ONE consumer (lsh_candidates' bucket
     # aggregation), so it stays lazy: signature agg → band explode →
@@ -484,9 +489,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "because r=2/b=32 banding puts P(miss | j=0.5) at ~1e-4 per pair "
     "and minhash is deterministic (fixed seed), so on a given corpus "
     "the row either always matches or the banding is miswired. "
-    "Verified-pair precision is structural (every LSH pair passes the "
-    "same exact-Jaccard filter the oracle set uses), so n_lsh_verified "
-    "== n_exact iff recall is total.",
+    "n_lsh_verified counts the INTERSECTION with the exact set "
+    "(n_exact - n_missed structurally): the two sides use different "
+    "candidate generators — the exact query's df<=100 stop-shingle "
+    "cap can omit a pair whose every shared shingle is hot while LSH "
+    "still finds it — so LSH-only extras are recall-irrelevant and "
+    "deliberately excluded rather than reddening the row. A corpus "
+    "with no exact pairs reports recall 1.0 (vacuous, not NULL).",
 )
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -503,17 +512,20 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
+    hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh_verified")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_lsh_verified")))
         .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed")))
         .select(
             "n_exact",
             "n_lsh_verified",
             "n_missed",
-            F.round(F.lit(1.0) - F.col("n_missed") / F.col("n_exact"), 6).alias(
-                "recall"
-            ),
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(F.lit(1.0) - F.col("n_missed") / F.col("n_exact"), 6)
+            )
+            .alias("recall"),
         )
     )
 

@@ -973,6 +973,7 @@ def strongly_connected_components(
             break
         # --- forward min-label propagation to fixpoint
         c = remaining.select("v", F.col("v").alias("c")).localCheckpoint()
+        colors_converged = False
         while rounds_left > 0:
             rounds_left -= 1
             msgs = e.join(c.withColumnRenamed("v", "src"), "src").select(
@@ -992,7 +993,17 @@ def strongly_connected_components(
             )
             c = c2
             if changed == 0:
+                colors_converged = True
                 break
+        if not colors_converged:
+            # A cut-short coloring would surface FALSE roots (vertices
+            # the true min label has not yet reached) and emit wrong
+            # scc_ids — bail to the NULL-label truncation branch below
+            # instead of extracting from it. (The backward phase has no
+            # such hazard: a partial mark only ever contains vertices
+            # already proven mutually reachable with their root.)
+            rounds_left = 0
+            break
         # --- backward mark within colors, from every root at once
         mark = c.filter(F.col("v") == F.col("c")).localCheckpoint()
         while rounds_left > 0:

@@ -106,29 +106,35 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
 # ---------------------------------------------------------------- schema handling
 
 
-def _normalize_field_type(t) -> tuple[str, bool]:
-    """→ (primitive_name, nullable). Raises on unsupported constructs."""
+def _normalize_field_type(t) -> tuple[str, int | None]:
+    """→ (primitive_name, null_branch). ``null_branch`` is None for a
+    plain primitive, else the INDEX of "null" in the union — branch
+    indices address the union list as declared in the file's schema
+    (spec 'Unions'), so ["null", long] and ["long", "null"] decode
+    differently and both must round-trip faithfully. Raises on
+    unsupported constructs."""
     if isinstance(t, str):
         if t not in _PRIMITIVES:
             raise NotImplementedError(f"avro type {t!r} not supported")
-        return t, t == "null"
+        return t, None
     if isinstance(t, list):
         if len(t) == 2 and "null" in t:
-            other = t[0] if t[1] == "null" else t[1]
+            null_branch = t.index("null")
+            other = t[1 - null_branch]
             if not isinstance(other, str) or other not in _PRIMITIVES:
                 raise NotImplementedError(f"unsupported union {t!r}")
-            return other, True
+            return other, null_branch
         raise NotImplementedError(f"unsupported union {t!r}")
     raise NotImplementedError(f"complex avro type {t!r} not supported")
 
 
-def _record_fields(schema: dict) -> list[tuple[str, str, bool]]:
+def _record_fields(schema: dict) -> list[tuple[str, str, int | None]]:
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise NotImplementedError("only top-level record schemas supported")
     out = []
     for f in schema["fields"]:
-        prim, nullable = _normalize_field_type(f["type"])
-        out.append((f["name"], prim, nullable))
+        prim, null_branch = _normalize_field_type(f["type"])
+        out.append((f["name"], prim, null_branch))
     return out
 
 
@@ -145,24 +151,30 @@ def spark_ddl(schema: dict) -> str:
 # ---------------------------------------------------------------- value codecs
 
 
-def _decode_value(buf: io.BytesIO, prim: str, nullable: bool):
-    if nullable:
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    data = buf.read(n)
+    if len(data) != n:
+        raise ValueError(f"truncated value: want {n} bytes, got {len(data)}")
+    return data
+
+
+def _decode_value(buf: io.BytesIO, prim: str, null_branch: int | None):
+    if null_branch is not None:
         branch = _read_long(buf)
         if branch not in (0, 1):
             raise ValueError(f"bad union branch {branch}")
-        # spec: branch indexes the union list; ours is ["null", prim]
-        if branch == 0:
+        if branch == null_branch:
             return None
     if prim == "null":
         return None
     if prim == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1) == b"\x01"
     if prim in ("int", "long"):
         return _read_long(buf)
     if prim == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if prim == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if prim == "bytes":
         return _read_bytes(buf)
     if prim == "string":
@@ -170,12 +182,12 @@ def _decode_value(buf: io.BytesIO, prim: str, nullable: bool):
     raise NotImplementedError(prim)
 
 
-def _encode_value(out: bytearray, value, prim: str, nullable: bool) -> None:
-    if nullable:
+def _encode_value(out: bytearray, value, prim: str, null_branch: int | None) -> None:
+    if null_branch is not None:
         if value is None:
-            out += _write_long(0)
+            out += _write_long(null_branch)
             return
-        out += _write_long(1)
+        out += _write_long(1 - null_branch)
     elif value is None:
         raise ValueError(f"None for non-nullable {prim} field")
     if prim == "boolean":
@@ -326,6 +338,8 @@ class AvroPyDataSource(DataSource):
         if not path:
             raise ValueError("avro_py source requires a path")
         files = _glob(path)
+        if not files:
+            raise ValueError(f"avro_py: no .avro files found under {path!r}")
         schema, _codec, _sync, _off = read_avro_header(files[0])
         return spark_ddl(schema)
 

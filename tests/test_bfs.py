@@ -282,3 +282,24 @@ def test_scc_pure_cycle_and_dag(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r.v: r.scc_id for r in strongly_connected_components(df).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7}
+
+
+def test_scc_truncation_yields_null_not_wrong(spark, caplog):
+    """Exhausting max_rounds mid-color-propagation must NEVER extract
+    from the non-converged coloring (false roots would get concrete
+    WRONG scc_ids): the remainder is labeled NULL with a warning."""
+    import logging
+
+    from bfs_mapreduce_spark.operators.graph import strongly_connected_components
+
+    n = 40
+    edges = [(i, (i + 1) % n) for i in range(n)]  # one n-cycle: one SCC, min 0
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with caplog.at_level(logging.WARNING, logger="bfs_mapreduce_spark.operators.graph"):
+        out = {
+            r.v: r.scc_id
+            for r in strongly_connected_components(df, max_rounds=10).collect()
+        }
+    assert any("max_rounds" in r.message for r in caplog.records)
+    assert set(out) == set(range(n))
+    assert all(s is None for s in out.values())  # NULL, never a wrong id

@@ -106,3 +106,44 @@ def test_semantic_incremental_matches_batch(spark, sf_oracle_dir, tmp_path):
     again = _sem_pairs(ingest_semantic_batch(spark, second, store))
     assert again == set()
     assert spark.read.parquet(f"{store}/vectors").count() == n_rows
+
+
+def test_incremental_matches_batch_under_skew(spark, tmp_path):
+    """The skew case the batch path guards: a >max_bucket_rows hot
+    cluster split across two batches. Incremental ingestion must
+    reproduce the batch output — star links on the bucket canonical
+    (linear, never the quadratic within-bucket pair set), with the
+    star marker and below-threshold star exemption intact — restricted
+    to pairs involving a batch-2 document."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again today"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = (
+        [(d, boiler) for d in range(300)]
+        + [(1000, base + " nu"), (1001, base + " xi")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").withColumns(
+        {"lang": F.lit("en"), "source": F.lit("t"), "n_chars": F.length("text")}
+    )
+    first = docs.filter((F.col("doc_id") < 150) | (F.col("doc_id") == 1000))
+    second = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 1000) | (F.col("doc_id") == 1001))
+
+    from bfs_mapreduce_spark.operators.dedup_queries import minhash_lsh_pairs
+
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["star"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    new_ids = {r.doc_id for r in second.select("doc_id").collect()}
+    want = {p: v for p, v in full.items() if p[0] in new_ids or p[1] in new_ids}
+
+    store = str(tmp_path / "skewstore")
+    init_store(spark, first, store)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["star"])
+        for r in ingest_batch(spark, second, store).collect()
+    }
+    assert got == want
+    # the hot cluster contributed star links on the canonical only —
+    # candidates stayed linear in the batch's bucket membership
+    hot_pairs = [p for p in got if p[1] < 1000]
+    assert all(a == 0 for a, _ in hot_pairs)

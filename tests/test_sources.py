@@ -160,6 +160,28 @@ def test_avro_py_roundtrip_and_goldens(tmp_path):
              "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]},
             [],
         )
+    # union branch indices address the union AS DECLARED: a reversed
+    # [prim, "null"] union from an external writer must round-trip,
+    # not silently misparse
+    rev = {
+        "type": "record",
+        "name": "rev",
+        "fields": [{"name": "a", "type": ["long", "null"]}],
+    }
+    pr = str(tmp_path / "rev.avro")
+    write_avro(pr, rev, [{"a": 5}, {"a": None}])
+    assert read_avro(pr)[1] == [{"a": 5}, {"a": None}]
+
+    # truncated fixed-width values raise, never default (booleans
+    # previously decoded b"" as False)
+    import io as _io
+
+    from bfs_mapreduce_spark.sources.avro_py import _decode_value
+
+    for prim, width in (("boolean", 1), ("float", 4), ("double", 8)):
+        with _pytest.raises(ValueError, match="truncated value"):
+            _decode_value(_io.BytesIO(b""), prim, None)
+
     bad = tmp_path / "bad.avro"
     bad.write_bytes(b"NOPE" + b"\x00" * 32)
     with _pytest.raises(ValueError, match="bad magic"):
