@@ -263,3 +263,33 @@ def test_dedup_semantic_pairs_join_on_cell(spark, sf_oracle_dir):
         ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
         for l in joins
     ), plan
+
+
+def test_q6_pushes_everything_into_the_scan(spark, sf_oracle_dir):
+    """TPC-H Q6 is the pushdown poster child: shipdate range and
+    quantity cap reach the parquet scan, only the 4 needed columns are
+    read, and the single aggregate needs no hash Exchange (partial
+    rows feed one final agg)."""
+    plan = _plan(CATALOG["q6_forecast_revenue"].build(spark, sf_oracle_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_returnflag", "l_partkey", "l_orderkey", "l_tax"):
+        assert col not in read_schema, read_schema
+
+
+def test_q8_snowflake_broadcasts_every_dimension(spark, sf_oracle_dir):
+    """Seven-table snowflake: every dimension side is broadcast —
+    the fact table never shuffles for a dim join; the only hash
+    Exchange is the final per-year aggregate."""
+    plan = _plan(CATALOG["q8_market_share"].build(spark, sf_oracle_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q15_reuses_one_revenue_aggregate(spark, sf_oracle_dir):
+    """The scalar-subquery max must come from the SAME materialized
+    revenue aggregate (localCheckpoint barrier), not a second scan of
+    lineitem: the final plan shows no lineitem parquet scan at all."""
+    plan = _plan(CATALOG["q15_top_supplier"].build(spark, sf_oracle_dir))
+    assert "lineitem" not in plan, plan[:2000]
