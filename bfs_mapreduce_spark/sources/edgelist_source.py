@@ -24,7 +24,12 @@ malformed raises rather than silently dropping edges.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class EdgeListDataSource(DataSource):
@@ -39,6 +44,9 @@ class EdgeListDataSource(DataSource):
 
     def reader(self, schema) -> "EdgeListReader":
         return EdgeListReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "EdgeListStreamReader":
+        return EdgeListStreamReader(self.options)
 
 
 class _FilePartition(InputPartition):
@@ -64,17 +72,7 @@ class EdgeListReader(DataSourceReader):
         return [_FilePartition(p) for p in paths]
 
     def read(self, partition: _FilePartition):
-        with open(partition.path, encoding="utf-8") as f:
-            for lineno, line in enumerate(f, 1):
-                s = line.strip()
-                if not s or s.startswith("#"):
-                    continue
-                parts = s.split()
-                if len(parts) != 2:
-                    raise ValueError(
-                        f"{partition.path}:{lineno}: expected 2 fields, got {len(parts)}"
-                    )
-                yield int(parts[0]), int(parts[1])
+        yield from _parse_edge_file(partition.path)
 
 
 def register_edgelist_source(spark) -> None:
@@ -84,3 +82,59 @@ def register_edgelist_source(spark) -> None:
     if not done:
         spark.dataSource.register(EdgeListDataSource)
         spark._edgelist_source_registered = True
+
+
+def _parse_edge_file(path: str):
+    with open(path, encoding="utf-8") as f:
+        for lineno, line in enumerate(f, 1):
+            s = line.strip()
+            if not s or s.startswith("#"):
+                continue
+            parts = s.split()
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 2 fields, got {len(parts)}"
+                )
+            yield int(parts[0]), int(parts[1])
+
+
+class EdgeListStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the edgelist source: each micro-batch delivers
+    the edges of files that arrived since the last offset. Offsets are
+    the sorted seen-file list (names, not content — files are expected
+    immutable once written, the object-storage contract), so restart
+    recovery and ``readBetweenOffsets`` replay are exact."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("edgelist source requires a path")
+        self._path = path
+
+    def _files(self) -> list[str]:
+        import glob
+        import os
+
+        if os.path.isdir(self._path):
+            return sorted(glob.glob(os.path.join(self._path, "*")))
+        return sorted(glob.glob(self._path))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        files = self._files()
+        seen = set(start["files"])
+        rows: list[tuple[int, int]] = []
+        for p in files:
+            if p not in seen:
+                rows.extend(_parse_edge_file(p))
+        return iter(rows), {"files": files}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start["files"])
+        rows: list[tuple[int, int]] = []
+        for p in end["files"]:
+            if p not in seen:
+                rows.extend(_parse_edge_file(p))
+        return iter(rows)

@@ -525,3 +525,70 @@ def q_stream_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["doc_id"])
     )
     return run_stream(pii_mask_frame(s), output_mode="append")
+
+
+_SMALLG_FILE = "/root/reference/datasets/smallG.txt"
+_EDGE_CHUNKS = 5
+
+
+def stage_edge_chunks(n_chunks: int = _EDGE_CHUNKS) -> str:
+    """Split the reference's smallG edge list into ``n_chunks`` files —
+    the arriving-files shape the streaming edgelist source consumes.
+    Idempotent per process."""
+    out = os.path.join(_STAGE_ROOT, f"edge_chunks_{n_chunks}")
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        lines = [
+            ln for ln in open(_SMALLG_FILE, encoding="utf-8").read().splitlines() if ln.strip()
+        ]
+        per = (len(lines) + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = lines[i * per : (i + 1) * per]
+            with open(os.path.join(out, f"chunk_{i}.txt"), "w", encoding="utf-8") as f:
+                f.write("\n".join(chunk) + "\n")
+        open(marker, "w").close()
+    return out
+
+
+@register(
+    "q_stream_edgelist_degree",
+    oracle=f"""
+    WITH e AS (SELECT src, dst FROM read_csv('{_SMALLG_FILE}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    sym AS (SELECT src, dst FROM e WHERE src <> dst
+            UNION SELECT dst, src FROM e WHERE src <> dst),
+    deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY src)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY degree
+    """,
+    doc="The STREAMING half of the custom Python DataSource API "
+    "(SimpleDataSourceStreamReader): smallG staged as arriving chunk "
+    "files, read with spark.readStream.format('edgelist') — offsets "
+    "are the seen-file list, so restart recovery and offset-range "
+    "replay are exact — then symmetrize → dedup → degree histogram in "
+    "complete mode. Shares q_scan_edgelist_source's oracle: the batch "
+    "and streaming reader of the same source must land on identical "
+    "results over the same file bytes.",
+)
+def q_stream_edgelist_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources.edgelist_source import register_edgelist_source
+
+    register_edgelist_source(spark)
+    chunks = stage_edge_chunks()
+    e = spark.readStream.format("edgelist").load(chunks)
+    sym = e.filter(F.col("src") != F.col("dst")).unionByName(
+        e.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    # ONE stateful operator: parallel-edge dedup folds into the
+    # collect_set aggregate (a dropDuplicates + two aggregates would
+    # chain stateful ops, which streaming without watermarks rejects);
+    # the tiny degree→count histogram runs on the batch result.
+    deg = sym.groupBy("src").agg(F.size(F.collect_set("dst")).alias("degree"))
+    got = run_stream(deg, output_mode="complete")
+    return got.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
