@@ -101,9 +101,17 @@ def _parse_edge_file(path: str):
 class EdgeListStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the edgelist source: each micro-batch delivers
     the edges of files that arrived since the last offset. Offsets are
-    the sorted seen-file list (names, not content — files are expected
-    immutable once written, the object-storage contract), so restart
-    recovery and ``readBetweenOffsets`` replay are exact."""
+    the sorted seen-file list — names, not content: files are expected
+    immutable once written AND retained (the object-storage contract;
+    deleting a committed file breaks offset-range replay exactly as it
+    does for Spark's own file source). The offset carries every
+    ever-seen name forward (union with the current listing), so a file
+    that transiently vanishes from an eventually-consistent listing is
+    never re-ingested as duplicates when it reappears. A nonexistent
+    path or a glob matching nothing raises (the batch reader's
+    contract: misconfiguration fails loudly, never an empty-forever
+    stream) — an EXISTING empty directory is the one legitimate
+    empty start, since arriving files are the entire point."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -117,19 +125,26 @@ class EdgeListStreamReader(SimpleDataSourceStreamReader):
 
         if os.path.isdir(self._path):
             return sorted(glob.glob(os.path.join(self._path, "*")))
-        return sorted(glob.glob(self._path))
+        found = sorted(glob.glob(self._path))
+        if not found:
+            raise FileNotFoundError(
+                f"edgelist stream: no such path or no matches: {self._path!r}"
+            )
+        return found
 
     def initialOffset(self) -> dict:
+        self._files()  # misconfigured path fails at stream start, not silently
         return {"files": []}
 
     def read(self, start: dict):
-        files = self._files()
         seen = set(start["files"])
+        new = [p for p in self._files() if p not in seen]
         rows: list[tuple[int, int]] = []
-        for p in files:
-            if p not in seen:
-                rows.extend(_parse_edge_file(p))
-        return iter(rows), {"files": files}
+        for p in new:
+            rows.extend(_parse_edge_file(p))
+        # union, not the raw listing: ever-seen names persist in the
+        # offset even through a transient listing blip
+        return iter(rows), {"files": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start["files"])

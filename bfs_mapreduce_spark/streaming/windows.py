@@ -578,10 +578,9 @@ def q_stream_edgelist_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_edgelist_source(spark)
     chunks = stage_edge_chunks()
     e = spark.readStream.format("edgelist").load(chunks)
-    sym = e.filter(F.col("src") != F.col("dst")).unionByName(
-        e.filter(F.col("src") != F.col("dst")).select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        )
+    fwd = e.filter(F.col("src") != F.col("dst"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # ONE stateful operator: parallel-edge dedup folds into the
     # collect_set aggregate (a dropDuplicates + two aggregates would

@@ -217,3 +217,77 @@ def test_avro_py_datasource(spark, tmp_path):
     assert df.schema.simpleString() == "struct<id:bigint,s:string>"
     assert df.rdd.getNumPartitions() == 2
     assert sorted((r.id, r.s) for r in df.collect()) == [(1, "x"), (2, None), (3, "y")]
+
+
+def test_edgelist_stream_offset_protocol(tmp_path):
+    """Unit-level exercise of the streaming offset protocol the class
+    docstring promises: incremental arrival delivers only new files,
+    readBetweenOffsets replays exactly what the live read emitted, a
+    transiently-vanished file stays in the offset (never re-ingested),
+    and a misconfigured path fails loudly at stream start."""
+    import os
+
+    import pytest as _pytest
+
+    from bfs_mapreduce_spark.sources.edgelist_source import EdgeListStreamReader
+
+    d = tmp_path / "watch"
+    d.mkdir()
+    r = EdgeListStreamReader({"path": str(d)})
+    o0 = r.initialOffset()  # empty existing dir: legitimate start
+    (d / "a.txt").write_text("0 1\n1 2\n")
+    rows1, o1 = r.read(o0)
+    assert sorted(rows1) == [(0, 1), (1, 2)]
+    (d / "b.txt").write_text("2 3\n")
+    rows2, o2 = r.read(o1)
+    assert sorted(rows2) == [(2, 3)]  # only the new file
+    # replay parity with the live batches
+    assert sorted(r.readBetweenOffsets(o0, o1)) == [(0, 1), (1, 2)]
+    assert sorted(r.readBetweenOffsets(o1, o2)) == [(2, 3)]
+    # transient listing blip: a committed file vanishing then
+    # reappearing must NOT be re-ingested
+    os.rename(d / "a.txt", tmp_path / "a.hidden")
+    rows3, o3 = r.read(o2)
+    assert list(rows3) == []
+    os.rename(tmp_path / "a.hidden", d / "a.txt")
+    rows4, _o4 = r.read(o3)
+    assert list(rows4) == []  # a.txt still in the carried-forward offset
+
+    with _pytest.raises(FileNotFoundError, match="no such path"):
+        EdgeListStreamReader({"path": str(tmp_path / "typo")}).initialOffset()
+
+
+def test_edgelist_stream_restart_recovery(spark, tmp_path):
+    """Engine-level restart: run an availableNow pass, add a file, run
+    again against the SAME checkpoint — the second pass must deliver
+    only the new file's edges (no re-ingestion, no loss)."""
+    from bfs_mapreduce_spark.sources.edgelist_source import register_edgelist_source
+
+    register_edgelist_source(spark)
+    d = tmp_path / "watch"
+    d.mkdir()
+    (d / "a.txt").write_text("0 1\n1 2\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("edgelist")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(
+        (r.src, r.dst) for r in spark.read.parquet(out).collect()
+    ) == [(0, 1), (1, 2)]
+    (d / "b.txt").write_text("2 3\n")
+    run_once()
+    assert sorted(
+        (r.src, r.dst) for r in spark.read.parquet(out).collect()
+    ) == [(0, 1), (1, 2), (2, 3)]
