@@ -883,7 +883,7 @@ def connected_components_star(
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_rounds: int = 200
+    edges: DataFrame, max_rounds: int = 200, stats: dict | None = None
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph by the
     forward-backward coloring algorithm with trimming (Orzan 2004 /
@@ -937,11 +937,22 @@ def strongly_connected_components(
     )
     done: DataFrame | None = None
     rounds_left = max_rounds
+    if stats is not None:
+        stats["phases"] = []  # (pass_no, phase, rounds_used, seconds)
+
+    def _note(pass_no: int, phase: str, used: int, t0: float) -> None:
+        if stats is not None:
+            stats["phases"].append(
+                (pass_no, phase, used, round(time.perf_counter() - t0, 3))
+            )
+
+    pass_no = 0
 
     def add(res: DataFrame, part: DataFrame) -> DataFrame:
         return part if res is None else res.unionByName(part).localCheckpoint()
 
     while rounds_left > 0:
+        pass_no += 1
         n_rem = remaining.count()
         if n_rem == 0:
             break
@@ -952,13 +963,14 @@ def strongly_connected_components(
         )
         # --- trim the DAG fringe
         trimmed_any = False
+        _t0, _r0 = time.perf_counter(), rounds_left
         while rounds_left > 0:
             rounds_left -= 1
             srcs = e.select(F.col("src").alias("v")).distinct()
             dsts = e.select(F.col("dst").alias("v")).distinct()
             keep = srcs.join(dsts, "v", "left_semi")  # has both in and out edges
-            fringe = remaining.join(keep, "v", "left_anti").localCheckpoint()
-            n_fringe = fringe.count()
+            fringe = remaining.join(keep, "v", "left_anti").localCheckpoint(eager=False)
+            n_fringe = fringe.count()  # materializes the lazy checkpoint
             if n_fringe == 0:
                 break
             trimmed_any = True
@@ -969,9 +981,11 @@ def strongly_connected_components(
                 .join(fringe.withColumnRenamed("v", "dst"), "dst", "left_anti")
                 .localCheckpoint()
             )
+        _note(pass_no, "trim", _r0 - rounds_left, _t0)
         if remaining.count() == 0 or rounds_left <= 0:
             break
         # --- forward min-label propagation to fixpoint
+        _t0, _r0 = time.perf_counter(), rounds_left
         c = remaining.select("v", F.col("v").alias("c")).localCheckpoint()
         colors_converged = False
         while rounds_left > 0:
@@ -979,22 +993,29 @@ def strongly_connected_components(
             msgs = e.join(c.withColumnRenamed("v", "src"), "src").select(
                 F.col("dst").alias("v"), "c"
             )
+            # ONE job per round: the new labels carry a changed flag
+            # (vs the old label) inside the lazily-checkpointed frame,
+            # and the full count of changed rows both materializes the
+            # checkpoint and answers the fixpoint test — the previous
+            # separate checkpoint job + change-probe job were the
+            # dominant per-round cost (2 jobs x ~90 color rounds at
+            # the sf0.1 profile).
             c2 = (
                 c.unionByName(msgs)
                 .groupBy("v")
                 .agg(F.min("c").alias("c"))
-                .localCheckpoint()
+                .join(
+                    c.withColumnRenamed("c", "c_old"), "v"
+                )
+                .select("v", "c", (F.col("c") < F.col("c_old")).alias("chg"))
+                .localCheckpoint(eager=False)
             )
-            changed = (
-                c2.join(c.withColumnRenamed("c", "c_old"), "v")
-                .filter(F.col("c") < F.col("c_old"))
-                .limit(1)
-                .count()
-            )
-            c = c2
+            changed = c2.filter("chg").count()  # full count: materializes every partition
+            c = c2.select("v", "c")
             if changed == 0:
                 colors_converged = True
                 break
+        _note(pass_no, "color", _r0 - rounds_left, _t0)
         if not colors_converged:
             # A cut-short coloring would surface FALSE roots (vertices
             # the true min label has not yet reached) and emit wrong
@@ -1005,12 +1026,14 @@ def strongly_connected_components(
             rounds_left = 0
             break
         # --- backward mark within colors, from every root at once
+        _t0, _r0 = time.perf_counter(), rounds_left
         mark = c.filter(F.col("v") == F.col("c")).localCheckpoint()
         while rounds_left > 0:
             rounds_left -= 1
             # candidate u joins SCC(c(u)) only if it has an edge into an
             # ALREADY-marked vertex of its own color (reversed-edge walk
-            # restricted to the color partition)
+            # restricted to the color partition); lazy checkpoint — the
+            # emptiness count materializes it in the same job
             new = (
                 e.join(mark.select(F.col("v").alias("dst"), F.col("c").alias("mc")), "dst")
                 .select(F.col("src").alias("v"), "mc")
@@ -1019,11 +1042,12 @@ def strongly_connected_components(
                 .select("v", "c")
                 .distinct()
                 .join(mark.select("v"), "v", "left_anti")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             if new.count() == 0:
                 break
-            mark = mark.unionByName(new).localCheckpoint()
+            mark = mark.unionByName(new).localCheckpoint(eager=False)
+        _note(pass_no, "backward", _r0 - rounds_left, _t0)
         done = add(done, mark.select("v", F.col("c").alias("scc_id")))
         remaining = remaining.join(mark.select("v"), "v", "left_anti").localCheckpoint()
         if not trimmed_any and mark.count() == 0:  # defensive: no progress
