@@ -718,6 +718,53 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_ann_recall",
+    oracle="""
+    WITH exact AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS precision_exact,
+           TRUE AS recall_ge_08
+    FROM exact
+    """,
+    doc="Derived oracle-paired twin of q_dedup_embedding_ann (whose "
+    "hyperplane bucketing is not SQL-expressible) — the last of the "
+    "six rows-only queries to gain an externally-certified contract "
+    "row: emits the exact >=0.4-cosine pair count (oracle-recomputed), "
+    "a BOOLEAN that every ANN pair is a subset of the exact set "
+    "(precision 1.0 — the verify step is exact cosine), and a BOOLEAN "
+    "that pair recall clears the 0.8 floor tests/test_dedup.py "
+    "asserts. Deterministic: seeded hyperplanes, so on a given corpus "
+    "the row either always matches or the bucket plumbing broke.",
+)
+def q_dedup_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        q_dedup_embedding_cosine(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)  # feeds the count + both joins
+    )
+    ann = (
+        q_dedup_embedding_ann(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    extras = ann.join(exact, ["vec_a", "vec_b"], "left_anti")
+    hits = ann.join(exact, ["vec_a", "vec_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(extras.agg(F.count(F.lit(1)).alias("_n_extra")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_exact",
+            (F.col("_n_extra") == 0).alias("precision_exact"),
+            (F.col("_n_hit") / F.col("n_exact") >= F.lit(0.8)).alias("recall_ge_08"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- substring dedup
 
 _SUB_L, _SUB_S = 40, 20  # window length / stride (chars)
