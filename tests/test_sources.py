@@ -291,3 +291,55 @@ def test_edgelist_stream_restart_recovery(spark, tmp_path):
     assert sorted(
         (r.src, r.dst) for r in spark.read.parquet(out).collect()
     ) == [(0, 1), (1, 2), (2, 3)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# "float" is exercised in the unit tests with f32-representable values;
+# arbitrary doubles would legitimately lose precision through the
+# 4-byte encoding, which is Avro semantics, not a round-trip bug.
+_AVRO_PRIMS = {
+    "boolean": st.booleans(),
+    "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "double": st.floats(allow_nan=False, width=64),
+    "bytes": st.binary(max_size=40),
+    "string": st.text(max_size=40),
+}
+
+
+@st.composite
+def _avro_schema_and_rows(draw):
+    n_fields = draw(st.integers(min_value=1, max_value=5))
+    fields, row_strats = [], {}
+    for i in range(n_fields):
+        prim = draw(st.sampled_from(sorted(_AVRO_PRIMS)))
+        nullable = draw(st.booleans())
+        reversed_union = draw(st.booleans())
+        if nullable:
+            t = [prim, "null"] if reversed_union else ["null", prim]
+            strat = st.none() | _AVRO_PRIMS[prim]
+        else:
+            t, strat = prim, _AVRO_PRIMS[prim]
+        fields.append({"name": f"f{i}", "type": t})
+        row_strats[f"f{i}"] = strat
+    rows = draw(st.lists(st.fixed_dictionaries(row_strats), max_size=8))
+    return {"type": "record", "name": "t", "fields": fields}, rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=_avro_schema_and_rows(), codec=st.sampled_from(["null", "deflate"]))
+def test_avro_py_roundtrip_property(tmp_path_factory, data, codec):
+    """Property: ANY record schema in the supported subset (all
+    primitives, nullable unions in either declaration order) round-trips
+    exactly under both codecs — floats bit-for-bit, bytes/strings
+    verbatim, None through the right union branch."""
+    from bfs_mapreduce_spark.sources.avro_py import read_avro, write_avro
+
+    schema, rows = data
+    p = str(tmp_path_factory.mktemp("avroprop") / "t.avro")
+    write_avro(p, schema, rows, codec=codec)
+    got_schema, got = read_avro(p)
+    assert got_schema == schema
+    assert got == rows
