@@ -919,6 +919,13 @@ def strongly_connected_components(
     per-round state is O(remaining vertices) and the edge table is
     filtered once per pass, so cost tracks the surviving subgraph,
     which shrinks by at least every root's SCC per pass.
+
+    Pass a dict as ``stats`` for per-pass instrumentation:
+    ``stats["phases"]`` = list of ``(pass_no, phase, rounds, seconds)``
+    with phase in {trim, color, backward} — at the sf0.01/0.1 profile
+    the color fixpoint dominates (its round count tracks the internal
+    diameter of the largest surviving SCC), which is why each color
+    round fuses the fixpoint test into the checkpoint job.
     """
     e0 = (
         edges.select(
