@@ -760,7 +760,9 @@ def q_dedup_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_exact",
             (F.col("_n_extra") == 0).alias("precision_exact"),
-            (F.col("_n_hit") / F.col("n_exact") >= F.lit(0.8)).alias("recall_ge_08"),
+            F.when(F.col("n_exact") == 0, F.lit(True))
+            .otherwise(F.col("_n_hit") / F.col("n_exact") >= F.lit(0.8))
+            .alias("recall_ge_08"),
         )
     )
 

@@ -927,18 +927,20 @@ def strongly_connected_components(
     diameter of the largest surviving SCC), which is why each color
     round fuses the fixpoint test into the checkpoint job.
     """
+    e_raw = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    )
     e0 = (
-        edges.select(
-            F.col("src").cast("bigint").alias("src"),
-            F.col("dst").cast("bigint").alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
+        e_raw.filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
+    # Vertex set from the UNFILTERED input: a vertex whose only edges are
+    # self-loops is a valid singleton SCC and must still get an output row.
     remaining = (
-        e0.select(F.col("src").alias("v"))
-        .union(e0.select(F.col("dst").alias("v")))
+        e_raw.select(F.col("src").alias("v"))
+        .union(e_raw.select(F.col("dst").alias("v")))
         .distinct()
         .localCheckpoint()
     )

@@ -402,3 +402,78 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "q_scan_avro_complex",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars + n_chars % 10) AS BIGINT) AS sum_chunks,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Avro COMPLEX types end-to-end through the pure-Python source "
+    "(sources/avro_py.py — round-8 extension: array/map/enum/fixed "
+    "per the public spec's 'Complex Types'): documents are staged "
+    "with lang as a nullable ENUM (symbols collected at staging "
+    "time), an ARRAY<long> of derived chunks, a MAP<string,long> of "
+    "counters, and a FIXED(4) big-endian doc_id digest, then read "
+    "back and re-derived with JVM expressions (aggregate() over the "
+    "array, element_at on the map, hex→conv on the fixed bytes). The "
+    "oracle recomputes every reconstructed value from the original "
+    "table, so array block framing, map key decode, enum index "
+    "resolution, and fixed-width byte passthrough all sit inside the "
+    "value hash.",
+)
+def q_scan_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    from bfs_mapreduce_spark.sources.avro_py import register_avro_source, write_avro
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_avro_cx"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .toPandas()
+    )
+    symbols = sorted({s for s in docs["lang"].dropna().unique()}) or ["und"]
+    schema = {
+        "type": "record",
+        "name": "document_cx",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "lang", "type": ["null", {
+                "type": "enum", "name": "Lang", "symbols": symbols}]},
+            {"name": "chunks", "type": {"type": "array", "items": "long"}},
+            {"name": "counters", "type": {"type": "map", "values": "long"}},
+            {"name": "digest", "type": {"type": "fixed", "name": "d4", "size": 4}},
+        ],
+    }
+    for src, part in docs.groupby("source", dropna=False):
+        rows = [
+            {
+                "doc_id": int(r.doc_id),
+                "lang": None if r.lang is None else str(r.lang),
+                "chunks": [int(r.n_chars), int(r.n_chars) % 10],
+                "counters": {"chars": int(r.n_chars)},
+                "digest": _struct.pack(">I", int(r.doc_id) & 0xFFFFFFFF),
+            }
+            for r in part.itertuples()
+        ]
+        write_avro(
+            os.path.join(root, f"docs_{src}.avro"), schema, rows, codec="deflate"
+        )
+    register_avro_source(spark)
+    df = spark.read.format("avro_py").load(root)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.element_at("counters", F.lit("chars"))).alias("sum_chars"),
+        F.sum(F.expr("aggregate(chunks, 0L, (a, x) -> a + x)")).alias("sum_chunks"),
+        F.sum(F.conv(F.hex("digest"), 16, 10).cast("bigint")).alias("sum_doc_id"),
+    )

@@ -16,13 +16,16 @@ API as the edge-list source.
 Supported subset — enough for tabular interchange, with honest
 boundaries beyond it:
 
-- top-level ``record`` schemas whose fields are primitives (``null``,
-  ``boolean``, ``int``, ``long``, ``float``, ``double``, ``bytes``,
-  ``string``) or 2-branch nullable unions ``["null", <primitive>]``;
+- top-level ``record`` schemas whose field types are primitives
+  (``null``, ``boolean``, ``int``, ``long``, ``float``, ``double``,
+  ``bytes``, ``string``), 2-branch nullable unions
+  ``["null", <type>]`` (either declared order), ``array``/``map``
+  (recursively, so array-of-array and map-of-nullable-long work),
+  ``enum`` (→ Spark string), and ``fixed`` (→ Spark binary);
 - codecs ``null`` and ``deflate`` (raw zlib, per the spec);
-- anything else (nested records, arrays, maps, enums, fixed, other
-  codecs) raises ``NotImplementedError`` with the offending construct
-  named — never a silent misparse.
+- anything else (nested records, non-null unions, other codecs)
+  raises ``NotImplementedError`` with the offending construct named —
+  never a silent misparse.
 
 Scale posture mirrors binaryFile/edgelist: one input partition per
 container file (an Avro corpus arrives as many files), rows decoded
@@ -104,48 +107,80 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
 
 
 # ---------------------------------------------------------------- schema handling
+#
+# Type descriptors — small tagged tuples, parsed once per file at
+# header time, walked per value at decode time:
+#   ("prim", name)                  primitive
+#   ("union", null_branch, inner)   2-branch nullable union; branch
+#                                   indices address the union AS
+#                                   DECLARED (spec 'Unions'), so
+#                                   ["null", long] and ["long", "null"]
+#                                   decode differently
+#   ("array", items_desc)           → Spark array<...>
+#   ("map", values_desc)            → Spark map<string,...>
+#   ("enum", (symbols...))          → Spark string
+#   ("fixed", size)                 → Spark binary
 
 
-def _normalize_field_type(t) -> tuple[str, int | None]:
-    """→ (primitive_name, null_branch). ``null_branch`` is None for a
-    plain primitive, else the INDEX of "null" in the union — branch
-    indices address the union list as declared in the file's schema
-    (spec 'Unions'), so ["null", long] and ["long", "null"] decode
-    differently and both must round-trip faithfully. Raises on
-    unsupported constructs."""
+def _parse_type(t):
     if isinstance(t, str):
         if t not in _PRIMITIVES:
             raise NotImplementedError(f"avro type {t!r} not supported")
-        return t, None
+        return ("prim", t)
     if isinstance(t, list):
         if len(t) == 2 and "null" in t:
             null_branch = t.index("null")
-            other = t[1 - null_branch]
-            if not isinstance(other, str) or other not in _PRIMITIVES:
-                raise NotImplementedError(f"unsupported union {t!r}")
-            return other, null_branch
+            inner = _parse_type(t[1 - null_branch])
+            return ("union", null_branch, inner)
         raise NotImplementedError(f"unsupported union {t!r}")
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array":
+            return ("array", _parse_type(t["items"]))
+        if kind == "map":
+            return ("map", _parse_type(t["values"]))
+        if kind == "enum":
+            symbols = tuple(t["symbols"])
+            if not symbols:
+                raise ValueError("enum with no symbols")
+            return ("enum", symbols)
+        if kind == "fixed":
+            return ("fixed", int(t["size"]))
+        if isinstance(kind, str) and kind in _PRIMITIVES:
+            return ("prim", kind)  # {"type": "long"} wrapper form is legal
+        raise NotImplementedError(f"complex avro type {t!r} not supported")
     raise NotImplementedError(f"complex avro type {t!r} not supported")
 
 
-def _record_fields(schema: dict) -> list[tuple[str, str, int | None]]:
+def _record_fields(schema: dict) -> list[tuple[str, tuple]]:
+    """→ [(field_name, type_descriptor)] for a top-level record."""
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise NotImplementedError("only top-level record schemas supported")
-    out = []
-    for f in schema["fields"]:
-        prim, null_branch = _normalize_field_type(f["type"])
-        out.append((f["name"], prim, null_branch))
-    return out
+    return [(f["name"], _parse_type(f["type"])) for f in schema["fields"]]
+
+
+def _ddl_type(desc: tuple) -> str:
+    kind = desc[0]
+    if kind == "prim":
+        if desc[1] == "null":
+            raise NotImplementedError("bare-null field has no Spark type")
+        return _SPARK_TYPES[desc[1]]
+    if kind == "union":
+        return _ddl_type(desc[2])
+    if kind == "array":
+        return f"array<{_ddl_type(desc[1])}>"
+    if kind == "map":
+        return f"map<string,{_ddl_type(desc[1])}>"
+    if kind == "enum":
+        return "string"
+    if kind == "fixed":
+        return "binary"
+    raise NotImplementedError(desc)
 
 
 def spark_ddl(schema: dict) -> str:
     """Avro record schema → Spark DDL string (for DataSource.schema)."""
-    cols = []
-    for name, prim, _null in _record_fields(schema):
-        if prim == "null":
-            raise NotImplementedError("bare-null field has no Spark type")
-        cols.append(f"{name} {_SPARK_TYPES[prim]}")
-    return ", ".join(cols)
+    return ", ".join(f"{name} {_ddl_type(d)}" for name, d in _record_fields(schema))
 
 
 # ---------------------------------------------------------------- value codecs
@@ -158,53 +193,132 @@ def _read_exact(buf: io.BytesIO, n: int) -> bytes:
     return data
 
 
-def _decode_value(buf: io.BytesIO, prim: str, null_branch: int | None):
-    if null_branch is not None:
+def _decode_value(buf: io.BytesIO, desc: tuple):
+    kind = desc[0]
+    if kind == "union":
         branch = _read_long(buf)
         if branch not in (0, 1):
             raise ValueError(f"bad union branch {branch}")
-        if branch == null_branch:
+        if branch == desc[1]:
             return None
-    if prim == "null":
-        return None
-    if prim == "boolean":
-        return _read_exact(buf, 1) == b"\x01"
-    if prim in ("int", "long"):
-        return _read_long(buf)
-    if prim == "float":
-        return struct.unpack("<f", _read_exact(buf, 4))[0]
-    if prim == "double":
-        return struct.unpack("<d", _read_exact(buf, 8))[0]
-    if prim == "bytes":
-        return _read_bytes(buf)
-    if prim == "string":
-        return _read_bytes(buf).decode("utf-8")
-    raise NotImplementedError(prim)
-
-
-def _encode_value(out: bytearray, value, prim: str, null_branch: int | None) -> None:
-    if null_branch is not None:
-        if value is None:
-            out += _write_long(null_branch)
-            return
-        out += _write_long(1 - null_branch)
-    elif value is None:
-        raise ValueError(f"None for non-nullable {prim} field")
-    if prim == "boolean":
-        out += b"\x01" if value else b"\x00"
-    elif prim in ("int", "long"):
-        out += _write_long(int(value))
-    elif prim == "float":
-        out += struct.pack("<f", value)
-    elif prim == "double":
-        out += struct.pack("<d", value)
-    elif prim == "bytes":
-        out += _write_long(len(value)) + bytes(value)
-    elif prim == "string":
-        b = value.encode("utf-8")
-        out += _write_long(len(b)) + b
-    else:
+        return _decode_value(buf, desc[2])
+    if kind == "prim":
+        prim = desc[1]
+        if prim == "null":
+            return None
+        if prim == "boolean":
+            return _read_exact(buf, 1) == b"\x01"
+        if prim in ("int", "long"):
+            return _read_long(buf)
+        if prim == "float":
+            return struct.unpack("<f", _read_exact(buf, 4))[0]
+        if prim == "double":
+            return struct.unpack("<d", _read_exact(buf, 8))[0]
+        if prim == "bytes":
+            return _read_bytes(buf)
+        if prim == "string":
+            return _read_bytes(buf).decode("utf-8")
         raise NotImplementedError(prim)
+    if kind == "array":
+        # spec 'Complex Types — arrays': series of blocks, each a count
+        # then that many items; a NEGATIVE count is followed by the
+        # block's byte size (fast-skip hint) and means abs(count) items;
+        # a zero count terminates.
+        items = desc[1]
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)  # block byte size — decoded, not needed
+            for _ in range(n):
+                out.append(_decode_value(buf, items))
+    if kind == "map":
+        values = desc[1]
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                key = _read_bytes(buf).decode("utf-8")
+                out[key] = _decode_value(buf, values)
+    if kind == "enum":
+        i = _read_long(buf)
+        symbols = desc[1]
+        if not 0 <= i < len(symbols):
+            raise ValueError(f"enum index {i} out of range (|symbols|={len(symbols)})")
+        return symbols[i]
+    if kind == "fixed":
+        return _read_exact(buf, desc[1])
+    raise NotImplementedError(desc)
+
+
+def _encode_value(out: bytearray, value, desc: tuple) -> None:
+    kind = desc[0]
+    if kind == "union":
+        if value is None:
+            out += _write_long(desc[1])
+            return
+        out += _write_long(1 - desc[1])
+        _encode_value(out, value, desc[2])
+        return
+    if kind == "prim" and desc[1] == "null":
+        return
+    if value is None:
+        raise ValueError(f"None for non-nullable {desc} field")
+    if kind == "prim":
+        prim = desc[1]
+        if prim == "boolean":
+            out += b"\x01" if value else b"\x00"
+        elif prim in ("int", "long"):
+            out += _write_long(int(value))
+        elif prim == "float":
+            out += struct.pack("<f", value)
+        elif prim == "double":
+            out += struct.pack("<d", value)
+        elif prim == "bytes":
+            out += _write_long(len(value)) + bytes(value)
+        elif prim == "string":
+            b = value.encode("utf-8")
+            out += _write_long(len(b)) + b
+        else:
+            raise NotImplementedError(prim)
+        return
+    if kind == "array":
+        if value:
+            out += _write_long(len(value))
+            for item in value:
+                _encode_value(out, item, desc[1])
+        out += _write_long(0)
+        return
+    if kind == "map":
+        if value:
+            out += _write_long(len(value))
+            for key, v in value.items():
+                kb = key.encode("utf-8")
+                out += _write_long(len(kb)) + kb
+                _encode_value(out, v, desc[1])
+        out += _write_long(0)
+        return
+    if kind == "enum":
+        try:
+            out += _write_long(desc[1].index(value))
+        except ValueError:
+            raise ValueError(f"enum value {value!r} not in symbols {desc[1]}")
+        return
+    if kind == "fixed":
+        b = bytes(value)
+        if len(b) != desc[1]:
+            raise ValueError(f"fixed size mismatch: want {desc[1]}, got {len(b)}")
+        out += b
+        return
+    raise NotImplementedError(desc)
 
 
 # ---------------------------------------------------------------- container file
@@ -263,9 +377,7 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
             payload = zlib.decompress(payload, -15)  # raw deflate per spec
         block = io.BytesIO(payload)
         for _ in range(count):
-            rows.append(
-                {name: _decode_value(block, prim, nul) for name, prim, nul in fields}
-            )
+            rows.append({name: _decode_value(block, d) for name, d in fields})
         if block.read(1):
             raise ValueError(f"{path}: trailing bytes inside block")
     return schema, rows
@@ -302,8 +414,8 @@ def write_avro(
         chunk = rows[i : i + rows_per_block]
         body = bytearray()
         for row in chunk:
-            for name, prim, nul in fields:
-                _encode_value(body, row.get(name), prim, nul)
+            for name, d in fields:
+                _encode_value(body, row.get(name), d)
         payload = bytes(body)
         if codec == "deflate":
             comp = zlib.compressobj(wbits=-15)
@@ -344,7 +456,7 @@ class AvroPyDataSource(DataSource):
         return spark_ddl(schema)
 
     def reader(self, schema) -> "AvroPyReader":
-        return AvroPyReader(self.options)
+        return AvroPyReader(self.options, list(schema.fieldNames()))
 
 
 class _FilePartition(InputPartition):
@@ -353,19 +465,32 @@ class _FilePartition(InputPartition):
 
 
 class AvroPyReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, field_order: list):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("avro_py source requires a path")
+        # The PLANNED field order (from the first file's header at
+        # planning time). Every partition yields tuples in this order,
+        # so a directory mixing files with permuted field order stays
+        # column-aligned instead of silently misaligning values.
+        self._field_order = field_order
 
     def partitions(self):
         return [_FilePartition(p) for p in _glob(self._path)]
 
     def read(self, partition: _FilePartition):
         schema, rows = read_avro(partition.path)
-        fields = _record_fields(schema)
+        have = {name for name, _d in _record_fields(schema)}
+        missing = [f for f in self._field_order if f not in have]
+        if missing:
+            raise ValueError(
+                f"avro_py: file {partition.path!r} is missing planned "
+                f"field(s) {missing}; all files under one load must "
+                f"share the first file's record fields"
+            )
+        order = self._field_order
         for row in rows:
-            yield tuple(row[name] for name, _p, _n in fields)
+            yield tuple(row[name] for name in order)
 
 
 def register_avro_source(spark) -> None:

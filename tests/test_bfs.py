@@ -266,11 +266,24 @@ def test_scc_matches_tarjan_on_random_digraphs(spark):
     rng = random.Random(1234)
     for n, m in ((12, 18), (25, 50), (40, 60)):
         edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
-        edges = [(a, b) for a, b in edges if a != b]
+        # self-loops deliberately KEPT: a vertex whose only edge is a
+        # self-loop is a valid singleton SCC and must get an output row
         want = _tarjan_scc(edges)
         df = spark.createDataFrame(edges, "src bigint, dst bigint")
         got = {r.v: r.scc_id for r in strongly_connected_components(df).collect()}
         assert got == want, (n, m)
+
+
+def test_scc_self_loop_only_vertex_is_singleton(spark):
+    """A vertex whose ONLY edges are self-loops must still be emitted
+    as a singleton SCC (regression: the self-loop filter used to drop
+    it from the vertex set entirely)."""
+    from bfs_mapreduce_spark.operators.graph import strongly_connected_components
+
+    edges = [(0, 1), (1, 0), (7, 7), (3, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.v: r.scc_id for r in strongly_connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 3: 3, 4: 4, 7: 7}
 
 
 def test_scc_pure_cycle_and_dag(spark):

@@ -157,7 +157,9 @@ def test_avro_py_roundtrip_and_goldens(tmp_path):
         write_avro(
             str(tmp_path / "x.avro"),
             {"type": "record", "name": "x",
-             "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]},
+             "fields": [{"name": "m", "type": {
+                 "type": "record", "name": "inner",
+                 "fields": [{"name": "a", "type": "long"}]}}]},
             [],
         )
     # union branch indices address the union AS DECLARED: a reversed
@@ -180,7 +182,7 @@ def test_avro_py_roundtrip_and_goldens(tmp_path):
 
     for prim, width in (("boolean", 1), ("float", 4), ("double", 8)):
         with _pytest.raises(ValueError, match="truncated value"):
-            _decode_value(_io.BytesIO(b""), prim, None)
+            _decode_value(_io.BytesIO(b""), ("prim", prim))
 
     bad = tmp_path / "bad.avro"
     bad.write_bytes(b"NOPE" + b"\x00" * 32)
@@ -217,6 +219,97 @@ def test_avro_py_datasource(spark, tmp_path):
     assert df.schema.simpleString() == "struct<id:bigint,s:string>"
     assert df.rdd.getNumPartitions() == 2
     assert sorted((r.id, r.s) for r in df.collect()) == [(1, "x"), (2, None), (3, "y")]
+
+
+def test_avro_py_complex_types_roundtrip(tmp_path):
+    """Arrays, maps, enums, fixed — including nullable and nested
+    (array-of-array, map-of-nullable) forms — round-trip under both
+    codecs and map to the right Spark DDL (array<>/map<string,>/
+    string/binary per the public spec's type mapping)."""
+    import pytest as _pytest
+
+    from bfs_mapreduce_spark.sources.avro_py import read_avro, spark_ddl, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "c",
+        "fields": [
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "scores", "type": {"type": "map", "values": "double"}},
+            {"name": "color", "type": {"type": "enum", "name": "Color",
+                                       "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "digest", "type": {"type": "fixed", "name": "md5", "size": 4}},
+            {"name": "maybe_arr", "type": ["null", {"type": "array", "items": "long"}]},
+            {"name": "grid", "type": {"type": "array",
+                                      "items": {"type": "array", "items": "int"}}},
+            {"name": "opt_map", "type": {"type": "map",
+                                         "values": ["null", "string"]}},
+        ],
+    }
+    rows = [
+        {"tags": ["a", "b"], "scores": {"x": 1.5, "y": -2.0}, "color": "GREEN",
+         "digest": b"\x01\x02\x03\x04", "maybe_arr": [1, 2, 3],
+         "grid": [[1, 2], [], [3]], "opt_map": {"k": "v", "n": None}},
+        {"tags": [], "scores": {}, "color": "RED",
+         "digest": b"\xff\xff\xff\xff", "maybe_arr": None,
+         "grid": [], "opt_map": {}},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"c_{codec}.avro")
+        write_avro(p, schema, rows, codec=codec)
+        got_schema, got = read_avro(p)
+        assert got_schema == schema and got == rows
+    assert spark_ddl(schema) == (
+        "tags array<string>, scores map<string,double>, color string, "
+        "digest binary, maybe_arr array<bigint>, grid array<array<int>>, "
+        "opt_map map<string,string>"
+    )
+    # honest failures: bad enum symbol, fixed size mismatch
+    with _pytest.raises(ValueError, match="not in symbols"):
+        write_avro(str(tmp_path / "bad1.avro"), schema,
+                   [dict(rows[0], color="MAUVE")])
+    with _pytest.raises(ValueError, match="fixed size mismatch"):
+        write_avro(str(tmp_path / "bad2.avro"), schema,
+                   [dict(rows[0], digest=b"\x01")])
+
+
+def test_avro_py_datasource_complex_and_field_order(spark, tmp_path):
+    """The DataSource surfaces array/map/enum/fixed columns as Spark
+    array/map/string/binary, and a directory mixing files whose fields
+    are PERMUTED (same names/types, different order) stays
+    column-aligned to the planned (first file's) order instead of
+    silently misaligning values."""
+    from bfs_mapreduce_spark.sources.avro_py import register_avro_source, write_avro
+
+    register_avro_source(spark)
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+    ]
+    schema_fwd = {"type": "record", "name": "r", "fields": fields}
+    schema_rev = {"type": "record", "name": "r", "fields": fields[::-1]}
+    write_avro(str(tmp_path / "a.avro"), schema_fwd, [{"id": 1, "tags": ["x", "y"]}])
+    write_avro(str(tmp_path / "b.avro"), schema_rev, [{"id": 2, "tags": ["z"]}])
+    df = spark.read.format("avro_py").load(str(tmp_path))
+    assert df.schema.simpleString() == "struct<id:bigint,tags:array<string>>"
+    assert sorted((r.id, list(r.tags)) for r in df.collect()) == [
+        (1, ["x", "y"]), (2, ["z"])]
+
+    # a file MISSING a planned field fails loudly, not misaligned
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    d2 = tmp_path / "mix"
+    d2.mkdir()
+    write_avro(str(d2 / "a.avro"), schema_fwd, [{"id": 1, "tags": []}])
+    write_avro(
+        str(d2 / "b.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "id", "type": "long"}]},
+        [{"id": 9}],
+    )
+    with _pytest.raises(PythonException, match="missing planned"):
+        spark.read.format("avro_py").load(str(d2)).collect()
 
 
 def test_edgelist_stream_offset_protocol(tmp_path):
