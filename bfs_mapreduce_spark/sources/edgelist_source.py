@@ -100,56 +100,99 @@ def _parse_edge_file(path: str):
 
 class EdgeListStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the edgelist source: each micro-batch delivers
-    the edges of files that arrived since the last offset. Offsets are
-    the sorted seen-file list — names, not content: files are expected
-    immutable once written AND retained (the object-storage contract;
-    deleting a committed file breaks offset-range replay exactly as it
-    does for Spark's own file source). The offset carries every
-    ever-seen name forward (union with the current listing), so a file
-    that transiently vanishes from an eventually-consistent listing is
-    never re-ingested as duplicates when it reappears. A nonexistent
-    path or a glob matching nothing raises (the batch reader's
-    contract: misconfiguration fails loudly, never an empty-forever
-    stream) — an EXISTING empty directory is the one legitimate
-    empty start, since arriving files are the entire point."""
+    the edges of files that arrived since the last offset.
+
+    Offset design — BOUNDED, the pattern of Spark's own file source
+    (high-watermark + lateness window) rather than an ever-growing
+    seen-file list:
+
+    - ``wm``: high-watermark = max ``st_mtime_ns`` ever ingested
+      (-1 before the first file);
+    - ``recent``: ``[name, mtime_ns]`` pairs of seen files whose mtime
+      is within ``lateness`` seconds of the watermark — the only
+      per-file state carried forward, so offset size is O(files per
+      lateness window), NOT O(files ever seen);
+    - ``batch``: the names ingested by the batch that PRODUCED this
+      offset, making ``readBetweenOffsets`` an exact replay at
+      O(batch) cost.
+
+    A listed file is ingested iff it is not in ``recent`` and its
+    mtime is not older than ``wm - lateness``. Consequences, all
+    shared with Spark's file source: files are expected immutable once
+    written (object-storage contract); a committed file that
+    transiently vanishes from an eventually-consistent listing is not
+    re-ingested when it reappears (it stays in ``recent`` until the
+    watermark passes it, and reads as too-late after); and a file that
+    first APPEARS with an mtime older than the lateness window is
+    dropped as too-late — size ``lateness`` (option, seconds, default
+    300) to the listing's consistency lag, not to zero.
+
+    A nonexistent path or a glob matching nothing raises (the batch
+    reader's contract: misconfiguration fails loudly, never an
+    empty-forever stream) — an EXISTING empty directory is the one
+    legitimate empty start, since arriving files are the entire
+    point."""
 
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
             raise ValueError("edgelist source requires a path")
         self._path = path
+        self._lateness_ns = int(float(options.get("lateness", "300")) * 1e9)
 
-    def _files(self) -> list[str]:
+    def _files(self) -> list[tuple[str, int]]:
+        """→ sorted [(path, mtime_ns)]; vanished-between-glob-and-stat
+        files are skipped (they will list again or stay in recent)."""
         import glob
         import os
 
         if os.path.isdir(self._path):
-            return sorted(glob.glob(os.path.join(self._path, "*")))
-        found = sorted(glob.glob(self._path))
-        if not found:
-            raise FileNotFoundError(
-                f"edgelist stream: no such path or no matches: {self._path!r}"
-            )
-        return found
+            names = sorted(glob.glob(os.path.join(self._path, "*")))
+        else:
+            names = sorted(glob.glob(self._path))
+            if not names:
+                raise FileNotFoundError(
+                    f"edgelist stream: no such path or no matches: {self._path!r}"
+                )
+        out = []
+        for p in names:
+            try:
+                out.append((p, os.stat(p).st_mtime_ns))
+            except FileNotFoundError:
+                continue
+        return out
 
     def initialOffset(self) -> dict:
         self._files()  # misconfigured path fails at stream start, not silently
-        return {"files": []}
+        return {"wm": -1, "recent": [], "batch": []}
 
     def read(self, start: dict):
-        seen = set(start["files"])
-        new = [p for p in self._files() if p not in seen]
+        wm = start["wm"]
+        recent = {name: mt for name, mt in start["recent"]}
+        cutoff = wm - self._lateness_ns
+        new = sorted(
+            (p, mt)
+            for p, mt in self._files()
+            if p not in recent and (wm < 0 or mt >= cutoff)
+        )
         rows: list[tuple[int, int]] = []
-        for p in new:
+        for p, _mt in new:
             rows.extend(_parse_edge_file(p))
-        # union, not the raw listing: ever-seen names persist in the
-        # offset even through a transient listing blip
-        return iter(rows), {"files": sorted(seen | set(new))}
+        new_wm = max([wm, *(mt for _p, mt in new)])
+        new_cutoff = new_wm - self._lateness_ns
+        kept = {
+            name: mt
+            for name, mt in {**recent, **dict(new)}.items()
+            if mt >= new_cutoff
+        }
+        return iter(rows), {
+            "wm": new_wm,
+            "recent": sorted([n, m] for n, m in kept.items()),
+            "batch": sorted(p for p, _mt in new),
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        seen = set(start["files"])
         rows: list[tuple[int, int]] = []
-        for p in end["files"]:
-            if p not in seen:
-                rows.extend(_parse_edge_file(p))
+        for p in end["batch"]:
+            rows.extend(_parse_edge_file(p))
         return iter(rows)

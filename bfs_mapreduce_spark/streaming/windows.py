@@ -566,8 +566,9 @@ def stage_edge_chunks(n_chunks: int = _EDGE_CHUNKS) -> str:
     doc="The STREAMING half of the custom Python DataSource API "
     "(SimpleDataSourceStreamReader): smallG staged as arriving chunk "
     "files, read with spark.readStream.format('edgelist') — offsets "
-    "are the seen-file list, so restart recovery and offset-range "
-    "replay are exact — then symmetrize → dedup → degree histogram in "
+    "are a bounded (watermark, recent-files, batch) triple, so "
+    "restart recovery and offset-range replay are exact at O(batch) "
+    "offset size — then symmetrize → dedup → degree histogram in "
     "complete mode. Shares q_scan_edgelist_source's oracle: the batch "
     "and streaming reader of the same source must land on identical "
     "results over the same file bytes.",

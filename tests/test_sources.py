@@ -350,6 +350,46 @@ def test_edgelist_stream_offset_protocol(tmp_path):
         EdgeListStreamReader({"path": str(tmp_path / "typo")}).initialOffset()
 
 
+def test_edgelist_stream_offset_stays_bounded(tmp_path):
+    """Round-8 scale fix: the offset must be O(files per lateness
+    window), not O(files ever seen). Stream 1,000 files in batches
+    with mtimes spaced beyond a tiny lateness window — every offset's
+    recent-set stays at the per-batch count and total serialized size
+    is flat, while no file is lost or double-ingested."""
+    import json
+    import os
+
+    from bfs_mapreduce_spark.sources.edgelist_source import EdgeListStreamReader
+
+    d = tmp_path / "watch"
+    d.mkdir()
+    r = EdgeListStreamReader({"path": str(d), "lateness": "0.05"})
+    off = r.initialOffset()
+    got, max_recent, max_bytes = [], 0, 0
+    base = 1_000_000_000_000  # deterministic synthetic mtimes (1s apart)
+    for batch in range(100):
+        for i in range(10):
+            k = batch * 10 + i
+            f = d / f"f{k:04d}.txt"
+            f.write_text(f"{k} {k + 1}\n")
+            os.utime(f, ns=(base + k * 10**9, base + k * 10**9))
+        rows, off = r.read(off)
+        got.extend(rows)
+        max_recent = max(max_recent, len(off["recent"]))
+        max_bytes = max(max_bytes, len(json.dumps(off)))
+    assert sorted(got) == [(k, k + 1) for k in range(1000)]
+    assert max_recent <= 10  # bounded by the lateness window, not history
+    assert max_bytes < 2000  # flat, vs ~60 KB for a seen-file-list offset
+
+    # a file APPEARING with an mtime older than the window is dropped
+    # as too-late (documented trade), never double-counted
+    late = d / "late.txt"
+    late.write_text("7777 8888\n")
+    os.utime(late, ns=(base, base))
+    rows, off = r.read(off)
+    assert list(rows) == []
+
+
 def test_edgelist_stream_restart_recovery(spark, tmp_path):
     """Engine-level restart: run an availableNow pass, add a file, run
     again against the SAME checkpoint — the second pass must deliver
