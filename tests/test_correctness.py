@@ -55,6 +55,33 @@ def test_bench_headline_names_resolve():
     assert not missing, missing
 
 
+def test_parity_certification_covers_headliners():
+    """The sf0.1 certification sweep must cover every bench headliner
+    (the scale the engine is benched at is also the scale it is
+    verified at), and the committed PARITY_sf01.json must reflect that
+    set with zero failures: hash-checked where an oracle exists,
+    rows-only never silently substituting for an available oracle."""
+    import json
+    import os
+
+    import bench
+    from tools.strict_parity_sweep import _certify_set
+
+    names = _certify_set()
+    assert set(bench.HEADLINE) <= set(names)
+
+    path = os.path.join(os.path.dirname(bench.__file__), "PARITY_sf01.json")
+    assert os.path.exists(path), "run tools/strict_parity_sweep.py --certify"
+    got = json.load(open(path))
+    assert got["n_fail"] == 0
+    assert set(names) <= set(got["queries"])
+    for name in names:
+        row = got["queries"][name]
+        assert row["ok"], name
+        want_mode = "rows_only" if CATALOG[name].oracle is None else "strict_hash"
+        assert row["mode"] == want_mode, (name, row["mode"])
+
+
 def test_spark_entry_contract(spark):
     """The driver executes __spark_entry__ directly: entry() must
     produce rows with a stable schema, queries() must expose the whole
