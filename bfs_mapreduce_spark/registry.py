@@ -109,6 +109,15 @@ _HEADLINERS: tuple[str, ...] = (
 # the ordered catalog get external CORRECTNESS rows).
 WINDOW = 50
 
+# Of those, the LAST ``ROWS_ONLY_SLOTS`` are reserved for the rows-only
+# rotation (round-7 VERDICT ask 4): with ~160 oracle-paired queries
+# ahead of them, rows-only queries otherwise never reach the window
+# and carry zero external driver rows. Two slots cycle the rows-only
+# tail (never-rows-green first, then least-recently) at a period of
+# ceil(n_rows_only / 2) rounds while costing the oracle-paired
+# rotation only two slots.
+ROWS_ONLY_SLOTS = 2
+
 
 def _green_history() -> tuple[dict[str, int], dict[str, int]]:
     """Scan the repo root's ``CORRECTNESS_r*.json`` driver records.
@@ -187,4 +196,19 @@ def all_queries() -> dict[str, Query]:
         group = 3 if last is None else 4
         return (group, last or 0, reg_order[name])
 
-    return {name: _REGISTRY[name] for name in sorted(_REGISTRY, key=sort_key)}
+    ordered = sorted(_REGISTRY, key=sort_key)
+    # Reserve the window's last slots for the most-starved rows-only
+    # queries (headliners excluded — a rows-only headliner is already
+    # in the window). ``ordered`` already ranks rows-only by
+    # never-rows-green-then-least-recently, so the first few are
+    # exactly the starved ones.
+    reserved = [
+        n
+        for n in ordered
+        if _REGISTRY[n].oracle is None and n not in head_rank
+    ][:ROWS_ONLY_SLOTS]
+    if reserved and len(ordered) > WINDOW:
+        rest = [n for n in ordered if n not in reserved]
+        cut = WINDOW - len(reserved)
+        ordered = rest[:cut] + reserved + rest[cut:]
+    return {name: _REGISTRY[name] for name in ordered}

@@ -69,10 +69,47 @@ def test_never_green_sort_before_rotated():
             assert not seen_certified, f"never-green {name} sorted after a certified query"
 
 
-def test_rows_only_sort_last():
-    kinds = [q.oracle is None for name, q in CATALOG.items() if name not in _HEADLINERS]
+def test_rows_only_sort_last_except_reserved_slots():
+    """Rows-only queries form the catalog tail — EXCEPT the reserved
+    window slots (registry.ROWS_ONLY_SLOTS), which lift the most-
+    starved rows-only queries into the driver's verification window."""
+    names = list(CATALOG)
+    reserved = set(names[WINDOW - registry.ROWS_ONLY_SLOTS : WINDOW])
+    kinds = [
+        q.oracle is None
+        for name, q in CATALOG.items()
+        if name not in _HEADLINERS and name not in reserved
+    ]
     first_rows_only = kinds.index(True) if True in kinds else len(kinds)
     assert all(kinds[first_rows_only:]), "rows-only queries must form the catalog tail"
+
+
+def test_reserved_slots_lift_starved_rows_only():
+    """The window's last ROWS_ONLY_SLOTS entries are rows-only,
+    non-headliner, and exactly the most-starved ones: never-rows-green
+    first, then least-recently rows-green. This is what guarantees
+    every rows-only query earns an external driver row within
+    ceil(n_rows_only / ROWS_ONLY_SLOTS) rounds."""
+    _, last_rows = registry._green_history()
+    names = list(CATALOG)
+    got = names[WINDOW - registry.ROWS_ONLY_SLOTS : WINDOW]
+    pool = [
+        name
+        for name, q in CATALOG.items()
+        if q.oracle is None and name not in _HEADLINERS
+    ]
+    assert len(got) == registry.ROWS_ONLY_SLOTS
+    for name in got:
+        assert CATALOG[name].oracle is None and name not in _HEADLINERS
+    # starvation order: every reserved query is at least as starved as
+    # every non-reserved rows-only query (never-green < round k < round k+1)
+    def starved_rank(n):
+        return last_rows.get(n, -1)
+
+    worst_reserved = max(starved_rank(n) for n in got)
+    rest = [n for n in pool if n not in got]
+    if rest:
+        assert worst_reserved <= min(starved_rank(n) for n in rest)
 
 
 def test_rotation_is_least_recently_green():
