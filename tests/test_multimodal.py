@@ -146,3 +146,94 @@ def test_decode_plans_never_shuffle_blobs(spark, sf_oracle_dir):
         plan = _plan(catalog[name].build(spark, sf_oracle_dir))
         assert "MapInPandas" in plan, plan
         assert "Exchange" not in plan, f"{name} shuffles blobs:\n{plan}"
+
+
+# ---------------------------------------------------------------- png codec
+
+
+def test_png_roundtrip_every_filter_and_colortype():
+    """From-spec PNG codec: every scanline filter (None/Sub/Up/Average/
+    Paeth) and every supported color type round-trips exact pixel
+    bytes, including gradient rows where Average/Paeth arithmetic has
+    real carries."""
+    import random
+
+    from bfs_mapreduce_spark.sources.png_py import decode_png, encode_png
+
+    rng = random.Random(7)
+    for color_type, ch in ((0, 1), (2, 3), (6, 4)):
+        for w, h in ((1, 1), (8, 8), (13, 3)):
+            pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            for fc in (None, (lambda r: r % 5), (lambda r: 4)):
+                blob = encode_png(w, h, pixels, color_type=color_type, filter_choice=fc)
+                assert decode_png(blob) == (w, h, ch, pixels)
+    # a smooth gradient (filters actually shrink it — sanity that the
+    # predictors act on the right neighbors)
+    grad = bytes((x + y) % 256 for y in range(16) for x in range(48))
+    blob = encode_png(16, 16, grad, filter_choice=lambda r: 4)
+    assert decode_png(blob)[3] == grad
+
+
+def test_png_honest_failures():
+    import struct
+
+    import pytest as _pytest
+
+    from bfs_mapreduce_spark.sources.png_py import PNG_SIG, decode_png, encode_png
+
+    good = encode_png(4, 4, bytes(48))
+    with _pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"NOTAPNG!" + good[8:])
+    # flip a byte inside IDAT -> crc mismatch, never silent wrong pixels
+    bad = bytearray(good)
+    idat_pos = good.index(b"IDAT")
+    bad[idat_pos + 6] ^= 0xFF
+    with _pytest.raises(ValueError, match="crc mismatch"):
+        decode_png(bytes(bad))
+    # 16-bit and interlaced headers are honest NotImplementedError
+    def with_ihdr(depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, interlace)
+        from binascii import crc32
+        chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+            ">I", crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        rest = good[good.index(b"IDAT") - 4 :]
+        return PNG_SIG + chunk + rest
+
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(with_ihdr(16, 0))
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(with_ihdr(8, 1))
+
+
+def test_png_ancillary_skipped_critical_rejected():
+    import struct
+    from binascii import crc32
+
+    from bfs_mapreduce_spark.sources.png_py import decode_png, encode_png
+
+    good = encode_png(2, 2, bytes(12))
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF))
+
+    cut = good.index(b"IEND") - 4
+    # ancillary chunk (lowercase first letter) between IDAT and IEND: skipped
+    with_text = good[:cut] + chunk(b"tEXt", b"k\x00v") + good[cut:]
+    assert decode_png(with_text) == (2, 2, 3, bytes(12))
+    # unknown CRITICAL chunk: loud failure
+    with_crit = good[:cut] + chunk(b"CRIT", b"x") + good[cut:]
+    with pytest.raises(NotImplementedError, match="critical chunk"):
+        decode_png(with_crit)
+
+
+def test_decode_media_png_kind():
+    from bfs_mapreduce_spark.sources.png_py import encode_png
+
+    pixels = bytes(range(192))
+    blob = encode_png(8, 8, pixels, filter_choice=lambda r: r % 5)
+    feats = decode_media(blob, kind="png")
+    assert feats["width"] == 8 and feats["height"] == 8
+    assert feats["blob_len"] == len(blob)
+    assert feats["content_sha"] == hashlib.sha256(blob).hexdigest()
+    assert feats["mean_brightness"] == round(95.5 / 255, 6)
