@@ -43,6 +43,7 @@ Scale posture (what changes at 100 TB / 1000 executors):
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 from pyspark.sql import DataFrame
@@ -73,6 +74,37 @@ def adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+def _auto_edge_partitions(edges: DataFrame, directed: bool) -> int:
+    """Size the static edge layout by INPUT VOLUME, capped at the
+    session's shuffle-partition default.
+
+    Every BFS round scans all cached edge partitions, so on a small
+    graph a cluster-sized partition count just multiplies per-task
+    scheduling into the per-round floor (measured round-8: the sf0.1
+    bipartite graph's 6 small rounds cost 2.4 s at 32 partitions and
+    1.7 s at 4 — same plans, same answers). The heuristic targets
+    ~16 MB of source bytes per partition (x2 for the symmetric
+    doubling), floors at 4 so local runs still exercise parallel
+    shuffles, and CAPS AT THE SESSION DEFAULT so a 100 TB edge scan on
+    a real cluster keeps its cluster-wide layout — the cap, not the
+    floor, is what scales. Falls back to the session default whenever
+    input bytes are unknowable (in-memory frames, non-file sources)."""
+    default_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        files = edges.inputFiles()
+        if not files:
+            return default_parts
+        total = 0
+        for uri in files:
+            path = uri[5:] if uri.startswith("file:") else uri
+            total += os.path.getsize(path)
+    except Exception:  # remote FS / permissions / exotic source
+        return default_parts
+    if not directed:
+        total *= 2
+    return max(4, min(default_parts, total // (16 << 20) + 1))
+
+
 def bfs(
     edges: DataFrame,
     source: int = 0,
@@ -86,6 +118,7 @@ def bfs(
     source_df: DataFrame | None = None,
     source_df_rows: int | None = None,
     stats: dict | None = None,
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
     Pass ``sources=[...]`` for the multi-source form — dist becomes
@@ -135,6 +168,8 @@ def bfs(
     frontiers (dense-graph middle rounds at scale).
     """
     spark = edges.sparkSession
+    if edge_partitions is None:
+        edge_partitions = _auto_edge_partitions(edges, directed)
     raw = edges.select(
         F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
     )
@@ -151,7 +186,7 @@ def bfs(
     # the (small) frontier side moves.
     sym = (
         sym.filter(F.col("src") != F.col("dst"))
-        .repartition("src")
+        .repartition(edge_partitions, "src")
         .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -65,14 +65,25 @@ def q_graph_bfs_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warning; reached_only skips the vertex-universe join the NOT NULL
     # filter would discard anyway. The min-src seed rides into round 1's
     # job as a broadcast scalar subquery — no separate collect() job.
-    res = bfs(
+    #
+    # The histogram itself is a FREE BYPRODUCT of level-synchronous
+    # BFS: every round's frontier is already deduped, disjoint from
+    # all earlier rounds, and counted by the driver loop (the
+    # emptiness test), so (dist -> frontier size) IS the histogram —
+    # no final union-of-frontiers aggregate job at all (round-8: that
+    # job was ~0.5 s of the bench query, pure re-counting of counts
+    # the loop had already paid for).
+    stats: dict = {}
+    bfs(
         edges, source_df=edges.agg(F.min("src")), source_df_rows=1,
         max_rounds=_MAX_DIST,
         with_paths=False, warn_on_truncation=False, reached_only=True,
+        stats=stats,
     )
-    return res.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
-        F.count(F.lit(1)).alias("n_vertices")
-    )
+    hist = [(0, 1)] + [
+        (round_no, n) for round_no, n, _sec in stats["rounds"] if n > 0
+    ]
+    return spark.createDataFrame(hist, "dist bigint, n_vertices bigint")
 
 
 @register(
