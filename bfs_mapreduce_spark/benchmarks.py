@@ -107,6 +107,162 @@ def run_graph_scale(spark, graphs=None, out_dir: str = "/tmp/bfs_mapreduce_spark
         }
 
 
+# (name, width_sccs_per_layer, scc_cycle_size, n_layers, fringe) —
+# layered directed graphs with CONTROLLED SCC structure: every SCC is
+# a directed cycle (internal diameter = size-1), the condensation is a
+# `n_layers`-deep DAG of `width` SCCs per layer, and `fringe` is a
+# trailing directed path (pure trim fodder). Expected instrumentation
+# signature: trim rounds eat the fringe, the number of FW-BW passes
+# tracks condensation depth, and color rounds per pass track (layers
+# remaining) x (cycle size) — the min label must walk each cycle.
+DIRECTED_GRAPHS = [
+    ("dscc-base", 50, 20, 2, 2_000),
+    ("dscc-10x-width", 500, 20, 2, 20_000),  # 10x SCCs, same diameter
+    ("dscc-2x-diam", 50, 40, 2, 2_000),  # same SCC count, 2x diameter
+]
+
+
+def synthesize_directed_graph(
+    name: str, width: int, scc_size: int, layers: int, fringe: int, out_dir: str
+) -> str:
+    """Layered SCC graph, deterministic per shape; parquet out.
+
+    Layout: layer l occupies blocks [l*width, (l+1)*width); block b is
+    the vertex range [b*scc_size, (b+1)*scc_size) forming one directed
+    cycle. Each block links forward to two blocks of the next layer
+    (condensation stays a layered DAG — no back edges, so no
+    accidental SCC merging). The fringe is a directed path hanging off
+    the last layer, plus a handful of self-loop-only vertices
+    (singleton SCCs, the round-8 regression case)."""
+    path = os.path.join(out_dir, f"{name}.parquet")
+    if os.path.exists(path):
+        return path
+    import zlib
+
+    rng = np.random.default_rng(
+        (zlib.crc32(name.encode()) ^ width ^ scc_size ^ layers) % (2**32)
+    )
+    n_blocks = width * layers
+    core = n_blocks * scc_size
+    srcs, dsts = [], []
+    # cycles
+    v = np.arange(core, dtype=np.int64)
+    block = v // scc_size
+    nxt = np.where((v + 1) % scc_size == 0, block * scc_size, v + 1)
+    srcs.append(v)
+    dsts.append(nxt)
+    # inter-layer block links (last cycle vertex -> target block head)
+    for l in range(layers - 1):
+        for b in range(width):
+            src_block = l * width + b
+            out_v = src_block * scc_size + scc_size - 1
+            for tgt in rng.integers(0, width, size=2):
+                tgt_block = (l + 1) * width + int(tgt)
+                srcs.append(np.array([out_v], dtype=np.int64))
+                dsts.append(np.array([tgt_block * scc_size], dtype=np.int64))
+    # shallow DAG fringe: each fringe vertex dangles directly off a
+    # random core vertex (depth <= 2), so trim clears it in a couple
+    # of rounds — a deliberate contrast with a deep path, which would
+    # need O(depth) trim rounds (the docstring's adversarial case, not
+    # the object-storage-corpus shape this bench models)
+    if fringe:
+        fv = core + np.arange(fringe, dtype=np.int64)
+        srcs.append(rng.integers(0, core, size=fringe).astype(np.int64))
+        dsts.append(fv)
+        half = fringe // 2
+        srcs.append(fv[:half])
+        dsts.append(fv[half : half + half])
+    # a few self-loop-only singleton SCCs
+    loops = core + fringe + np.arange(5, dtype=np.int64)
+    srcs.append(loops)
+    dsts.append(loops)
+    table = pa.table(
+        {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+    )
+    pq.write_table(table, path, row_group_size=1_000_000)
+    return path
+
+
+def run_directed_scale(
+    spark,
+    graphs=None,
+    hb_rounds: int = 6,
+    out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+) -> Iterator[dict]:
+    """SCC (FW-BW-Trim, per-phase stats) + HyperBall (sketch-only,
+    per-round seconds) on layered directed graphs — the round-7 ask:
+    show color rounds track SCC diameter, passes track condensation
+    depth, and no phase is super-linear in graph size."""
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.graph import strongly_connected_components
+
+    os.makedirs(out_dir, exist_ok=True)
+    toy = spark.createDataFrame([(0, 1), (1, 0), (1, 2)], "src bigint, dst bigint")
+    strongly_connected_components(toy).count()  # warm codegen/JIT
+
+    for name, width, scc_size, layers, fringe in graphs or DIRECTED_GRAPHS:
+        path = synthesize_directed_graph(name, width, scc_size, layers, fringe, out_dir)
+        edges = spark.read.parquet(path)
+        stats: dict = {}
+        t0 = time.perf_counter()
+        res = strongly_connected_components(edges, max_rounds=100_000, stats=stats)
+        sizes = res.groupBy("scc_id").count()
+        n_sccs, largest = sizes.agg(
+            F.count(F.lit(1)), F.max("count")
+        ).first()
+        scc_total = round(time.perf_counter() - t0, 3)
+        phases = stats["phases"]
+
+        # HyperBall, sketch-only (the scale path; the O(n^2) exact twin
+        # is deliberately absent here — that is the whole point)
+        verts = (
+            edges.select(F.col("src").alias("v"))
+            .union(edges.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        state = verts.groupBy("v").agg(F.hll_sketch_agg("v").alias("sk")).localCheckpoint()
+        e = edges.select("src", "dst").localCheckpoint()
+        hb_round_secs = []
+        for _ in range(hb_rounds):
+            t1 = time.perf_counter()
+            nb = e.join(state.withColumnRenamed("v", "dst"), "dst").select(
+                F.col("src").alias("v"), "sk"
+            )
+            state = (
+                state.select("v", "sk")
+                .unionByName(nb)
+                .groupBy("v")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+                .localCheckpoint()
+            )
+            hb_round_secs.append(round(time.perf_counter() - t1, 3))
+        est_pairs = int(
+            state.agg(F.sum(F.hll_sketch_estimate("sk"))).first()[0]
+        )
+        yield {
+            "graph": name,
+            "width": width,
+            "scc_size": scc_size,
+            "layers": layers,
+            "fringe": fringe,
+            "vertices": width * layers * scc_size + fringe + 5,
+            "scc_total_sec": scc_total,
+            "n_sccs": int(n_sccs),
+            "largest_scc": int(largest),
+            "passes": max(p for p, _ph, _r, _s in phases),
+            "trim_rounds": sum(r for _p, ph, r, _s in phases if ph == "trim"),
+            "color_rounds": sum(r for _p, ph, r, _s in phases if ph == "color"),
+            "phase_detail": [
+                {"pass": p, "phase": ph, "rounds": r, "sec": s}
+                for p, ph, r, s in phases
+            ],
+            "hyperball_rounds": hb_rounds,
+            "hyperball_round_secs": hb_round_secs,
+            "hyperball_est_pairs_at_r": est_pairs,
+        }
+
+
 def synthesize_corpus(sf_dir: str, factor: int, out_dir: str) -> str:
     """Stage a ``factor``-times documents + embeddings corpus under
     ``out_dir`` in the sf-dir layout (so ``load_table``-based queries

@@ -115,18 +115,30 @@ def _parse_graph_spec(spec: str) -> tuple[str, int, int]:
 
 
 def _bench_graph(args: argparse.Namespace) -> int:
-    """Per-round BFS cost vs graph size (BASELINE.md scale table)."""
+    """Per-round BFS cost vs graph size, or (with --directed) SCC +
+    HyperBall per-phase cost vs layered-SCC graph shape
+    (BASELINE.md scale tables)."""
     import json
 
-    from bfs_mapreduce_spark.benchmarks import GRAPHS, run_graph_scale
+    from bfs_mapreduce_spark.benchmarks import (
+        DIRECTED_GRAPHS,
+        GRAPHS,
+        run_directed_scale,
+        run_graph_scale,
+    )
 
-    if args.graph:
-        graphs = [_parse_graph_spec(s) for s in args.graph]
-    else:
-        graphs = GRAPHS[:2] if args.quick else GRAPHS
     spark, owned = _owned_session(app_name="bench_graph_scale")
     try:
-        for rec in run_graph_scale(spark, graphs, out_dir=args.out_dir):
+        if args.directed:
+            graphs = DIRECTED_GRAPHS[:2] if args.quick else DIRECTED_GRAPHS
+            runs = run_directed_scale(spark, graphs, out_dir=args.out_dir)
+        else:
+            if args.graph:
+                graphs = [_parse_graph_spec(s) for s in args.graph]
+            else:
+                graphs = GRAPHS[:2] if args.quick else GRAPHS
+            runs = run_graph_scale(spark, graphs, out_dir=args.out_dir)
+        for rec in runs:
             print(json.dumps(rec))
             sys.stdout.flush()
     finally:
@@ -189,6 +201,11 @@ def main(argv: list[str] | None = None) -> int:
         help="per-round BFS cost vs graph size (JSON line per graph)",
     )
     bg.add_argument("--quick", action="store_true", help="skip the 10x graph")
+    bg.add_argument(
+        "--directed",
+        action="store_true",
+        help="bench SCC (FW-BW-Trim per-phase) + HyperBall on layered directed graphs",
+    )
     bg.add_argument(
         "--graph",
         action="append",
