@@ -162,6 +162,50 @@ def ingest_batch(
     return pairs
 
 
+def compact_store(
+    spark: SparkSession, store_path: str, max_bucket_rows: int = 64
+) -> DataFrame:
+    """Re-canonicalize the store's hot-bucket star links (the round-7
+    VERDICT stretch): after K append-only batches, the accumulated
+    per-batch star links can mix canonicals — a bucket crosses the
+    hotness threshold mid-stream, or a later batch lands a smaller
+    doc_id and becomes the new bucket minimum. Compaction recomputes,
+    from CURRENT full bucket membership, the minimal star edge set:
+    one ``(doc_a=canonical, doc_b=member)`` link per member of every
+    hot bucket, canonical = min doc_id in the bucket. The result
+    overwrites ``{store}/starlinks`` — the cluster-seed edges a
+    downstream connected-components pass consumes in place of the
+    historical mix.
+
+    Idempotent by construction (pure function of the bands store,
+    which it never mutates) — re-running produces the identical frame;
+    tests/test_dedup_incremental.py pins it. Scale shape: one
+    count+min aggregation over the band store (partition-pruned
+    parquet), hot keys broadcast back against it; O(store) once per
+    compaction, never per batch."""
+    bands = spark.read.parquet(f"{store_path}/bands")
+    hot = (
+        bands.groupBy("band", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("canonical"),
+        )
+        .filter(F.col("n") > max_bucket_rows)
+        .select("band", "h", "canonical")
+    )
+    links = (
+        bands.join(F.broadcast(hot), ["band", "h"])
+        .filter(F.col("doc_id") != F.col("canonical"))
+        .select(
+            F.col("canonical").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint()  # materialize before overwriting the store dir
+    )
+    links.write.mode("overwrite").parquet(f"{store_path}/starlinks")
+    return links
+
+
 # ---------------------------------------------------------------- semantic store
 
 # Single source of truth: the incremental store must apply the exact

@@ -1086,3 +1086,100 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# ------------------------------------------------------- incremental compaction
+
+_COMPACT_MB = 2  # hotness threshold for THIS query — deliberately far
+# below the production default (64) so the sf0.01/sf0.1 corpora
+# actually produce hot buckets to compact; the machinery under test is
+# threshold-independent.
+
+
+@register(
+    "q_dedup_lsh_compaction",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_store_docs,
+           TRUE AS matches_batch_star,
+           TRUE AS compaction_idempotent
+    FROM sh WHERE len(shingles) > 0
+    """,
+    doc="Signature-store compaction end-to-end (the round-7 stretch; "
+    "dedup_incremental.py): documents are ingested as THREE doc_id-"
+    "range batches through the replay-safe incremental LSH store, "
+    "then compact_store recomputes the minimal hot-bucket star edge "
+    "set from current full membership (one count+min aggregation "
+    "over the band store, hot keys broadcast back). Certified "
+    "invariants: (a) n_store_docs — the store holds exactly the "
+    "shingleable corpus after K appends, SQL-recomputed by the "
+    "oracle; (b) matches_batch_star — the compacted star set equals, "
+    "pair for pair, the star links a SINGLE-SHOT batch LSH run over "
+    "the full corpus emits (an independent code path: the in-row "
+    "bucket pair expansion of lsh_candidates vs compaction's "
+    "aggregate+join), engine-checked via two anti-joins; (c) "
+    "compaction_idempotent — a second compaction returns the "
+    "identical frame. Bucket membership itself is minhash-derived and "
+    "therefore not SQL-expressible (same boundary as "
+    "q_dedup_minhash_lsh); the booleans carry the cross-path "
+    "equivalence, the counts anchor the hash in SQL-recomputed "
+    "ground truth.",
+)
+def q_dedup_lsh_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from bfs_mapreduce_spark.operators.dedup_incremental import (
+        compact_store,
+        ingest_batch,
+        init_store,
+    )
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(proc_dir("bfs_mapreduce_spark_lshstore"), tag)
+    shutil.rmtree(store, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    b1, b2 = hi // 3, (2 * hi) // 3
+    init_store(spark, docs.filter(F.col("doc_id") <= b1), store)
+    ingest_batch(
+        spark,
+        docs.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+        store,
+        max_bucket_rows=_COMPACT_MB,
+    )
+    ingest_batch(
+        spark, docs.filter(F.col("doc_id") > b2), store, max_bucket_rows=_COMPACT_MB
+    )
+
+    links = compact_store(spark, store, max_bucket_rows=_COMPACT_MB)
+    links2 = compact_store(spark, store, max_bucket_rows=_COMPACT_MB)
+
+    batch_star = (
+        minhash_lsh_pairs(docs, max_bucket_rows=_COMPACT_MB)
+        .filter(F.col("star"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    extra = links.join(batch_star, ["doc_a", "doc_b"], "left_anti")
+    missing = batch_star.join(links, ["doc_a", "doc_b"], "left_anti")
+    drift = links.join(links2, ["doc_a", "doc_b"], "left_anti").unionByName(
+        links2.join(links, ["doc_a", "doc_b"], "left_anti")
+    )
+    n_store = spark.read.parquet(f"{store}/shingles").count()
+    n_docs = docs.count()
+    return (
+        extra.agg(F.count(F.lit(1)).alias("_extra"))
+        .crossJoin(missing.agg(F.count(F.lit(1)).alias("_missing")))
+        .crossJoin(drift.agg(F.count(F.lit(1)).alias("_drift")))
+        .select(
+            F.lit(n_docs).cast("bigint").alias("n_docs"),
+            F.lit(n_store).cast("bigint").alias("n_store_docs"),
+            ((F.col("_extra") == 0) & (F.col("_missing") == 0)).alias(
+                "matches_batch_star"
+            ),
+            (F.col("_drift") == 0).alias("compaction_idempotent"),
+        )
+    )

@@ -147,3 +147,41 @@ def test_incremental_matches_batch_under_skew(spark, tmp_path):
     # candidates stayed linear in the batch's bucket membership
     hot_pairs = [p for p in got if p[1] < 1000]
     assert all(a == 0 for a, _ in hot_pairs)
+
+
+def test_compaction_recanonicalizes_and_is_idempotent(spark, tmp_path):
+    """compact_store (round 8): after batches where the bucket MINIMUM
+    arrives late (doc_id 5 joins a hot cluster canonicalized at 100),
+    compaction recomputes the star set from current full membership —
+    every link targets the new true minimum, the set equals the
+    single-shot batch run's star links, and re-running compaction
+    returns the identical frame."""
+    from bfs_mapreduce_spark.operators.dedup_incremental import compact_store
+    from bfs_mapreduce_spark.operators.dedup_queries import minhash_lsh_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(d, boiler) for d in range(100, 400)] + [(5, boiler)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").withColumns(
+        {"lang": F.lit("en"), "source": F.lit("t"), "n_chars": F.length("text")}
+    )
+    store = str(tmp_path / "cstore")
+    init_store(spark, docs.filter(F.col("doc_id") >= 100), store)
+    ingest_batch(spark, docs.filter(F.col("doc_id") == 5), store)
+
+    links = {(r.doc_a, r.doc_b) for r in compact_store(spark, store).collect()}
+    # every exact copy shares every bucket; the cluster is hot in all
+    # of them and 5 is the new minimum everywhere
+    assert links == {(5, d) for d in range(100, 400)}
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs).filter(F.col("star")).collect()
+    }
+    assert links == want
+    again = {(r.doc_a, r.doc_b) for r in compact_store(spark, store).collect()}
+    assert again == links
+    # the compacted starlinks parquet is the store's consumable artifact
+    stored = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(f"{store}/starlinks").collect()
+    }
+    assert stored == links
