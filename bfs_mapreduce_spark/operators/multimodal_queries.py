@@ -691,47 +691,93 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def resize_media(blob: bytes, target_w: int, target_h: int) -> dict:
-    """Resize stub (see ``decode_media`` — same single swap point).
-    Deterministic fake: 'resized' payload length scales with the target
-    area over a nominal 64x64 source; sha over the truncated bytes
-    stands in for resampled pixels."""
-    import hashlib
+def resize_media(blob: bytes, kind: str, target_w: int, target_h: int) -> dict:
+    """REAL image resize (round 8 — the fake length-scaling stub is
+    gone): decode the container (ppm or png, both from-spec codecs),
+    box-filter the pixel plane down to (target_w, target_h) with
+    integer-floor averaging over each source block, and report the
+    resized plane's hash + mean. Pure numpy — resampling needs no
+    imaging library. Requires integer block ratios (the general
+    fractional-box case belongs to a real resampler; honest
+    ValueError otherwise)."""
+    import numpy as np
 
-    scale = (target_w * target_h) / (64 * 64)
-    new_len = max(1, int(len(blob) * scale))
-    resized = (blob * ((new_len // max(len(blob), 1)) + 1))[:new_len]
+    if kind == "ppm":
+        w, h, _maxval, pixels = parse_ppm(bytes(blob))
+        ch = 3
+    elif kind == "png":
+        from bfs_mapreduce_spark.sources.png_py import decode_png
+
+        w, h, ch, pixels = decode_png(bytes(blob))
+    else:
+        raise NotImplementedError(f"resize for kind={kind!r} not supported")
+    if w % target_w or h % target_h:
+        raise ValueError(
+            f"non-integer box ratio: {w}x{h} -> {target_w}x{target_h}"
+        )
+    bw, bh = w // target_w, h // target_h
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+    out = a.reshape(target_h, bh, target_w, bw, ch).sum(axis=(1, 3)) // (bw * bh)
+    rb = out.astype(np.uint8).tobytes()
     return {
-        "resized_len": new_len,
-        "resized_sha": hashlib.sha256(resized).hexdigest(),
+        "out_w": target_w,
+        "out_h": target_h,
+        "resized_sha": hashlib.sha256(rb).hexdigest(),
+        "mean_resized": _round6(float(out.mean()) / 255),
     }
 
 
 def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = pd.DataFrame([resize_media(b, 32, 32) for b in pdf["blob"]])
+        out = pd.DataFrame(
+            [resize_media(b, "ppm", 4, 4) for b in pdf["blob"]]
+        )
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
 
 
 @register(
     "q_multimodal_resize",
-    oracle="""
-    -- fake resize: target 32x32 over nominal 64x64 => quarter length;
-    -- payload repeats the source bytes, so for len//4 <= len the
-    -- 'resized' bytes are simply the first len//4 bytes (ASCII corpus:
-    -- varchar substring == byte slicing)
-    SELECT doc_id,
-           CAST(GREATEST(length(text) // 4, 1) AS INT) AS resized_len,
-           sha256(substring(text, 1, CAST(GREATEST(length(text) // 4, 1) AS INT))) AS resized_sha
-    FROM documents
+    oracle=f"""
+    -- Reconstruct the 8x8x3 pixel plane, box-filter it to 4x4 with
+    -- integer-floor averaging (2x2 blocks), and hash the resized
+    -- bytes: output index o (0..47) decomposes as row o//12, col
+    -- (o%12)//3, channel o%3; its 4 source bytes sit at strides
+    -- (+0, +3, +24, +27) from base (2*row)*24 + (2*col)*3 + ch.
+    -- ASCII corpus => every averaged byte < 128, so chr()/UTF-8 is
+    -- byte-identity and sha256 over the aggregated string equals the
+    -- engine's sha over raw bytes.
+    WITH blob AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
+                       1, {_PPM_PIXEL_BYTES}) AS pix
+      FROM documents WHERE length(text) > 0),
+    o AS (SELECT range AS o FROM range(48)),
+    vals AS (
+      SELECT doc_id, o,
+             (ascii(substring(pix, CAST((o//12)*48 + ((o%12)//3)*6 + o%3 + 1 AS INT), 1))
+            + ascii(substring(pix, CAST((o//12)*48 + ((o%12)//3)*6 + o%3 + 4 AS INT), 1))
+            + ascii(substring(pix, CAST((o//12)*48 + ((o%12)//3)*6 + o%3 + 25 AS INT), 1))
+            + ascii(substring(pix, CAST((o//12)*48 + ((o%12)//3)*6 + o%3 + 28 AS INT), 1))) // 4 AS v
+      FROM blob, o)
+    SELECT doc_id, 4 AS out_w, 4 AS out_h,
+           sha256(string_agg(chr(v), '' ORDER BY o)) AS resized_sha,
+           ROUND(AVG(v) / 255.0, 6) AS mean_resized
+    FROM vals GROUP BY doc_id
     """,
-    doc="Resize stub over binary payloads via mapInPandas: target-area "
-    "scaling of the fake payload with a content hash of the result. "
-    "Real resampling (PIL) drops into resize_media without touching "
-    "the pipeline; blobs still never shuffle.",
+    doc="REAL image resize over binary payloads via mapInPandas "
+    "(round 8 — replaces the length-scaling fake): each document's "
+    "P6 ppm blob is decoded by parse_ppm and box-filtered 8x8 -> 4x4 "
+    "with integer-floor block averaging in numpy (resampling needs "
+    "no imaging library). The DuckDB oracle recomputes every resized "
+    "byte from the source text via the same block arithmetic and "
+    "hashes the result, so the decode, the block geometry, and the "
+    "rounding all sit inside the value hash. Blobs are consumed "
+    "where read; only (sha, mean) leave the stage.",
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
-        _resize_batch, schema="doc_id bigint, resized_len int, resized_sha string"
+    return _with_ppm_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+        _resize_batch,
+        schema="doc_id bigint, out_w int, out_h int, resized_sha string, "
+        "mean_resized double",
     )

@@ -237,3 +237,33 @@ def test_decode_media_png_kind():
     assert feats["blob_len"] == len(blob)
     assert feats["content_sha"] == hashlib.sha256(blob).hexdigest()
     assert feats["mean_brightness"] == round(95.5 / 255, 6)
+
+
+def test_resize_media_real_box_filter():
+    """resize_media is a REAL box-filter now: 2x2-block floor-averaged
+    pixels, identical through the ppm and png containers, honest
+    ValueError on non-integer ratios."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from bfs_mapreduce_spark.operators.multimodal_queries import resize_media
+    from bfs_mapreduce_spark.sources.png_py import encode_png
+
+    pixels = bytes(range(192))  # 8x8x3
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(8, 8, 3).astype(np.int64)
+    want = (a.reshape(4, 2, 4, 2, 3).sum(axis=(1, 3)) // 4).astype(np.uint8)
+
+    ppm_blob = encode_ppm(8, 8, pixels)
+    png_blob = encode_png(8, 8, pixels, filter_choice=lambda r: r % 5)
+    got_ppm = resize_media(ppm_blob, "ppm", 4, 4)
+    got_png = resize_media(png_blob, "png", 4, 4)
+    assert got_ppm == got_png  # container-independent result
+    assert got_ppm["out_w"] == 4 and got_ppm["out_h"] == 4
+    assert got_ppm["resized_sha"] == _hl.sha256(want.tobytes()).hexdigest()
+    assert got_ppm["mean_resized"] == round(float(want.mean()) / 255, 6)
+
+    with pytest.raises(ValueError, match="non-integer box ratio"):
+        resize_media(ppm_blob, "ppm", 3, 3)
+    with pytest.raises(NotImplementedError):
+        resize_media(b"", "gif", 4, 4)
