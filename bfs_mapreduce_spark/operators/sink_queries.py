@@ -477,3 +477,96 @@ def q_scan_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("aggregate(chunks, 0L, (a, x) -> a + x)")).alias("sum_chunks"),
         F.sum(F.conv(F.hex("digest"), 16, 10).cast("bigint")).alias("sum_doc_id"),
     )
+
+
+@register(
+    "q_scan_avro_logical",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS price,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders)
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderdate) AS DATE) AS min_day,
+           MAX(o_orderdate) AS max_ts,
+           CAST(SUM(price) AS DOUBLE) AS total_price,
+           MIN(substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
+               || '-' || substr(h,17,4) || '-' || substr(h,21,12)) AS min_uuid
+    FROM u GROUP BY yr
+    """,
+    doc="Avro LOGICAL types end-to-end through the pure-Python source "
+    "(sources/avro_py.py — round-8 extension per the public spec's "
+    "'Logical Types': date as int-days, timestamp-micros as "
+    "long-epoch-us, decimal as big-endian two's-complement unscaled "
+    "bytes, uuid as annotated string): orders are staged with "
+    "o_orderdate as BOTH a timestamp-micros and a derived date "
+    "column, the price as decimal(18,2), and a deterministic "
+    "md5-derived uuid string, then read back and aggregated by year. "
+    "The oracle recomputes every value from the original table — the "
+    "epoch arithmetic, the two's-complement decode, and the exact "
+    "decimal sum all sit inside the value hash (the decimal column "
+    "surfaces as a true Spark DecimalType, so the sum is "
+    "order-independent and exact before the final double cast).",
+)
+def q_scan_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import hashlib as _hl
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bfs_mapreduce_spark.sources.avro_py import register_avro_source, write_avro
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_avro_lt"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    schema = {
+        "type": "record",
+        "name": "order_lt",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                       "precision": 18, "scale": 2}},
+            {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
+        ],
+    }
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    cents = Decimal("0.01")
+    rows = []
+    for r in pdf.itertuples():
+        ts = r.o_orderdate.to_pydatetime()
+        h = _hl.md5(str(int(r.o_orderkey)).encode()).hexdigest()
+        rows.append(
+            {
+                "o_orderkey": int(r.o_orderkey),
+                "ts": ts,
+                "day": ts.date(),
+                "price": Decimal(repr(float(r.o_totalprice))).quantize(
+                    cents, ROUND_HALF_UP
+                ),
+                "uid": f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}",
+            }
+        )
+    # one file per staged year-bucket keeps multiple input partitions
+    by_year: dict[int, list] = {}
+    for row in rows:
+        by_year.setdefault(row["ts"].year, []).append(row)
+    for yr, chunk in by_year.items():
+        write_avro(os.path.join(root, f"orders_{yr}.avro"), schema, chunk,
+                   codec="deflate")
+    register_avro_source(spark)
+    df = spark.read.format("avro_py").load(root)
+    return df.groupBy(F.year("ts").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("day").alias("min_day"),
+        F.max("ts").alias("max_ts"),
+        F.sum("price").cast("double").alias("total_price"),
+        F.min("uid").alias("min_uuid"),
+    )

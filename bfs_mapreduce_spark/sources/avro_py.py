@@ -22,6 +22,11 @@ boundaries beyond it:
   ``["null", <type>]`` (either declared order), ``array``/``map``
   (recursively, so array-of-array and map-of-nullable-long work),
   ``enum`` (→ Spark string), and ``fixed`` (→ Spark binary);
+- logical types ``date`` (→ Spark date), ``timestamp-micros``/
+  ``timestamp-millis`` (→ timestamp), ``decimal`` on bytes (→
+  DecimalType at the declared precision/scale), and ``uuid``
+  (→ string); unrecognized logical annotations fall back to the
+  underlying type, as the spec directs;
 - codecs ``null`` and ``deflate`` (raw zlib, per the spec);
 - anything else (nested records, non-null unions, other codecs)
   raises ``NotImplementedError`` with the offending construct named —
@@ -36,14 +41,19 @@ cluster this source is swapped out wholesale, plans unchanged.
 
 from __future__ import annotations
 
+import datetime as _dt
 import io
 import json
 import struct
 import zlib
+from decimal import Decimal
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 MAGIC = b"Obj\x01"
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
 
 _PRIMITIVES = {
     "null",
@@ -135,6 +145,21 @@ def _parse_type(t):
         raise NotImplementedError(f"unsupported union {t!r}")
     if isinstance(t, dict):
         kind = t.get("type")
+        lt = t.get("logicalType")
+        if lt:
+            # spec 'Logical Types': a reader that recognizes the pair
+            # maps it; an invalid/unknown annotation SHOULD be ignored
+            # and the underlying type used
+            if lt == "date" and kind == "int":
+                return ("date",)
+            if lt == "timestamp-micros" and kind == "long":
+                return ("ts", 1)
+            if lt == "timestamp-millis" and kind == "long":
+                return ("ts", 1000)
+            if lt == "decimal" and kind == "bytes":
+                return ("dec", int(t["precision"]), int(t["scale"]))
+            if lt == "uuid" and kind == "string":
+                return ("prim", "string")
         if kind == "array":
             return ("array", _parse_type(t["items"]))
         if kind == "map":
@@ -175,6 +200,12 @@ def _ddl_type(desc: tuple) -> str:
         return "string"
     if kind == "fixed":
         return "binary"
+    if kind == "date":
+        return "date"
+    if kind == "ts":
+        return "timestamp"
+    if kind == "dec":
+        return f"decimal({desc[1]},{desc[2]})"
     raise NotImplementedError(desc)
 
 
@@ -256,6 +287,13 @@ def _decode_value(buf: io.BytesIO, desc: tuple):
         return symbols[i]
     if kind == "fixed":
         return _read_exact(buf, desc[1])
+    if kind == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=_read_long(buf))
+    if kind == "ts":
+        return _EPOCH_DT + _dt.timedelta(microseconds=_read_long(buf) * desc[1])
+    if kind == "dec":
+        unscaled = int.from_bytes(_read_bytes(buf), "big", signed=True)
+        return Decimal(unscaled).scaleb(-desc[2])
     raise NotImplementedError(desc)
 
 
@@ -317,6 +355,24 @@ def _encode_value(out: bytearray, value, desc: tuple) -> None:
         if len(b) != desc[1]:
             raise ValueError(f"fixed size mismatch: want {desc[1]}, got {len(b)}")
         out += b
+        return
+    if kind == "date":
+        out += _write_long((value - _EPOCH_DATE).days)
+        return
+    if kind == "ts":
+        td = value - _EPOCH_DT
+        us = (td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds)
+        if us % desc[1]:
+            raise ValueError(
+                f"timestamp {value} not representable at this precision"
+            )
+        out += _write_long(us // desc[1])
+        return
+    if kind == "dec":
+        unscaled = int(Decimal(value).scaleb(desc[2]))
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        b = unscaled.to_bytes(n, "big", signed=True)
+        out += _write_long(len(b)) + b
         return
     raise NotImplementedError(desc)
 

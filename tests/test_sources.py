@@ -273,6 +273,60 @@ def test_avro_py_complex_types_roundtrip(tmp_path):
                    [dict(rows[0], digest=b"\x01")])
 
 
+def test_avro_py_logical_types_roundtrip(tmp_path):
+    """Logical types (spec 'Logical Types'): date = int days since
+    epoch, timestamp-micros/millis = long since epoch, decimal =
+    big-endian two's-complement unscaled bytes at the declared scale,
+    uuid = annotated string; unknown annotations fall back to the
+    underlying type per spec."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from bfs_mapreduce_spark.sources.avro_py import read_avro, spark_ddl, write_avro
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "tm", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        {"name": "p", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 18, "scale": 2}},
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "maybe_d", "type": ["null", {"type": "int", "logicalType": "date"}]},
+        {"name": "wat", "type": {"type": "long", "logicalType": "no-such-type"}},
+    ]}
+    rows = [
+        {"d": dt.date(1998, 10, 3),
+         "ts": dt.datetime(1997, 5, 28, 13, 45, 12, 123456),
+         "tm": dt.datetime(1997, 5, 28, 13, 45, 12, 123000),
+         "p": Decimal("-112946.26"),
+         "u": "0f8fad5b-d9cb-469f-a165-70867728950e",
+         "maybe_d": None, "wat": 7},
+        {"d": dt.date(1969, 12, 25),  # negative epoch days
+         "ts": dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+         "tm": dt.datetime(1970, 1, 1),
+         "p": Decimal("0.00"), "u": "x",
+         "maybe_d": dt.date(2026, 8, 14), "wat": -1},
+    ]
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"lt_{codec}.avro")
+        write_avro(path, schema, rows, codec=codec)
+        got_schema, got = read_avro(path)
+        assert got_schema == schema and got == rows
+    assert spark_ddl(schema) == (
+        "d date, ts timestamp, tm timestamp, p decimal(18,2), u string, "
+        "maybe_d date, wat bigint"
+    )
+    # sub-precision timestamps are a loud error, not silent truncation
+    with _pytest.raises(ValueError, match="not representable"):
+        write_avro(str(tmp_path / "bad.avro"),
+                   {"type": "record", "name": "b", "fields": [
+                       {"name": "tm", "type": {"type": "long",
+                                               "logicalType": "timestamp-millis"}}]},
+                   [{"tm": dt.datetime(1970, 1, 1, 0, 0, 0, 123456)}])
+
+
 def test_avro_py_datasource_complex_and_field_order(spark, tmp_path):
     """The DataSource surfaces array/map/enum/fixed columns as Spark
     array/map/string/binary, and a directory mixing files whose fields
