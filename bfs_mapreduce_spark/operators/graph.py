@@ -82,10 +82,11 @@ def _auto_edge_partitions(edges: DataFrame, directed: bool) -> int:
     graph a cluster-sized partition count just multiplies per-task
     scheduling into the per-round floor (measured round-8: the sf0.1
     bipartite graph's 6 small rounds cost 2.4 s at 32 partitions and
-    1.7 s at 4 — same plans, same answers). The heuristic targets
+    1.7 s at 8 — same plans, same answers). The heuristic targets
     ~16 MB of source bytes per partition (x2 for the symmetric
-    doubling), floors at 4 so local runs still exercise parallel
-    shuffles, and CAPS AT THE SESSION DEFAULT so a 100 TB edge scan on
+    doubling), floors at 8 so the one-time repartition+dedup+persist
+    keeps real build parallelism and local runs still exercise
+    parallel shuffles, and CAPS AT THE SESSION DEFAULT so a 100 TB edge scan on
     a real cluster keeps its cluster-wide layout — the cap, not the
     floor, is what scales. Falls back to the session default whenever
     input bytes are unknowable (in-memory frames, non-file sources)."""
@@ -102,7 +103,7 @@ def _auto_edge_partitions(edges: DataFrame, directed: bool) -> int:
         return default_parts
     if not directed:
         total *= 2
-    return max(4, min(default_parts, total // (16 << 20) + 1))
+    return max(8, min(default_parts, total // (16 << 20) + 1))
 
 
 def bfs(
