@@ -781,3 +781,99 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, out_w int, out_h int, resized_sha string, "
         "mean_resized double",
     )
+
+
+_APNG_FRAMES, _APNG_STRIDE = 4, 2  # staged frame count / sampling stride
+
+
+def _extract_apng_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: build a real 4-frame APNG from the pixel
+    plane (frame f = plane rotated left by f*3 bytes, rotating
+    scanline filters), then FRAME-SAMPLE it: decode the container,
+    keep every _APNG_STRIDE-th frame, emit per-frame features. The
+    animated container is encoded and consumed inside one stage —
+    sequence numbers, fcTL metadata, fdAT framing, and per-frame
+    filter reconstruction all sit between the input bytes and the
+    emitted hash."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.png_py import decode_apng_frames, encode_apng
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            pix = bytes(blob)
+            frames = [
+                pix[f * 3 :] + pix[: f * 3] for f in range(_APNG_FRAMES)
+            ]
+            apng = encode_apng(
+                _PPM_W, _PPM_H, frames, filter_choice=lambda r: r % 5
+            )
+            _w, _h, _ch, decoded = decode_apng_frames(apng)
+            for f in range(0, _APNG_FRAMES, _APNG_STRIDE):
+                plane = decoded[f]
+                arr = np.frombuffer(plane, dtype=np.uint8)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_idx": f,
+                        "frame_sha": hashlib.sha256(plane).hexdigest(),
+                        "mean_brightness": _round6(float(arr.mean()) / 255),
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_sha", "mean_brightness"]
+        )
+
+
+@register(
+    "q_multimodal_apng_frames",
+    oracle=f"""
+    -- Each staged APNG frame f is the doc's pixel plane rotated left
+    -- by f*3 bytes; the sampler keeps frames 0 and 2. The oracle
+    -- reconstructs each sampled frame's exact bytes, so the APNG
+    -- container walk (sequence numbers, fdAT framing, per-frame
+    -- inflate + filter reconstruction) sits inside the value hash.
+    WITH blob AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
+                       1, {_PPM_PIXEL_BYTES}) AS pix
+      FROM documents WHERE length(text) > 0),
+    f AS (SELECT 0 AS frame_idx UNION ALL SELECT 2),
+    pl AS (
+      SELECT doc_id, frame_idx,
+             substring(pix, frame_idx * 3 + 1) || substring(pix, 1, frame_idx * 3)
+               AS plane
+      FROM blob CROSS JOIN f),
+    px AS (
+      SELECT doc_id, AVG(ascii(substring(pix, CAST(u.range + 1 AS INT), 1))) AS mb
+      FROM blob, range({_PPM_PIXEL_BYTES}) AS u
+      GROUP BY doc_id)
+    SELECT pl.doc_id, pl.frame_idx,
+           sha256(plane) AS frame_sha,
+           ROUND(px.mb / 255.0, 6) AS mean_brightness
+    FROM pl JOIN px USING (doc_id)
+    """,
+    doc="REAL animated-container frame sampling (round 8 — the "
+    "video-shaped operator gets a genuine public container): each "
+    "document becomes a 4-frame APNG (W3C PNG spec APNG chapter: "
+    "acTL/fcTL/fdAT chunks, consecutive sequence numbers, per-frame "
+    "deflate with rotating scanline filters — sources/png_py.py), and "
+    "the sampler decodes the container and keeps every 2nd frame, "
+    "emitting per-frame content hash + brightness. The oracle "
+    "reconstructs each sampled frame's exact bytes from the source "
+    "text (frame f = plane rotated f*3 bytes), so a container-walk "
+    "bug — skipped fdAT, misordered sequence, wrong frame boundary — "
+    "breaks the hash. Encoded and consumed in ONE Arrow stage; only "
+    "(idx, sha, mean) leave. q_multimodal_frame_sample remains the "
+    "JVM-only byte-window form for opaque codecs.",
+)
+def q_multimodal_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    reps = F.ceil(F.lit(float(_PPM_PIXEL_BYTES)) / F.length("text")).cast("int")
+    pix = F.substring(F.repeat(F.col("text"), reps), 1, _PPM_PIXEL_BYTES)
+    return docs.select("doc_id", F.encode(pix, "utf-8").alias("blob")).mapInPandas(
+        _extract_apng_frames,
+        schema="doc_id bigint, frame_idx int, frame_sha string, "
+        "mean_brightness double",
+    )

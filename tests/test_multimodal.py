@@ -267,3 +267,47 @@ def test_resize_media_real_box_filter():
         resize_media(ppm_blob, "ppm", 3, 3)
     with pytest.raises(NotImplementedError):
         resize_media(b"", "gif", 4, 4)
+
+
+def test_apng_roundtrip_and_failures():
+    """APNG container: frames round-trip exactly; sequence-number gaps
+    and offset/composited frames fail loudly; a plain-PNG reader sees
+    exactly the first frame (the spec's fallback behavior)."""
+    import random
+    import struct
+    from binascii import crc32
+
+    from bfs_mapreduce_spark.sources.png_py import (
+        PNG_SIG,
+        decode_apng_frames,
+        decode_png,
+        encode_apng,
+    )
+
+    rng = random.Random(11)
+    frames = [bytes(rng.randrange(256) for _ in range(8 * 8 * 3)) for _ in range(4)]
+    blob = encode_apng(8, 8, frames, filter_choice=lambda r: r % 5)
+    assert decode_apng_frames(blob) == (8, 8, 3, frames)
+    assert decode_png(blob)[3] == frames[0]  # plain-PNG fallback
+
+    # plain png through the APNG reader: loud, not a silent 1-frame list
+    from bfs_mapreduce_spark.sources.png_py import encode_png
+
+    with pytest.raises(ValueError, match="no acTL"):
+        decode_apng_frames(encode_png(2, 2, bytes(12)))
+
+    # corrupt a sequence number -> gap detected
+    def bump_seq(b):
+        i = b.index(b"fdAT")
+        data = bytearray(b)
+        seq = struct.unpack(">I", b[i + 4 : i + 8])[0]
+        data[i + 4 : i + 8] = struct.pack(">I", seq + 7)
+        ln = struct.unpack(">I", b[i - 4 : i])[0]
+        payload = bytes(data[i + 4 : i + 4 + ln])
+        data[i + 4 + ln : i + 8 + ln] = struct.pack(
+            ">I", crc32(b"fdAT" + payload) & 0xFFFFFFFF
+        )
+        return bytes(data)
+
+    with pytest.raises(ValueError, match="sequence gap"):
+        decode_apng_frames(bump_seq(blob))
