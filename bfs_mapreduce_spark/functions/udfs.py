@@ -94,15 +94,21 @@ def _count_fn(v: pd.Series) -> int:
     SELECT event_type,
            ROUND(EXP(AVG(LN(value))), 6) AS geo_mean_value,
            COUNT(*) AS n
-    FROM events GROUP BY event_type
+    FROM events WHERE value > 0 GROUP BY event_type
     """,
     doc="Grouped-aggregate pandas UDF (UDAF): geometric mean of event "
-    "value per type. The oracle's EXP(AVG(LN(x))) identity proves the "
-    "UDAF exact. Rides the standard agg shuffle — state per group, "
+    "value per type, over the POSITIVE support (the geometric mean is "
+    "undefined at <= 0; round-8 scale-latent fix — sf0.1 contains "
+    "value=0 rows that sf0.01 does not, so the unfiltered form passed "
+    "the small-scale gate while DuckDB errored on LN(0) and numpy "
+    "silently produced exp(-inf)=0 at bench scale: exactly the "
+    "wrong-answer-only-at-scale class the sf0.1 sweep exists to "
+    "catch). The oracle's EXP(AVG(LN(x))) identity proves the UDAF "
+    "exact. Rides the standard agg shuffle — state per group, "
     "executor-side.",
 )
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     # Series -> scalar type hints mark these as grouped-aggregate UDFs
     # (the non-deprecated spelling; PandasUDFType is on its way out)
     geo = pandas_udf(geo_mean_fn, "double")

@@ -82,6 +82,29 @@ def test_parity_certification_covers_headliners():
         assert row["mode"] == want_mode, (name, row["mode"])
 
 
+def test_full_catalog_certified_at_bench_scale():
+    """Round-8 upgrade of the sf0.1 gate: PARITY_sf01_full.json must
+    cover EVERY oracle-paired catalog query with a passing strict-hash
+    row — adding a query obliges re-running the full sf0.1 sweep
+    (tools/strict_parity_sweep.py). This is the net that caught
+    q_udaf_geomean's scale-latent LN(0): green at sf0.01, broken at
+    bench scale."""
+    import json
+    import os
+
+    import bench
+
+    path = os.path.join(os.path.dirname(bench.__file__), "PARITY_sf01_full.json")
+    assert os.path.exists(path), "run the full sf0.1 strict_parity_sweep"
+    got = json.load(open(path))
+    assert got["n_fail"] == 0
+    oracle_paired = {n for n, q in CATALOG.items() if q.oracle is not None}
+    missing = oracle_paired - set(got["queries"])
+    assert not missing, f"queries not yet sf0.1-certified: {sorted(missing)}"
+    bad = [n for n in oracle_paired if not got["queries"][n]["ok"]]
+    assert not bad, bad
+
+
 def test_spark_entry_contract(spark):
     """The driver executes __spark_entry__ directly: entry() must
     produce rows with a stable schema, queries() must expose the whole
