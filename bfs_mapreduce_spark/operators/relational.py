@@ -2201,3 +2201,272 @@ def q_window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFram
         F.round((rank - 1) / (n - 1), 6).alias("pct_rank"),
         F.round(rank / n, 6).alias("cume"),
     )
+
+
+# ------------------------------------------------- TPC-H remaining shapes (r8)
+# The synthetic schema lacks partsupp / l_commitdate / l_receiptdate /
+# c_phone, so the remaining TPC-H archetypes are ADAPTED to the columns
+# that exist — each keeps its namesake's distinctive relational shape
+# (the thing worth testing), documented per query.
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): correlated EXISTS "
+    "against the fact table, then aggregate — planned as a left-semi "
+    "join with the extra non-equi conjunct riding the same join (no "
+    "per-row subquery execution), orders shuffles once on the join "
+    "key. Adapted predicate: a lineitem shipped after the order date "
+    "(the schema has no commit/receipt dates).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+    doc="TPC-H Q9 shape (product-type profit): five-table join with a "
+    "LIKE filter on part driving the fact scan, grouped by "
+    "(nation, order year). supplier/nation/part broadcast; the "
+    "part-name filter prunes lineitem through the join before the "
+    "aggregate. Adapted: profit omits the ps_supplycost term (no "
+    "partsupp table in the synthetic schema).",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    profit = F.col("l_extendedprice").cast("decimal(10,2)") * _one_minus_disc()
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey, SUM({_PRICE} * {_DISC}) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    total AS (SELECT SUM({_PRICE} * {_DISC}) AS t,
+                     COUNT(DISTINCT l_partkey) AS np
+              FROM lineitem)
+    SELECT l_partkey, CAST(rev AS DOUBLE) AS part_revenue
+    FROM pr, total
+    WHERE rev * np * 2 > 3 * t
+    """,
+    doc="TPC-H Q11 shape (important stock): per-key aggregate filtered "
+    "by a HAVING against a scalar subquery over the WHOLE table — the "
+    "grand total folds in as a broadcast one-row cross join, so the "
+    "fact scans once per aggregate and nothing re-executes per group. "
+    "The threshold compare is cross-multiplied (rev*np*2 > 3*total, "
+    "i.e. 1.5x the average per-part revenue) so both engines compare "
+    "EXACT decimals — no division, no float drift — and the result "
+    "is non-vacuous at every scale factor (the synthetic revenue "
+    "distribution tops out near 1.8x the mean). "
+    "Adapted: revenue share per part stands in for partsupp stock "
+    "value.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(10,2)") * _one_minus_disc()
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
+    total = li.agg(
+        F.sum(rev).alias("t"), F.countDistinct("l_partkey").alias("np")
+    )
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("rev") * F.col("np") * 2 > F.col("t") * 3)
+        .select("l_partkey", F.col("rev").cast("double").alias("part_revenue"))
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping-priority split): fact-fact join "
+    "feeding conditional-CASE counters in one aggregate — the "
+    "canonical pivot-by-predicate. Adapted grouping: l_linestatus "
+    "stands in for l_shipmode (absent from the synthetic schema).",
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape (parts/supplier variety): NOT IN exclusion "
+    "subquery (planned as a broadcast anti-join — s_suppkey is "
+    "non-null so the NOT IN null trap never bites, and the excluded "
+    "set is dimension-sized), then COUNT(DISTINCT supplier) per "
+    "(brand, type). Adapted exclusion: negative-balance suppliers "
+    "stand in for the complaint-comment LIKE.",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_last_shipper",
+    oracle="""
+    WITH os AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ms
+      FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    agg AS (
+      SELECT l_orderkey, MAX(ms) AS omax, COUNT(*) AS nsupp
+      FROM os GROUP BY l_orderkey)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM os JOIN agg USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+    WHERE nsupp >= 2 AND ms = omax
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "EXISTS(other supplier) + NOT EXISTS(later shipper) pair is "
+    "re-expressed as two cascaded aggregates — per-(order, supplier) "
+    "max ship date, then per-order max + supplier count — so the "
+    "whole correlated-subquery chain costs two shuffles on the same "
+    "key instead of per-row subqueries; suppliers tied for last in a "
+    "multi-supplier order each count (deterministic under the "
+    "order-insensitive compare). supplier broadcasts.",
+)
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    os_ = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("ms"))
+    agg = os_.groupBy("l_orderkey").agg(
+        F.max("ms").alias("omax"), F.count(F.lit(1)).alias("nsupp")
+    )
+    return (
+        os_.join(agg, "l_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("ms") == F.col("omax")))
+        .join(F.broadcast(s), os_["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): customers above "
+    "the positive-balance average with NO orders — a scalar-subquery "
+    "average plus NOT EXISTS, planned as a broadcast one-row cross "
+    "join and a left-anti join (orders shuffles once on custkey; the "
+    "anti side pre-filters to urgent orders so the probe set stays "
+    "small — and every scale factor has customers without one). "
+    "The above-average test is cross-multiplied (bal * n > sum) so "
+    "both engines compare EXACT decimals instead of a "
+    "division-order-dependent float average. Adapted grouping: "
+    "market segment stands in for phone country code.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("decimal(18,2)").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n") > F.col("s"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
