@@ -2470,3 +2470,102 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey, MIN(CAST(l_extendedprice AS DECIMAL(10,2))) AS minp
+      FROM lineitem GROUP BY l_partkey)
+    SELECT DISTINCT p_partkey, s_name, n_name, CAST(minp AS DOUBLE) AS min_price
+    FROM lineitem
+      JOIN m ON lineitem.l_partkey = m.l_partkey
+            AND CAST(l_extendedprice AS DECIMAL(10,2)) = m.minp
+      JOIN part     ON p_partkey = lineitem.l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size >= 40
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): the correlated "
+    "min-subquery join-back — per-part minimum price, then rejoin the "
+    "fact on (key, min) to recover WHICH supplier(s) achieve it, "
+    "decorated with dimension detail. Exact-decimal equality join (a "
+    "double = double join key would be engine-dependent); ties "
+    "include every achieving supplier and DISTINCT collapses repeat "
+    "lineitems, deterministic under the order-insensitive compare. "
+    "part/supplier/nation broadcast; the fact shuffles once on "
+    "partkey for both the min and the join-back. Adapted: lineitem "
+    "price stands in for ps_supplycost (no partsupp table).",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_extendedprice").cast("decimal(10,2)").alias("pr")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    m = li.groupBy("l_partkey").agg(F.min("pr").alias("minp"))
+    return (
+        li.join(m, ["l_partkey"])
+        .filter(F.col("pr") == F.col("minp"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "p_partkey", "s_name", "n_name",
+            F.col("minp").cast("double").alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_partkey, l_suppkey),
+    pt AS (SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY l_partkey)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM pq JOIN pt USING (l_partkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+    WHERE sq * 7 > tq
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): a nested-IN "
+    "part-name filter drives the fact scan (planned as a broadcast "
+    "semi join, so the filter reaches the shuffle input), then the "
+    "share-of-total-quantity threshold (> 1/7 — the synthetic "
+    "~20-supplier-per-part spread tops out near 23%, so Q2's "
+    "original half-of-total would be vacuous) — per (part, supplier) "
+    "quantity vs per-part total, cross-multiplied exact decimals — "
+    "counts the "
+    "parts each supplier dominates. Two cascaded aggregates on the "
+    "same key, no per-row subqueries. Adapted: lineitem quantities "
+    "stand in for ps_availqty.",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    pq = (
+        li.join(F.broadcast(small), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+    )
+    pt = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    return (
+        pq.join(pt, "l_partkey")
+        .filter(F.col("sq") * 7 > F.col("tq"))
+        .join(F.broadcast(s), pq["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
