@@ -592,3 +592,100 @@ def q_stream_edgelist_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_vertices")
     )
+
+
+from bfs_mapreduce_spark.operators.dedup_queries import _SQL_SHINGLES
+
+
+@register(
+    "q_stream_dedup_ingest",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_store_docs,
+           TRUE AS matches_batch_star
+    FROM sh WHERE len(shingles) > 0
+    """,
+    doc="Streaming ingestion INTO the incremental dedup store — the "
+    "continuous form a 100 TB pipeline actually runs: documents "
+    "staged as arriving parquet files, readStream with "
+    "maxFilesPerTrigger=1, and each micro-batch folds into the "
+    "replay-safe LSH signature store via foreachBatch(ingest_batch). "
+    "The stream deliberately REPLAYS the init corpus (the store is "
+    "seeded with file 0, then the stream delivers files 0..2) to "
+    "prove at-least-once delivery dedupes instead of double-counting. "
+    "Certification: the store holds exactly the shingleable corpus "
+    "(SQL-recomputed), and the compacted hot-bucket star set of the "
+    "STREAMED store equals, pair for pair, what a single-shot batch "
+    "LSH over the full corpus emits (engine-checked anti-joins — the "
+    "same independent-code-path equivalence q_dedup_lsh_compaction "
+    "certifies for the batch-ingested store).",
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.dedup_incremental import (
+        compact_store,
+        ingest_batch,
+        init_store,
+    )
+    from bfs_mapreduce_spark.operators.dedup_queries import minhash_lsh_pairs
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    mb = 2  # hotness threshold, matching q_dedup_lsh_compaction's rationale
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_streamdedup"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    chunks, store = os.path.join(root, "chunks"), os.path.join(root, "store")
+    os.makedirs(chunks, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    b1, b2 = hi // 3, (2 * hi) // 3
+    splits = [
+        docs.filter(F.col("doc_id") <= b1),
+        docs.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+        docs.filter(F.col("doc_id") > b2),
+    ]
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(chunks, f"chunk_{i}.parquet")
+        )
+    init_store(spark, splits[0], store)
+
+    def _fold(batch: DataFrame, _bid: int) -> None:
+        ingest_batch(spark, batch, store, max_bucket_rows=mb)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(chunks, "*"))
+    )
+    with tempfile.TemporaryDirectory(prefix="bfs_mr_ingest_ckpt_") as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    links = compact_store(spark, store, max_bucket_rows=mb)
+    batch_star = (
+        minhash_lsh_pairs(docs, max_bucket_rows=mb)
+        .filter(F.col("star"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    extra = links.join(batch_star, ["doc_a", "doc_b"], "left_anti")
+    missing = batch_star.join(links, ["doc_a", "doc_b"], "left_anti")
+    n_store = spark.read.parquet(f"{store}/shingles").count()
+    n_docs = docs.count()
+    return (
+        extra.agg(F.count(F.lit(1)).alias("_extra"))
+        .crossJoin(missing.agg(F.count(F.lit(1)).alias("_missing")))
+        .select(
+            F.lit(n_docs).cast("bigint").alias("n_docs"),
+            F.lit(n_store).cast("bigint").alias("n_store_docs"),
+            ((F.col("_extra") == 0) & (F.col("_missing") == 0)).alias(
+                "matches_batch_star"
+            ),
+        )
+    )
