@@ -913,3 +913,72 @@ def q_graph_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = pagerank(edges, iterations=2)
     return res.select("id", F.round(F.col("pr") * 1_000_000, 6).alias("pr_ppm"))
+
+
+_HARMONIC_LCM = 360360  # lcm(1..13): every 1/dist term scales to an
+# exact integer, so both engines sum integers and divide ONCE —
+# no float-summation-order drift inside the value hash.
+
+
+@register(
+    "q_graph_harmonic_smallg",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT src, dst FROM read_csv('{_SMALLG}', delim=' ',
+                 header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    w(a, b, dist) AS (
+      SELECT v, v, CAST(0 AS BIGINT) FROM verts
+      UNION
+      SELECT w.a, sym.dst, w.dist + 1 FROM w JOIN sym ON sym.src = w.b
+      WHERE w.dist < {_SMALLG_ECC}),
+    d AS (SELECT a, b, MIN(dist) AS dist FROM w GROUP BY a, b)
+    SELECT a AS id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           ROUND(SUM(CASE WHEN dist > 0 THEN {_HARMONIC_LCM} // dist
+                          ELSE 0 END) / {_HARMONIC_LCM}.0, 6) AS harmonic
+    FROM d GROUP BY a
+    """,
+    doc="Exact harmonic centrality (sum of 1/dist over reachable "
+    "vertices — the centrality that, unlike closeness, stays "
+    "well-defined on disconnected graphs) for EVERY vertex of the "
+    "reference's smallG, via iterative all-pairs frontier expansion "
+    "with per-round anti-joins against the accumulated distance "
+    "table. Deliberately O(n^2) and smallG-scoped like the HyperBall "
+    "exact twin — at scale the same number comes from the HLL sketch "
+    "path (q_graph_hyperball_smallg) or landmark sampling "
+    "(q_graph_closeness_landmarks); this query is the family's exact "
+    "ground truth. Numeric contract: 1/dist terms are scaled by "
+    "lcm(1..13)=360360 so BOTH engines sum exact integers and divide "
+    "once — float summation order never enters the hash.",
+)
+def q_graph_harmonic_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.operators.graph import undirected_edges
+
+    edges = undirected_edges(read_edge_list(spark, _SMALLG)).localCheckpoint()
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    d = verts.select(
+        F.col("v").alias("a"), F.col("v").alias("b"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint()
+    frontier = d
+    for r in range(1, _SMALLG_ECC + 1):
+        nxt = (
+            frontier.join(edges, frontier["b"] == edges["src"])
+            .select("a", F.col("dst").alias("b"))
+            .distinct()
+            .join(d.select("a", "b"), ["a", "b"], "left_anti")
+            .select("a", "b", F.lit(r).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            break
+        d = d.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    scaled = F.when(
+        F.col("dist") > 0, F.floor(F.lit(_HARMONIC_LCM) / F.col("dist"))
+    ).otherwise(F.lit(0))
+    return d.groupBy(F.col("a").alias("id")).agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+        F.round(F.sum(scaled) / F.lit(float(_HARMONIC_LCM)), 6).alias("harmonic"),
+    )
