@@ -103,7 +103,10 @@ def _auto_edge_partitions(edges: DataFrame, directed: bool) -> int:
         return default_parts
     if not directed:
         total *= 2
-    return max(8, min(default_parts, total // (16 << 20) + 1))
+    # Session default is the HARD cap (outermost min): if the session is
+    # configured narrower than the floor of 8, the session wins — a user
+    # who pinned shuffle.partitions=4 should never see an 8-way exchange.
+    return min(default_parts, max(8, total // (16 << 20) + 1))
 
 
 def bfs(

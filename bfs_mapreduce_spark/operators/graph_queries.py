@@ -109,6 +109,9 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SMALLG_ECC = 13  # ecc(0) on smallG — verified by executing the reference
+_SMALLG_DIAM = 14  # diameter of smallG: all-pairs queries must iterate to
+# THIS bound (ecc(0) only bounds BFS rooted at vertex 0 — 15 vertices have
+# dist-14 partners that an ecc-bounded all-pairs walk would drop).
 
 
 def _smallg_oracle(max_dist: int = _SMALLG_ECC) -> str:
@@ -915,8 +918,9 @@ def q_graph_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", F.round(F.col("pr") * 1_000_000, 6).alias("pr_ppm"))
 
 
-_HARMONIC_LCM = 360360  # lcm(1..13): every 1/dist term scales to an
-# exact integer, so both engines sum integers and divide ONCE —
+_HARMONIC_LCM = 360360  # lcm(1..13), and ALSO divisible by 14
+# (360360 = 14 * 25740): every 1/dist term up to the diameter scales to
+# an exact integer, so both engines sum integers and divide ONCE —
 # no float-summation-order drift inside the value hash.
 
 
@@ -931,7 +935,7 @@ _HARMONIC_LCM = 360360  # lcm(1..13): every 1/dist term scales to an
       SELECT v, v, CAST(0 AS BIGINT) FROM verts
       UNION
       SELECT w.a, sym.dst, w.dist + 1 FROM w JOIN sym ON sym.src = w.b
-      WHERE w.dist < {_SMALLG_ECC}),
+      WHERE w.dist < {_SMALLG_DIAM}),
     d AS (SELECT a, b, MIN(dist) AS dist FROM w GROUP BY a, b)
     SELECT a AS id,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
@@ -948,9 +952,12 @@ _HARMONIC_LCM = 360360  # lcm(1..13): every 1/dist term scales to an
     "exact twin — at scale the same number comes from the HLL sketch "
     "path (q_graph_hyperball_smallg) or landmark sampling "
     "(q_graph_closeness_landmarks); this query is the family's exact "
-    "ground truth. Numeric contract: 1/dist terms are scaled by "
-    "lcm(1..13)=360360 so BOTH engines sum exact integers and divide "
-    "once — float summation order never enters the hash.",
+    "ground truth. Iterates to _SMALLG_DIAM=14 (the graph diameter — "
+    "NOT ecc(0)=13, which would drop the 56 dist-14 pairs) with an "
+    "empty-frontier break. Numeric contract: 1/dist terms are scaled "
+    "by 360360 = lcm(1..13), also divisible by 14, so BOTH engines sum "
+    "exact integers and divide once — float summation order never "
+    "enters the hash.",
 )
 def q_graph_harmonic_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.operators.graph import undirected_edges
@@ -962,7 +969,7 @@ def q_graph_harmonic_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("dist"),
     ).localCheckpoint()
     frontier = d
-    for r in range(1, _SMALLG_ECC + 1):
+    for r in range(1, _SMALLG_DIAM + 1):
         nxt = (
             frontier.join(edges, frontier["b"] == edges["src"])
             .select("a", F.col("dst").alias("b"))

@@ -369,7 +369,15 @@ def _encode_value(out: bytearray, value, desc: tuple) -> None:
         out += _write_long(us // desc[1])
         return
     if kind == "dec":
-        unscaled = int(Decimal(value).scaleb(desc[2]))
+        scaled = Decimal(value).scaleb(desc[2])
+        unscaled = int(scaled)
+        if scaled != unscaled:  # more fractional digits than the declared
+            # scale would silently truncate (int() floors toward zero:
+            # 1.005 at scale 2 would write 1.00) — the module contract is
+            # "never a silent misparse", so refuse instead.
+            raise ValueError(
+                f"decimal {value!r} not representable at scale {desc[2]}"
+            )
         n = max(1, (unscaled.bit_length() + 8) // 8)
         b = unscaled.to_bytes(n, "big", signed=True)
         out += _write_long(len(b)) + b

@@ -317,6 +317,8 @@ def decode_apng_frames(blob: bytes) -> tuple[int, int, int, list[bytes]]:
             if seq != expected_seq:
                 raise ValueError(f"APNG sequence gap: got {seq}, want {expected_seq}")
             expected_seq += 1
+            if not frames_raw:
+                raise ValueError("fdAT before any fcTL")
             frames_raw[-1] += data[4:]
         elif typ == b"IEND":
             break

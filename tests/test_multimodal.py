@@ -311,3 +311,17 @@ def test_apng_roundtrip_and_failures():
 
     with pytest.raises(ValueError, match="sequence gap"):
         decode_apng_frames(bump_seq(blob))
+
+    # fdAT arriving before any fcTL: clean ValueError, not IndexError
+    from bfs_mapreduce_spark.sources.png_py import _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    rogue = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"acTL", struct.pack(">II", 1, 0))
+        + _chunk(b"fdAT", struct.pack(">I", 0) + b"\x00")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="fdAT before any fcTL"):
+        decode_apng_frames(rogue)

@@ -325,6 +325,15 @@ def test_avro_py_logical_types_roundtrip(tmp_path):
                        {"name": "tm", "type": {"type": "long",
                                                "logicalType": "timestamp-millis"}}]},
                    [{"tm": dt.datetime(1970, 1, 1, 0, 0, 0, 123456)}])
+    # likewise decimals with more fractional digits than the declared
+    # scale (int() would floor 1.005@scale2 to 1.00 — silent misparse)
+    with _pytest.raises(ValueError, match="not representable"):
+        write_avro(str(tmp_path / "bad_dec.avro"),
+                   {"type": "record", "name": "b", "fields": [
+                       {"name": "p", "type": {"type": "bytes",
+                                              "logicalType": "decimal",
+                                              "precision": 18, "scale": 2}}]},
+                   [{"p": Decimal("1.005")}])
 
 
 def test_avro_py_datasource_complex_and_field_order(spark, tmp_path):
