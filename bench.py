@@ -5,12 +5,33 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced to full materialization with a count-collect (no
-driver-side row transfer beyond the count), timed wall-clock. The
-suite runs $SPARK_GRAFT_BENCH_REPS times (default 3) and each query
-reports its MIN across reps: this host is shared and load-noisy
-(BASELINE.md documents a 15.5-22.1 s spread for one commit), and the
-min is the run least polluted by foreign load — the number BASELINE.md
-argues from. The headline metric is the sum of per-query mins.
+driver-side row transfer beyond the count), timed wall-clock. Each
+query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports its
+MIN across reps: this host is shared and load-noisy (BASELINE.md
+documents a 15.5-22.1 s spread for one commit), and the min is the run
+least polluted by foreign load. The headline metric "value" is the sum
+of per-query mins (raw seconds, comparable to BENCH_r02..r08).
+
+Host-noise normalization (round 9): the shared host's throughput
+swings 1.2-1.4x round-to-round, which twice buried real code-level
+wins under slow-host rounds. The CANARY is q1_pricing_summary —
+untouched since round 2, so any change in its time is the HOST, not
+the code. Reps are interleaved canary/query (the A/B methodology from
+benchmarks.py's BFS comparison: alternate the two workloads
+back-to-back so both sample the same load), giving every query group a
+canary measured under ITS load window. The JSON additionally carries:
+
+  q1_norm_total  — sum over queries of min_time * (Q1_REF / group
+                   canary min): the suite total re-expressed on the
+                   reference host where q1 = Q1_REF seconds.
+  norm_queries   — the per-query normalized mins.
+  canary         — ref value, global min, and per-group mins.
+
+Q1_REF = 0.335 s: q1's min in BENCH_r07.json, the best-documented
+idle-host measurement of the unchanged-since-r02 canary (the same
+constant the round-8 verdict normalized with). Round-over-round perf
+comparisons should read q1_norm_total; "value" stays raw for
+continuity.
 """
 
 from __future__ import annotations
@@ -101,24 +122,45 @@ def main() -> None:
                 print(f"# warmup {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    CANARY = "q1_pricing_summary"
+    Q1_REF = 0.335  # BENCH_r07.json q1 min — idle-host reference (see module doc)
+
+    def run_once(name: str) -> float | None:
+        q = catalog.get(name)
+        if q is None:
+            return None
+        t0 = time.perf_counter()
+        try:
+            n = q.build(spark, sf_dir).count()
+        except Exception as ex:  # one broken query must not sink the suite's JSON
+            print(f"# {name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
+            return None
+        t = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {t:.3f}s rows={n}", file=sys.stderr)
+        return t
+
     timings: dict[str, float] = {}
-    for rep in range(1, reps + 1):
-        for name in HEADLINE:
-            q = catalog.get(name)
-            if q is None:
-                continue
-            t0 = time.perf_counter()
-            try:
-                df = q.build(spark, sf_dir)
-                n = df.count()
-            except Exception as ex:  # one broken query must not sink the suite's JSON
-                print(f"# {name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
-                continue
-            t = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, float("inf")), t)
-            print(f"# rep{rep} {name}: {t:.3f}s rows={n}", file=sys.stderr)
+    canary_group: dict[str, float] = {}  # per-group canary min (same-load window)
+    for name in HEADLINE:
+        for rep in range(1, reps + 1):
+            print(f"# --- {name} rep{rep}", file=sys.stderr)
+            if name != CANARY:  # canary's own group IS its canary
+                c = run_once(CANARY)
+                if c is not None:
+                    canary_group[name] = min(canary_group.get(name, float("inf")), c)
+            t = run_once(name)
+            if t is not None:
+                timings[name] = min(timings.get(name, float("inf")), t)
+        if name == CANARY and name in timings:
+            canary_group[name] = timings[name]
 
     total = round(sum(timings.values()), 4)
+    canary_min = min(canary_group.values()) if canary_group else None
+    norm_queries = {
+        n: round(t * Q1_REF / canary_group.get(n, canary_min or Q1_REF), 4)
+        for n, t in timings.items()
+    }
     print(
         json.dumps(
             {
@@ -126,9 +168,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "q1_norm_total": round(sum(norm_queries.values()), 4),
+                "norm_queries": norm_queries,
+                "canary": {
+                    "query": CANARY,
+                    "ref": Q1_REF,
+                    "min": canary_min,
+                    "per_group": canary_group,
+                },
                 "sf": sf,
                 "reps": reps,
-                "agg": "min_per_query",
+                "agg": "min_per_query_canary_interleaved",
             }
         )
     )

@@ -100,6 +100,10 @@ def encode_ppm(width: int, height: int, pixels: bytes, maxval: int = 255) -> byt
 
 # WAV geometry used by the synthetic corpus: mono 16-bit PCM, 8 kHz,
 # 128 samples (256 data bytes).
+_JPG_W, _JPG_H = 32, 16  # staged JPEG: 4x2 grid of 8x8 blocks, 2 MCUs at 4:2:0
+_JPG_PIXEL_BYTES = _JPG_W * _JPG_H * 3
+
+
 _WAV_SR = 8_000
 _WAV_SAMPLES = 128
 _WAV_DATA_BYTES = _WAV_SAMPLES * 2
@@ -199,9 +203,10 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
     - ``kind='fake'`` — deterministic byte-derived pseudo-features
       (length, sha256, length-mod brightness), kept for the plumbing
       queries that predate the real codecs.
-    - anything else — ``NotImplementedError``: jpeg/png/video and
-      compressed audio need PIL / torchaudio / ffmpeg, which this
-      container lacks.
+    - ``kind='png'`` / ``kind='jpg'`` — REAL decodes via the from-spec
+      codecs (sources/png_py.py, sources/jpeg_py.py).
+    - anything else — ``NotImplementedError``: video and compressed
+      audio need ffmpeg/torchaudio, which this container lacks.
     """
     import numpy as np
 
@@ -239,12 +244,25 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
             "content_sha": hashlib.sha256(bytes(blob)).hexdigest(),
             "mean_brightness": _round6(float(arr.mean()) / 255),
         }
+    if kind in ("jpg", "jpeg"):
+        from bfs_mapreduce_spark.sources.jpeg_py import decode_jpeg
+
+        w, h, _channels, pixels = decode_jpeg(bytes(blob))
+        arr = np.frombuffer(pixels, dtype=np.uint8)
+        return {
+            "width": w,
+            "height": h,
+            "blob_len": len(blob),
+            "content_sha": hashlib.sha256(bytes(blob)).hexdigest(),
+            "mean_brightness": _round6(float(arr.mean()) / 255),
+        }
     if kind != "fake":
         raise NotImplementedError(
             f"media decode for kind={kind!r} requires a decoder library "
-            "(jpeg/video/compressed audio: PIL/torchaudio/ffmpeg, not "
-            "present in this environment; ppm/wav/png are implemented "
-            "from their public specs)"
+            "(video/compressed audio: torchaudio/ffmpeg, not present in "
+            "this environment; ppm/wav/png and baseline-sequential jpeg "
+            "are implemented from their public specs — for jpeg, only "
+            "the progressive/arithmetic/12-bit variants still raise)"
         )
     return {
         "blob_len": len(blob),
@@ -261,12 +279,26 @@ def _extract_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     (zlib deflate + a ROTATING scanline filter, r % 5, so all five
     spec filters hit real data) and decodes it back with decode_png —
     blob built and consumed in one stage, nothing binary ever leaves.
-    Both paths emit features of the RECONSTRUCTED pixels, so the
-    oracle's sha256 over the original bytes certifies the full filter/
-    inflate reconstruction, not just plumbing."""
+    ``fmt='jpg'`` rows carry 8 gray bytes: the stage renders them as a
+    32x16 RGB image whose every 8x8 block is constant, encodes it as a
+    REAL baseline JPEG (4:2:0 subsampling, restart interval 1, luma DC
+    quant 8 — the bit-exact configuration jpeg_py documents) and
+    decodes it back with the from-spec decoder. All paths emit features
+    of the RECONSTRUCTED pixels, so the oracle's sha256 over the
+    expected bytes certifies the full reconstruction (filters/inflate
+    for PNG; DCT, Huffman, MCU interleave, subsampling, restart
+    markers for JPEG), not just plumbing."""
     import numpy as np
 
+    from bfs_mapreduce_spark.sources.jpeg_py import (
+        QUANT_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+    )
     from bfs_mapreduce_spark.sources.png_py import decode_png, encode_png
+
+    jpg_quant = QUANT_LUMA.copy()
+    jpg_quant[0, 0] = 8  # divides the constant-block DC 8*(v-128): exact
 
     for pdf in batches:
         rows = []
@@ -274,6 +306,20 @@ def _extract_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
             b = bytes(blob)
             if fmt == "ppm":
                 w, h, maxval, pixels = parse_ppm(b)
+            elif fmt == "jpg":
+                blk = np.frombuffer(b, dtype=np.uint8).reshape(2, 4)
+                plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
+                rgb = np.repeat(plane[:, :, None], 3, axis=2)
+                jpg = encode_jpeg(
+                    _JPG_W,
+                    _JPG_H,
+                    rgb.tobytes(),
+                    subsample="420",
+                    quant_luma=jpg_quant,
+                    restart_interval=1,
+                )
+                w, h, _ch, pixels = decode_jpeg(jpg)
+                maxval = 255
             else:
                 png = encode_png(
                     _PPM_W, _PPM_H, b, color_type=2, filter_choice=lambda r: r % 5
@@ -334,11 +380,13 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     -- Reconstruct the pixel plane both engines derive from text
     -- (ASCII corpus, so varchar ops == byte ops); each doc yields one
-    -- 'ppm' row (P6 header parse + plane load) and one 'png' row
+    -- 'ppm' row (P6 header parse + plane load), one 'png' row
     -- (deflate + all-five-filters encode, then full from-spec
-    -- reconstruction). Both must land on the ORIGINAL plane's sha and
-    -- mean — a decoder bug (filter math, inflate framing, header
-    -- misparse) breaks the value hash.
+    -- reconstruction), and one 'jpg' row (baseline JPEG encode+decode
+    -- of a 32x16 block-constant image — bit-exact by construction,
+    -- see jpeg_py). All must land on the EXPECTED plane's sha and
+    -- mean — a codec bug (filter math, inflate framing, DCT/Huffman/
+    -- restart-marker handling, header misparse) breaks the value hash.
     WITH blob AS (
       SELECT doc_id,
              substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
@@ -355,18 +403,45 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(px.mb / 255.0, 6) AS mean_brightness
     FROM blob JOIN px USING (doc_id)
     CROSS JOIN (SELECT 'ppm' AS fmt UNION ALL SELECT 'png' AS fmt) f
+    UNION ALL
+    -- jpg: the 8 gray bytes tile a {_JPG_W}x{_JPG_H} RGB plane as a
+    -- 4x2 grid of constant 8x8 blocks; one scanline of the top block
+    -- row is 4 runs of 24 bytes (8 px * 3 channels), repeated 8 rows,
+    -- then the bottom block row. Decoded mean = mean of the 8 values.
+    SELECT doc_id, 'jpg' AS fmt, {_JPG_W} AS width, {_JPG_H} AS height,
+           {_JPG_PIXEL_BYTES} AS pixel_bytes,
+           sha256(repeat(repeat(substring(pix, 1, 1), 24) ||
+                         repeat(substring(pix, 2, 1), 24) ||
+                         repeat(substring(pix, 3, 1), 24) ||
+                         repeat(substring(pix, 4, 1), 24), 8) ||
+                  repeat(repeat(substring(pix, 5, 1), 24) ||
+                         repeat(substring(pix, 6, 1), 24) ||
+                         repeat(substring(pix, 7, 1), 24) ||
+                         repeat(substring(pix, 8, 1), 24), 8)) AS pixel_sha,
+           ROUND((ascii(substring(pix, 1, 1)) + ascii(substring(pix, 2, 1)) +
+                  ascii(substring(pix, 3, 1)) + ascii(substring(pix, 4, 1)) +
+                  ascii(substring(pix, 5, 1)) + ascii(substring(pix, 6, 1)) +
+                  ascii(substring(pix, 7, 1)) + ascii(substring(pix, 8, 1))) / 8.0
+                 / 255.0, 6) AS mean_brightness
+    FROM blob
     """,
     doc="REAL image decode over binary columns via Arrow-batched "
-    "mapInPandas, TWO codecs wide: documents are rendered as binary "
-    "P6 ppm images (JVM-side blob assembly) decoded by parse_ppm, and "
-    "as real PNGs (zlib deflate, rotating None/Sub/Up/Average/Paeth "
+    "mapInPandas, THREE codecs wide: documents are rendered as binary "
+    "P6 ppm images (JVM-side blob assembly) decoded by parse_ppm, as "
+    "real PNGs (zlib deflate, rotating None/Sub/Up/Average/Paeth "
     "scanline filters) decoded by the from-spec pure-Python decode_png "
-    "(sources/png_py.py — round-8: PNG needs only zlib + filter math, "
-    "so it got a real implementation like Avro did, not a stub). The "
-    "DuckDB oracle reconstructs the original pixel plane and hashes "
-    "it, so both decoders must reproduce the exact bytes they were "
-    "fed through their container formats. Blobs are consumed where "
-    "they are read; only small feature columns leave the stage.",
+    "(sources/png_py.py), and — round 9 — as real baseline-sequential "
+    "JPEGs (8x8 FDCT, Annex-K Huffman, 4:2:0 subsampling, restart "
+    "markers, byte stuffing) decoded by the from-spec decode_jpeg "
+    "(sources/jpeg_py.py; real corpora are overwhelmingly JPEG, the "
+    "round-8 verdict's top-ranked env gap). The JPEG leg stages "
+    "block-constant images, the configuration jpeg_py proves is "
+    "bit-exact through the lossy pipeline, so the DuckDB oracle "
+    "reconstructs the DECODED plane and hashes it — the DCT round "
+    "trip, Huffman tables, MCU interleave, chroma resampling, and "
+    "restart handling all sit inside the value hash. Blobs are "
+    "consumed where they are read; only small feature columns leave "
+    "the stage.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm = _with_ppm_blob(spark, sf_dir).select(
@@ -378,7 +453,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = docs.select(
         "doc_id", F.lit("png").alias("fmt"), F.encode(pix, "utf-8").alias("blob")
     )
-    return ppm.unionByName(png).mapInPandas(
+    jpg = docs.select(
+        "doc_id",
+        F.lit("jpg").alias("fmt"),
+        F.encode(F.substring(pix, 1, 8), "utf-8").alias("blob"),
+    )
+    return ppm.unionByName(png).unionByName(jpg).mapInPandas(
         _extract_media_features, schema=_FEATURE_SCHEMA
     )
 

@@ -62,9 +62,13 @@ def test_ppm_16bit_and_unknown_kinds_are_explicit():
     blob = b"P6\n1 1\n65535\n" + bytes(6)
     with pytest.raises(NotImplementedError, match="16-bit"):
         parse_ppm(blob)
-    # unavailable codecs fail loudly at the single swap point
-    with pytest.raises(NotImplementedError, match="decoder library"):
+    # unavailable codecs fail loudly at the single swap point (jpeg is
+    # REAL as of round 9 — a truncated blob is a decode error now, and
+    # genuinely-unimplementable kinds still name the missing library)
+    with pytest.raises(ValueError, match="JPEG"):
         decode_media(b"\xff\xd8\xff", kind="jpeg")
+    with pytest.raises(NotImplementedError, match="decoder library"):
+        decode_media(b"\x00\x00", kind="mkv")
 
 
 def test_fake_kind_still_supported_for_plumbing_queries():
@@ -325,3 +329,146 @@ def test_apng_roundtrip_and_failures():
     )
     with pytest.raises(ValueError, match="fdAT before any fcTL"):
         decode_apng_frames(rogue)
+
+
+# ---------------------------------------------------------------- jpeg codec
+
+
+def test_jpeg_exact_roundtrip_block_constant():
+    """The bit-exactness contract jpeg_py documents (and
+    q_multimodal_features stages): a block-constant image with luma DC
+    quant 8 survives the full lossy pipeline — 4:2:0 subsampling, MCU
+    interleave, restart markers, Huffman, byte stuffing — unchanged."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.jpeg_py import (
+        QUANT_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 256, size=8)
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(4):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8, :] = vals[by * 4 + bx]
+    ql = QUANT_LUMA.copy()
+    ql[0, 0] = 8
+    blob = encode_jpeg(
+        32, 16, img.tobytes(), subsample="420", quant_luma=ql, restart_interval=1
+    )
+    assert blob.startswith(b"\xff\xd8") and blob.endswith(b"\xff\xd9")
+    assert b"\xff\xd0" in blob  # RST0 between the two MCUs
+    w, h, ch, pix = decode_jpeg(blob)
+    assert (w, h, ch) == (32, 16, 3)
+    assert pix == img.tobytes()
+
+
+def test_jpeg_lossy_roundtrip_error_bounds():
+    """General images through unit quant tables: decode must land
+    within the rounding-error envelope (coefficient rounding <= 0.5
+    each + two color conversions), both RGB 4:4:4 and grayscale."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.jpeg_py import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    ones = np.ones((8, 8), dtype=np.int64)
+    for _ in range(5):
+        img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        blob = encode_jpeg(
+            24, 16, img.tobytes(), quant_luma=ones, quant_chroma=ones
+        )
+        _, _, _, pix = decode_jpeg(blob)
+        err = np.abs(
+            np.frombuffer(pix, dtype=np.uint8).astype(int) - img.reshape(-1).astype(int)
+        )
+        assert err.max() <= 6 and err.mean() < 1.5, (err.max(), err.mean())
+    g = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    blob = encode_jpeg(40, 24, g.tobytes(), channels=1, quant_luma=ones)
+    w, h, ch, pix = decode_jpeg(blob)
+    assert (w, h, ch) == (40, 24, 1)
+    err = np.abs(np.frombuffer(pix, dtype=np.uint8).astype(int) - g.reshape(-1))
+    assert err.max() <= 2  # no color conversion: pure DCT rounding
+
+
+def test_jpeg_odd_dims_restart_and_standard_tables():
+    """Non-multiple-of-MCU dimensions pad with edge replication and
+    crop back; DRI > 1 resets DC predictors mid-scan; the Annex-K
+    default tables produce a plausible (not exact) reconstruction."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.jpeg_py import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    # smooth gradient: standard-table quantization error stays small
+    y, x = np.mgrid[0:33, 0:50]
+    img = np.stack([(2 * x) % 256, (3 * y) % 256, (x + y) % 256], axis=-1)
+    img = img.astype(np.uint8)
+    blob = encode_jpeg(50, 33, img.tobytes(), subsample="420", restart_interval=2)
+    w, h, ch, pix = decode_jpeg(blob)
+    assert (w, h, ch) == (50, 33, 3)
+    assert len(pix) == 50 * 33 * 3
+    dec = np.frombuffer(pix, dtype=np.uint8).astype(int)
+    # modular gradients have 8x8-local discontinuities; just bound the
+    # mean absolute error (exactness is pinned by the tests above)
+    assert np.abs(dec - img.reshape(-1)).mean() < 32
+
+
+def test_jpeg_honest_failures():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from bfs_mapreduce_spark.sources.jpeg_py import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"not a jpeg")
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    blob = encode_jpeg(8, 8, img.tobytes())
+    # truncated entropy data: chop before EOI
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) - 12])
+    # progressive: rewrite SOF0 marker to SOF2 (fix nothing else — the
+    # decoder must refuse at the marker, before parsing the scan)
+    i = blob.index(b"\xff\xc0")
+    prog = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    # 12-bit precision in SOF
+    twelve = bytearray(blob)
+    twelve[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(twelve))
+    # undefined quant table id referenced by SOF's component
+    bad_tq = bytearray(blob)
+    bad_tq[i + 2 + 2 + 1 + 4 + 1 + 2] = 3  # component 0's Tq byte -> 3
+    with pytest.raises(ValueError, match="undefined quant table"):
+        decode_jpeg(bytes(bad_tq))
+    # encoder input validation
+    with pytest.raises(ValueError, match="pixel buffer"):
+        encode_jpeg(8, 8, b"\x00" * 10)
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(8, 8, img.tobytes(), subsample="422x")
+
+
+def test_decode_media_jpeg_kind():
+    """decode_media's jpg kind drives the real decoder; unknown kinds
+    still raise with the env limitation named."""
+    import numpy as np
+    import pytest
+
+    from bfs_mapreduce_spark.sources.jpeg_py import QUANT_LUMA, encode_jpeg
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    ql = QUANT_LUMA.copy()
+    ql[0, 0] = 8
+    feats = decode_media(
+        encode_jpeg(8, 8, img.tobytes(), quant_luma=ql), kind="jpeg"
+    )
+    assert (feats["width"], feats["height"]) == (8, 8)
+    assert feats["mean_brightness"] == pytest.approx(77 / 255, abs=1e-6)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_media(b"\x00", kind="mp4")
