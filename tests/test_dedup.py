@@ -343,3 +343,39 @@ def test_lsh_candidate_count_formula(spark, sizes, cap):
     got = lsh_candidates(exploded, max_bucket_rows=cap).count()
     want = sum(m * (m - 1) // 2 if m <= cap else m - 1 for m in sizes)
     assert got == want, (sizes, cap, got, want)
+
+
+def test_substring_exact_catches_stride_straddling_span(spark, tmp_path):
+    """The miss the round-8 verdict named: a 40-char span duplicated at
+    offsets that never align with the stride-20 window grid is
+    invisible to q_dedup_substring but MUST be flagged by
+    q_dedup_substring_exact, and the recall twin must report it."""
+    from bfs_mapreduce_spark.registry import all_queries
+
+    span = "Z" * 5 + "the exact same forty characters here!" [:30] + "Q" * 5
+    assert len(span) == 40
+    # span at offset 10 in both docs, different surroundings: every
+    # on-stride window mixes span bytes with doc-unique bytes.
+    doc_a = "a" * 10 + span + "b" * 30
+    doc_b = "c" * 10 + span + "d" * 30
+    doc_c = "e" * 80  # control: no shared span
+    pdf = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id bigint, text string"
+    )
+    d = str(tmp_path)
+    pdf.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    catalog = all_queries()
+
+    strided = {
+        r.doc_id
+        for r in catalog["q_dedup_substring"].build(spark, d).collect()
+    }
+    exact = {
+        r.doc_id: r.n_dup_pos
+        for r in catalog["q_dedup_substring_exact"].build(spark, d).collect()
+    }
+    assert strided == set()  # the stride misses the straddling span
+    assert exact[1] == 1 and exact[2] == 1 and exact[3] == 0
+    row = catalog["q_dedup_substring_recall"].build(spark, d).collect()[0]
+    assert row.n_docs_exact == 2 and row.n_docs_strided == 0
+    assert row.n_docs_missed == 2 and row.doc_recall == 0.0
