@@ -43,3 +43,49 @@ def read_schema(df: DataFrame) -> list[str]:
     """ReadSchema strings, one per scan — column pruning made visible."""
     plan = executed_plan(df)
     return [part.splitlines()[0].strip() for part in plan.split("ReadSchema:")[1:]]
+
+
+def scan_metrics(df: DataFrame) -> list[dict]:
+    """Per-file-scan EXECUTED metrics (call AFTER an action): a list of
+    ``{"location": ..., "numFiles": ..., "numPartitions": ...,
+    "numOutputRows": ...}`` — the ground truth for runtime-pruning
+    claims (dynamic partition pruning / runtime filters), where the
+    static plan text can only show the pruning EXPRESSION, not whether
+    it actually cut the files read. Walks through AQE's
+    AdaptiveSparkPlan/QueryStage wrappers to the final physical scan
+    nodes."""
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name.startswith("AdaptiveSparkPlan") or "QueryStage" in name:
+            for meth in ("executedPlan", "plan"):
+                try:
+                    walk(getattr(node, meth)())
+                    break
+                except Exception:  # not this wrapper type
+                    continue
+        if "Scan" in name:
+            metrics = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+            text = node.toString()
+            loc = ""
+            if "Location:" in text:
+                loc = text.split("Location:")[1].split("]", 1)[0] + "]"
+            out.append(
+                {
+                    "location": loc,
+                    "numFiles": metrics.get("numFiles"),
+                    "numPartitions": metrics.get("numPartitions"),
+                    "numOutputRows": metrics.get("numOutputRows"),
+                }
+            )
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

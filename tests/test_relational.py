@@ -293,3 +293,29 @@ def test_q15_reuses_one_revenue_aggregate(spark, sf_oracle_dir):
     lineitem: the final plan shows no lineitem parquet scan at all."""
     plan = _plan(CATALOG["q15_top_supplier"].build(spark, sf_oracle_dir))
     assert "lineitem" not in plan, plan[:2000]
+
+
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf_oracle_dir):
+    """q_sink_dpp_join's contract: the dimension's data-dependent
+    filter prunes the partitioned fact scan AT RUNTIME. Asserted from
+    executed scan metrics, not plan text: the fact scan must read
+    strictly fewer files and rows than the full table, and the plan
+    must carry the dynamicpruningexpression that did it."""
+    from bfs_mapreduce_spark.plans.introspect import scan_metrics
+
+    df = CATALOG["q_sink_dpp_join"].build(spark, sf_oracle_dir)
+    rows = df.collect()
+    assert rows  # the parity-filtered dim keeps at least one priority
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    fact_scans = [
+        m for m in scan_metrics(df) if "bfs_mapreduce_spark_dpp" in m["location"]
+    ]
+    assert fact_scans, scan_metrics(df)
+    fact = fact_scans[0]
+    # 5 o_orderpriority values -> 5 partition dirs; the parity filter
+    # keeps a strict subset on this dataset (seeded, stable).
+    assert fact["numPartitions"] is not None and fact["numPartitions"] < 5, fact
+    assert fact["numFiles"] < 5, fact
+    kept = sum(r.n_orders for r in rows)
+    assert fact["numOutputRows"] == kept  # scanned ONLY the kept partitions
