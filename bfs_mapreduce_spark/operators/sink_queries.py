@@ -427,7 +427,12 @@ def q_scan_edgelist_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoder (zigzag varints, unions, deflate blocks, sync markers) "
     "sit inside the value hash. Same staging hygiene as "
     "q_scan_binary_files: per-(process, sf-tag) directory, cleared "
-    "before each build; build() performs side-effecting driver work.",
+    "before each build; build() performs side-effecting driver work. "
+    "NOTE (round 9): this toPandas staging is FIXTURE construction, "
+    "deliberately driver-side for per-source file layout control — "
+    "the production-scale write path is the executor-side "
+    "AvroPyWriter (df.write.format('avro_py'): one container per "
+    "task, no driver funnel; tests/test_sources.py round-trips it).",
 )
 def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.sources.avro_py import register_avro_source, write_avro

@@ -539,3 +539,39 @@ def test_avro_py_roundtrip_property(tmp_path_factory, data, codec):
     got_schema, got = read_avro(p)
     assert got_schema == schema
     assert got == rows
+
+
+def test_avro_py_executor_side_writer_roundtrip(spark, tmp_path):
+    """round 9: the EXECUTOR-SIDE write path — each task writes its own
+    container file (no driver toPandas funnel), files are
+    byte-compatible with the pure-Python read_avro decoder, the
+    DataSource reads them back value-exact (including date /
+    timestamp_ntz / nullable columns), and append mode uniquifies
+    names instead of clobbering."""
+    import glob as _glob
+
+    from bfs_mapreduce_spark.sources.avro_py import read_avro, register_avro_source
+
+    register_avro_source(spark)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "orders_avro")
+    orders.repartition(3).write.format("avro_py").mode("overwrite").option(
+        "codec", "deflate"
+    ).save(out)
+    files = sorted(_glob.glob(out + "/*.avro"))
+    assert len(files) == 3  # one container per executor task
+    schema, rows = read_avro(files[0])  # byte-compat with the raw decoder
+    assert rows and set(rows[0]) == set(orders.columns)
+    back = spark.read.format("avro_py").load(out)
+    assert back.orderBy("o_orderkey").collect() == orders.orderBy(
+        "o_orderkey"
+    ).collect()
+    # append never clobbers: uniquified part names, row count grows
+    n = orders.count()
+    orders.limit(7).repartition(1).write.format("avro_py").mode("append").save(out)
+    assert len(_glob.glob(out + "/*.avro")) == 4
+    assert spark.read.format("avro_py").load(out).count() == n + 7
+    # overwrite clears stale layouts (the 4-file append run) first
+    orders.repartition(2).write.format("avro_py").mode("overwrite").save(out)
+    assert len(_glob.glob(out + "/*.avro")) == 2
+    assert spark.read.format("avro_py").load(out).count() == n
