@@ -442,3 +442,147 @@ def run_dedup_scale(
             "semantic_phases": sem_phases,
             "semantic_total_sec": sem_total,
         }
+
+
+# ---------------------------------------------------------------- streaming state pressure
+
+# (events, distinct keys) per micro-batch. Cardinality ramps 1k -> 8k
+# while event volume stays constant, then the FINAL batch repeats the
+# 8k key set: events keep flowing but no new keys arrive, so a state
+# store that is linear in KEYS must not grow on that batch — the
+# claim under test (state ~ keys, never ~ events).
+STREAM_RAMP = [
+    (50_000, 1_000),
+    (50_000, 2_000),
+    (50_000, 4_000),
+    (50_000, 8_000),
+    (50_000, 8_000),
+]
+
+
+def synthesize_stream_batches(spark, ramp, out_dir: str) -> str:
+    """Stage one parquet file per micro-batch (the file source with
+    maxFilesPerTrigger=1 turns each into its own trigger). Batch b's
+    events: user_id = i % U_b + 1 (key sets are nested along the ramp,
+    so cumulative distinct keys == max U seen), event times packed into
+    a 10-minute burst that jumps 4 hours per batch — far past the
+    session watermark, so the session leg's eviction is exercised."""
+    from pyspark.sql import functions as F
+
+    tag = "-".join(f"{e}x{u}" for e, u in ramp)
+    root = os.path.join(out_dir, f"stream_ramp_{tag}")
+    done = os.path.join(root, "_STAGED")
+    if os.path.exists(done):
+        return root
+    for b, (events, users) in enumerate(ramp):
+        (
+            spark.range(events)
+            .select(
+                (F.col("id") % users + 1).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000 + b * 14_400) + F.col("id") % 600
+                ).alias("ts"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, f"batch_{b:03d}.parquet"))
+        )
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _progress_records(query) -> list[dict]:
+    """Per-micro-batch throughput + state-store metrics from the
+    query's progress events (the numbers BASELINE.md tables)."""
+    import json as _json
+
+    out = []
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(str(p))
+        ops = d.get("stateOperators") or [{}]
+        so = ops[0]
+        ms = (d.get("durationMs") or {}).get("triggerExecution")
+        rows_in = d.get("numInputRows") or 0
+        out.append(
+            {
+                "batch": d.get("batchId"),
+                "rows_in": rows_in,
+                "trigger_ms": ms,
+                "rows_per_sec": round(rows_in * 1000.0 / ms, 1) if ms else None,
+                "state_rows": so.get("numRowsTotal"),
+                "state_rows_updated": so.get("numRowsUpdated"),
+                "state_bytes": so.get("memoryUsedBytes"),
+            }
+        )
+    return out
+
+
+def run_stream_scale(
+    spark,
+    ramp=STREAM_RAMP,
+    out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+) -> Iterator[dict]:
+    """Streaming state-store pressure under a key-cardinality ramp
+    (the bench-dedup pattern applied to streaming): two stateful
+    operators over the same staged micro-batches, per-batch
+    rows/s + state rows + state bytes from query progress.
+
+    - ``running_user_counts`` (applyInPandasWithState): state is one
+      row per EVER-SEEN key — must track cumulative distinct keys
+      exactly and stay flat on the repeated-keys batch.
+    - ``session_counts`` (session_window + watermark): state is one
+      row per ACTIVE session — the 4-hour inter-batch jump drives the
+      watermark past each batch's sessions, so eviction keeps state
+      bounded by the CURRENT batch's key count, not history.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.streaming.windows import (
+        running_user_counts,
+        session_counts,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    root = synthesize_stream_batches(spark, ramp, out_dir)
+
+    def read_stream():
+        return (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "batch_*.parquet"))
+        )
+
+    legs = [
+        ("running_user_counts", lambda s: running_user_counts(s), "update"),
+        ("session_counts", lambda s: session_counts(s), "append"),
+    ]
+    cum = []
+    seen = 0
+    for _e, u in ramp:
+        seen = max(seen, u)  # nested key sets: cumulative distinct == max U
+        cum.append(seen)
+    for name, build, mode in legs:
+        sink = os.path.join(out_dir, f"stream_sink_{name}")
+        _shutil.rmtree(sink, ignore_errors=True)
+        with _tempfile.TemporaryDirectory(prefix="bfs_mr_ramp_ckpt_") as ckpt:
+            q = (
+                build(read_stream())
+                .writeStream.foreachBatch(
+                    lambda batch, _i, s=sink: batch.write.mode("append").parquet(s)
+                )
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            yield {
+                "op": name,
+                "ramp": [{"events": e, "keys": u} for e, u in ramp],
+                "cumulative_distinct_keys": cum,
+                "batches": _progress_records(q),
+            }

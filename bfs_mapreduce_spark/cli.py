@@ -167,6 +167,29 @@ def _bench_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _bench_stream(args: argparse.Namespace) -> int:
+    """Streaming state-store pressure: rows/s + state rows/bytes per
+    micro-batch under a key-cardinality ramp (BASELINE.md table)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import STREAM_RAMP, run_stream_scale
+
+    spark, owned = _owned_session(app_name="bench_stream_scale")
+    try:
+        ramp = (
+            [(e, u) for e, u in (map(int, s.split("x")) for s in args.ramp)]
+            if args.ramp
+            else STREAM_RAMP
+        )
+        for rec in run_stream_scale(spark, ramp=ramp, out_dir=args.out_dir):
+            print(json.dumps(rec))
+            sys.stdout.flush()
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bfs_mapreduce_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -228,6 +251,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     bd.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
     bd.set_defaults(fn=_bench_dedup)
+
+    bs = sub.add_parser(
+        "bench-stream",
+        help="streaming state-store pressure under a key-cardinality "
+        "ramp (JSON line per stateful operator)",
+    )
+    bs.add_argument(
+        "--ramp",
+        action="append",
+        help="micro-batch spec EVENTSxKEYS (repeatable; default the "
+        "50k-event 1k->8k->8k-repeat ramp)",
+    )
+    bs.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
+    bs.set_defaults(fn=_bench_stream)
 
     args = ap.parse_args(argv)
     return args.fn(args)

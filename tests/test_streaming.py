@@ -95,3 +95,31 @@ def test_foreachbatch_sink_round_trip(spark, sf_smoke_dir, tmp_path):
     total_src = load_table(spark, sf_smoke_dir, "events").count()
     assert sum(n for _, n in seen) == total_src
     assert spark.read.parquet(out).count() == total_src
+
+
+def test_stream_state_linear_in_keys_not_events(spark, tmp_path):
+    """run_stream_scale's claim (BASELINE.md round-9 table): stateful
+    streaming state grows with KEYS, never with events. The custom
+    stateful counter's state rows must equal cumulative distinct keys
+    per batch — including the final repeated-key batch, where events
+    keep flowing but state must not grow — and the session-window
+    leg's state must stay watermark-bounded (~current batch's
+    sessions), not cumulative."""
+    from bfs_mapreduce_spark.benchmarks import run_stream_scale
+
+    ramp = [(2_000, 100), (2_000, 200), (2_000, 200)]
+    recs = {r["op"]: r for r in run_stream_scale(spark, ramp, str(tmp_path))}
+
+    counts = recs["running_user_counts"]["batches"]
+    data_batches = [b for b in counts if b["rows_in"]]
+    assert [b["state_rows"] for b in data_batches] == [100, 200, 200]
+    assert data_batches[-1]["state_rows_updated"] == 200  # keys touched,
+    # yet zero NEW state rows: 2000 more events, state unchanged
+    assert sum(b["rows_in"] for b in data_batches) == 6_000
+    assert all(b["state_bytes"] > 0 for b in data_batches)
+
+    sessions = recs["session_counts"]["batches"]
+    # watermark eviction: final state holds only the last batch's
+    # sessions (200), never the cumulative 500 the ramp produced
+    assert sessions[-1]["state_rows"] <= 400
+    assert max(b["state_rows"] for b in sessions) < 500
