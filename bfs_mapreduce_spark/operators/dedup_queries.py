@@ -1372,3 +1372,119 @@ def q_dedup_lsh_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_drift") == 0).alias("compaction_idempotent"),
         )
     )
+
+
+@register(
+    "q_dedup_semantic_compaction",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_store_vecs,
+           CAST((SELECT COUNT(DISTINCT label) FROM embeddings
+                 WHERE vec_id <= (SELECT MAX(vec_id) // 3 FROM embeddings))
+                AS BIGINT) AS n_cells,
+           TRUE AS matches_batch_keep,
+           TRUE AS compaction_idempotent,
+           TRUE AS files_compacted
+    """,
+    doc="Semantic/ANN store compaction end-to-end (round 9 — the "
+    "embedding half of q_dedup_lsh_compaction, the round-8 stretch): "
+    "embeddings are ingested as THREE vec_id-range batches through "
+    "the replay-safe incremental semantic store (frozen quantizer "
+    "from the init batch, cell-partitioned vectors), then "
+    "compact_semantic_store recomputes the canonical keep set from "
+    "CURRENT full membership (dropped iff a lower-id in-cell partner "
+    "at cosine >= tau — the exact q_dedup_semantic rule) and rewrites "
+    "the fragmented cell partitions to one file each. Certified "
+    "invariants: (a) n_store_vecs — the store holds exactly the "
+    "corpus after K appends (replay safety included), SQL-anchored; "
+    "(b) n_cells — the frozen quantizer is the init batch's label "
+    "centroids, cell count SQL-recomputed from the init id range; "
+    "(c) matches_batch_keep — the compacted keep set equals, vector "
+    "for vector, a SINGLE-SHOT batch keep computation over the full "
+    "corpus against the same frozen centroids (independent path: "
+    "fresh max_by assignment + semantic_pairs vs the store's "
+    "ingest-time assignments), engine-checked via two anti-joins; "
+    "(d) compaction_idempotent — a second compaction returns the "
+    "identical frame; (e) files_compacted — the rewrite strictly "
+    "reduced the per-cell file count. Cell assignment is "
+    "centroid-cosine-derived and not SQL-expressible here (the "
+    "q_dedup_semantic oracle unrolls it at full-corpus centroids; "
+    "this store's centroids are init-batch-frozen by design) — the "
+    "booleans carry the cross-path equivalence, the counts anchor "
+    "the hash in SQL-recomputed ground truth.",
+)
+def q_dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from bfs_mapreduce_spark.operators.dedup_incremental import (
+        _sem_base,
+        compact_semantic_store,
+        ingest_semantic_batch,
+        init_semantic_store,
+        semantic_pairs,
+    )
+    from bfs_mapreduce_spark.operators.similarity_queries import _nearest_cell
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(proc_dir("bfs_mapreduce_spark_semstore"), tag)
+    shutil.rmtree(store, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    b1, b2 = hi // 3, (2 * hi) // 3
+    init_semantic_store(spark, emb.filter(F.col("vec_id") <= b1), store)
+    ingest_semantic_batch(
+        spark, emb.filter((F.col("vec_id") > b1) & (F.col("vec_id") <= b2)), store
+    )
+    ingest_semantic_batch(spark, emb.filter(F.col("vec_id") > b2), store)
+
+    def n_files() -> int:
+        return len(glob.glob(os.path.join(store, "vectors", "cell=*", "*.parquet")))
+
+    files_before = n_files()
+    keep = compact_semantic_store(spark, store)
+    files_after = n_files()
+    keep2 = compact_semantic_store(spark, store)
+
+    # single-shot batch reference against the SAME frozen quantizer:
+    # fresh assignment of the full corpus + the q_dedup_semantic keep
+    # rule, never touching the store's ingest-time assignments
+    cent = spark.read.parquet(f"{store}/centroids")
+    base = _sem_base(emb)
+    assign = _nearest_cell(base, cent).select("vec_id", "cell")
+    dropped = (
+        semantic_pairs(emb, cent)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    keep_ref = assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("_d").isNull(), 1).otherwise(0).alias("keep"),
+    )
+
+    cols = ["vec_id", "cell", "keep"]
+    mismatch = keep.join(keep_ref, cols, "left_anti").unionByName(
+        keep_ref.join(keep, cols, "left_anti")
+    )
+    drift = keep.join(keep2, cols, "left_anti").unionByName(
+        keep2.join(keep, cols, "left_anti")
+    )
+    n_store = spark.read.parquet(f"{store}/vectors").count()
+    n_vecs = emb.count()
+    n_cells = cent.select("cell").distinct().count()
+    return (
+        mismatch.agg(F.count(F.lit(1)).alias("_mm"))
+        .crossJoin(drift.agg(F.count(F.lit(1)).alias("_drift")))
+        .select(
+            F.lit(n_vecs).cast("bigint").alias("n_vecs"),
+            F.lit(n_store).cast("bigint").alias("n_store_vecs"),
+            F.lit(n_cells).cast("bigint").alias("n_cells"),
+            (F.col("_mm") == 0).alias("matches_batch_keep"),
+            (F.col("_drift") == 0).alias("compaction_idempotent"),
+            F.lit(files_after < files_before).alias("files_compacted"),
+        )
+    )

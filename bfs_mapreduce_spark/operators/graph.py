@@ -123,6 +123,7 @@ def bfs(
     source_df_rows: int | None = None,
     stats: dict | None = None,
     edge_partitions: int | None = None,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
     Pass ``sources=[...]`` for the multi-source form — dist becomes
@@ -182,18 +183,25 @@ def bfs(
         sym = raw.unionByName(rev)
     else:
         sym = raw
-    # Partition the (big, static) edge side once on the join key, THEN
-    # dedup: hash(src) partitioning already co-locates every (src, dst)
-    # duplicate, so dropDuplicates reuses the exchange instead of
-    # shuffling a second time on (src, dst). Pinned in memory: every
-    # round's frontier join reuses the same co-located layout, so only
-    # the (small) frontier side moves.
-    sym = (
-        sym.filter(F.col("src") != F.col("dst"))
-        .repartition(edge_partitions, "src")
-        .dropDuplicates(["src", "dst"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Partition the (big, static) edge side once on the join key and pin
+    # it in memory: every round's frontier join reuses the same
+    # co-located layout, so only the (small) frontier side moves.
+    #
+    # Edge dedup is OPT-IN (round 9): duplicate (src, dst) rows are
+    # semantically harmless to every bfs path — the dist-only expansion
+    # ends in distinct, the path expansion in a min-aggregate — so the
+    # default skips the full-edge-set hash aggregate at setup (~30% of
+    # the materialization cost on a near-duplicate-free graph, measured
+    # sf0.1). Pass dedup_edges=True for genuinely multi-edge inputs,
+    # where shrinking the cached table once pays back every round; the
+    # hash(src) repartition already co-locates duplicates, so the dedup
+    # reuses that exchange rather than shuffling again.
+    sym = sym.filter(F.col("src") != F.col("dst")).repartition(
+        edge_partitions, "src"
     )
+    if dedup_edges:
+        sym = sym.dropDuplicates(["src", "dst"])
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Vertex universe: self-loop-only vertices still exist in the graph
     # even though the loop edge never helps BFS, so they come from RAW.
