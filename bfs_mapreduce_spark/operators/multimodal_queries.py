@@ -2,17 +2,19 @@
 payloads as opaque ``binary`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` pipelines.
 
-The decode step is REAL for ``kind='ppm'``: a pure-Python/numpy
-binary P6 (portable pixmap) parser — header tokenizer with comment
-handling, pixel-plane length validation, uint8 decode — proving the
-swap point with an actual image codec. Formats that need external
-libraries (jpeg/png/audio/video: PIL / torchaudio / ffmpeg, not in
-this container) still raise ``NotImplementedError`` from the same
-single function; ``kind='fake'`` keeps the deterministic byte-derived
-path used by the earlier feature queries. Everything around the
-decoder — binary column construction, Arrow batch transfer,
-mapInPandas schema contract, chunk/frame-sampling arithmetic — is
-shared by every kind.
+The decode step is REAL for ppm, png (+APNG), baseline-sequential
+jpeg, and wav — all from-spec pure-Python/numpy codecs
+(``sources/png_py.py``, ``sources/jpeg_py.py``, the P6/RIFF parsers
+here). Formats that genuinely need external libraries
+(video / compressed audio: ffmpeg / torchaudio, not in this
+container) raise ``NotImplementedError`` from the single
+``decode_media`` swap point; ``kind='fake'`` keeps the deterministic
+byte-derived path used by the earlier plumbing queries. Everything
+around the decoders — binary column construction, Arrow batch
+transfer, mapInPandas schema contract, chunk/frame-sampling
+arithmetic — is shared by every kind, and ``q_scan_image_builtin``
+cross-validates the encoders against the JVM's own ImageIO decoder
+through Spark's builtin image source.
 
 The test corpus has no binary table, so blobs are derived
 deterministically from ``documents.text`` (utf-8 bytes). That keeps
@@ -956,4 +958,116 @@ def q_multimodal_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         _extract_apng_frames,
         schema="doc_id bigint, frame_idx int, frame_sha string, "
         "mean_brightness double",
+    )
+
+
+_IMG_BUILTIN_DOCS = 24  # staged files = 2 per doc (one .png + one .jpg)
+
+
+@register(
+    "q_scan_image_builtin",
+    oracle=f"""
+    -- Cross-decoder certification: files staged by the ENGINE'S
+    -- from-spec PNG and JPEG encoders are decoded by Spark's BUILTIN
+    -- image source (JVM ImageIO — an independent industry decoder),
+    -- and the sha of ImageIO's pixel buffer must equal the plane this
+    -- SQL reconstructs from text. ImageIO emits 3-channel BGR
+    -- (OpenCV mode 16): the png expectation interleaves each pixel's
+    -- channels reversed; the jpg plane is gray (R=G=B), so BGR order
+    -- is the identity there.
+    WITH blob AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
+                       1, {_PPM_PIXEL_BYTES}) AS pix
+      FROM documents
+      WHERE length(text) > 0 AND doc_id <= {_IMG_BUILTIN_DOCS}),
+    bgr AS (
+      SELECT doc_id,
+             string_agg(substring(pix, CAST(3*(i//3) + 3 - (i%3) AS INT), 1),
+                        '' ORDER BY i) AS plane
+      FROM blob, range({_PPM_PIXEL_BYTES}) t(i) GROUP BY doc_id)
+    SELECT 'doc' || bgr.doc_id || '.png' AS file,
+           {_PPM_W} AS width, {_PPM_H} AS height, 3 AS n_channels,
+           sha256(plane) AS data_sha
+    FROM bgr
+    UNION ALL
+    SELECT 'doc' || doc_id || '.jpg' AS file,
+           {_JPG_W} AS width, {_JPG_H} AS height, 3 AS n_channels,
+           sha256(repeat(repeat(substring(pix, 1, 1), 24) ||
+                         repeat(substring(pix, 2, 1), 24) ||
+                         repeat(substring(pix, 3, 1), 24) ||
+                         repeat(substring(pix, 4, 1), 24), 8) ||
+                  repeat(repeat(substring(pix, 5, 1), 24) ||
+                         repeat(substring(pix, 6, 1), 24) ||
+                         repeat(substring(pix, 7, 1), 24) ||
+                         repeat(substring(pix, 8, 1), 24), 8)) AS data_sha
+    FROM blob
+    """,
+    doc="Spark's BUILTIN image source (round 9) as a cross-decoder "
+    "certification: a bounded set of documents is rendered to real "
+    ".png files (from-spec encoder, rotating scanline filters) and "
+    "real .jpg files (from-spec baseline encoder in its bit-exact "
+    "block-constant configuration), then read back with "
+    "spark.read.format('image') — the JVM's ImageIO decoder, a "
+    "completely independent implementation — and sha-hashed ENTIRELY "
+    "JVM-side (sha2 over image.data; zero Python in the query plan). "
+    "The oracle reconstructs ImageIO's exact BGR pixel buffer from "
+    "the source text, so a single bit of disagreement between the "
+    "engine's encoders and the industry decoder fails the hash — "
+    "mutual validation of png_py, jpeg_py, and the builtin source's "
+    "channel layout. Staging is driver-side fixture construction "
+    "(48 small files), same hygiene as q_scan_avro.",
+)
+def q_scan_image_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.jpeg_py import QUANT_LUMA, encode_jpeg
+    from bfs_mapreduce_spark.sources.png_py import encode_png
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_imgsrc"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.length("text") > 0) & (F.col("doc_id") <= _IMG_BUILTIN_DOCS))
+        .select("doc_id", "text")
+        .collect()
+    )
+    ql = QUANT_LUMA.copy()
+    ql[0, 0] = 8
+    for r in docs:
+        reps = -(-_PPM_PIXEL_BYTES // len(r.text))
+        pix = (r.text * reps)[:_PPM_PIXEL_BYTES].encode("ascii")
+        with open(os.path.join(root, f"doc{r.doc_id}.png"), "wb") as f:
+            f.write(
+                encode_png(
+                    _PPM_W, _PPM_H, pix, color_type=2, filter_choice=lambda i: i % 5
+                )
+            )
+        blk = np.frombuffer(pix[:8], dtype=np.uint8).reshape(2, 4)
+        plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
+        rgb = np.repeat(plane[:, :, None], 3, axis=2)
+        with open(os.path.join(root, f"doc{r.doc_id}.jpg"), "wb") as f:
+            f.write(
+                encode_jpeg(
+                    _JPG_W,
+                    _JPG_H,
+                    rgb.tobytes(),
+                    subsample="420",
+                    quant_luma=ql,
+                    restart_interval=1,
+                )
+            )
+    img = spark.read.format("image").load(root)
+    return img.select(
+        F.element_at(F.split(F.col("image.origin"), "/"), -1).alias("file"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.nChannels").alias("n_channels"),
+        F.sha2(F.col("image.data"), 256).alias("data_sha"),
     )
