@@ -28,8 +28,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
+
+from bfs_mapreduce_spark.sources.stream_files import FileArrivalStreamReader
 
 
 class EdgeListDataSource(DataSource):
@@ -98,101 +99,13 @@ def _parse_edge_file(path: str):
             yield int(parts[0]), int(parts[1])
 
 
-class EdgeListStreamReader(SimpleDataSourceStreamReader):
+class EdgeListStreamReader(FileArrivalStreamReader):
     """Streaming half of the edgelist source: each micro-batch delivers
-    the edges of files that arrived since the last offset.
+    the edges of files that arrived since the last offset. Offset
+    semantics (bounded watermark + lateness window, exact
+    ``readBetweenOffsets`` replay) live in the shared
+    ``FileArrivalStreamReader`` (sources/stream_files.py) — the same
+    machinery the avro_py source streams with."""
 
-    Offset design — BOUNDED, the pattern of Spark's own file source
-    (high-watermark + lateness window) rather than an ever-growing
-    seen-file list:
-
-    - ``wm``: high-watermark = max ``st_mtime_ns`` ever ingested
-      (-1 before the first file);
-    - ``recent``: ``[name, mtime_ns]`` pairs of seen files whose mtime
-      is within ``lateness`` seconds of the watermark — the only
-      per-file state carried forward, so offset size is O(files per
-      lateness window), NOT O(files ever seen);
-    - ``batch``: the names ingested by the batch that PRODUCED this
-      offset, making ``readBetweenOffsets`` an exact replay at
-      O(batch) cost.
-
-    A listed file is ingested iff it is not in ``recent`` and its
-    mtime is not older than ``wm - lateness``. Consequences, all
-    shared with Spark's file source: files are expected immutable once
-    written (object-storage contract); a committed file that
-    transiently vanishes from an eventually-consistent listing is not
-    re-ingested when it reappears (it stays in ``recent`` until the
-    watermark passes it, and reads as too-late after); and a file that
-    first APPEARS with an mtime older than the lateness window is
-    dropped as too-late — size ``lateness`` (option, seconds, default
-    300) to the listing's consistency lag, not to zero.
-
-    A nonexistent path or a glob matching nothing raises (the batch
-    reader's contract: misconfiguration fails loudly, never an
-    empty-forever stream) — an EXISTING empty directory is the one
-    legitimate empty start, since arriving files are the entire
-    point."""
-
-    def __init__(self, options: dict):
-        path = options.get("path")
-        if not path:
-            raise ValueError("edgelist source requires a path")
-        self._path = path
-        self._lateness_ns = int(float(options.get("lateness", "300")) * 1e9)
-
-    def _files(self) -> list[tuple[str, int]]:
-        """→ sorted [(path, mtime_ns)]; vanished-between-glob-and-stat
-        files are skipped (they will list again or stay in recent)."""
-        import glob
-        import os
-
-        if os.path.isdir(self._path):
-            names = sorted(glob.glob(os.path.join(self._path, "*")))
-        else:
-            names = sorted(glob.glob(self._path))
-            if not names:
-                raise FileNotFoundError(
-                    f"edgelist stream: no such path or no matches: {self._path!r}"
-                )
-        out = []
-        for p in names:
-            try:
-                out.append((p, os.stat(p).st_mtime_ns))
-            except FileNotFoundError:
-                continue
-        return out
-
-    def initialOffset(self) -> dict:
-        self._files()  # misconfigured path fails at stream start, not silently
-        return {"wm": -1, "recent": [], "batch": []}
-
-    def read(self, start: dict):
-        wm = start["wm"]
-        recent = {name: mt for name, mt in start["recent"]}
-        cutoff = wm - self._lateness_ns
-        new = sorted(
-            (p, mt)
-            for p, mt in self._files()
-            if p not in recent and (wm < 0 or mt >= cutoff)
-        )
-        rows: list[tuple[int, int]] = []
-        for p, _mt in new:
-            rows.extend(_parse_edge_file(p))
-        new_wm = max([wm, *(mt for _p, mt in new)])
-        new_cutoff = new_wm - self._lateness_ns
-        kept = {
-            name: mt
-            for name, mt in {**recent, **dict(new)}.items()
-            if mt >= new_cutoff
-        }
-        return iter(rows), {
-            "wm": new_wm,
-            "recent": sorted([n, m] for n, m in kept.items()),
-            "batch": sorted(p for p, _mt in new),
-        }
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        rows: list[tuple[int, int]] = []
-        for p in end["batch"]:
-            rows.extend(_parse_edge_file(p))
-        return iter(rows)
+    def _parse_file(self, path: str):
+        return _parse_edge_file(path)

@@ -689,3 +689,51 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_stream_avro_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="The custom Avro source's STREAMING half (round 9 — with this, "
+    "format('avro_py') has all three surfaces: distributed batch read, "
+    "executor-side write, streaming read): documents are written as "
+    "arriving .avro container files BY THE EXECUTOR-SIDE WRITER "
+    "(df.write.format('avro_py'), one container per task), then "
+    "readStream.format('avro_py') consumes them through the shared "
+    "bounded-offset machinery (watermark + lateness window, "
+    "sources/stream_files.py — the same offsets the edgelist stream "
+    "certifies) and aggregates per (lang, source) in complete mode. "
+    "Shares q_scan_avro's oracle: the batch reader, the streaming "
+    "reader, and the writer must all land on identical results over "
+    "the same container bytes.",
+)
+def q_stream_avro_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources.avro_py import register_avro_source
+
+    register_avro_source(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_STAGE_ROOT, f"avro_stream_{tag}")
+    marker = os.path.join(root, "_STAGED")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        # the executor-side writer stages the arriving files: 3 tasks
+        # -> 3 container files, exactly the multi-file arrival shape
+        docs.repartition(3).write.format("avro_py").mode("overwrite").option(
+            "codec", "deflate"
+        ).save(root)
+        open(marker, "w").close()
+    stream = spark.readStream.format("avro_py").load(root)
+    agg = stream.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return run_stream(agg, output_mode="complete")
