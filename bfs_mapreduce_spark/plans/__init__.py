@@ -4,6 +4,7 @@ from bfs_mapreduce_spark.plans.introspect import (
     pushed_filters,
     read_schema,
     scan_count,
+    scan_metrics,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "scan_count",
     "pushed_filters",
     "read_schema",
+    "scan_metrics",
 ]
