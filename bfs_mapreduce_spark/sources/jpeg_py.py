@@ -257,11 +257,12 @@ def encode_jpeg(
 ) -> bytes:
     """Encode interleaved RGB (channels=3) or grayscale (channels=1)
     pixels as a baseline-sequential JFIF file. ``subsample`` is '444'
-    (no chroma subsampling) or '420' (2x2 chroma average)."""
+    (no chroma subsampling), '422' (horizontal 2x1 chroma average) or
+    '420' (2x2 chroma average)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"pixel buffer is {len(pixels)} bytes, want {width * height * channels}"
@@ -281,6 +282,12 @@ def encode_jpeg(
                 planes[ci] = np.round(
                     (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4
                 )
+        elif subsample == "422":  # horizontal-only chroma averaging
+            hv = [(2, 1), (1, 1), (1, 1)]
+            for ci in (1, 2):
+                p = planes[ci]
+                p = _pad_to(p, p.shape[0], p.shape[1] + (p.shape[1] & 1))
+                planes[ci] = np.round((p[:, 0::2] + p[:, 1::2]) / 2)
         else:
             hv = [(1, 1), (1, 1), (1, 1)]
         quants = [0, 1, 1]

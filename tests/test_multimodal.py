@@ -472,3 +472,43 @@ def test_decode_media_jpeg_kind():
     assert feats["mean_brightness"] == pytest.approx(77 / 255, abs=1e-6)
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         decode_media(b"\x00", kind="mp4")
+
+
+def test_jpeg_422_subsampling_roundtrip():
+    """4:2:2 (horizontal-only chroma averaging): gray block-constant
+    images stay bit-exact (constant chroma averages to itself), and a
+    colored image under unit quant stays within the rounding
+    envelope."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.jpeg_py import (
+        QUANT_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 256, size=4)
+    img = np.zeros((8, 32, 3), dtype=np.uint8)
+    for bx in range(4):
+        img[:, bx * 8 : (bx + 1) * 8, :] = vals[bx]
+    ql = QUANT_LUMA.copy()
+    ql[0, 0] = 8
+    blob = encode_jpeg(32, 8, img.tobytes(), subsample="422", quant_luma=ql)
+    w, h, ch, pix = decode_jpeg(blob)
+    assert (w, h, ch) == (32, 8, 3) and pix == img.tobytes()
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    # horizontally-smooth color gradient: adjacent chroma samples are
+    # near-equal, so 2x1 averaging loses almost nothing (random chroma
+    # would lose half its signal BY DESIGN — wrong test input)
+    y, x = np.mgrid[0:16, 0:24]
+    color = np.stack([40 + 6 * x, 200 - 6 * x, 60 + 8 * y], axis=-1).astype(np.uint8)
+    blob2 = encode_jpeg(
+        24, 16, color.tobytes(), subsample="422", quant_luma=ones, quant_chroma=ones
+    )
+    _, _, _, pix2 = decode_jpeg(blob2)
+    err = np.abs(
+        np.frombuffer(pix2, dtype=np.uint8).astype(int) - color.reshape(-1).astype(int)
+    )
+    assert err.mean() < 4 and err.max() <= 12, (err.mean(), err.max())
