@@ -326,3 +326,55 @@ def test_label_propagation_matches_python_sweep(spark, edges, rounds):
     edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r["id"]: r["label"] for r in label_propagation(edges_df, rounds).collect()}
     assert got == _lpa_python(edges, rounds)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_jpeg_decoder_rejects_garbage_contractually(blob):
+    """Fuzz the JPEG decoder's failure contract: arbitrary bytes (and
+    arbitrary bytes behind a valid SOI) must raise ValueError or
+    NotImplementedError — never IndexError/struct.error/KeyError or a
+    silent wrong image."""
+    from bfs_mapreduce_spark.sources.jpeg_py import decode_jpeg
+
+    for candidate in (blob, b"\xff\xd8" + blob):
+        try:
+            decode_jpeg(candidate)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_bounded_error_on_random_images(w, h, seed):
+    """Any image size (including non-multiple-of-8/16) encodes and
+    decodes with bounded error under unit quant tables, both gray and
+    4:2:0 color."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.jpeg_py import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    ones = np.ones((8, 8), dtype=np.int64)
+    g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    _, _, ch, pix = decode_jpeg(
+        encode_jpeg(w, h, g.tobytes(), channels=1, quant_luma=ones)
+    )
+    assert ch == 1
+    err = np.abs(np.frombuffer(pix, dtype=np.uint8).astype(int) - g.reshape(-1))
+    assert err.max() <= 2, err.max()
+
+    rgb = np.repeat(g[:, :, None], 3, axis=2)  # gray RGB: 4:2:0-safe
+    _, _, ch3, pix3 = decode_jpeg(
+        encode_jpeg(w, h, rgb.tobytes(), subsample="420", quant_luma=ones,
+                    quant_chroma=ones)
+    )
+    assert ch3 == 3
+    err3 = np.abs(
+        np.frombuffer(pix3, dtype=np.uint8).astype(int) - rgb.reshape(-1)
+    )
+    assert err3.max() <= 2, err3.max()
