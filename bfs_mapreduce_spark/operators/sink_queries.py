@@ -706,3 +706,51 @@ def q_scan_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price").cast("double").alias("total_price"),
         F.min("uid").alias("min_uuid"),
     )
+
+
+@register(
+    "q_sink_zorder",
+    oracle="""
+    WITH b AS (SELECT MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 20
+               AS hi FROM lineitem)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem, b WHERE l_partkey <= b.hi
+    GROUP BY l_returnflag
+    """,
+    doc="Z-ORDER clustered sink (round 9 — the lakehouse layout "
+    "technique behind Delta OPTIMIZE ZORDER): lineitem is written "
+    "range-partitioned + sorted on the Morton interleave of "
+    "(l_orderkey, l_partkey) — JVM bit arithmetic, functions/"
+    "layout.py — so every output file owns a small rectangle of the "
+    "two-key space and parquet min/max stats prune row groups for "
+    "range filters on EITHER column; a linear sort can only serve "
+    "one. The read-back filters a 5% l_partkey band (plan-time "
+    "literal bound, computed from a one-row aggregate — the same "
+    "pushdown-enabling choice q_graph_sssp_cost argues) and "
+    "aggregates; the oracle recomputes from the original table, so "
+    "the rewrite is row-exact. tests/test_relational.py proves the "
+    "pruning from EXECUTED scan metrics: the z-ordered scan reads a "
+    "fraction of the rows a single-column-sorted layout reads for "
+    "the same filter, on BOTH filter columns.",
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.functions.layout import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(proc_dir("bfs_mapreduce_spark_zorder"), tag)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        write_zordered(li, out, "l_orderkey", "l_partkey")
+        open(marker, "w").close()
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    bound = lo + (hi - lo) // 20
+    back = spark.read.parquet(out).filter(F.col("l_partkey") <= bound)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )

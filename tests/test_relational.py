@@ -350,3 +350,54 @@ def test_runtime_bloom_filter_reduces_join_input(spark, sf_oracle_dir):
         for r in runtime_bloom_join(spark, sf_oracle_dir).collect()
     }
     assert rows == plain
+
+
+def test_zorder_layout_prunes_row_groups_on_both_columns(spark, sf_oracle_dir):
+    """q_sink_zorder's layout claim from executed metrics: a band
+    filter on EITHER z-order key reads a fraction of the rows from the
+    z-clustered layout that the same filter reads from a layout
+    linearly sorted on the OTHER key (where every file's min/max spans
+    the filtered column and nothing prunes)."""
+    import os
+    import tempfile
+
+    from bfs_mapreduce_spark.functions.layout import write_zordered
+    from bfs_mapreduce_spark.plans.introspect import scan_metrics
+    from bfs_mapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_oracle_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    total = li.count()
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    bound = lo + (hi - lo) // 20
+
+    with tempfile.TemporaryDirectory(prefix="zorder_test_") as d:
+        zpath, lpath = os.path.join(d, "z"), os.path.join(d, "linear")
+        write_zordered(li, zpath, "l_orderkey", "l_partkey", n_files=32)
+        (
+            li.repartitionByRange(32, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.parquet(lpath)
+        )
+
+        def rows_read(path, col, val):
+            # collect() (not count(), which builds its OWN execution)
+            # so the metrics belong to THIS DataFrame's plan
+            df = spark.read.parquet(path).filter(F.col(col) <= val).select(col)
+            df.collect()
+            (m,) = scan_metrics(df)
+            return m["numOutputRows"]
+
+        # partkey band: linear-by-orderkey cannot prune it at all
+        z_part = rows_read(zpath, "l_partkey", bound)
+        lin_part = rows_read(lpath, "l_partkey", bound)
+        assert lin_part == total  # every file spans all partkeys
+        assert z_part < total * 0.5, (z_part, total)
+
+        # orderkey band: the z layout still prunes (the point of
+        # z-order: ONE layout serves BOTH columns)
+        klo, khi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+        kbound = klo + (khi - klo) // 20
+        z_key = rows_read(zpath, "l_orderkey", kbound)
+        assert z_key < total * 0.5, (z_key, total)
