@@ -1333,3 +1333,152 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
         .limit(_DSIR_K)
     )
+
+
+# ---------------------------------------------------------------- BPE merge training
+
+_BPE_ROUNDS = 3
+
+# One BPE round in SQL, chained by string-formatting the in/out CTE
+# names: pairs -> global argmax (count desc, pair lexicographic) ->
+# greedy left-to-right non-overlapping application. Greedy non-overlap
+# in pure SQL: among match-start positions, group maximal runs of
+# CONSECUTIVE positions (pos - row_number is constant within a run)
+# and keep the odd-ranked starts — exactly the fold semantics the
+# engine's F.aggregate produces.
+_BPE_ROUND_SQL = """
+p{r} AS (SELECT a.doc, a.pos, a.tok AS l, b.tok AS r
+      FROM {t} a JOIN {t} b ON a.doc = b.doc AND b.pos = a.pos + 1),
+best{r} AS (SELECT l, r, COUNT(*) AS c FROM p{r} GROUP BY l, r
+         ORDER BY c DESC, l, r LIMIT 1),
+m{r} AS (SELECT p.doc, p.pos,
+             p.pos - ROW_NUMBER() OVER (PARTITION BY p.doc ORDER BY p.pos) AS grp
+      FROM p{r} p, best{r} best WHERE p.l = best.l AND p.r = best.r),
+starts{r} AS (SELECT doc, pos FROM (
+  SELECT doc, pos, ROW_NUMBER() OVER (PARTITION BY doc, grp ORDER BY pos) AS rn
+  FROM m{r}) WHERE rn % 2 = 1),
+t{r} AS (
+  SELECT t0.doc,
+         ROW_NUMBER() OVER (PARTITION BY t0.doc ORDER BY t0.pos) AS pos,
+         CASE WHEN s.pos IS NOT NULL THEN (SELECT l || r FROM best{r})
+              ELSE t0.tok END AS tok
+  FROM {t} t0
+  LEFT JOIN starts{r} s ON s.doc = t0.doc AND s.pos = t0.pos
+  WHERE NOT EXISTS (SELECT 1 FROM starts{r} s2
+                    WHERE s2.doc = t0.doc AND s2.pos = t0.pos - 1))"""
+
+
+def _bpe_oracle() -> str:
+    parts = ["""
+    WITH t0 AS (
+      SELECT doc, s.pos AS pos, s.tok AS tok FROM (
+        SELECT doc_id AS doc, unnest(list_transform(range(length(text)),
+            i -> {'pos': i + 1, 'tok': substring(text, CAST(i + 1 AS INT), 1)})) AS s
+        FROM documents WHERE length(text) > 0))"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(_BPE_ROUND_SQL.format(r=r, t=f"t{r - 1}"))
+    selects = [
+        f"SELECT {r} AS round, l AS left, r_ AS right, CAST(c AS BIGINT) AS pair_count "
+        f"FROM (SELECT l, r AS r_, c FROM best{r})"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "q_text_bpe_train",
+    oracle=_bpe_oracle(),
+    doc="Distributed BPE merge training (Sennrich et al. 2016, the "
+    "tokenizer-training primitive; round 9): starting from the "
+    "character stream of every document, each round counts ALL "
+    "adjacent token pairs corpus-wide (one groupBy shuffle of (l, r) "
+    "pairs), picks the global argmax (count desc, then pair "
+    "lexicographic — a TakeOrdered of one row; the single collected "
+    "rule row is the same plan-time-literal pattern q_graph_sssp_cost "
+    "argues), and applies the merge greedily left-to-right via a "
+    "codegen'd F.aggregate fold over the token arrays — no Python in "
+    "the hot path, no per-token shuffle (tokens stay packed in their "
+    "document arrays; only the tiny pair-count aggregate moves). The "
+    "DuckDB oracle re-derives every round's rule and replays the "
+    "greedy application with the run-parity window construction, so "
+    "rule selection, tie-breaks, AND overlap semantics (aaaa + (a,a) "
+    "-> two merges, not three) all sit inside the value hash. "
+    "Deliberate simplification vs production BPE, documented: trained "
+    "on raw character streams (spaces included) rather than "
+    "word-bounded with end-of-word markers — the distributed shape "
+    "(per-round global pair count + positional rewrite) is identical. "
+    "The token stream lives as (doc, pos, tok) ROWS, not arrays: an "
+    "array-fold rewrite is O(len^2) per document (the accumulator "
+    "copies on every element — measured 13 s/round at sf0.1), while "
+    "the row form is lead/lag windows + run-parity row_numbers "
+    "partitioned by doc, linear per round and the same construction "
+    "the oracle replays. Scale: each round is one pair-count shuffle "
+    "(vocabulary-bounded output) + doc-partitioned windows; K rounds "
+    "= K such passes, the honest cost of exact BPE at 100 TB.",
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    rows = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(F.split("text", "")).alias("p0", "tok"),
+    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
+    rows = rows.localCheckpoint(eager=False)
+
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rules = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        paired = rows.withColumn("nxt", F.lead("tok").over(wdoc))
+        best = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .first()
+        )
+        left, right, cnt = best["l"], best["r"], best["c"]
+        rules.append((rnd, left, right, int(cnt)))
+        # Greedy non-overlap in ONE window pass (no joins): a match
+        # merges iff its rank inside its maximal run of consecutive
+        # matches is odd ('aaaa' + (a,a): positions 1 and 3 merge, 2
+        # doesn't — the oracle replays the identical construction).
+        # rank-in-run = running-match-count minus its value at the run
+        # start, both over the same (doc, pos) sort — one exchange.
+        match = (F.col("tok") == left) & (F.col("nxt") == right)
+        step = (
+            paired.withColumn("m", match)
+            .withColumn("mrank", F.sum(F.when(F.col("m"), 1).otherwise(0)).over(wrun))
+            .withColumn(
+                "run_start",
+                F.col("m") & ~F.coalesce(F.lag("m").over(wdoc), F.lit(False)),
+            )
+            .withColumn(
+                "run_mrank",
+                F.max(F.when(F.col("run_start"), F.col("mrank"))).over(wrun),
+            )
+            .withColumn(
+                "is_start",
+                F.col("m") & ((F.col("mrank") - F.col("run_mrank")) % 2 == 0),
+            )
+            .withColumn(
+                "consumed",
+                F.coalesce(F.lag("is_start").over(wdoc), F.lit(False)),
+            )
+        )
+        rows = (
+            step.filter(~F.col("consumed"))
+            .select(
+                "doc",
+                "pos",
+                F.when(F.col("is_start"), F.lit(left + right))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .withColumn("pos", F.row_number().over(wdoc))
+            .localCheckpoint(eager=False)
+        )
+
+    return spark.createDataFrame(
+        rules, "round int, left string, right string, pair_count bigint"
+    )
