@@ -1016,7 +1016,7 @@ _IMG_BUILTIN_DOCS = 24  # staged files = 2 per doc (one .png + one .jpg)
     "engine's encoders and the industry decoder fails the hash — "
     "mutual validation of png_py, jpeg_py, and the builtin source's "
     "channel layout. Staging is driver-side fixture construction "
-    "(48 small files), same hygiene as q_scan_avro.",
+    "(50 small files), same hygiene as q_scan_avro.",
 )
 def q_scan_image_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
