@@ -48,11 +48,16 @@ def _bfs(args: argparse.Namespace) -> int:
         shown = res
         if not args.no_paths:
             shown = res.withColumn("path_str", F.array_join("path", "->"))
-        rows = shown.select(*out_cols).orderBy("id").collect()
+        # Display pulls at most --limit rows through the driver; the
+        # vertex total is a count() on the (checkpointed) result. On a
+        # largeG-10x-class graph the old full collect() funnelled
+        # millions of path rows through the driver to print 20.
+        n_vertices = res.count()
+        rows = shown.select(*out_cols).orderBy("id").limit(args.limit).collect()
         elapsed = time.perf_counter() - t0
-        for r in rows[: args.limit]:
+        for r in rows:
             print("\t".join("" if r[c] is None else str(r[c]) for c in out_cols))
-        print(f"# {len(rows)} vertices in {elapsed:.3f}s", file=sys.stderr)
+        print(f"# {n_vertices} vertices in {elapsed:.3f}s", file=sys.stderr)
         if args.results:
             row = spark.createDataFrame(
                 [(os.path.basename(args.path), args.workers or (os.cpu_count() or 0), elapsed)],

@@ -38,8 +38,16 @@ def _spread16(x: Column) -> Column:
 
 def zorder2(a16: Column, b16: Column) -> Column:
     """Interleave two 16-bit integers into their 32-bit Morton code
-    (``a`` on even bits, ``b`` on odd)."""
-    return _spread16(a16).bitwiseOR(F.shiftleft(_spread16(b16), 1))
+    (``a`` on even bits, ``b`` on odd). The spread values are widened
+    to bigint BEFORE the final shift: ``_spread16`` tops out at
+    0x55555555, so ``shiftleft(.., 1)`` reaches 0xAAAAAAAA, which
+    wraps negative in int32 and would split the sort order on
+    ``b``'s MSB instead of being true Morton order."""
+    return (
+        _spread16(a16)
+        .cast("bigint")
+        .bitwiseOR(F.shiftleft(_spread16(b16).cast("bigint"), 1))
+    )
 
 
 def with_zorder(df: DataFrame, col_a: str, col_b: str, out: str = "zv") -> DataFrame:

@@ -569,8 +569,9 @@ def avro_schema_for(schema, name: str = "spark_rows") -> dict:
 
 
 class _AvroCommit(WriterCommitMessage):
-    def __init__(self, path: str, count: int):
-        self.path = path
+    def __init__(self, tmp_path: str, final_path: str, count: int):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
         self.count = count
 
 
@@ -597,6 +598,17 @@ class AvroPyWriter(DataSourceWriter):
         self._deterministic = deterministic
 
     def write(self, iterator) -> _AvroCommit:
+        """Two-phase commit: every ATTEMPT writes its own uniquified
+        ``*.avro.tmp-<uuid>`` file (invisible to the reader's
+        ``*.avro`` glob), and only driver-side commit() renames the
+        winning attempt's file into place. This closes the two gaps a
+        publish-on-write scheme has: a task that wrote its file but
+        died before reporting never becomes reader-visible (it is at
+        worst an orphan tmp, swept by the next overwrite), and
+        speculative/retried attempts in overwrite mode never write the
+        same final name concurrently — the rename decides. On a real
+        FS client this maps to the same temp-then-rename protocol
+        Hadoop output committers use."""
         import os
         import uuid
 
@@ -606,19 +618,24 @@ class AvroPyWriter(DataSourceWriter):
         rows = [row.asDict() for row in iterator]
         os.makedirs(self._path, exist_ok=True)
         token = "" if self._deterministic else f"-{uuid.uuid4().hex[:8]}"
-        out = os.path.join(self._path, f"part-{pid:05d}{token}.avro")
-        write_avro(out, self._schema, rows, codec=self._codec)
-        return _AvroCommit(out, len(rows))
+        final = os.path.join(self._path, f"part-{pid:05d}{token}.avro")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        write_avro(tmp, self._schema, rows, codec=self._codec)
+        return _AvroCommit(tmp, final, len(rows))
 
-    def commit(self, messages) -> None:  # files are final where they landed
-        pass
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp_path, m.final_path)
 
     def abort(self, messages) -> None:
         import os
 
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 class AvroPyDataSource(DataSource):

@@ -529,6 +529,15 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
         i += 2 + seglen
 
     height, width, comps = frame
+    if len(comps) == 1:
+        # T.81 A.2.2: a one-component scan is NON-interleaved — the MCU
+        # is a single 8x8 block over ceil(w/8) x ceil(h/8) in raster
+        # order, and the frame's declared sampling factors (a foreign
+        # grayscale encoder may write 2x2) do not tile the scan.
+        # Normalizing to 1x1 here makes the interleaved walk below
+        # degenerate to exactly that geometry.
+        cid0, _ch0, _cv0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan (non-interleaved) baseline")
     hmax = max(c[1] for c in comps)

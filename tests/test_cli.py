@@ -44,6 +44,23 @@ def test_cli_bfs_tiny(capsys, tmp_path):
     assert "tinyG.txt" in content
 
 
+def test_cli_bfs_display_respects_limit(capsys):
+    """The display path must pull at most --limit rows through the
+    driver (a .limit() BEFORE .collect()), while the vertex total in
+    the footer still reports the whole graph — the round-9 advice's
+    driver-funnel fix."""
+    from bfs_mapreduce_spark.cli import main
+
+    rc = main(
+        ["bfs", "-p", "/root/reference/datasets/tinyG.txt", "--limit", "3"]
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    out = cap.out.strip().splitlines()
+    assert len(out) == 3  # 13-vertex graph, only 3 rows printed
+    assert "# 13 vertices" in cap.err
+
+
 def test_cli_query_runner(capsys):
     from bfs_mapreduce_spark.cli import main
 

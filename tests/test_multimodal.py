@@ -512,3 +512,27 @@ def test_jpeg_422_subsampling_roundtrip():
         np.frombuffer(pix2, dtype=np.uint8).astype(int) - color.reshape(-1).astype(int)
     )
     assert err.mean() < 4 and err.max() <= 12, (err.mean(), err.max())
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a one-component scan is non-interleaved (8x8 raster
+    tiling) regardless of the frame's declared sampling factors, and
+    the entropy stream is identical either way — so rewriting a
+    grayscale file's SOF0 sampling byte from 1x1 to 2x2 (what a
+    foreign grayscale encoder may emit) must decode bit-identically,
+    not desync into garbage."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.jpeg_py import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    ones = np.ones((8, 8), dtype=np.int64)
+    # odd dims so the 16x16-MCU misreading would change the block count
+    g = rng.integers(0, 256, size=(19, 29), dtype=np.uint8)
+    blob = encode_jpeg(29, 19, g.tobytes(), channels=1, quant_luma=ones,
+                       restart_interval=3)
+    idx = blob.index(b"\xff\xc0")
+    hvb_at = idx + 11  # FFC0(2) len(2) prec(1) h(2) w(2) ncomp(1) cid(1)
+    assert blob[hvb_at] == 0x11
+    patched = blob[:hvb_at] + b"\x22" + blob[hvb_at + 1 :]
+    assert decode_jpeg(patched) == decode_jpeg(blob)

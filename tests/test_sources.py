@@ -541,7 +541,7 @@ def test_avro_py_roundtrip_property(tmp_path_factory, data, codec):
     assert got == rows
 
 
-def test_avro_py_executor_side_writer_roundtrip(spark, tmp_path):
+def test_avro_py_executor_side_writer_roundtrip(spark, tmp_path, sf_smoke_dir):
     """round 9: the EXECUTOR-SIDE write path — each task writes its own
     container file (no driver toPandas funnel), files are
     byte-compatible with the pure-Python read_avro decoder, the
@@ -553,7 +553,7 @@ def test_avro_py_executor_side_writer_roundtrip(spark, tmp_path):
     from bfs_mapreduce_spark.sources.avro_py import read_avro, register_avro_source
 
     register_avro_source(spark)
-    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders = spark.read.parquet(os.path.join(sf_smoke_dir, "orders.parquet"))
     out = str(tmp_path / "orders_avro")
     orders.repartition(3).write.format("avro_py").mode("overwrite").option(
         "codec", "deflate"
