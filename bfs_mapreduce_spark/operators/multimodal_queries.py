@@ -308,7 +308,7 @@ def _extract_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
             b = bytes(blob)
             if fmt == "ppm":
                 w, h, maxval, pixels = parse_ppm(b)
-            elif fmt == "jpg":
+            elif fmt in ("jpg", "jpgp"):
                 blk = np.frombuffer(b, dtype=np.uint8).reshape(2, 4)
                 plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
                 rgb = np.repeat(plane[:, :, None], 3, axis=2)
@@ -319,6 +319,12 @@ def _extract_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                     subsample="420",
                     quant_luma=jpg_quant,
                     restart_interval=1,
+                    # 'jpgp' takes the PROGRESSIVE path (SOF2, spectral
+                    # selection + successive approximation, round 10):
+                    # block-constant stays bit-exact there too, so the
+                    # same oracle hash certifies the whole progressive
+                    # entropy layer (DC refine, EOB runs, AC refine)
+                    progressive=(fmt == "jpgp"),
                 )
                 w, h, _ch, pixels = decode_jpeg(jpg)
                 maxval = 255
@@ -406,11 +412,12 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM blob JOIN px USING (doc_id)
     CROSS JOIN (SELECT 'ppm' AS fmt UNION ALL SELECT 'png' AS fmt) f
     UNION ALL
-    -- jpg: the 8 gray bytes tile a {_JPG_W}x{_JPG_H} RGB plane as a
-    -- 4x2 grid of constant 8x8 blocks; one scanline of the top block
-    -- row is 4 runs of 24 bytes (8 px * 3 channels), repeated 8 rows,
-    -- then the bottom block row. Decoded mean = mean of the 8 values.
-    SELECT doc_id, 'jpg' AS fmt, {_JPG_W} AS width, {_JPG_H} AS height,
+    -- jpg / jpgp (sequential / progressive encode, same decoded
+    -- plane): the 8 gray bytes tile a {_JPG_W}x{_JPG_H} RGB plane as
+    -- a 4x2 grid of constant 8x8 blocks; one scanline of the top
+    -- block row is 4 runs of 24 bytes (8 px * 3 channels), repeated
+    -- 8 rows, then the bottom row. Decoded mean = mean of the 8.
+    SELECT doc_id, f.fmt, {_JPG_W} AS width, {_JPG_H} AS height,
            {_JPG_PIXEL_BYTES} AS pixel_bytes,
            sha256(repeat(repeat(substring(pix, 1, 1), 24) ||
                          repeat(substring(pix, 2, 1), 24) ||
@@ -426,6 +433,7 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ascii(substring(pix, 7, 1)) + ascii(substring(pix, 8, 1))) / 8.0
                  / 255.0, 6) AS mean_brightness
     FROM blob
+    CROSS JOIN (SELECT 'jpg' AS fmt UNION ALL SELECT 'jpgp' AS fmt) f
     """,
     doc="REAL image decode over binary columns via Arrow-batched "
     "mapInPandas, THREE codecs wide: documents are rendered as binary "
@@ -441,9 +449,12 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-exact through the lossy pipeline, so the DuckDB oracle "
     "reconstructs the DECODED plane and hashes it — the DCT round "
     "trip, Huffman tables, MCU interleave, chroma resampling, and "
-    "restart handling all sit inside the value hash. Blobs are "
-    "consumed where they are read; only small feature columns leave "
-    "the stage.",
+    "restart handling all sit inside the value hash. Round 10 adds a "
+    "fourth leg, fmt='jpgp': the same plane through the PROGRESSIVE "
+    "encoder (SOF2 — most real web JPEGs), so spectral selection, "
+    "successive approximation, DC refinement bits, and EOB-run "
+    "batching sit inside the same hash. Blobs are consumed where "
+    "they are read; only small feature columns leave the stage.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm = _with_ppm_blob(spark, sf_dir).select(
@@ -460,7 +471,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("jpg").alias("fmt"),
         F.encode(F.substring(pix, 1, 8), "utf-8").alias("blob"),
     )
-    return ppm.unionByName(png).unionByName(jpg).mapInPandas(
+    jpgp = docs.select(
+        "doc_id",
+        F.lit("jpgp").alias("fmt"),
+        F.encode(F.substring(pix, 1, 8), "utf-8").alias("blob"),
+    )
+    return ppm.unionByName(png).unionByName(jpg).unionByName(jpgp).mapInPandas(
         _extract_media_features, schema=_FEATURE_SCHEMA
     )
 
@@ -991,7 +1007,7 @@ _IMG_BUILTIN_DOCS = 24  # staged files = 2 per doc (one .png + one .jpg)
            sha256(plane) AS data_sha
     FROM bgr
     UNION ALL
-    SELECT 'doc' || doc_id || '.jpg' AS file,
+    SELECT 'doc' || doc_id || ext AS file,
            {_JPG_W} AS width, {_JPG_H} AS height, 3 AS n_channels,
            sha256(repeat(repeat(substring(pix, 1, 1), 24) ||
                          repeat(substring(pix, 2, 1), 24) ||
@@ -1002,12 +1018,14 @@ _IMG_BUILTIN_DOCS = 24  # staged files = 2 per doc (one .png + one .jpg)
                          repeat(substring(pix, 7, 1), 24) ||
                          repeat(substring(pix, 8, 1), 24), 8)) AS data_sha
     FROM blob
+    CROSS JOIN (SELECT '.jpg' AS ext UNION ALL SELECT 'p.jpg' AS ext) e
     """,
     doc="Spark's BUILTIN image source (round 9) as a cross-decoder "
     "certification: a bounded set of documents is rendered to real "
     ".png files (from-spec encoder, rotating scanline filters) and "
-    "real .jpg files (from-spec baseline encoder in its bit-exact "
-    "block-constant configuration), then read back with "
+    "real .jpg files (from-spec encoder in its bit-exact "
+    "block-constant configuration — one baseline-sequential and, "
+    "round 10, one PROGRESSIVE per doc), then read back with "
     "spark.read.format('image') — the JVM's ImageIO decoder, a "
     "completely independent implementation — and sha-hashed ENTIRELY "
     "JVM-side (sha2 over image.data; zero Python in the query plan). "
@@ -1052,17 +1070,22 @@ def q_scan_image_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         blk = np.frombuffer(pix[:8], dtype=np.uint8).reshape(2, 4)
         plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
         rgb = np.repeat(plane[:, :, None], 3, axis=2)
-        with open(os.path.join(root, f"doc{r.doc_id}.jpg"), "wb") as f:
-            f.write(
-                encode_jpeg(
-                    _JPG_W,
-                    _JPG_H,
-                    rgb.tobytes(),
-                    subsample="420",
-                    quant_luma=ql,
-                    restart_interval=1,
+        # doc{N}.jpg sequential, doc{N}p.jpg PROGRESSIVE (round 10):
+        # same decoded plane, so ImageIO — an independent industry
+        # decoder — certifies the progressive entropy layer too.
+        for ext, prog in ((".jpg", False), ("p.jpg", True)):
+            with open(os.path.join(root, f"doc{r.doc_id}{ext}"), "wb") as f:
+                f.write(
+                    encode_jpeg(
+                        _JPG_W,
+                        _JPG_H,
+                        rgb.tobytes(),
+                        subsample="420",
+                        quant_luma=ql,
+                        restart_interval=1,
+                        progressive=prog,
+                    )
                 )
-            )
     img = spark.read.format("image").load(root)
     return img.select(
         F.element_at(F.split(F.col("image.origin"), "/"), -1).alias("file"),

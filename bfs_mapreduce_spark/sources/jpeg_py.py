@@ -1,29 +1,36 @@
-"""Pure-Python baseline-sequential JPEG encoder/decoder from the
-public specification (ITU-T T.81 / ISO 10918-1, with the JFIF APP0
-convention and BT.601 color math) — the same from-spec approach as the
-PNG (``sources/png_py.py``) and Avro (``sources/avro_py.py``) codecs,
+"""Pure-Python JPEG encoder/decoder from the public specification
+(ITU-T T.81 / ISO 10918-1, with the JFIF APP0 convention and BT.601
+color math) — the same from-spec approach as the PNG
+(``sources/png_py.py``) and Avro (``sources/avro_py.py``) codecs,
 built because PIL/cv2/ffmpeg are absent from this environment while
-everything baseline JPEG actually needs (8x8 DCT, canonical Huffman
-coding, byte stuffing) is numpy + stdlib.
+everything JPEG actually needs (8x8 DCT, canonical Huffman coding,
+byte stuffing) is numpy + stdlib.
 
 Supported subset, with honest boundaries:
 
-- baseline sequential DCT (SOF0), 8-bit samples, 1-4 components,
-  sampling factors 1-2 in each axis (covers 4:4:4, 4:2:2, 4:2:0);
+- baseline sequential DCT (SOF0/SOF1), 8-bit samples, 1-4 components,
+  sampling factors 1-2 in each axis (covers 4:4:4, 4:2:2, 4:2:0),
+  including non-interleaved multi-scan sequential files;
+- PROGRESSIVE DCT (SOF2, round 10 — most real web JPEGs): spectral
+  selection and successive approximation on both encode and decode
+  (DC first/refinement, AC first/refinement with EOB-run batching and
+  buffered correction bits, spec G.1.2); the encoder emits the
+  conventional 10-scan script and flat-but-valid Huffman tables, the
+  decoder accepts any conformant scan script;
 - restart intervals (DRI + RSTn markers) on both encode and decode,
-  with DC-predictor reset and marker-order verification;
+  with DC-predictor/EOB-run reset and marker-order verification;
 - byte stuffing (0xFF 0x00) per spec F.1.2.3; entropy data is
   unstuffed/segmented BEFORE bit-reading so restart alignment is
   structural, not incidental;
 - Huffman tables are carried in the file (DHT) and rebuilt canonically
   from BITS/HUFFVAL per Annex C on decode — decode never assumes the
-  Annex K defaults the encoder writes, so encode->decode certifies the
-  table plumbing end to end;
-- progressive (SOF2), arithmetic coding (SOF9+), hierarchical, 12-bit
-  precision, and DNL raise ``NotImplementedError`` naming the
-  construct; malformed streams (bad marker order, truncated entropy
-  data, undefined table ids) raise ``ValueError`` — never silently
-  wrong pixels.
+  tables the encoder writes, so encode->decode certifies the table
+  plumbing end to end;
+- arithmetic coding (SOF9+), hierarchical, 12-bit precision, and DNL
+  raise ``NotImplementedError`` naming the construct; malformed
+  streams (bad marker order, truncated entropy data, undefined table
+  ids, non-conformant scan headers) raise ``ValueError`` — never
+  silently wrong pixels.
 
 Exactness contract used by q_multimodal_features: baseline JPEG is
 lossy in general, but an image whose every 8x8 block is CONSTANT has
@@ -184,6 +191,19 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- encoder
 
+# Flat Huffman tables for the PROGRESSIVE encoder: progressive AC
+# scans emit EOBn symbols ((r<<4)|0 for r<15) that Annex K's example
+# tables don't define, and real encoders build optimized tables in a
+# gather pass. Correctness needs only a complete prefix-free code, so
+# every DC category gets a 4-bit code and every possible AC symbol
+# (16 runs x magnitudes 0..10) an 8-bit code — suboptimal size,
+# trivially valid (the all-ones code stays reserved in both).
+_FLAT_DC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
 
 class _BitWriter:
     def __init__(self) -> None:
@@ -244,6 +264,139 @@ def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.pad(plane, ((0, h - plane.shape[0]), (0, w - plane.shape[1])), mode="edge")
 
 
+# ------------------------------------------- progressive scan emitters (G.1.2)
+
+
+def _flush_eobrun(w: _BitWriter, ac_codes: dict, st: list) -> None:
+    """Emit the pending EOBn run plus the correction bits buffered
+    against it (st = [eobrun, buffered_bits])."""
+    if st[0] > 0:
+        r = st[0].bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        w.write(code, ln)
+        if r:
+            w.write(st[0] - (1 << r), r)
+        for b in st[1]:
+            w.write(b, 1)
+        st[0], st[1] = 0, []
+
+
+def _emit_dc_first(w: _BitWriter, dc_codes: dict, blk, pred: int, al: int) -> int:
+    """DC first scan (G.1.2.1): diff-code the point-transformed DC
+    (arithmetic shift right by Al); returns the new predictor."""
+    v = int(blk[0]) >> al
+    diff = v - pred
+    cat = _magnitude_category(diff)
+    code, ln = dc_codes[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    return v
+
+
+def _emit_ac_first(
+    w: _BitWriter, ac_codes: dict, blk, ss: int, se: int, al: int, st: list
+) -> None:
+    """AC first scan over band [ss, se]: baseline run/size coding of
+    the point-transformed magnitudes, with EOB runs (EOBn) batched
+    across blocks in ``st``."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            run += 1
+            continue
+        _flush_eobrun(w, ac_codes, st)
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = t.bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(t if v >= 0 else t ^ ((1 << s) - 1), s)
+        run = 0
+    if run:
+        st[0] += 1
+        if st[0] == 0x7FFF:
+            _flush_eobrun(w, ac_codes, st)
+
+
+def _emit_ac_refine(
+    w: _BitWriter, ac_codes: dict, blk, ss: int, se: int, al: int, st: list
+) -> None:
+    """AC successive-approximation refinement (G.1.2.3): newly-visible
+    coefficients (magnitude>>Al == 1) are coded as run/1 + sign;
+    already-nonzero coefficients contribute one correction bit each,
+    buffered and emitted after the next symbol (or attached to the
+    EOB run in ``st`` when the block ends early)."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eobpos = ss - 1  # position of the LAST newly-visible coefficient
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eobpos = ss + idx
+    run = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eobpos:
+            _flush_eobrun(w, ac_codes, st)
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: one correction bit
+            br.append(t & 1)
+            continue
+        _flush_eobrun(w, ac_codes, st)
+        code, ln = ac_codes[(run << 4) | 1]
+        w.write(code, ln)
+        w.write(0 if int(blk[k]) < 0 else 1, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st[0] += 1
+        st[1].extend(br)
+        if st[0] == 0x7FFF or len(st[1]) > 900:
+            _flush_eobrun(w, ac_codes, st)
+
+
+def _default_prog_scans(ncomp: int) -> list[tuple]:
+    """The conventional progressive scan script (the same shape
+    libjpeg's default uses): coarse DC for all components first, low
+    AC bands next, then successive-approximation refinements down to
+    full precision. Entries are (component indexes, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        (tuple(range(ncomp)), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        (tuple(range(ncomp)), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -254,11 +407,17 @@ def encode_jpeg(
     quant_luma: np.ndarray = QUANT_LUMA,
     quant_chroma: np.ndarray = QUANT_CHROMA,
     restart_interval: int = 0,
+    progressive: bool = False,
+    scans: list[tuple] | None = None,
 ) -> bytes:
     """Encode interleaved RGB (channels=3) or grayscale (channels=1)
-    pixels as a baseline-sequential JFIF file. ``subsample`` is '444'
-    (no chroma subsampling), '422' (horizontal 2x1 chroma average) or
-    '420' (2x2 chroma average)."""
+    pixels as a JFIF file. ``subsample`` is '444' (no chroma
+    subsampling), '422' (horizontal 2x1 chroma average) or '420'
+    (2x2 chroma average). ``progressive=True`` emits SOF2 with the
+    conventional spectral-selection + successive-approximation scan
+    script (override with ``scans`` = [(comp_indexes, Ss, Se, Ah,
+    Al), ...]); the quantized coefficients are identical to the
+    sequential path, only the entropy layer differs."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if subsample not in ("444", "422", "420"):
@@ -319,6 +478,84 @@ def encode_jpeg(
         q[..., :, 1:] = np.clip(q[..., :, 1:], -1023, 1023)
         comp_blocks.append(q.reshape(bh, bw, 64)[:, :, _ZIGZAG])
 
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qi, qt in enumerate(qtabs):
+        out += seg(0xDB, bytes([qi]) + bytes(int(v) for v in qt.reshape(64)[_ZIGZAG]))
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([len(planes)])
+    for ci, (chi, cvi) in enumerate(hv):
+        sof += bytes([ci + 1, (chi << 4) | cvi, quants[ci]])
+    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
+
+    if progressive:
+        dc_codes = _canonical_codes(*_FLAT_DC)
+        ac_codes = _canonical_codes(*_FLAT_AC)
+        out += seg(0xC4, bytes([0x00]) + bytes(_FLAT_DC[0]) + bytes(_FLAT_DC[1]))
+        out += seg(0xC4, bytes([0x10]) + bytes(_FLAT_AC[0]) + bytes(_FLAT_AC[1]))
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))
+        for comp_idxs, ss, se, ah, al in scans or _default_prog_scans(len(planes)):
+            sos = bytearray([len(comp_idxs)])
+            for ci in comp_idxs:
+                sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xDA, bytes(sos))
+            w = _BitWriter()
+            st = [0, []]  # [eobrun, buffered correction bits]
+            preds = {ci: 0 for ci in comp_idxs}
+            # Scan units: MCUs when interleaved (DC scans may name
+            # several components), single blocks in raster order over
+            # the component's own ceil(dims/8) grid when Ns == 1
+            # (A.2.2) — restart intervals count these same units.
+            if len(comp_idxs) > 1:
+                units = [
+                    [
+                        (ci, my * hv[ci][1] + by, mx * hv[ci][0] + bx)
+                        for ci in comp_idxs
+                        for by in range(hv[ci][1])
+                        for bx in range(hv[ci][0])
+                    ]
+                    for my in range(mcus_y)
+                    for mx in range(mcus_x)
+                ]
+            else:
+                ci = comp_idxs[0]
+                comp_w = -(-width * hv[ci][0] // hmax)
+                comp_h = -(-height * hv[ci][1] // vmax)
+                cbw, cbh = -(-comp_w // 8), -(-comp_h // 8)
+                units = [
+                    [(ci, by, bx)] for by in range(cbh) for bx in range(cbw)
+                ]
+            rst = 0
+            since_restart = 0
+            for unit in units:
+                if restart_interval and since_restart == restart_interval:
+                    _flush_eobrun(w, ac_codes, st)
+                    w.pad_to_byte()
+                    w.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = {ci: 0 for ci in comp_idxs}
+                    since_restart = 0
+                for ci, by, bx in unit:
+                    blk = comp_blocks[ci][by, bx]
+                    if ss == 0 and ah == 0:
+                        preds[ci] = _emit_dc_first(w, dc_codes, blk, preds[ci], al)
+                    elif ss == 0:
+                        w.write((int(blk[0]) >> al) & 1, 1)  # DC refinement
+                    elif ah == 0:
+                        _emit_ac_first(w, ac_codes, blk, ss, se, al, st)
+                    else:
+                        _emit_ac_refine(w, ac_codes, blk, ss, se, al, st)
+                since_restart += 1
+            _flush_eobrun(w, ac_codes, st)
+            w.pad_to_byte()
+            out += w.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     dc_tabs = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
     ac_tabs = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
 
@@ -347,17 +584,6 @@ def encode_jpeg(
             since_restart += 1
     w.pad_to_byte()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for qi, qt in enumerate(qtabs):
-        out += seg(0xDB, bytes([qi]) + bytes(int(v) for v in qt.reshape(64)[_ZIGZAG]))
-    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([len(planes)])
-    for ci, (chi, cvi) in enumerate(hv):
-        sof += bytes([ci + 1, (chi << 4) | cvi, quants[ci]])
-    out += seg(0xC0, bytes(sof))
     for cls, tabs in ((0, (_DC_LUMA, _DC_CHROMA)), (1, (_AC_LUMA, _AC_CHROMA))):
         for ti in range(max(huffs) + 1):
             bits, vals = tabs[ti]
@@ -450,26 +676,132 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[tuple[int | None, byte
             return segments, i
 
 
+def _decode_block_sequential(reader: _BitReader, blk, pred: int, dct, act) -> int:
+    """Baseline-sequential block decode (DC diff + run/size AC);
+    returns the new DC predictor."""
+    cat = reader.read_symbol(dct)
+    pred += _extend(reader.read_bits(cat), cat)
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        sym = reader.read_symbol(act)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0xF
+        if cat == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        blk[k] = _extend(reader.read_bits(cat), cat)
+        k += 1
+    return pred
+
+
+def _decode_ac_first(
+    reader: _BitReader, blk, act, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC first scan for one block (G.1.2.2); returns the
+    remaining EOB run (whole following blocks to skip)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.read_symbol(act)
+        run, cat = sym >> 4, sym & 0xF
+        if cat == 0:
+            if run != 15:
+                eobrun = 1 << run
+                if run:
+                    eobrun += reader.read_bits(run)
+                return eobrun - 1  # this block consumed one
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC run past end of band")
+        blk[k] = _extend(reader.read_bits(cat), cat) << al
+        k += 1
+    return 0
+
+
+def _refine_nonzero(reader: _BitReader, blk, k: int, p1: int) -> None:
+    """One correction bit for an already-nonzero coefficient."""
+    if reader.read_bit() and (int(blk[k]) & p1) == 0:
+        blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+def _decode_ac_refine(
+    reader: _BitReader, blk, act, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC refinement for one block (G.1.2.3); returns the
+    remaining EOB run. Correction bits are read for every already-
+    nonzero coefficient passed over, including inside EOB runs."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_symbol(act)
+            run, cat = sym >> 4, sym & 0xF
+            val = 0
+            if cat:
+                if cat != 1:
+                    raise ValueError("AC refinement magnitude != 1")
+                val = p1 if reader.read_bit() else -p1
+            elif run != 15:
+                eobrun = 1 << run
+                if run:
+                    eobrun += reader.read_bits(run)
+                break
+            while k <= se:  # skip `run` zero-history coefs, correcting
+                if blk[k] != 0:
+                    _refine_nonzero(reader, blk, k, p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                _refine_nonzero(reader, blk, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline-sequential JPEG; returns (width, height,
-    channels, interleaved pixel bytes) — RGB for 3-component YCbCr
-    files, raw samples for 1-component grayscale."""
+    """Decode a baseline-sequential (SOF0/SOF1) or progressive (SOF2,
+    spectral selection + successive approximation) JPEG; returns
+    (width, height, channels, interleaved pixel bytes) — RGB for
+    3-component YCbCr files, raw samples for 1-component grayscale.
+    Sequential non-interleaved multi-scan files decode through the
+    same per-scan walk progressive uses."""
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
-    frame = None  # (height, width, [(comp_id, h, v, tq)])
+    frame = None  # (height, width, [(comp_id, h, v, tq)], progressive)
+    coef: list[np.ndarray] = []  # per component, (blocks_y, blocks_x, 64) zigzag
     restart_interval = 0
+    n_scans = 0
     i = 2
-    scan = None
-    while scan is None:
-        if i + 4 > len(blob):
-            raise ValueError("truncated JPEG before SOS")
+    while True:
+        if i + 2 > len(blob):
+            raise ValueError("truncated JPEG (no EOI)")
         if blob[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
         marker = blob[i + 1]
-        if marker == 0xD9:
-            raise ValueError("EOI before any scan")
+        if marker == 0xD9:  # EOI
+            break
+        if i + 4 > len(blob):
+            raise ValueError("truncated JPEG before SOS")
         (seglen,) = struct.unpack(">H", blob[i + 2 : i + 4])
         payload = blob[i + 4 : i + 2 + seglen]
         if len(payload) != seglen - 2:
@@ -496,7 +828,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(payload[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             if payload[0] != 8:
                 raise NotImplementedError(f"{payload[0]}-bit precision")
             h, w = struct.unpack(">HH", payload[1:5])
@@ -510,9 +844,24 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     raise NotImplementedError(f"sampling factors {ch}x{cv}")
                 comps.append((cid, ch, cv, tq))
-            frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            if ncomp == 1:
+                # T.81 A.2.2: a one-component scan is NON-interleaved —
+                # 8x8 raster tiling over ceil(w/8) x ceil(h/8); the
+                # declared sampling factors (a foreign grayscale
+                # encoder may write 2x2) do not tile the scan.
+                # Normalizing to 1x1 makes every walk below degenerate
+                # to exactly that geometry.
+                cid0, _ch0, _cv0, tq0 = comps[0]
+                comps = [(cid0, 1, 1, tq0)]
+            frame = (h, w, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            coef = [
+                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+                for _cid, ch, cv, _tq in comps
+            ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"SOF marker 0x{marker:02X} (non-baseline)")
         elif marker == 0xDD:  # DRI
@@ -525,91 +874,32 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cs, tabs = payload[1 + 2 * c : 3 + 2 * c]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0xF
+            i = _decode_scan(
+                blob, i + 2 + seglen, frame, coef, qtabs, htabs,
+                scan, ss, se, ah, al, restart_interval,
+            )
+            n_scans += 1
+            continue  # _decode_scan returned the next marker's offset
         # APPn / COM / anything else with a length: skipped
         i += 2 + seglen
 
-    height, width, comps = frame
-    if len(comps) == 1:
-        # T.81 A.2.2: a one-component scan is NON-interleaved — the MCU
-        # is a single 8x8 block over ceil(w/8) x ceil(h/8) in raster
-        # order, and the frame's declared sampling factors (a foreign
-        # grayscale encoder may write 2x2) do not tile the scan.
-        # Normalizing to 1x1 here makes the interleaved walk below
-        # degenerate to exactly that geometry.
-        cid0, _ch0, _cv0, tq0 = comps[0]
-        comps = [(cid0, 1, 1, tq0)]
-    if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) baseline")
+    if frame is None or n_scans == 0:
+        raise ValueError("EOI before any scan")
+    height, width, comps, _prog = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
 
-    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
-    order = []  # per scan component: (plane index, h, v, tq, dc table, ac table)
-    for idx, (cs, td, ta) in enumerate(scan):
-        if cs not in by_id:
-            raise ValueError(f"scan references unknown component {cs}")
-        ch, cv, tq = by_id[cs]
-        if tq not in qtabs:
-            raise ValueError(f"undefined quant table {tq}")
-        if (0, td) not in htabs or (1, ta) not in htabs:
-            raise ValueError("undefined Huffman table in scan")
-        order.append((idx, ch, cv, tq, htabs[(0, td)], htabs[(1, ta)]))
-
-    coef = [
-        np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
-        for _, ch, cv, _, _, _ in order
-    ]
-    segments, end = _split_entropy(blob, i)
-    seg_idx = 0
-    reader = _BitReader(segments[0][1])
-    expected_rst = 0
-    preds = [0] * len(order)
-    since_restart = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and since_restart == restart_interval:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("missing restart marker")
-                mk, data = segments[seg_idx]
-                if mk != expected_rst:
-                    raise ValueError(f"restart marker out of order: RST{mk}")
-                expected_rst = (expected_rst + 1) % 8
-                reader = _BitReader(data)
-                preds = [0] * len(order)
-                since_restart = 0
-            for oi, (_, ch, cv, _, dct, act) in enumerate(order):
-                for by in range(cv):
-                    for bx in range(ch):
-                        blk = coef[oi][my * cv + by, mx * ch + bx]
-                        cat = reader.read_symbol(dct)
-                        preds[oi] += _extend(reader.read_bits(cat), cat)
-                        blk[0] = preds[oi]
-                        k = 1
-                        while k < 64:
-                            sym = reader.read_symbol(act)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, cat = sym >> 4, sym & 0xF
-                            if cat == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            blk[k] = _extend(reader.read_bits(cat), cat)
-                            k += 1
-            since_restart += 1
-
     # Dequant + IDCT, all blocks of a component at once.
     planes = []
-    for oi, (_, ch, cv, tq, _, _) in enumerate(order):
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        if tq not in qtabs:
+            raise ValueError(f"undefined quant table {tq}")
         bh, bw = mcus_y * cv, mcus_x * ch
-        nat = coef[oi][:, :, _UNZIGZAG].reshape(bh, bw, 8, 8).astype(np.float64)
+        nat = coef[ci][:, :, _UNZIGZAG].reshape(bh, bw, 8, 8).astype(np.float64)
         nat *= qtabs[tq].astype(np.float64)
         blocks = _C.T @ nat @ _C + 128.0
         plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
@@ -625,3 +915,115 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
         rgb = _ycbcr_to_rgb(ycc).astype(np.uint8)
         return width, height, 3, rgb.tobytes()
     raise NotImplementedError(f"{len(planes)}-component JPEG (CMYK/unknown)")
+
+
+def _decode_scan(
+    blob: bytes,
+    start: int,
+    frame,
+    coef: list[np.ndarray],
+    qtabs: dict,
+    htabs: dict,
+    scan: list[tuple],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode one scan's entropy-coded data into the per-component
+    coefficient arrays; returns the offset of the next marker's 0xFF.
+    Handles sequential scans (interleaved or single-component) and all
+    four progressive scan kinds (DC/AC x first/refinement), with
+    restart intervals counted in scan units (MCUs when interleaved,
+    single blocks when Ns == 1, per A.2.2)."""
+    height, width, comps, progressive = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    by_id = {cid: ci for ci, (cid, _ch, _cv, _tq) in enumerate(comps)}
+
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scan with Ns > 1")
+        if ss > se or se > 63:
+            raise ValueError("bad spectral band")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("sequential scan with non-baseline band")
+
+    order = []  # (component index, dc table, ac table)
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        need_dc = not progressive or ss == 0
+        need_ac = not progressive or ss > 0
+        if need_dc and ah == 0 and (0, td) not in htabs:
+            raise ValueError("undefined Huffman table in scan")
+        if need_ac and (1, ta) not in htabs:
+            raise ValueError("undefined Huffman table in scan")
+        order.append((by_id[cs], htabs.get((0, td)), htabs.get((1, ta))))
+
+    # Scan units: MCUs when interleaved, raster blocks over the
+    # component's own ceil(dims/8) grid when Ns == 1 (A.2.2).
+    if len(scan) > 1:
+        units = [
+            [
+                (oi, my * comps[ci][2] + by, mx * comps[ci][1] + bx)
+                for oi, (ci, _d, _a) in enumerate(order)
+                for by in range(comps[ci][2])
+                for bx in range(comps[ci][1])
+            ]
+            for my in range(mcus_y)
+            for mx in range(mcus_x)
+        ]
+    else:
+        ci = order[0][0]
+        comp_w = -(-width * comps[ci][1] // hmax)
+        comp_h = -(-height * comps[ci][2] // vmax)
+        units = [
+            [(0, by, bx)]
+            for by in range(-(-comp_h // 8))
+            for bx in range(-(-comp_w // 8))
+        ]
+
+    segments, end = _split_entropy(blob, start)
+    seg_idx = 0
+    reader = _BitReader(segments[0][1])
+    expected_rst = 0
+    preds = [0] * len(order)
+    eobrun = 0
+    since_restart = 0
+    for unit in units:
+        if restart_interval and since_restart == restart_interval:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart marker")
+            mk, data = segments[seg_idx]
+            if mk != expected_rst:
+                raise ValueError(f"restart marker out of order: RST{mk}")
+            expected_rst = (expected_rst + 1) % 8
+            reader = _BitReader(data)
+            preds = [0] * len(order)
+            eobrun = 0
+            since_restart = 0
+        for oi, by, bx in unit:
+            ci, dct, act = order[oi]
+            blk = coef[ci][by, bx]
+            if not progressive:
+                preds[oi] = _decode_block_sequential(reader, blk, preds[oi], dct, act)
+            elif ss == 0 and ah == 0:  # DC first
+                cat = reader.read_symbol(dct)
+                preds[oi] += _extend(reader.read_bits(cat), cat)
+                blk[0] = preds[oi] << al
+            elif ss == 0:  # DC refinement: one bit per block
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+            elif ah == 0:  # AC first
+                eobrun = _decode_ac_first(reader, blk, act, ss, se, al, eobrun)
+            else:  # AC refinement
+                eobrun = _decode_ac_refine(reader, blk, act, ss, se, al, eobrun)
+        since_restart += 1
+    return end
