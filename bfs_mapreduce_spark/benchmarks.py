@@ -432,6 +432,31 @@ def run_dedup_scale(
         sem_phases.append(_timed(sem.filter("keep = 0"), "semantic_dropped"))
         sem_total = round(time.perf_counter() - emb_t0, 3)
 
+        # Exact-substring path (round 10): the heaviest shuffle-per-
+        # byte operator in the repo — every char offset's 40-gram
+        # fingerprinted, one 16-byte-key shuffle. Candidate volume
+        # (gram rows) and every phase must grow linearly with the
+        # corpus; a super-linear repeated-fingerprint join would show
+        # here first.
+        from bfs_mapreduce_spark.operators.dedup_queries import (
+            _SUB_L,
+            repeated_fingerprints,
+            substring_fingerprints,
+        )
+
+        sub_phases = []
+        sub_t0 = time.perf_counter()
+        sdocs = docs.filter(F.length("text") >= _SUB_L)
+        g = substring_fingerprints(sdocs).localCheckpoint(eager=False)
+        sub_phases.append(_timed(g, "substring_gram_fingerprints"))
+        rep = repeated_fingerprints(g).localCheckpoint(eager=False)
+        sub_phases.append(_timed(rep, "substring_repeated"))
+        hits = g.join(rep, ["h1", "h2"]).groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_dup")
+        )
+        sub_phases.append(_timed(hits, "substring_doc_hits"))
+        sub_total = round(time.perf_counter() - sub_t0, 3)
+
         yield {
             "sf_dir": sf_dir,
             "factor": factor,
@@ -441,6 +466,8 @@ def run_dedup_scale(
             "lsh_phased_total_sec": phased_total,
             "semantic_phases": sem_phases,
             "semantic_total_sec": sem_total,
+            "substring_phases": sub_phases,
+            "substring_total_sec": sub_total,
         }
 
 

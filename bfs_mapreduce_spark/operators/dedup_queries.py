@@ -842,6 +842,40 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_fingerprints(docs: DataFrame) -> DataFrame:
+    """``(doc_id, h1, h2)`` — two independent 64-bit fingerprints of
+    EVERY character offset's ``_SUB_L``-gram, built in one codegen'd
+    projection (explode + substr + xxhash64 x2); the 40x payload
+    blow-up exists only transiently in the row pipeline and anything
+    shuffled downstream is 16 bytes + doc_id per row. Exposed so the
+    scale benchmark (benchmarks.run_dedup_scale) can time and count
+    this stage — the heaviest shuffle-per-byte feed in the repo — as
+    its own phase."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("text") - _SUB_L)).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("text").substr(F.col("p") + 1, F.lit(_SUB_L)).alias("w"),
+    ).select(
+        "doc_id",
+        F.xxhash64("w").alias("h1"),
+        F.xxhash64(F.lit(1), F.col("w")).alias("h2"),
+    )
+
+
+def repeated_fingerprints(g: DataFrame) -> DataFrame:
+    """Fingerprints present in more than one document — the ONE
+    16-byte-key shuffle of the exact-substring path."""
+    return (
+        g.groupBy("h1", "h2")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h1", "h2")
+    )
+
+
 @register(
     "q_dedup_substring_exact",
     oracle=f"""
@@ -888,24 +922,8 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= _SUB_L)
-    g = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.length("text") - _SUB_L)).alias("p"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("text").substr(F.col("p") + 1, F.lit(_SUB_L)).alias("w"),
-    ).select(
-        "doc_id",
-        F.xxhash64("w").alias("h1"),
-        F.xxhash64(F.lit(1), F.col("w")).alias("h2"),
-    )
-    rep = (
-        g.groupBy("h1", "h2")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h1", "h2")
-    )
+    g = substring_fingerprints(docs)
+    rep = repeated_fingerprints(g)
     hit = g.join(rep, ["h1", "h2"]).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup")
     )

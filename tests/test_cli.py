@@ -143,3 +143,13 @@ def test_cli_bench_dedup_linearity(capsys, tmp_path):
     # cost linearity: cell count scales with the corpus, cell sizes
     # stay ~constant, so in-cell pair volume must scale ~linearly
     assert sem[2] <= 2.5 * sem[1]
+    # exact-substring path (round 10): gram rows — the candidate
+    # volume of the heaviest shuffle-per-byte operator — must scale
+    # ~linearly in corpus chars, never super-linearly
+    sub = {
+        r["factor"]: {p["phase"]: p["rows"] for p in r["substring_phases"]}
+        for r in recs
+    }
+    g1, g2 = (sub[f]["substring_gram_fingerprints"] for f in (1, 2))
+    assert g1 > 0 and g2 <= 2 * g1 + 16
+    assert sub[2]["substring_doc_hits"] <= 2 * sub[1]["substring_doc_hits"] + 16

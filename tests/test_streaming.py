@@ -123,3 +123,93 @@ def test_stream_state_linear_in_keys_not_events(spark, tmp_path):
     # sessions (200), never the cumulative 500 the ramp produced
     assert sessions[-1]["state_rows"] <= 400
     assert max(b["state_rows"] for b in sessions) < 500
+
+
+def test_stream_dedup_ingest_checkpoint_recovery(spark, sf_smoke_dir, tmp_path):
+    """The fault-tolerance half of the streaming-ingest story: the
+    stream is KILLED mid-run — by an injected failure AFTER batch 1's
+    store commit but BEFORE its checkpoint offset commit, the worst
+    at-least-once window — then restarted from the same checkpoint.
+    Recovery must redeliver batch 1 (its offsets never committed),
+    ingest_batch's replay-safety must swallow the duplicate delivery,
+    and the final store must equal a single-shot control run document
+    for document and compacted link for link."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bfs_mapreduce_spark.operators.dedup_incremental import (
+        compact_store,
+        ingest_batch,
+        init_store,
+    )
+
+    mb = 2
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    b1, b2 = hi // 3, (2 * hi) // 3
+    splits = [
+        docs.filter(F.col("doc_id") <= b1),
+        docs.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+        docs.filter(F.col("doc_id") > b2),
+    ]
+    chunks = str(tmp_path / "chunks")
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(f"{chunks}/chunk_{i}.parquet")
+
+    streamed = str(tmp_path / "store_streamed")
+    control = str(tmp_path / "store_control")
+    init_store(spark, splits[0], streamed)
+    init_store(spark, splits[0], control)
+
+    ckpt = str(tmp_path / "ckpt")  # survives across the restart
+    crashed = {"done": False}
+
+    def fold_poison(batch, bid):
+        ingest_batch(spark, batch, streamed, max_bucket_rows=mb)
+        if bid == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash: store committed, offsets not")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chunks}/*")
+        )
+
+    q = (
+        make_stream()
+        .writeStream.foreachBatch(fold_poison)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    assert crashed["done"]
+
+    q2 = (
+        make_stream()
+        .writeStream.foreachBatch(
+            lambda b, _i: ingest_batch(spark, b, streamed, max_bucket_rows=mb)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    # single-shot control: same three batches, one process, no crash
+    for part in splits:
+        ingest_batch(spark, part, control, max_bucket_rows=mb)
+
+    a = spark.read.parquet(f"{streamed}/shingles").select("doc_id")
+    b = spark.read.parquet(f"{control}/shingles").select("doc_id")
+    assert a.join(b, "doc_id", "left_anti").count() == 0
+    assert b.join(a, "doc_id", "left_anti").count() == 0
+    # no duplicated store rows from the replayed batch
+    assert a.count() == a.distinct().count() == b.count()
+    la = compact_store(spark, streamed, max_bucket_rows=mb)
+    lb = compact_store(spark, control, max_bucket_rows=mb)
+    assert la.join(lb, ["doc_a", "doc_b"], "left_anti").count() == 0
+    assert lb.join(la, ["doc_a", "doc_b"], "left_anti").count() == 0

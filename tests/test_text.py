@@ -92,3 +92,39 @@ def test_temperature_sampling_rebalances_toward_uniform(spark, sf_oracle_dir):
     # a size<=3 cell's target rate exceeds a size-nmax cell's only in
     # aggregate (hash noise per tiny cell is large), so compare means
     assert sum(big) / len(big) >= 0.99  # max cells keep ~everything
+
+
+def test_bpe_word_table_equals_stream_on_word_bounded_input(spark):
+    """The claim that makes q_text_bpe_word_train the exact-stream
+    form's legitimate scale twin: on word-bounded input (each document
+    a single word, no markers), the weighted-unique-word rounds emit
+    EXACTLY the merge table the unrolled per-document stream rounds
+    emit — weighting by word count is equivalent to unrolling the
+    duplicates, including argmax tie-breaks and overlap semantics."""
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.text_queries import _bpe_merge_rounds
+
+    corpus = ["aab"] * 3 + ["abab"] * 2 + ["bb"] + ["aaaa"] * 2
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(corpus)], "doc bigint, text string"
+    )
+    stream_rows = docs.select(
+        "doc", F.posexplode(F.split("text", "")).alias("p0", "tok")
+    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
+    stream_rules = _bpe_merge_rounds(stream_rows, "doc", 3)
+
+    words = docs.groupBy(F.col("text").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("wc")
+    )
+    word_rows = words.select(
+        "word", "wc", F.posexplode(F.split("word", "")).alias("p0", "tok")
+    ).select("word", "wc", (F.col("p0") + 1).alias("pos"), "tok")
+    word_rules = _bpe_merge_rounds(word_rows, "word", 3, weight="wc")
+
+    assert stream_rules == word_rules
+    # and the rules are the hand-derivable ones: round 1 merges (a,a)
+    # (count 3+2*2... no — 'aab'x3 has one aa, 'aaaa'x2 has two
+    # non-overlapping... pair COUNTING is positional: aab->1, aaaa->3)
+    r1 = stream_rules[0]
+    assert (r1[1], r1[2]) == ("a", "a") and r1[3] == 3 * 1 + 2 * 3
