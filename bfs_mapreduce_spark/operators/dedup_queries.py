@@ -336,29 +336,35 @@ def minhash_band_table(
         raise ValueError(f"n_hashes must be in 1..{len(_MINHASH_AB)}")
     if n_hashes % rows_per_band:
         raise ValueError("rows_per_band must divide n_hashes")
+    # Expressions are built as SQL STRINGS (one py4j round trip each)
+    # rather than composed Column objects (~6 round trips per hash):
+    # with 64 min-aggregates plus 32 band structs, Column composition
+    # cost the DRIVER ~1.2 s of py4j chatter per call — measured as
+    # the gap between the bench's fused minhash line and the sum of
+    # its executed phases (round 10). Same plan, same values; only
+    # the construction path changes. The L suffixes force long
+    # literals so a * h31 + b stays 64-bit exactly as F.lit(int) did.
     rows = sh.select("doc_id", F.explode("shingles").alias("s"))
-    ex = rows.select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_H31)).alias("h31"))
+    ex = rows.select("doc_id", F.expr(f"pmod(xxhash64(s), {_H31}L) AS h31"))
     sig = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_P))).alias(f"m{j}")
+            F.expr(f"min(pmod({a}L * h31 + {b}L, {_P}L)) AS m{j}")
             for j, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
         ]
     )
     n_bands = n_hashes // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    *[f"m{i * rows_per_band + r}" for r in range(rows_per_band)]
-                ).alias("h"),
-            )
-            for i in range(n_bands)
-        ]
+    structs = ", ".join(
+        "named_struct('band', {i}, 'h', xxhash64({cols}))".format(
+            i=i,
+            cols=", ".join(
+                f"m{i * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for i in range(n_bands)
     )
-    return sig.select("doc_id", F.explode(bands).alias("bh")).select(
-        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
-    )
+    return sig.select(
+        "doc_id", F.expr(f"explode(array({structs})) AS bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
 
 def minhash_lsh_pairs(

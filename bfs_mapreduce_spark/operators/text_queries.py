@@ -1589,3 +1589,134 @@ def _bpe_merge_rounds(
             .localCheckpoint(eager=False)
         )
     return rules
+
+
+# ------------------------------------------- quality-classifier training
+
+_QT_STEPS = 8
+_QT_LR = 4.0
+
+
+def _qt_oracle() -> str:
+    """Unrolled SQL for the logistic-regression quality trainer: one
+    gradient CTE + one weight CTE per step, each step's weights read
+    as scalar subqueries from the previous step's CTE — the same
+    chained-CTE unroll pattern as the BPE oracles. Two load-bearing
+    choices: weights are snapped to the 1e-6 grid per step IN BOTH
+    DIALECTS (so last-ulp sum-order drift dies at each iteration
+    boundary instead of compounding — what makes an 8-deep iterative
+    float computation strict-hash certifiable), and every CTE is
+    MATERIALIZED — each step references its predecessor eight times
+    (four weight scalars in the sigmoid, four in the update), and
+    inlining makes the expansion EXPONENTIAL: without the hint the
+    8-step oracle planned ~4^8 scans of documents and died on file
+    handles."""
+    feats = f"""
+    f AS MATERIALIZED (
+      SELECT len({_SQL_WORDS}) AS nw,
+             (length(text) - len({_SQL_WORDS}) + 1) * 0.1
+               / len({_SQL_WORDS}) AS x2,
+             len(list_filter({_SQL_WORDS},
+                 w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS ns
+      FROM documents WHERE length(text) > 0),
+    x AS MATERIALIZED (
+      SELECT nw / 100.0 AS x1, x2, ns * 1.0 / nw AS x3,
+             CASE WHEN ns * 1.0 / nw >= 0.04 AND nw >= 20
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM f)"""
+    parts = [feats]
+    w = ["0.0"] * 4  # scalar SQL expressions for the current weights
+    for k in range(1, _QT_STEPS + 1):
+        z = f"({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)"
+        parts.append(f"""
+    g{k} AS MATERIALIZED (
+      SELECT SUM(p - y) AS g0, SUM((p - y) * x1) AS g1,
+             SUM((p - y) * x2) AS g2, SUM((p - y) * x3) AS g3,
+             AVG(-(y * ln(p) + (1 - y) * ln(1 - p))) AS loss,
+             COUNT(*) AS n
+      FROM (SELECT x1, x2, x3, y, 1 / (1 + exp(-{z})) AS p FROM x)),
+    s{k} AS MATERIALIZED (
+      SELECT ROUND({w[0]} - {_QT_LR} * g0 / n, 6) AS w0,
+             ROUND({w[1]} - {_QT_LR} * g1 / n, 6) AS w1,
+             ROUND({w[2]} - {_QT_LR} * g2 / n, 6) AS w2,
+             ROUND({w[3]} - {_QT_LR} * g3 / n, 6) AS w3,
+             ROUND(loss, 6) AS loss
+      FROM g{k})""")
+        w = [f"(SELECT w{j} FROM s{k})" for j in range(4)]
+    selects = [
+        f"SELECT {k} AS step, w0, w1, w2, w3, loss FROM s{k}"
+        for k in range(1, _QT_STEPS + 1)
+    ]
+    return "WITH" + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "q_text_quality_train",
+    oracle=_qt_oracle(),
+    doc="Distributed quality-classifier TRAINING (round 10) — the "
+    "fasttext-style distillation step real pretraining pipelines run: "
+    "fit a logistic-regression quality model to cheap heuristic "
+    "labels (a stopword-rate + length-floor rule), then the tiny "
+    "learned model scores the full corpus elsewhere. Full-batch "
+    "gradient descent, Spark-first: features (scaled word count, mean "
+    "word length, stopword ratio — all exact integer ratios, so both "
+    "engines derive bit-identical inputs) are computed JVM-side and "
+    "checkpointed once; each of the 8 steps is ONE map-side-combined "
+    "aggregate producing 6 doubles (4 gradient sums, log-loss, n), "
+    "collected as plan-time literals for the next step's sigmoid — "
+    "the accepted pattern (q_graph_sssp_cost) — and each step's "
+    "weights are snapped to the 1e-6 grid IN BOTH ENGINES, so "
+    "sum-order float drift cannot compound across iterations and the "
+    "8-deep unrolled DuckDB oracle strict-hash matches. At 100 TB: "
+    "per step one aggregate over the corpus with 6-double output — "
+    "communication O(1), compute one pass, the textbook distributed "
+    "GD shape; loss decreasing across the emitted rows is the "
+    "convergence evidence (tests assert it).",
+)
+def q_text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    w_arr = _words()
+    nw = F.size(w_arr)
+    ns = F.size(F.filter(w_arr, lambda x: x.isin("the", "a", "and", "of", "to")))
+    x = docs.select(
+        (nw / 100.0).alias("x1"),
+        # the 0.1 factor scales mean word length (~4-5) to the same
+        # O(1) range as the other features — unscaled it made lr=0.5
+        # oscillate with growing amplitude (measured, BASELINE r10)
+        ((F.length("text") - nw + 1) * 0.1 / nw).alias("x2"),
+        (ns / nw).alias("x3"),
+        # monotone label (stopword-rate AND length floor): a linear
+        # model can actually fit it, unlike a band rule on n_words
+        F.when(((ns / nw) >= 0.04) & (nw >= 20), 1.0).otherwise(0.0).alias("y"),
+    ).localCheckpoint(eager=False)
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    rows = []
+    for step in range(1, _QT_STEPS + 1):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2") \
+            + F.lit(w[3]) * F.col("x3")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        d = p - F.col("y")
+        g = x.select(
+            F.sum(d).alias("g0"),
+            F.sum(d * F.col("x1")).alias("g1"),
+            F.sum(d * F.col("x2")).alias("g2"),
+            F.sum(d * F.col("x3")).alias("g3"),
+            F.avg(
+                -(F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(1 - p))
+            ).alias("loss"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        w = [
+            round(w[j] - _QT_LR * g[f"g{j}"] / g["n"], 6)
+            for j in range(4)
+        ]
+        rows.append((step, w[0], w[1], w[2], w[3], round(g["loss"], 6)))
+        # guard: a NaN/inf weight would silently poison later steps
+        if not all(math.isfinite(v) for v in w):
+            raise ValueError(f"diverged at step {step}: {w}")
+    return spark.createDataFrame(
+        rows, "step int, w0 double, w1 double, w2 double, w3 double, loss double"
+    )

@@ -128,3 +128,27 @@ def test_bpe_word_table_equals_stream_on_word_bounded_input(spark):
     # non-overlapping... pair COUNTING is positional: aab->1, aaaa->3)
     r1 = stream_rules[0]
     assert (r1[1], r1[2]) == ("a", "a") and r1[3] == 3 * 1 + 2 * 3
+
+
+def test_quality_train_converges_and_separates(spark, sf_oracle_dir):
+    """The trained quality classifier must actually LEARN: log-loss
+    decreases monotonically across the emitted steps (full-batch GD on
+    a convex objective with a sane step size), and the final weights
+    score a known-good document above a known-bad one."""
+    import math
+
+    from bfs_mapreduce_spark.operators.text_queries import q_text_quality_train
+
+    out = q_text_quality_train(spark, sf_oracle_dir).orderBy("step").collect()
+    losses = [r["loss"] for r in out]
+    assert len(losses) == 8
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    wf = out[-1]
+    # a doc matching the label rule (>= 20 words, 10% stopwords)
+    # vs one violating it (3 words, none stop)
+    def score(nw, mean_wl, stop_ratio):
+        z = (wf["w0"] + wf["w1"] * (nw / 100.0) + wf["w2"] * mean_wl * 0.1
+             + wf["w3"] * stop_ratio)
+        return 1 / (1 + math.exp(-z))
+
+    assert score(50, 4.5, 0.1) > score(3, 12.0, 0.0)
