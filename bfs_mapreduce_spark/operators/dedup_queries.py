@@ -947,6 +947,143 @@ def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_substring_remove",
+    oracle=f"""
+    -- Span-level removal ground truth by ACTUAL substring equality:
+    -- delete every char covered by a cross-document-repeated
+    -- {_SUB_L}-gram (overlapping hits merged into maximal spans),
+    -- then hash the surviving text. The sentinel interval at
+    -- (len, len) makes the trailing kept segment fall out of the
+    -- same lag() construction as every other segment.
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE length(text) >= {_SUB_L}),
+    g AS (SELECT doc_id, s.p AS p, s.w AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(length(text) - {_SUB_L} + 1),
+            i -> {{'p': i, 'w': substring(text, CAST(i + 1 AS INT), {_SUB_L})}})) AS s
+        FROM docs)),
+    rep AS (SELECT w FROM g GROUP BY w HAVING COUNT(DISTINCT doc_id) > 1),
+    hp AS (SELECT doc_id, p FROM g JOIN rep USING (w)),
+    iv AS (SELECT doc_id, p,
+               MAX(p + {_SUB_L}) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM hp),
+    grp AS (SELECT doc_id, p,
+                SUM(CASE WHEN pmax IS NULL OR p >= pmax THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY p) AS gid
+            FROM iv),
+    merged AS (SELECT doc_id, MIN(p) AS s, MAX(p) + {_SUB_L} AS e
+               FROM grp GROUP BY doc_id, gid),
+    allv AS (SELECT doc_id, s, e FROM merged
+             UNION ALL
+             SELECT doc_id, length(text), length(text) FROM docs),
+    seg AS (SELECT a.doc_id, a.s,
+                substring(d.text,
+                    COALESCE(LAG(a.e) OVER (PARTITION BY a.doc_id ORDER BY a.s),
+                             0) + 1,
+                    a.s - COALESCE(LAG(a.e) OVER (PARTITION BY a.doc_id
+                                                  ORDER BY a.s), 0)) AS piece
+            FROM allv a JOIN docs d USING (doc_id)),
+    cl AS (SELECT doc_id, string_agg(piece, '' ORDER BY s) AS ctext
+           FROM seg GROUP BY doc_id),
+    ns AS (SELECT doc_id, COUNT(*) AS cnt FROM merged GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(ns.cnt, 0) AS BIGINT) AS n_spans,
+           CAST(length(d.text) - length(cl.ctext) AS BIGINT) AS removed_chars,
+           CAST(length(cl.ctext) AS BIGINT) AS cleaned_len,
+           sha256(cl.ctext) AS cleaned_sha
+    FROM docs d JOIN cl USING (doc_id) LEFT JOIN ns USING (doc_id)
+    """,
+    doc="Duplicated-SPAN REMOVAL (round 10 — completes the Lee et al. "
+    "2022 story: q_dedup_substring_exact DETECTS repeated spans, this "
+    "operator DELETES them, which is what the paper actually does to "
+    "training corpora): every char offset covered by a cross-document-"
+    "repeated 40-gram is cut, with overlapping hits merged into "
+    "maximal spans first. Spark-first shape: the gram/fingerprint "
+    "stage is the same one 16-byte shuffle as the exact detector; "
+    "interval merge is the classic running-max window (new span iff "
+    "p >= max prior end), one exchange per doc partition; surviving "
+    "segments are rebuilt by a lag()-windowed substring (a sentinel "
+    "interval at text end makes the trailing segment uniform) and "
+    "stitched with a sorted-struct array_join — all JVM-side, no "
+    "Python, no per-char rows beyond the transient gram pipeline. "
+    "Output is integers + the sha256 of each cleaned text, so the "
+    "DuckDB oracle — which re-derives removal from ACTUAL substring "
+    "equality, not hashes — certifies the merge arithmetic and the "
+    "reconstruction byte-for-byte. Scale: identical cost profile to "
+    "the exact detector plus one window over hit positions (|hits| "
+    "<< corpus chars) and one window over spans; text payloads "
+    "shuffle once, by doc_id, for the rebuild.",
+)
+def q_dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    L = _SUB_L
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= L)
+    g = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("text") - L)).alias("p"),
+        "text",
+    ).select(
+        "doc_id", "p", F.col("text").substr(F.col("p") + 1, F.lit(L)).alias("w")
+    ).select(
+        "doc_id",
+        "p",
+        F.xxhash64("w").alias("h1"),
+        F.xxhash64(F.lit(1), F.col("w")).alias("h2"),
+    )
+    hp = g.join(repeated_fingerprints(g), ["h1", "h2"], "left_semi").select(
+        "doc_id", "p"
+    )
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    pmax = F.max(F.col("p") + L).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        hp.withColumn(
+            "f", F.when(pmax.isNull() | (F.col("p") >= pmax), 1).otherwise(0)
+        )
+        .withColumn("gid", F.sum("f").over(wp))
+        .groupBy("doc_id", "gid")
+        .agg(F.min("p").alias("s"), (F.max("p") + L).alias("e"))
+        .select("doc_id", "s", "e")
+        .localCheckpoint(eager=False)  # consumed by segments AND span counts
+    )
+    sent = docs.select(
+        "doc_id", F.length("text").alias("s"), F.length("text").alias("e")
+    )
+    wv = Window.partitionBy("doc_id").orderBy("s")
+    lag_e = F.coalesce(F.lag("e").over(wv), F.lit(0))
+    seg = (
+        merged.unionByName(sent)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("piece", F.col("text").substr(lag_e + 1, F.col("s") - lag_e))
+    )
+    cl = seg.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("ctext")
+    )
+    nsp = merged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        docs.join(cl, "doc_id")
+        .join(nsp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_spans"),
+            (F.length("text") - F.length("ctext")).cast("bigint").alias(
+                "removed_chars"
+            ),
+            F.length("ctext").cast("bigint").alias("cleaned_len"),
+            F.sha2("ctext", 256).alias("cleaned_sha"),
+        )
+    )
+
+
+@register(
     "q_dedup_substring_recall",
     oracle=f"""
     -- Strided-vs-exact doc-level recall. The strided set is a subset

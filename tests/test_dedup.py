@@ -379,3 +379,39 @@ def test_substring_exact_catches_stride_straddling_span(spark, tmp_path):
     row = catalog["q_dedup_substring_recall"].build(spark, d).collect()[0]
     assert row.n_docs_exact == 2 and row.n_docs_strided == 0
     assert row.n_docs_missed == 2 and row.doc_recall == 0.0
+
+
+def test_substring_remove_cuts_merged_spans_exactly(spark, tmp_path):
+    """Planted-span removal semantics: a 60-char region shared by two
+    docs yields repeated 40-grams at offsets 10..30, whose windows
+    union to exactly chars [10, 70) — ONE merged span of 60 chars cut
+    from each copy, surviving text = prefix + suffix, byte-verified.
+    A clean doc passes through untouched with zero spans."""
+    import hashlib
+
+    from bfs_mapreduce_spark.registry import all_queries
+
+    shared = ("the very same sixty characters appear twice in this corpus!" + "!" * 60)[:60]
+    assert len(shared) == 60
+    doc_a = "a" * 10 + shared + "b" * 30
+    doc_b = "c" * 10 + shared + "d" * 30
+    doc_c = "e" * 39 + "f" * 61  # unique: its grams repeat in no other doc
+    pdf = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id bigint, text string"
+    )
+    d = str(tmp_path)
+    pdf.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = {
+        r.doc_id: r
+        for r in all_queries()["q_dedup_substring_remove"].build(spark, d).collect()
+    }
+    for doc_id, full in ((1, doc_a), (2, doc_b)):
+        r = out[doc_id]
+        cleaned = full[:10] + full[70:]
+        assert r.n_spans == 1 and r.removed_chars == 60
+        assert r.cleaned_len == len(cleaned)
+        assert r.cleaned_sha == hashlib.sha256(cleaned.encode()).hexdigest()
+    r = out[3]
+    assert r.n_spans == 0 and r.removed_chars == 0
+    assert r.cleaned_sha == hashlib.sha256(doc_c.encode()).hexdigest()
