@@ -588,3 +588,225 @@ def q_similarity_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cosine"), 6).alias("avg_cohesion"),
         F.round(F.min("cosine"), 6).alias("min_cohesion"),
     )
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+_PQ_M = 8                  # subspaces
+_PQ_SUB = _DIM // _PQ_M    # dims per subspace
+_PQ_SHORTLIST = 50         # ADC shortlist size fed to the exact rerank
+
+
+def _l2sq(a: str | F.Column, b: str | F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+@register(
+    "q_similarity_ivfpq_search",
+    oracle=f"""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    -- PQ half: subspace components, per-(subspace, label) codebook,
+    -- per-(vector, subspace) encode, and the query ADC lookup table
+    -- (enc restricted to query ids IS the LUT — same distances).
+    sub AS MATERIALIZED (
+      SELECT vec_id, label, (pos - 1) // {_PQ_SUB} AS s,
+             (pos - 1) % {_PQ_SUB} AS spos, x
+      FROM ex),
+    book AS MATERIALIZED (
+      SELECT s, label AS j, spos, ROUND(AVG(x), 9) AS avg
+      FROM sub GROUP BY s, label, spos),
+    enc AS MATERIALIZED (
+      SELECT u.vec_id, u.s, b.j,
+             ROUND(SUM((u.x - b.avg) * (u.x - b.avg)), 6) AS d2
+      FROM sub u JOIN book b ON b.s = u.s AND b.spos = u.spos
+      GROUP BY u.vec_id, u.s, b.j),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        FROM enc) WHERE rn = 1),
+    lut AS MATERIALIZED (
+      SELECT vec_id AS query_id, s, j, d2 AS ld FROM enc
+      WHERE vec_id % {_QUERY_MOD} = 0),
+    -- IVF half: label-mean coarse centroids, corpus assignment, query
+    -- probes (identical to q_similarity_ivf_search's construction)
+    cent AS MATERIALIZED (
+      SELECT cell, list(avg ORDER BY pos) AS cv FROM (
+        SELECT label AS cell, pos, ROUND(AVG(x), 9) AS avg
+        FROM ex GROUP BY label, pos)
+      GROUP BY cell),
+    scored AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cc
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+        FROM scored WHERE vec_id % {_QUERY_MOD} = 0) WHERE rn <= {_N_PROBE}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.vec_id <> p.query_id),
+    adc AS MATERIALIZED (
+      SELECT c.query_id, c.vec_id, ROUND(SUM(l.ld), 6) AS adc_dist
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = c.query_id AND l.s = k.s AND l.j = k.code
+      GROUP BY c.query_id, c.vec_id),
+    short AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rn
+        FROM adc) WHERE rn <= {_PQ_SHORTLIST}),
+    rer AS (
+      SELECT s.query_id, s.vec_id,
+             ROUND(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          ev.embedding::DOUBLE[]), 6) AS cosine
+      FROM short s
+      JOIN embeddings eq ON eq.vec_id = s.query_id
+      JOIN embeddings ev ON ev.vec_id = s.vec_id)
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM rer) WHERE rn <= {_TOP_K}
+    """,
+    doc="IVF-PQ search with ADC shortlist + exact rerank (round 10) "
+    "— the FAISS-style production ANN shape at 100 TB: the coarse "
+    "IVF quantizer bounds WHICH vectors a query touches (top-3 "
+    "probed cells, as q_similarity_ivf_search), product quantization "
+    "bounds HOW MUCH is read per touched vector — each 64-dim float "
+    "vector is encoded as 8 codebook ids (one per 8-dim subspace, "
+    "nearest of 10 label-seeded per-subspace centroids by L2), so "
+    "shortlist scoring reads 8 small ints + a per-query 8x10 ADC "
+    "lookup table instead of 256 bytes of floats — and only the "
+    "ADC-top-50 shortlist is reranked with exact cosines (the full "
+    "vectors are fetched for 50 candidates per query, not the whole "
+    "probed cells). Asymmetric distance (query side exact, corpus "
+    "side quantized) = sum over subspaces of LUT[s][code]. Every "
+    "ranking quantity (codebook entries 1e-9, sub-distances / ADC "
+    "sums / cosines 1e-6) is grid-snapped in both engines, so "
+    "encode, probe, shortlist, and final ranks are all inside the "
+    "oracle's value hash. tests/test_similarity.py measures recall "
+    "against the exact top-k (~0.54 here; PQ-without-rerank measured "
+    "0.16-0.30 on this corpus — the rerank is load-bearing, exactly "
+    "why FAISS serves IVFPQ with a refine stage). Scale: codebook "
+    "build is two tiny shuffles; encoding is one broadcast-join "
+    "pass; per-query cost is probed-cell candidates x 8 LUT lookups "
+    "+ 50 exact distances.",
+)
+def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", _vecd().alias("v")).withColumn(
+        "n", _norm("v")
+    )
+    subs = base.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "label", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    book = (
+        subs.select(
+            "s", F.col("label").alias("j"), F.posexplode("sv").alias("pos", "x")
+        )
+        .groupBy("s", "j", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("avg"))
+        .groupBy("s", "j")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
+        .select("s", "j", F.transform("pa", lambda t: t["avg"]).alias("cv"))
+        .localCheckpoint()  # m*k rows; broadcast into encode AND the LUT
+    )
+    d2 = F.round(_l2sq("sv", "cv"), 6)
+    enc = subs.join(F.broadcast(book), "s").select(
+        "vec_id", "s", "j", d2.alias("d2")
+    )
+    # corpus codes: min_by aggregate (partial agg map-side, same
+    # argument as _nearest_cell's max_by)
+    codes = enc.groupBy("vec_id", "s").agg(
+        F.min_by(F.col("j"), F.struct("d2", "j")).alias("code")
+    )
+    lut = enc.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("lq"), "s", F.col("j").alias("lj"),
+        F.col("d2").alias("ld"),
+    )
+    # IVF probes bound the candidate set (q_similarity_ivf_search's
+    # construction, verbatim)
+    cent = _label_centroids(emb).localCheckpoint()
+    cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
+    scored_cells = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", F.round(cell_cos, 6).alias("cc")
+    )
+    assignment = scored_cells.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cell"), F.struct(F.col("cc"), (-F.col("cell")).alias("nc"))
+        ).alias("cell")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell"))
+    probes = (
+        scored_cells.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assignment, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("lq"))
+            & (codes["s"] == lut["s"])
+            & (F.col("code") == F.col("lj")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("ld"), 6).alias("adc_dist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    qv = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("n"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        short.join(base, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )

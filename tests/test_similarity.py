@@ -144,3 +144,30 @@ def test_ivf_search_recall(spark, sf_oracle_dir):
     # 10 label-cells, 3 probed -> ~30% of the corpus scored; random-ish
     # embeddings give weak cells, so the floor is modest but must hold
     assert recall >= 0.25, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_ivfpq_recall_and_code_compression(spark, sf_oracle_dir):
+    """IVF-PQ must (a) find a usable share of the exact top-k — the
+    ADC-top-50 shortlist + exact rerank measured ~0.54 here (ADC
+    alone measured 0.16-0.30: the rerank is load-bearing) — and (b)
+    emit exactly TOP_K rows per query with exact cosines in [-1, 1].
+    Floor 0.4 is deliberately conservative vs the measured value."""
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        q_similarity_ivfpq_search,
+        q_similarity_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in q_similarity_topk(spark, sf_oracle_dir).collect()
+    }
+    pq_rows = q_similarity_ivfpq_search(spark, sf_oracle_dir).collect()
+    pq = {(r["query_id"], r["vec_id"]) for r in pq_rows}
+    assert exact
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall collapsed: {recall:.3f}"
+    by_q = {}
+    for r in pq_rows:
+        assert -1.0 <= r["cosine"] <= 1.0
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    assert by_q and all(len(v) == 5 for v in by_q.values())
