@@ -1595,6 +1595,12 @@ def _bpe_merge_rounds(
 
 _QT_STEPS = 8
 _QT_LR = 4.0
+# Keep threshold for the inference query: after 8 GD steps the score
+# distribution sits in ~(0.60, 0.81) — the majority class is positive,
+# so 0.5 keeps everything; 0.7 selects the high-confidence band
+# (keeps ~60% of this corpus at ~0.82 precision vs the training
+# labels, measured at both oracle SFs).
+_QT_KEEP = 0.7
 
 
 def _qt_oracle() -> str:
@@ -1719,4 +1725,97 @@ def q_text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError(f"diverged at step {step}: {w}")
     return spark.createDataFrame(
         rows, "step int, w0 double, w1 double, w2 double, w3 double, loss double"
+    )
+
+
+def _qt_filter_oracle() -> str:
+    """Training CTE chain + a scoring tail: every doc gets the final
+    weights' sigmoid and a keep decision at 0.5."""
+    feats = f"""
+    f AS MATERIALIZED (
+      SELECT doc_id, len({_SQL_WORDS}) AS nw,
+             (length(text) - len({_SQL_WORDS}) + 1) * 0.1
+               / len({_SQL_WORDS}) AS x2,
+             len(list_filter({_SQL_WORDS},
+                 w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS ns
+      FROM documents WHERE length(text) > 0),
+    x AS MATERIALIZED (
+      SELECT doc_id, nw / 100.0 AS x1, x2, ns * 1.0 / nw AS x3,
+             CASE WHEN ns * 1.0 / nw >= 0.04 AND nw >= 20
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM f)"""
+    parts = [feats]
+    w = ["0.0"] * 4
+    for k in range(1, _QT_STEPS + 1):
+        z = f"({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)"
+        parts.append(f"""
+    g{k} AS MATERIALIZED (
+      SELECT SUM(p - y) AS g0, SUM((p - y) * x1) AS g1,
+             SUM((p - y) * x2) AS g2, SUM((p - y) * x3) AS g3,
+             COUNT(*) AS n
+      FROM (SELECT x1, x2, x3, y, 1 / (1 + exp(-{z})) AS p FROM x)),
+    s{k} AS MATERIALIZED (
+      SELECT ROUND({w[0]} - {_QT_LR} * g0 / n, 6) AS w0,
+             ROUND({w[1]} - {_QT_LR} * g1 / n, 6) AS w1,
+             ROUND({w[2]} - {_QT_LR} * g2 / n, 6) AS w2,
+             ROUND({w[3]} - {_QT_LR} * g3 / n, 6) AS w3
+      FROM g{k})""")
+        w = [f"(SELECT w{j} FROM s{_QT_STEPS if k == _QT_STEPS else k})" for j in range(4)]
+    zf = f"({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)"
+    return ("WITH" + ",".join(parts) + f"""
+    SELECT doc_id,
+           ROUND(1 / (1 + exp(-{zf})), 6) AS quality,
+           CAST(1 / (1 + exp(-{zf})) >= {_QT_KEEP} AS BOOLEAN) AS kept
+    FROM x""")
+
+
+@register(
+    "q_text_quality_filter",
+    oracle=_qt_filter_oracle(),
+    doc="Quality-classifier INFERENCE (round 10, the other half of "
+    "q_text_quality_train): re-derives the trained weights (same 8 "
+    "one-aggregate GD steps, same per-step 1e-6 weight snapping) and "
+    "scores EVERY document with the final sigmoid, emitting "
+    "(doc_id, quality, kept@0.7 — the high-confidence band; 0.5 "
+    "keeps everything because the majority class is positive) — the "
+    "corpus-filtering step a "
+    "pretraining pipeline actually runs with the trained model. "
+    "Inference is a pure projection over plan-time-literal weights: "
+    "zero extra shuffles, whole-stage codegen, the cheapest possible "
+    "scale shape (train once on a sample, score 100 TB in one pass). "
+    "The oracle replays training AND scoring, so the kept-set itself "
+    "is inside the value hash.",
+)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    w_arr = _words()
+    nw = F.size(w_arr)
+    ns = F.size(F.filter(w_arr, lambda x: x.isin("the", "a", "and", "of", "to")))
+    x = docs.select(
+        "doc_id",
+        (nw / 100.0).alias("x1"),
+        ((F.length("text") - nw + 1) * 0.1 / nw).alias("x2"),
+        (ns / nw).alias("x3"),
+        F.when(((ns / nw) >= 0.04) & (nw >= 20), 1.0).otherwise(0.0).alias("y"),
+    ).localCheckpoint(eager=False)
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _step in range(_QT_STEPS):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2") \
+            + F.lit(w[3]) * F.col("x3")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        d = p - F.col("y")
+        g = x.select(
+            F.sum(d).alias("g0"),
+            F.sum(d * F.col("x1")).alias("g1"),
+            F.sum(d * F.col("x2")).alias("g2"),
+            F.sum(d * F.col("x3")).alias("g3"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        w = [round(w[j] - _QT_LR * g[f"g{j}"] / g["n"], 6) for j in range(4)]
+    zf = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2") \
+        + F.lit(w[3]) * F.col("x3")
+    pf = F.lit(1.0) / (F.lit(1.0) + F.exp(-zf))
+    return x.select(
+        "doc_id", F.round(pf, 6).alias("quality"), (pf >= _QT_KEEP).alias("kept")
     )
