@@ -754,3 +754,78 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "q_sink_snapshot_timetravel",
+    oracle="""
+    WITH v1 AS (SELECT COUNT(*) AS n,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+                FROM orders WHERE o_orderkey % 3 <> 0),
+    vall AS (SELECT COUNT(*) AS n,
+                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+             FROM orders)
+    SELECT 1 AS version, CAST(n AS BIGINT) AS n_rows,
+           CAST(tp AS DOUBLE) AS total_price, CAST(2 AS BIGINT) AS n_files
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(n AS BIGINT), CAST(tp AS DOUBLE), CAST(3 AS BIGINT) FROM vall
+    UNION ALL
+    SELECT 3, CAST(n AS BIGINT), CAST(tp AS DOUBLE), CAST(1 AS BIGINT) FROM vall
+    """,
+    doc="Snapshot time travel over the mini manifest table format "
+    "(round 10, sources/table_snapshots.py — the Iceberg/Delta core "
+    "mechanic on plain parquet + atomic renames): v1 commits 2/3 of "
+    "orders as two data files, v2 APPENDS the rest as a third, v3 "
+    "COMPACTS the table to one file with a replace manifest. All "
+    "three versions are then read BACK through their manifests and "
+    "aggregated — v1 must still see only its original rows after two "
+    "later commits, and v3 (one file) must be row-identical to v2 "
+    "(three files): compaction changes layout, never history. "
+    "Decimal-exact money sums; file counts come from the manifests, "
+    "so a wrong file list breaks the hash. Commit protocol "
+    "(atomic manifest + pointer swap, compare-and-swap conflict "
+    "detection, vacuum safety) is pinned by tests/test_sources.py. "
+    "Scale: manifests are file-granular metadata — commit cost is "
+    "O(files touched), reads plan pushdown on the listed files "
+    "exactly as on a raw directory.",
+)
+def q_sink_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snapshots"), tag)
+    if ts.current_version(root) < 3:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        first = orders.filter(F.col("o_orderkey") % 3 != 0)
+        rest = orders.filter(F.col("o_orderkey") % 3 == 0)
+        v1 = ts.commit(
+            root, ts.stage_files(first.repartition(2), root), base_version=0
+        )
+        v2 = ts.commit(
+            root, ts.stage_files(rest.coalesce(1), root), base_version=v1
+        )
+        assert ts.compact(spark, root, n_files=1) == v2 + 1
+    rows = []
+    price = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    for v in (1, 2, 3):
+        agg = ts.read(spark, root, v).agg(
+            F.count(F.lit(1)).alias("n"), price.alias("tp")
+        )
+        n_files = len(ts.read_manifest(root, v)["files"])
+        rows.append(
+            agg.select(
+                F.lit(v).alias("version"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                F.col("tp").cast("double").alias("total_price"),
+                F.lit(n_files).cast("bigint").alias("n_files"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -575,3 +575,50 @@ def test_avro_py_executor_side_writer_roundtrip(spark, tmp_path, sf_smoke_dir):
     orders.repartition(2).write.format("avro_py").mode("overwrite").save(out)
     assert len(_glob.glob(out + "/*.avro")) == 2
     assert spark.read.format("avro_py").load(out).count() == n
+
+
+def test_snapshot_table_protocol(spark, tmp_path):
+    """The mini manifest format's commit protocol: compare-and-swap
+    conflict detection, append vs replace manifests, time travel
+    stability across compaction, and vacuum deleting exactly the
+    files no retained manifest references."""
+    import os
+
+    import pytest
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df1 = spark.range(0, 100).withColumnRenamed("id", "k")
+    df2 = spark.range(100, 150).withColumnRenamed("id", "k")
+
+    v1 = ts.commit(root, ts.stage_files(df1.repartition(2), root), base_version=0)
+    assert v1 == 1 and ts.current_version(root) == 1
+    # stale-base commit must CAS-fail, and fail WITHOUT moving the table
+    staged = ts.stage_files(df2, root)
+    with pytest.raises(ts.SnapshotConflict):
+        ts.commit(root, staged, base_version=0)
+    assert ts.current_version(root) == 1
+    v2 = ts.commit(root, staged, base_version=1)
+    assert ts.read(spark, root, 1).count() == 100
+    assert ts.read(spark, root, 2).count() == 150
+
+    v3 = ts.compact(spark, root, n_files=1)
+    assert v3 == 3
+    assert len(ts.read_manifest(root, 3)["files"]) == 1
+    # time travel survives compaction: old manifests, old files
+    assert ts.read(spark, root, 1).count() == 100
+    assert ts.read(spark, root, 2).count() == 150
+    assert sorted(r.k for r in ts.read(spark, root, 3).collect()) == list(range(150))
+
+    # vacuum retaining only v3 drops v1/v2-only files; v3 still reads
+    deleted = ts.vacuum(root, retain_from=3)
+    assert deleted and all(p.endswith(".parquet") for p in deleted)
+    assert ts.read(spark, root, 3).count() == 150
+    with pytest.raises(Exception):
+        ts.read(spark, root, 1).count()  # expired history is gone
+
+    # staged-but-uncommitted files are invisible to every version
+    ts.stage_files(spark.range(5).withColumnRenamed("id", "k"), root)
+    assert ts.read(spark, root).count() == 150
