@@ -829,3 +829,214 @@ def q_sink_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "q_sink_snapshot_skipping",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(2 AS BIGINT) AS files_kept, CAST(5 AS BIGINT) AS files_skipped
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY o_orderpriority
+    """,
+    doc="Manifest-time DATA SKIPPING over the snapshot table format "
+    "(round 10, sources/table_snapshots.py collect_stats/read_pruned "
+    "— Iceberg's manifest-entry column stats): orders staged as one "
+    "file per o_orderdate year (7 files), committed WITH per-file "
+    "min/max read off the parquet footers at commit time. A two-year "
+    "range predicate is then planned against the MANIFEST: exactly 2 "
+    "of 7 files are handed to Spark, the other 5 are never listed — "
+    "a strictly earlier prune than parquet row-group stats, which "
+    "reopen every footer on every query. The kept/skipped counts are "
+    "IN the oracle hash, so a wrong skip (or a failure to skip) "
+    "breaks the row values or the literals; the in-plan filter makes "
+    "pruning a pure I/O optimization, and "
+    "tests/test_sources.py proves from EXECUTED scan metrics that "
+    "only 2 files were read. At 100 TB this is the driver skipping "
+    "thousands of files per query from one footer read each at write "
+    "time.",
+)
+def q_sink_snapshot_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_skip"), tag)
+    if ts.current_version(root) < 1:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"
+        )
+        files: list[str] = []
+        for y in sorted(
+            r[0] for r in orders.select(F.year("o_orderdate")).distinct().collect()
+        ):
+            files += ts.stage_files(
+                orders.filter(F.year("o_orderdate") == y).coalesce(1), root
+            )
+        ts.commit(
+            root,
+            files,
+            base_version=0,
+            stats=ts.collect_stats(files, ["o_orderdate"]),
+        )
+    df, kept, skipped = ts.read_pruned(
+        spark, root, "o_orderdate", "1996-01-01 00:00:00", "1997-12-31 00:00:00"
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(len(kept)).cast("bigint").alias("files_kept"),
+        F.lit(len(skipped)).cast("bigint").alias("files_skipped"),
+    )
+
+
+@register(
+    "q_sink_snapshot_merge",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    fin AS (
+      SELECT CASE WHEN o_orderkey > (3 * (SELECT m FROM mx)) // 4
+                       AND o_orderkey % 10 = 0
+                  THEN o_totalprice + 1000.0 ELSE o_totalprice END AS p,
+             o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(1 AS BIGINT) AS files_rewritten,
+           CAST(3 AS BIGINT) AS files_untouched
+    FROM fin GROUP BY o_orderpriority
+    """,
+    doc="Copy-on-write MERGE on the snapshot table (round 10, "
+    "sources/table_snapshots.merge_into — Delta's upsert mechanic): "
+    "orders staged as 4 key-range files; the source updates keys in "
+    "the TOP quartile only (price + 1000 where key%10=0) and inserts "
+    "brand-new keys beyond the current max. merge_into narrows the "
+    "rewrite in three stages — manifest key-range stats shortlist the "
+    "top-quartile file without opening any other, an input_file_name "
+    "semi-join confirms the exact touch set, and only that ONE file "
+    "is rewritten (survivors anti-join + source union); the other 3 "
+    "are carried by reference into the REPLACE manifest, zero bytes "
+    "rewritten. The rewritten/untouched counts sit in the oracle "
+    "hash, so a merge that rewrites too much (or misses a matched "
+    "file) fails even if row values happen to survive; the oracle "
+    "recomputes the post-merge table from the raw source with plain "
+    "SQL. Commit runs under the same compare-and-swap as every "
+    "writer. At 100 TB this is the difference between rewriting the "
+    "table and rewriting the handful of files a day's upserts touch.",
+)
+def q_sink_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_merge"), tag)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    bounds = [mx // 4, mx // 2, (3 * mx) // 4]
+    if ts.current_version(root) < 2:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        files: list[str] = []
+        lo = None
+        for hi in bounds + [None]:
+            part = orders
+            if lo is not None:
+                part = part.filter(F.col("o_orderkey") > lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") <= hi)
+            files += ts.stage_files(part.coalesce(1), root)
+            lo = hi
+        ts.commit(
+            root,
+            files,
+            base_version=0,
+            stats=ts.collect_stats(files, ["o_orderkey"]),
+        )
+        updates = orders.filter(
+            (F.col("o_orderkey") > bounds[2]) & (F.col("o_orderkey") % 10 == 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        inserts = orders.filter(F.col("o_orderkey") % 7 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(mx)
+        )
+        _v, staged, untouched = ts.merge_into(
+            spark,
+            root,
+            updates.unionByName(inserts),
+            ["o_orderkey"],
+            stats_cols=["o_orderkey"],
+            target_files=1,
+        )
+        # Persist the narrowing outcome for re-reads within the process.
+        with open(os.path.join(root, "_merge_scope"), "w") as f:
+            f.write(f"{len(staged)} {len(untouched)}")
+    with open(os.path.join(root, "_merge_scope")) as f:
+        n_staged, n_untouched = (int(x) for x in f.read().split())
+    return ts.read(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(n_staged).cast("bigint").alias("files_rewritten"),
+        F.lit(n_untouched).cast("bigint").alias("files_untouched"),
+    )
+
+
+@register(
+    "q_sink_snapshot_changes",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(2 AS BIGINT) AS n_change_files
+    FROM orders WHERE o_orderkey % 3 IN (1, 2)
+    GROUP BY o_orderpriority
+    """,
+    doc="Incremental (CDC) read over the snapshot table (round 10, "
+    "sources/table_snapshots.read_changes — Iceberg's incremental "
+    "scan): three APPEND commits land thirds of orders; the consumer "
+    "asks for changes (v1, v3] and gets EXACTLY the two appended "
+    "files — the file-set difference of append-only manifests IS the "
+    "change set, no data read to compute it. The change-file count "
+    "is in the oracle hash; a consumer that re-reads v1 rows (or "
+    "drops a batch) fails the row values. Ranges crossing a REPLACE "
+    "(compaction/merge) raise instead of double-counting rewritten "
+    "rows — pinned in tests/test_sources.py. At 100 TB this is what "
+    "feeds downstream pipelines per-commit deltas without ever "
+    "rescanning the table.",
+)
+def q_sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_cdc"), tag)
+    if ts.current_version(root) < 3:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        v = 0
+        for i in (0, 1, 2):
+            batch = orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1)
+            v = ts.commit(root, ts.stage_files(batch, root), base_version=v)
+    changed = ts.read_changes(spark, root, 1, 3)
+    n_files = len(
+        set(ts.read_manifest(root, 3)["files"])
+        - set(ts.read_manifest(root, 1)["files"])
+    )
+    return changed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(n_files).cast("bigint").alias("n_change_files"),
+    )

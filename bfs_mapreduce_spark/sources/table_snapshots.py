@@ -28,6 +28,30 @@ Correctness properties (tests/test_sources.py):
   explicit ``vacuum`` (which refuses to drop files still referenced
   by any retained manifest).
 
+Round-10 extensions (same session, building the full lakehouse core):
+
+- **File statistics + manifest-time data skipping**: ``collect_stats``
+  reads per-file min/max/row-count off the parquet FOOTERS (no data
+  pages touched) and ``commit(..., stats=...)`` records them in the
+  manifest — Iceberg's manifest-entry column stats. ``read_pruned``
+  then plans a range predicate against the MANIFEST: files whose
+  [min,max] cannot overlap are never handed to Spark at all, so at
+  100 TB the driver skips them before listing, a strictly earlier
+  prune than parquet row-group stats (which require opening every
+  footer on every query instead of once at commit time).
+- **Copy-on-write MERGE** (``merge_into``): Delta's upsert mechanic —
+  stats-shortlist candidate files by key range, find the exactly
+  touched files via an ``input_file_name`` semi-join, rewrite ONLY
+  those (matched rows replaced, unmatched source rows inserted), and
+  commit untouched + rewritten + inserted as a REPLACE manifest under
+  the same compare-and-swap. Untouched files are carried by
+  reference — zero bytes rewritten for them.
+- **Incremental / CDC reads** (``read_changes``): across APPEND-only
+  version ranges the file-set difference IS the change set, so a
+  downstream consumer reads exactly the new files of v(a..b] —
+  Iceberg's incremental scan. Ranges crossing a REPLACE (compaction /
+  merge) raise instead of silently double-counting rewritten rows.
+
 Scale posture: the manifest is file-granular metadata (like Iceberg's
 manifest lists) — at 100 TB this object is thousands of entries, not
 billions of rows; reads plan partition pruning / predicate pushdown on
@@ -38,11 +62,13 @@ the ``os.replace`` swap point becomes a conditional PUT / catalog CAS.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotConflict(RuntimeError):
@@ -98,23 +124,40 @@ def commit(
     *,
     base_version: int,
     replace: bool = False,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """Commit ``files`` as the next version: append to the base
     version's file list, or ``replace`` the whole list (compaction).
     Raises :class:`SnapshotConflict` if the table has moved past
-    ``base_version`` — compare-and-swap against ``_latest``."""
+    ``base_version`` — compare-and-swap against ``_latest``.
+
+    ``stats`` maps data-file path -> :func:`collect_stats` entry; the
+    manifest carries base-version stats forward for files it keeps, so
+    skipping keeps working across appends and partial rewrites."""
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
     latest = current_version(root)
     if latest != base_version:
         raise SnapshotConflict(
             f"table at v{latest}, commit based on v{base_version}"
         )
-    new_files = list(files) if replace else read_manifest(root, latest)["files"] + list(files)
+    base = read_manifest(root, latest)
+    new_files = list(files) if replace else base["files"] + list(files)
+    new_stats = {
+        p: s
+        for p, s in {**base.get("stats", {}), **(stats or {})}.items()
+        if p in set(new_files)
+    }
     version = latest + 1
     _atomic_write(
         _manifest_path(root, version),
         json.dumps(
-            {"version": version, "parent": latest, "files": new_files},
+            {
+                "version": version,
+                "parent": latest,
+                "operation": "replace" if replace else "append",
+                "files": new_files,
+                "stats": new_stats,
+            },
             indent=1,
         ),
     )
@@ -163,3 +206,213 @@ def vacuum(root: str, retain_from: int = 1) -> list[str]:
                 os.remove(p)
                 deleted.append(p)
     return sorted(deleted)
+
+
+def _json_safe(v):
+    """Parquet footer stat -> JSON-storable, order-preserving value.
+    ISO-8601 keeps timestamps/dates lexicographically comparable as
+    strings; unconvertible types return None (= no stat, keep file)."""
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return None
+
+
+def collect_stats(paths: list[str], cols: list[str]) -> dict[str, dict]:
+    """Per-file ``{"rows": n, "cols": {c: [min, max]}}`` read off the
+    parquet FOOTERS (row-group statistics — no data pages touched).
+    This is the commit-time half of Iceberg-style data skipping: pay
+    one footer read per file at write time, and every later query
+    plans against the manifest instead of re-opening N footers.
+    Columns whose stats are absent/unconvertible are omitted (reads
+    treat missing stats as "cannot skip")."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for path in paths:
+        meta = pq.ParquetFile(path).metadata
+        names = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+        col_stats: dict[str, list] = {}
+        for c in cols:
+            if c not in names:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(names[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                col_stats[c] = [lo, hi]
+        out[path] = {"rows": meta.num_rows, "cols": col_stats}
+    return out
+
+
+def prune_files(
+    manifest: dict, col: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) split of a manifest's files for the range
+    predicate ``col BETWEEN lo AND hi``, decided purely from manifest
+    stats. Files without stats for ``col`` are conservatively kept;
+    a file is skipped only when its [min,max] provably cannot overlap
+    (NULLs never satisfy a range predicate, so all-null files with no
+    min/max being kept is conservative, not wrong)."""
+    stats = manifest.get("stats", {})
+    kept, skipped = [], []
+    for f in manifest["files"]:
+        rng = stats.get(f, {}).get("cols", {}).get(col)
+        if rng is not None and (rng[1] < lo or rng[0] > hi):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
+def read_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Range-predicate read planned against the MANIFEST: returns
+    ``(df, kept, skipped)`` where ``df`` scans only the kept files
+    (the predicate is still applied in-plan, so pruning is a pure
+    I/O optimization — a wrong skip decision would change results and
+    break the oracle hash, which is exactly what the catalog query
+    certifies). At 100 TB the skipped files are never even LISTED by
+    Spark, an earlier cut than parquet row-group pruning."""
+    m = read_manifest(root, version)
+    kept, skipped = prune_files(m, col, lo, hi)
+    if not kept:
+        raise ValueError(
+            f"predicate {col} in [{lo}, {hi}] prunes every file of "
+            f"{root!r} v{m['version']} — empty-scan fast path is "
+            "the caller's concern"
+        )
+    df = spark.read.parquet(*kept).filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df, kept, skipped
+
+
+def _local_path(spark_file_uri: str) -> str:
+    """``input_file_name()`` URI -> the manifest's plain local path."""
+    p = spark_file_uri
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+    *,
+    stats_cols: list[str] | None = None,
+    target_files: int | None = None,
+) -> tuple[int, list[str], list[str]]:
+    """Copy-on-write MERGE (Delta's upsert mechanic): rows of the
+    current snapshot whose key matches ``source`` are REPLACED by the
+    source row, unmatched source rows are INSERTED, and only the data
+    files that actually contain a matched key are rewritten.
+
+    Three-stage file narrowing, each strictly cheaper than the last
+    would be alone at 100 TB:
+
+    1. **Stats shortlist** — manifest min/max on the first key column
+       vs the source's key bounds (one tiny agg) drops files that
+       cannot contain any matched key without opening them.
+    2. **Exact touch set** — an ``input_file_name`` semi-join over the
+       shortlist finds files that really hold a matched key (executor
+       side, one pass, broadcast source keys).
+    3. **Rewrite** — touched-file rows anti-joined against the source
+       keys (survivors) unioned with the whole source, staged as new
+       files; untouched files are carried BY REFERENCE into a REPLACE
+       manifest — zero bytes rewritten for them.
+
+    Commit runs under the same compare-and-swap as every other writer.
+    Returns ``(new_version, rewritten_files, untouched_files)``.
+    ``source`` must have the target's schema (whole-row upsert)."""
+    base = current_version(root)
+    m = read_manifest(root, base)
+    key = key_cols[0]
+    k_lo, k_hi = source.agg(F.min(key), F.max(key)).first()
+    candidates, _out_of_range = prune_files(m, key, k_lo, k_hi)
+    keys_df = source.select(*key_cols).distinct()
+    touched = set()
+    if candidates:
+        tgt = spark.read.parquet(*candidates).withColumn(
+            "_file", F.input_file_name()
+        )
+        touched = {
+            _local_path(r[0])
+            for r in tgt.join(F.broadcast(keys_df), key_cols, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+    untouched = [f for f in m["files"] if f not in touched]
+    if touched:
+        survivors = spark.read.parquet(*sorted(touched)).join(
+            F.broadcast(keys_df), key_cols, "left_anti"
+        )
+        rewritten = survivors.unionByName(source)
+    else:
+        rewritten = source
+    if target_files is not None:
+        # Rewrite-file sizing: without this the join's shuffle
+        # partitioning leaks into the layout (32 tiny files for one
+        # touched file's worth of rows). Real deployments size this to
+        # ~touched-file count; AQE coalescing handles it on a cluster.
+        rewritten = rewritten.repartition(target_files)
+    staged = stage_files(rewritten, root)
+    stats = collect_stats(staged, stats_cols) if stats_cols else None
+    version = commit(
+        root, untouched + staged, base_version=base, replace=True, stats=stats
+    )
+    return version, staged, untouched
+
+
+def read_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Incremental (CDC) read: the rows appended in versions
+    ``(from_version, to_version]``. Valid only when every commit in
+    the range is an APPEND — then the file-set difference IS the
+    change set (Iceberg's incremental scan). A REPLACE (compaction /
+    merge) in the range raises: rewritten files would double-count
+    old rows as new, and honest CDC across rewrites needs row-level
+    change files this format does not keep."""
+    v = to_version
+    while v > from_version:
+        m = read_manifest(root, v)
+        parent_files = set(read_manifest(root, m["parent"])["files"])
+        op = m.get("operation") or (
+            "append" if parent_files <= set(m["files"]) else "replace"
+        )
+        if op != "append":
+            raise ValueError(
+                f"v{v} is a {op} commit — file-diff CDC is only sound "
+                "across append-only ranges"
+            )
+        v = m["parent"]
+    old = set(read_manifest(root, from_version)["files"])
+    new_files = [
+        f for f in read_manifest(root, to_version)["files"] if f not in old
+    ]
+    if not new_files:
+        raise ValueError(
+            f"no appended files between v{from_version} and v{to_version}"
+        )
+    return spark.read.parquet(*new_files)

@@ -622,3 +622,112 @@ def test_snapshot_table_protocol(spark, tmp_path):
     # staged-but-uncommitted files are invisible to every version
     ts.stage_files(spark.range(5).withColumnRenamed("id", "k"), root)
     assert ts.read(spark, root).count() == 150
+
+
+def test_snapshot_stats_skipping_and_cdc(spark, tmp_path):
+    """Round-10 lakehouse half: manifest column stats prune files
+    without opening them (EXECUTED scan metrics prove only the kept
+    files were read), and append-only file-diff CDC refuses ranges
+    that cross a REPLACE commit."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.plans.introspect import scan_metrics
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    files = []
+    for lo in (0, 100, 200, 300):  # four disjoint key-range files
+        files += ts.stage_files(
+            spark.range(lo, lo + 100).withColumnRenamed("id", "k").coalesce(1),
+            root,
+        )
+    v1 = ts.commit(
+        root, files, base_version=0, stats=ts.collect_stats(files, ["k"])
+    )
+    m = ts.read_manifest(root, v1)
+    assert m["stats"][files[0]]["rows"] == 100
+    assert m["stats"][files[0]]["cols"]["k"] == [0, 99]
+
+    # manifest-time pruning: [150, 250] overlaps exactly two files
+    kept, skipped = ts.prune_files(m, "k", 150, 250)
+    assert len(kept) == 2 and len(skipped) == 2
+    df, kept2, _ = ts.read_pruned(spark, root, "k", 150, 250)
+    rows = sorted(r.k for r in df.collect())
+    assert rows == list(range(150, 251))
+    sm = scan_metrics(df)  # executed: only the 2 kept files were read
+    assert sum(s["numFiles"] or 0 for s in sm) == 2
+
+    # a predicate pruning everything raises instead of scanning nothing
+    with pytest.raises(ValueError):
+        ts.read_pruned(spark, root, "k", 5000, 6000)
+
+    # CDC: append v2, changes (1,2] are exactly the appended rows
+    v2 = ts.commit(
+        root,
+        ts.stage_files(
+            spark.range(400, 420).withColumnRenamed("id", "k").coalesce(1), root
+        ),
+        base_version=v1,
+    )
+    assert sorted(r.k for r in ts.read_changes(spark, root, v1, v2).collect()) == list(
+        range(400, 420)
+    )
+    # ... but a range crossing a compaction (REPLACE) refuses
+    v3 = ts.compact(spark, root, n_files=1)
+    with pytest.raises(ValueError):
+        ts.read_changes(spark, root, v1, v3)
+
+    # stats survive appends for carried-over files (skipping still works)
+    m2 = ts.read_manifest(root, v2)
+    assert m2["stats"][files[0]]["cols"]["k"] == [0, 99]
+
+
+def test_snapshot_merge_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write MERGE: only files containing a matched key are
+    rewritten; untouched files are carried into the new manifest BY
+    REFERENCE (same paths); matched rows are replaced, new keys
+    inserted; stats shortlist narrows the candidate set before any
+    file is opened."""
+    import os
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    files = []
+    for lo in (0, 100, 200):
+        files += ts.stage_files(
+            spark.createDataFrame(
+                [(k, float(k)) for k in range(lo, lo + 100)], "k long, v double"
+            ).coalesce(1),
+            root,
+        )
+    v1 = ts.commit(
+        root, files, base_version=0, stats=ts.collect_stats(files, ["k"])
+    )
+    # source touches only the middle file's range, plus brand-new keys
+    source = spark.createDataFrame(
+        [(150, -1.0), (160, -2.0), (999, 9.0)], "k long, v double"
+    )
+    # stats shortlist: candidate set is exactly the middle + none other
+    cand, _ = ts.prune_files(ts.read_manifest(root, v1), "k", 150, 999)
+    assert files[1] in cand and files[0] not in cand
+
+    v2, staged, untouched = ts.merge_into(
+        spark, root, source, ["k"], stats_cols=["k"], target_files=1
+    )
+    assert v2 == 2 and len(staged) == 1
+    assert sorted(untouched) == sorted([files[0], files[2]])  # by reference
+    m2 = ts.read_manifest(root, v2)
+    assert set(untouched) <= set(m2["files"]) and files[1] not in m2["files"]
+    got = {r.k: r.v for r in ts.read(spark, root).collect()}
+    assert len(got) == 301  # 300 originals + 1 insert
+    assert got[150] == -1.0 and got[160] == -2.0 and got[999] == 9.0
+    assert got[151] == 151.0  # survivor in the rewritten file
+    assert got[0] == 0.0  # untouched file intact
+    # v1 time travel unaffected by the merge
+    assert ts.read(spark, root, v1).count() == 300
