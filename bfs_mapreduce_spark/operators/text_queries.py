@@ -233,6 +233,70 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_lm_bigram",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    bi AS (SELECT doc_id, w[x] AS w1, w[x + 1] AS w2
+           FROM d, UNNEST(range(1, len(w))) AS r(x)),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+    cu AS (SELECT w, COUNT(*) AS cu
+           FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents) GROUP BY w),
+    tot AS (SELECT SUM(cu) AS t FROM cu)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-AVG(LN(0.7 * c12 / c1 + 0.3 * cu / t)), 6) AS bigram_nll
+    FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            JOIN cu ON cu.w = bi.w2 CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Interpolated bigram language-model scoring (the order-2 "
+    "upgrade of q_text_lm_score's CCNet-shape filter): per-document "
+    "negative mean log-probability under P(w2|w1) = 0.7*c(w1,w2)/"
+    "c(w1,.) + 0.3*c(w2)/T, all counts from the corpus itself. The "
+    "interpolation backstop means unseen-in-context words never hit "
+    "log(0) — the fixed-weight Jelinek-Mercer smoothing production "
+    "LM filters use. Bigrams are built IN-ROW (arrays_zip of two "
+    "slices — zero shuffle, no posexplode+window), then one "
+    "bigram-vocabulary groupBy each for c(w1,w2) and c(w1,.), the "
+    "token-vocabulary groupBy for c(w2), and the corpus total folded "
+    "in-plan as a one-row broadcast crossJoin. All count tables are "
+    "vocabulary-bounded (broadcastable at 100 TB; stopword-pair skew "
+    "on the join is the AQE skew-split case); NLL snapped to the "
+    "1e-6 grid in both dialects.",
+)
+def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n = F.size(w)
+    pairs = F.arrays_zip(
+        F.slice(w, 1, n - 1).alias("w1"), F.slice(w, 2, n - 1).alias("w2")
+    )
+    bi = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    cu = docs.select(F.explode(w).alias("wt")).groupBy("wt").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    tot = cu.agg(F.sum("cu").alias("t"))
+    p = 0.7 * F.col("c12") / F.col("c1") + 0.3 * F.col("cu") / F.col("t")
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(cu, F.col("w2") == F.col("wt"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 6).alias("bigram_nll"),
+        )
+    )
+
+
+@register(
     "q_text_langid",
     oracle=f"""
     WITH scores AS (

@@ -152,3 +152,32 @@ def test_quality_train_converges_and_separates(spark, sf_oracle_dir):
         return 1 / (1 + math.exp(-z))
 
     assert score(50, 4.5, 0.1) > score(3, 12.0, 0.0)
+
+
+def test_bigram_lm_exact_on_tiny_corpus(spark, tmp_path):
+    """Hand-computed Jelinek-Mercer bigram NLL on a 2-doc corpus:
+    pins the probability decomposition (bigram/left-context/unigram
+    counts and the 0.7/0.3 interpolation) independently of the
+    DuckDB oracle."""
+    import math
+
+    from bfs_mapreduce_spark.registry import all_queries
+
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "a b")], "doc_id string, text string"
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(sf + "/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in all_queries()["q_text_lm_bigram"].build(spark, sf).collect()
+    }
+    # corpus: bigrams d1=[ab, ba, ab], d2=[ab]; c12(ab)=3, c12(ba)=1
+    # left counts: c1(a)=3, c1(b)=1; unigrams: a=3, b=3, T=6
+    p_ab = 0.7 * 3 / 3 + 0.3 * 3 / 6
+    p_ba = 0.7 * 1 / 1 + 0.3 * 3 / 6
+    d1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    d2 = -math.log(p_ab)
+    assert out["d1"].n_bigrams == 3 and out["d2"].n_bigrams == 1
+    assert abs(out["d1"].bigram_nll - round(d1, 6)) < 1e-9
+    assert abs(out["d2"].bigram_nll - round(d2, 6)) < 1e-9
