@@ -545,10 +545,19 @@ def _progress_records(query) -> list[dict]:
     return out
 
 
+STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider",
+}
+
+
 def run_stream_scale(
     spark,
     ramp=STREAM_RAMP,
     out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+    state_store: str = "hdfs",
 ) -> Iterator[dict]:
     """Streaming state-store pressure under a key-cardinality ramp
     (the bench-dedup pattern applied to streaming): two stateful
@@ -562,6 +571,16 @@ def run_stream_scale(
       row per ACTIVE session — the 4-hour inter-batch jump drives the
       watermark past each batch's sessions, so eviction keeps state
       bounded by the CURRENT batch's key count, not history.
+
+    ``state_store`` selects the provider: ``hdfs`` (Spark's default
+    in-JVM-heap map, snapshot per checkpoint) or ``rocksdb`` (native
+    off-heap store with incremental changelog upload). The semantics
+    — and therefore every state-rows assertion — are identical by
+    contract; what changes is the SCALE envelope: HDFSBacked caps
+    state at executor heap, RocksDB spills to local disk, which is
+    what a 100 TB stream with hundreds of millions of keys needs.
+    The per-batch metrics let BASELINE.md compare both backends on
+    the same ramp instead of asserting the folklore.
     """
     import shutil as _shutil
     import tempfile as _tempfile
@@ -575,6 +594,9 @@ def run_stream_scale(
 
     os.makedirs(out_dir, exist_ok=True)
     root = synthesize_stream_batches(spark, ramp, out_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, STATE_STORE_PROVIDERS[state_store])
 
     def read_stream():
         return (
@@ -592,24 +614,31 @@ def run_stream_scale(
     for _e, u in ramp:
         seen = max(seen, u)  # nested key sets: cumulative distinct == max U
         cum.append(seen)
-    for name, build, mode in legs:
-        sink = os.path.join(out_dir, f"stream_sink_{name}")
-        _shutil.rmtree(sink, ignore_errors=True)
-        with _tempfile.TemporaryDirectory(prefix="bfs_mr_ramp_ckpt_") as ckpt:
-            q = (
-                build(read_stream())
-                .writeStream.foreachBatch(
-                    lambda batch, _i, s=sink: batch.write.mode("append").parquet(s)
+    try:
+        for name, build, mode in legs:
+            sink = os.path.join(out_dir, f"stream_sink_{name}")
+            _shutil.rmtree(sink, ignore_errors=True)
+            with _tempfile.TemporaryDirectory(prefix="bfs_mr_ramp_ckpt_") as ckpt:
+                q = (
+                    build(read_stream())
+                    .writeStream.foreachBatch(
+                        lambda batch, _i, s=sink: batch.write.mode("append").parquet(s)
+                    )
+                    .outputMode(mode)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
                 )
-                .outputMode(mode)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            yield {
-                "op": name,
-                "ramp": [{"events": e, "keys": u} for e, u in ramp],
-                "cumulative_distinct_keys": cum,
-                "batches": _progress_records(q),
-            }
+                q.awaitTermination()
+                yield {
+                    "op": name,
+                    "state_store": state_store,
+                    "ramp": [{"events": e, "keys": u} for e, u in ramp],
+                    "cumulative_distinct_keys": cum,
+                    "batches": _progress_records(q),
+                }
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)

@@ -186,7 +186,9 @@ def _bench_stream(args: argparse.Namespace) -> int:
             if args.ramp
             else STREAM_RAMP
         )
-        for rec in run_stream_scale(spark, ramp=ramp, out_dir=args.out_dir):
+        for rec in run_stream_scale(
+            spark, ramp=ramp, out_dir=args.out_dir, state_store=args.state_store
+        ):
             print(json.dumps(rec))
             sys.stdout.flush()
     finally:
@@ -269,6 +271,13 @@ def main(argv: list[str] | None = None) -> int:
         "50k-event 1k->8k->8k-repeat ramp)",
     )
     bs.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
+    bs.add_argument(
+        "--state-store",
+        choices=("hdfs", "rocksdb"),
+        default="hdfs",
+        help="state-store backend: hdfs = in-heap default, rocksdb = "
+        "native disk-spilling store (the 100 TB key-cardinality path)",
+    )
     bs.set_defaults(fn=_bench_stream)
 
     args = ap.parse_args(argv)

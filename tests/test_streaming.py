@@ -213,3 +213,31 @@ def test_stream_dedup_ingest_checkpoint_recovery(spark, sf_smoke_dir, tmp_path):
     lb = compact_store(spark, control, max_bucket_rows=mb)
     assert la.join(lb, ["doc_a", "doc_b"], "left_anti").count() == 0
     assert lb.join(la, ["doc_a", "doc_b"], "left_anti").count() == 0
+
+
+def test_stream_state_semantics_identical_on_rocksdb(spark, tmp_path):
+    """The RocksDB state-store backend (the disk-spilling provider a
+    100 TB key cardinality needs) must report the SAME state-rows
+    semantics as the default in-heap store on the same ramp — state
+    tracks cumulative distinct keys exactly, repeated-key batches add
+    zero rows — and the provider conf must be restored afterwards."""
+    from bfs_mapreduce_spark.benchmarks import run_stream_scale
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    ramp = [(1_000, 50), (1_000, 100), (1_000, 100)]
+    recs = {
+        r["op"]: r
+        for r in run_stream_scale(
+            spark, ramp, str(tmp_path), state_store="rocksdb"
+        )
+    }
+    assert all(r["state_store"] == "rocksdb" for r in recs.values())
+    counts = [
+        b
+        for b in recs["running_user_counts"]["batches"]
+        if b["rows_in"]
+    ]
+    assert [b["state_rows"] for b in counts] == [50, 100, 100]
+    assert sum(b["rows_in"] for b in counts) == 3_000
+    assert spark.conf.get(key, None) == before  # conf restored
