@@ -629,3 +629,37 @@ def test_jpeg_sequential_multiscan_noninterleaved():
     w, h, ch, pix = decode_jpeg(blob)
     err = np.abs(np.frombuffer(pix, dtype=np.uint8).astype(int) - g.reshape(-1))
     assert (w, h, ch) == (40, 24, 1) and err.max() <= 2
+
+
+def test_audio_spectrum_pure_tone():
+    """DFT ground truth: a pure k=2 cosine at amplitude A must show
+    |X_2|/N = A/2 with every other bin near zero (quantization-level
+    leakage only), and a k=3 tone must move the dominant bin — pins
+    the spectral transform independently of the SQL oracle."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from bfs_mapreduce_spark.operators.multimodal_queries import (
+        _WAV_HEADER,
+        _WAV_SAMPLES,
+        _extract_spectrum,
+    )
+
+    def tone_blob(k: int, amp: float) -> bytes:
+        n = np.arange(_WAV_SAMPLES)
+        s = np.round(amp * 32768.0 * np.cos(2 * np.pi * k * n / _WAV_SAMPLES))
+        s = np.clip(s, -32768, 32767)
+        return _WAV_HEADER + struct.pack(f"<{_WAV_SAMPLES}h", *s.astype(int))
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "blob": [tone_blob(2, 0.5), tone_blob(3, 0.25)]}
+    )
+    out = pd.concat(list(_extract_spectrum(iter([pdf])))).set_index("doc_id")
+    r1, r2 = out.loc[1], out.loc[2]
+    assert abs(r1.mag_k2 - 0.25) < 1e-3  # A/2 = 0.5/2
+    assert max(r1.mag_k1, r1.mag_k3, r1.mag_k4) < 1e-3
+    assert r1.dominant_bin == 2
+    assert abs(r2.mag_k3 - 0.125) < 1e-3
+    assert r2.dominant_bin == 3
