@@ -118,6 +118,14 @@ def stage_files(df: DataFrame, root: str) -> list[str]:
     )
 
 
+def last_txn(root: str, app_id: str, version: int | None = None) -> int:
+    """Highest streaming batch id committed by ``app_id`` (-1 if
+    none) — the read half of the idempotent-streaming-commit protocol
+    (Delta's ``txn`` action): a foreachBatch writer checks this before
+    committing and skips batches at-least-once delivery replays."""
+    return read_manifest(root, version).get("txn", {}).get(app_id, -1)
+
+
 def commit(
     root: str,
     files: list[str],
@@ -125,6 +133,7 @@ def commit(
     base_version: int,
     replace: bool = False,
     stats: dict[str, dict] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``files`` as the next version: append to the base
     version's file list, or ``replace`` the whole list (compaction).
@@ -133,7 +142,14 @@ def commit(
 
     ``stats`` maps data-file path -> :func:`collect_stats` entry; the
     manifest carries base-version stats forward for files it keeps, so
-    skipping keeps working across appends and partial rewrites."""
+    skipping keeps working across appends and partial rewrites.
+
+    ``txn=(app_id, batch_id)`` records a streaming writer's progress
+    IN the manifest (carried forward by every later commit), making
+    the commit idempotent under at-least-once replay: the pointer
+    swap that publishes the data also publishes the batch id, so a
+    redelivered batch sees itself already committed via
+    :func:`last_txn` — data and watermark can never disagree."""
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
     latest = current_version(root)
     if latest != base_version:
@@ -147,6 +163,9 @@ def commit(
         for p, s in {**base.get("stats", {}), **(stats or {})}.items()
         if p in set(new_files)
     }
+    new_txn = dict(base.get("txn", {}))
+    if txn is not None:
+        new_txn[txn[0]] = max(int(txn[1]), new_txn.get(txn[0], -1))
     version = latest + 1
     _atomic_write(
         _manifest_path(root, version),
@@ -157,6 +176,7 @@ def commit(
                 "operation": "replace" if replace else "append",
                 "files": new_files,
                 "stats": new_stats,
+                "txn": new_txn,
             },
             indent=1,
         ),

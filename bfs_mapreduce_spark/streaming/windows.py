@@ -737,3 +737,86 @@ def q_stream_avro_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
     return run_stream(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_snapshot_ingest",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(3 AS BIGINT) AS final_version,
+           CAST(3 AS BIGINT) AS version_after_replay
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Streaming ingestion INTO the snapshot-manifest table format "
+    "(round 10 — the lakehouse write path a 100 TB pipeline actually "
+    "runs): orders staged as arriving parquet files, readStream with "
+    "maxFilesPerTrigger=1, and each micro-batch committed as an "
+    "APPEND manifest from foreachBatch under the format's "
+    "compare-and-swap, carrying Delta's txn action — (app_id, "
+    "batch_id) is published by the SAME pointer swap as the data, so "
+    "data and progress watermark can never disagree. Exactly-once is "
+    "then PROVEN the hard way: the whole stream is re-run from a "
+    "FRESH checkpoint (at-least-once redelivery of every batch) and "
+    "the txn guard must swallow all of it — the oracle hash pins "
+    "both the final version (3 commits) and the version AFTER replay "
+    "(still 3), plus decimal-exact totals that double-ingestion "
+    "would break. Downstream, read_changes serves each commit as an "
+    "incremental scan (q_sink_snapshot_changes).",
+)
+def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_streamsnap"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    chunks, table = os.path.join(root, "chunks"), os.path.join(root, "table")
+    os.makedirs(table, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    for i in (0, 1, 2):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(chunks, f"chunk_{i}.parquet"))
+    app = "snap_ingest"
+
+    def _commit_batch(batch: DataFrame, bid: int) -> None:
+        base = ts.current_version(table)
+        if ts.last_txn(table, app) >= bid:
+            return  # replayed batch: already published, skip
+        ts.commit(
+            table,
+            ts.stage_files(batch.coalesce(1), table),
+            base_version=base,
+            txn=(app, bid),
+        )
+
+    def _run_once() -> None:
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(chunks, "*"))
+        )
+        with tempfile.TemporaryDirectory(prefix="bfs_mr_snap_ckpt_") as ckpt:
+            q = (
+                stream.writeStream.foreachBatch(_commit_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    _run_once()
+    final_version = ts.current_version(table)
+    _run_once()  # fresh checkpoint = full redelivery; txn guard absorbs it
+    replay_version = ts.current_version(table)
+    return ts.read(spark, table).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(final_version).cast("bigint").alias("final_version"),
+        F.lit(replay_version).cast("bigint").alias("version_after_replay"),
+    )

@@ -241,3 +241,37 @@ def test_stream_state_semantics_identical_on_rocksdb(spark, tmp_path):
     assert [b["state_rows"] for b in counts] == [50, 100, 100]
     assert sum(b["rows_in"] for b in counts) == 3_000
     assert spark.conf.get(key, None) == before  # conf restored
+
+
+def test_snapshot_txn_guard_idempotent(spark, tmp_path):
+    """The (app_id, batch_id) txn action: published by the same
+    pointer swap as the data, carried forward by later commits, and
+    monotone — the guard a foreachBatch writer uses to swallow
+    at-least-once redelivery."""
+    import os
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert ts.last_txn(root, "app") == -1
+    v1 = ts.commit(
+        root, ts.stage_files(df, root), base_version=0, txn=("app", 0)
+    )
+    assert ts.last_txn(root, "app") == 0
+    # a non-streaming commit in between carries the txn forward
+    v2 = ts.commit(root, ts.stage_files(df, root), base_version=v1)
+    assert ts.last_txn(root, "app") == 0 and ts.last_txn(root, "other") == -1
+    # the writer-side guard: replayed batch 0 is skipped, batch 1 lands
+    for bid in (0, 1):
+        if ts.last_txn(root, "app") >= bid:
+            continue
+        ts.commit(
+            root,
+            ts.stage_files(df, root),
+            base_version=ts.current_version(root),
+            txn=("app", bid),
+        )
+    assert ts.current_version(root) == v2 + 1  # exactly one new commit
+    assert ts.last_txn(root, "app") == 1
