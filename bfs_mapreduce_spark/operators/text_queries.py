@@ -1411,17 +1411,17 @@ _BPE_ROUNDS = 3
 # and keep the odd-ranked starts — exactly the fold semantics the
 # engine's F.aggregate produces.
 _BPE_ROUND_SQL = """
-p{r} AS (SELECT a.doc, a.pos, a.tok AS l, b.tok AS r
+p{r} AS MATERIALIZED (SELECT a.doc, a.pos, a.tok AS l, b.tok AS r
       FROM {t} a JOIN {t} b ON a.doc = b.doc AND b.pos = a.pos + 1),
-best{r} AS (SELECT l, r, COUNT(*) AS c FROM p{r} GROUP BY l, r
+best{r} AS MATERIALIZED (SELECT l, r, COUNT(*) AS c FROM p{r} GROUP BY l, r
          ORDER BY c DESC, l, r LIMIT 1),
-m{r} AS (SELECT p.doc, p.pos,
+m{r} AS MATERIALIZED (SELECT p.doc, p.pos,
              p.pos - ROW_NUMBER() OVER (PARTITION BY p.doc ORDER BY p.pos) AS grp
       FROM p{r} p, best{r} best WHERE p.l = best.l AND p.r = best.r),
-starts{r} AS (SELECT doc, pos FROM (
+starts{r} AS MATERIALIZED (SELECT doc, pos FROM (
   SELECT doc, pos, ROW_NUMBER() OVER (PARTITION BY doc, grp ORDER BY pos) AS rn
   FROM m{r}) WHERE rn % 2 = 1),
-t{r} AS (
+t{r} AS MATERIALIZED (
   SELECT t0.doc,
          ROW_NUMBER() OVER (PARTITION BY t0.doc ORDER BY t0.pos) AS pos,
          CASE WHEN s.pos IS NOT NULL THEN (SELECT l || r FROM best{r})
@@ -1434,7 +1434,7 @@ t{r} AS (
 
 def _bpe_oracle() -> str:
     parts = ["""
-    WITH t0 AS (
+    WITH t0 AS MATERIALIZED (
       SELECT doc, s.pos AS pos, s.tok AS tok FROM (
         SELECT doc_id AS doc, unnest(list_transform(range(length(text)),
             i -> {'pos': i + 1, 'tok': substring(text, CAST(i + 1 AS INT), 1)})) AS s
@@ -1491,6 +1491,81 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = _bpe_merge_rounds(rows, "doc", _BPE_ROUNDS)
     return spark.createDataFrame(
         rules, "round int, left string, right string, pair_count bigint"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    parts = ["""
+    WITH t0 AS MATERIALIZED (
+      SELECT doc, s.pos AS pos, s.tok AS tok FROM (
+        SELECT doc_id AS doc, unnest(list_transform(range(length(text)),
+            i -> {'pos': i + 1, 'tok': substring(text, CAST(i + 1 AS INT), 1)})) AS s
+        FROM documents WHERE length(text) > 0))"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(_BPE_ROUND_SQL.format(r=r, t=f"t{r - 1}"))
+    parts.append(f"""
+    enc AS (SELECT doc, COUNT(*) AS n_tokens,
+                   md5(string_agg(tok, chr(1) ORDER BY pos)) AS stream_md5
+            FROM t{_BPE_ROUNDS} GROUP BY doc)""")
+    return ",".join(parts) + """
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(e.n_tokens AS BIGINT) AS n_tokens,
+           CAST(length(d.text) - e.n_tokens AS BIGINT) AS merges_applied,
+           e.stream_md5
+    FROM documents d JOIN enc e ON e.doc = d.doc_id
+    WHERE length(d.text) > 0"""
+
+
+@register(
+    "q_text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE ENCODE — the inference half of the tokenizer story "
+    "(q_text_bpe_train learns the merge table; this query applies it "
+    "to the corpus): every document's character stream rewritten by "
+    "the trained merges in rank order, emitting per-doc encoded "
+    "token count, merges applied, and an md5 FINGERPRINT of the "
+    "complete encoded token stream (chr(1)-joined in position "
+    "order) — so the oracle hash pins every token of every "
+    "document's encoding, not just counts. Application is the same "
+    "doc-partitioned run-parity window pass as training (greedy "
+    "left-to-right non-overlap, 'aaaa' merges twice), one pass per "
+    "merge rank — exactly how a production encoder applies a merge "
+    "list, here with the table re-derived in-plan so the query is "
+    "self-contained and deterministic (production broadcasts a "
+    "frozen table and runs ONLY the rewrite passes — strictly "
+    "cheaper than training since the pair-count shuffle drops out). "
+    "Scale: R window passes over doc-partitioned rows, no Python, "
+    "no driver funnel; the fingerprint aggregates in one "
+    "sort_array+concat per doc.",
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    rows = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(F.split("text", "")).alias("p0", "tok"),
+    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
+    _rules, enc = _bpe_merge_rounds(rows, "doc", _BPE_ROUNDS, return_rows=True)
+    stream = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ),
+        "\x01",
+    )
+    agg = enc.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.md5(stream).alias("stream_md5"),
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+        .join(agg, F.col("doc_id") == F.col("doc"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            (F.col("n_chars") - F.col("n_tokens")).alias("merges_applied"),
+            "stream_md5",
+        )
     )
 
 
@@ -1587,8 +1662,12 @@ def q_text_bpe_word_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_merge_rounds(
-    rows: DataFrame, part: str, n_rounds: int, weight: str | None = None
-) -> list[tuple]:
+    rows: DataFrame,
+    part: str,
+    n_rounds: int,
+    weight: str | None = None,
+    return_rows: bool = False,
+):
     """The shared BPE round machinery over token rows ``(part, pos,
     tok[, weight])``: per round, one pair-count shuffle (weighted by
     ``weight`` when given — the word-count-table formulation counts
@@ -1601,7 +1680,11 @@ def _bpe_merge_rounds(
     (a,a): positions 1 and 3 merge, 2 doesn't — both oracles replay
     the identical construction). rank-in-run = running-match-count
     minus its value at the run start, both over the same (part, pos)
-    sort — one exchange per round."""
+    sort — one exchange per round.
+
+    ``return_rows=True`` also returns the post-merge token stream —
+    the ENCODE half: after the last round, ``rows`` is the corpus
+    tokenized under the trained merge table."""
     rows = rows.localCheckpoint(eager=False)
     keep = [part, "pos"] + ([weight] if weight else [])
     wdoc = Window.partitionBy(part).orderBy("pos")
@@ -1652,7 +1735,7 @@ def _bpe_merge_rounds(
             .withColumn("pos", F.row_number().over(wdoc))
             .localCheckpoint(eager=False)
         )
-    return rules
+    return (rules, rows) if return_rows else rules
 
 
 # ------------------------------------------- quality-classifier training
