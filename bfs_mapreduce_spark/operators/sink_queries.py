@@ -1040,3 +1040,91 @@ def q_sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
         F.lit(n_files).cast("bigint").alias("n_change_files"),
     )
+
+
+@register(
+    "q_sink_snapshot_evolution",
+    oracle="""
+    WITH e AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         o AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT 1 AS version,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_cols,
+           CAST(NULL AS BIGINT) AS n_price2x_nulls,
+           CAST(NULL AS DOUBLE) AS total_price2x
+    UNION ALL
+    SELECT 2,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST(4 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT),
+           (SELECT CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+            FROM o)
+    """,
+    doc="SCHEMA EVOLUTION with schema time travel on the snapshot "
+    "table (round 10, table_snapshots.commit(schema=...) — Iceberg's "
+    "schema tracking): v1 commits half of orders under the 3-column "
+    "schema; v2 appends the other half WITH a new o_price2x column, "
+    "and the commit merges the schema union-by-name INTO the "
+    "manifest. Reading v1 must still show exactly 3 columns (columns "
+    "added later are invisible to old versions — schema is versioned "
+    "WITH the data), while reading v2 shows 4 columns with the "
+    "pre-evolution files NULL-filled by parquet schema projection. "
+    "Column counts, the NULL-fill count, and the decimal-exact sum "
+    "over only the post-evolution rows all sit in the oracle hash; "
+    "a type-conflicting redefinition raises SchemaConflict instead "
+    "of silently casting (tests/test_sources.py). At 100 TB this is "
+    "how a table gains a column with zero rewrites — old files are "
+    "never touched, the manifest's schema does the work.",
+)
+def q_sink_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_evo"), tag)
+    if ts.current_version(root) < 2:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        first = orders.filter(F.col("o_orderkey") % 2 == 0)
+        second = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_price2x", F.col("o_totalprice") * F.lit(2.0)
+        )
+        v1 = ts.commit(
+            root,
+            ts.stage_files(first.coalesce(1), root),
+            base_version=0,
+            schema=first.schema.json(),
+        )
+        ts.commit(
+            root,
+            ts.stage_files(second.coalesce(1), root),
+            base_version=v1,
+            schema=second.schema.json(),
+        )
+    v1_df = ts.read(spark, root, 1)
+    v2_df = ts.read(spark, root, 2)
+    r1 = v1_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+        F.lit(1).alias("version"),
+        "n_rows",
+        F.lit(len(v1_df.columns)).cast("bigint").alias("n_cols"),
+        F.lit(None).cast("bigint").alias("n_price2x_nulls"),
+        F.lit(None).cast("double").alias("total_price2x"),
+    )
+    r2 = v2_df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("o_price2x").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_price2x_nulls"),
+        F.sum(F.col("o_price2x").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price2x"),
+    ).select(
+        F.lit(2).alias("version"),
+        "n_rows",
+        F.lit(len(v2_df.columns)).cast("bigint").alias("n_cols"),
+        "n_price2x_nulls",
+        "total_price2x",
+    )
+    return r1.unionByName(r2)

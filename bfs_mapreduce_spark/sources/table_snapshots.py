@@ -76,6 +76,35 @@ class SnapshotConflict(RuntimeError):
     based on — re-read the table and retry."""
 
 
+class SchemaConflict(ValueError):
+    """A commit's schema redefines an existing column with a different
+    type — widening needs an explicit migration, never a silent cast."""
+
+
+def _merge_schema_json(base_json: str | None, new_json: str | None) -> str | None:
+    """Union-by-name of two Spark StructType json strings: base fields
+    first (stable column order for readers), then genuinely new
+    fields. Same-name fields must agree on type — a mismatch raises
+    :class:`SchemaConflict` instead of letting two commits disagree
+    about what a column IS."""
+    if base_json is None:
+        return new_json
+    if new_json is None:
+        return base_json
+    base, new = json.loads(base_json), json.loads(new_json)
+    by_name = {f["name"]: f for f in base["fields"]}
+    for f in new["fields"]:
+        prev = by_name.get(f["name"])
+        if prev is None:
+            base["fields"].append(f)
+        elif prev["type"] != f["type"]:
+            raise SchemaConflict(
+                f"column {f['name']!r}: committed as {prev['type']}, "
+                f"new data says {f['type']}"
+            )
+    return json.dumps(base)
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, "_manifests", f"v{version}.json")
 
@@ -134,6 +163,7 @@ def commit(
     replace: bool = False,
     stats: dict[str, dict] | None = None,
     txn: tuple[str, int] | None = None,
+    schema: str | None = None,
 ) -> int:
     """Commit ``files`` as the next version: append to the base
     version's file list, or ``replace`` the whole list (compaction).
@@ -149,7 +179,15 @@ def commit(
     the commit idempotent under at-least-once replay: the pointer
     swap that publishes the data also publishes the batch id, so a
     redelivered batch sees itself already committed via
-    :func:`last_txn` — data and watermark can never disagree."""
+    :func:`last_txn` — data and watermark can never disagree.
+
+    ``schema`` (a Spark ``StructType.json()`` string, e.g.
+    ``df.schema.json()``) evolves the table schema: it is merged
+    union-by-name with the base version's recorded schema (new
+    columns append; type conflicts raise :class:`SchemaConflict`)
+    and pinned IN the manifest — so every version reads with the
+    schema it was committed under (schema time travel), and current
+    reads NULL-fill the new column for pre-evolution files."""
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
     latest = current_version(root)
     if latest != base_version:
@@ -166,6 +204,7 @@ def commit(
     new_txn = dict(base.get("txn", {}))
     if txn is not None:
         new_txn[txn[0]] = max(int(txn[1]), new_txn.get(txn[0], -1))
+    new_schema = _merge_schema_json(base.get("schema"), schema)
     version = latest + 1
     _atomic_write(
         _manifest_path(root, version),
@@ -177,6 +216,7 @@ def commit(
                 "files": new_files,
                 "stats": new_stats,
                 "txn": new_txn,
+                "schema": new_schema,
             },
             indent=1,
         ),
@@ -192,11 +232,22 @@ def commit(
 def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """DataFrame over exactly the files of ``version`` (default:
     current). Empty table -> empty DataFrame is the caller's concern:
-    reading version 0 raises, matching an empty catalog table."""
+    reading version 0 raises, matching an empty catalog table.
+
+    When the manifest pins a schema (any commit passed ``schema=``),
+    the read uses THAT version's schema: columns added later are
+    invisible to old versions, and files written before an added
+    column NULL-fill it — Spark's parquet schema projection does the
+    fill, the manifest just says which schema is true at ``version``."""
     m = read_manifest(root, version)
     if not m["files"]:
         raise ValueError(f"snapshot table {root!r} has no committed data")
-    return spark.read.parquet(*m["files"])
+    reader = spark.read
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+    return reader.parquet(*m["files"])
 
 
 def compact(spark: SparkSession, root: str, n_files: int = 1) -> int:

@@ -731,3 +731,41 @@ def test_snapshot_merge_rewrites_only_touched_files(spark, tmp_path):
     assert got[0] == 0.0  # untouched file intact
     # v1 time travel unaffected by the merge
     assert ts.read(spark, root, v1).count() == 300
+
+
+def test_snapshot_schema_evolution_and_conflict(spark, tmp_path):
+    """Schema tracking: commits merge schemas union-by-name into the
+    manifest, old versions read under the schema they were committed
+    with (schema time travel), pre-evolution files NULL-fill added
+    columns, and a type-conflicting redefinition refuses."""
+    import os
+
+    import pytest
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v1 = ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    d2 = spark.createDataFrame(
+        [(3, "c", 1.5)], "k long, v string, extra double"
+    )
+    v2 = ts.commit(
+        root, ts.stage_files(d2, root), base_version=v1, schema=d2.schema.json()
+    )
+    # v1 never sees the later column; v2 NULL-fills it for v1's files
+    assert ts.read(spark, root, v1).columns == ["k", "v"]
+    got = {r.k: r.extra for r in ts.read(spark, root, v2).collect()}
+    assert got == {1: None, 2: None, 3: 1.5}
+    # redefining v as a different type refuses
+    bad = spark.createDataFrame([(4, 9)], "k long, v long")
+    with pytest.raises(ts.SchemaConflict):
+        ts.commit(
+            root,
+            ts.stage_files(bad, root),
+            base_version=v2,
+            schema=bad.schema.json(),
+        )
