@@ -1399,6 +1399,88 @@ def q_sql_customer_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_CUSTOMER_RETURNS)
 
 
+# Spark 4 runs WITH RECURSIVE inside ONE Catalyst plan (UnionLoop /
+# UnionLoopRef physical nodes) — the declarative counterpart to the
+# engine's driver-loop iteration in operators/graph.py. Two archetypes,
+# both UNION ALL recursions (Spark does not yet accept UNION-dedup in
+# the recursive step, so the workloads are chosen to be finite without
+# dedup): a parent-chain hierarchy walk (rows = sum of chain lengths,
+# linear in |customer|) and truncated walk counting on a real graph
+# (rows = walks up to length 4 — the A^k matrix-power view; a BFS-style
+# reachability recursion would need the dedup and stays driver-loop).
+_SQL_RECURSIVE_HIERARCHY = """
+    WITH RECURSIVE chain(leaf, anc, depth) AS (
+      SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+      UNION ALL
+      SELECT leaf, CAST(FLOOR(anc / 10) AS BIGINT), depth + 1
+      FROM chain WHERE anc >= 10)
+    SELECT anc AS root_digit, depth AS chain_len, COUNT(*) AS n_customers
+    FROM chain WHERE anc < 10
+    GROUP BY anc, depth
+    """
+
+# Shared recursive body; the edge CTE differs per engine (Spark reads
+# the staged temp view, DuckDB reads the reference's edge-list file).
+_SQL_RECURSIVE_WALKS_BODY = """
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    walk(id, len) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT sym.dst, walk.len + 1
+      FROM walk JOIN sym ON sym.src = walk.id
+      WHERE walk.len < 4)
+    SELECT id, len, COUNT(*) AS n_walks
+    FROM walk WHERE len > 0 GROUP BY id, len
+    """
+
+_SMALLG_PATH = "/root/reference/datasets/smallG.txt"
+
+
+@register(
+    "q_sql_recursive_hierarchy",
+    oracle=_SQL_RECURSIVE_HIERARCHY,
+    doc="Recursive-CTE hierarchy walk (org-chart/BOM archetype): every "
+    "customer climbs its decimal parent chain (parent = custkey div "
+    "10) to the single-digit root; output = customers per (root, "
+    "chain length). Runs the IDENTICAL ANSI string in Spark and "
+    "DuckDB — Spark 4 executes the recursion inside one Catalyst "
+    "plan (UnionLoop), no driver loop. Work is linear: one row per "
+    "ancestor per customer, so the recursion scales with the table.",
+)
+def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SQL_RECURSIVE_HIERARCHY)
+
+
+@register(
+    "q_sql_recursive_walks",
+    oracle="WITH RECURSIVE e AS (SELECT src, dst FROM read_csv('"
+    + _SMALLG_PATH
+    + "', delim=' ', header=false, "
+    "columns={'src': 'BIGINT', 'dst': 'BIGINT'}))," + _SQL_RECURSIVE_WALKS_BODY,
+    doc="Truncated walk counting on the reference's smallG: number of "
+    "walks of each length 1-4 from vertex 0 to every vertex — the "
+    "A^k matrix-power view of the graph (the quantity Katz "
+    "centrality sums), computed by a WITH RECURSIVE UNION ALL "
+    "recursion that Spark 4 runs entirely inside one Catalyst plan "
+    "(UnionLoop; see tests). Same recursive body in both engines; "
+    "only the edge-list CTE differs (temp view vs read_csv). "
+    "Complements the driver-loop BFS (operators/graph.py): shortest "
+    "dist == min length with a positive walk count, asserted in "
+    "tests/test_relational.py.",
+)
+def q_sql_recursive_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources.readers import read_edge_list
+
+    read_edge_list(spark, _SMALLG_PATH).createOrReplaceTempView(
+        "smallg_edges"
+    )
+    return spark.sql(
+        "WITH RECURSIVE e AS (SELECT src, dst FROM smallg_edges),"
+        + _SQL_RECURSIVE_WALKS_BODY
+    )
+
+
 @register(
     "q_events_funnel",
     oracle="""

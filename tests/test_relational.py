@@ -401,3 +401,38 @@ def test_zorder_layout_prunes_row_groups_on_both_columns(spark, sf_oracle_dir):
         kbound = klo + (khi - klo) // 20
         z_key = rows_read(zpath, "l_orderkey", kbound)
         assert z_key < total * 0.5, (z_key, total)
+
+
+def test_recursive_cte_runs_inside_one_catalyst_plan(spark, sf_oracle_dir):
+    """Spark 4's WITH RECURSIVE executes as UnionLoop/UnionLoopRef
+    physical nodes — iteration INSIDE one plan, no driver loop. Pin
+    that both recursive catalog queries actually take that codepath
+    (if a future Spark rewrote them to something else, the catalog
+    doc would be lying)."""
+    for key in ("q_sql_recursive_hierarchy", "q_sql_recursive_walks"):
+        df = CATALOG[key].build(spark, sf_oracle_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "extended"
+        )
+        assert "UnionLoop" in plan, key
+
+
+def test_recursive_walks_agree_with_driver_loop_bfs(spark, sf_oracle_dir):
+    """min length with a positive walk count == BFS shortest dist:
+    the one-plan recursion and the driver-loop engine certify each
+    other on the reference's own graph (depth 4 horizon)."""
+    from bfs_mapreduce_spark.operators.graph import bfs
+    from bfs_mapreduce_spark.sources.readers import read_edge_list
+
+    walks = CATALOG["q_sql_recursive_walks"].build(spark, sf_oracle_dir)
+    min_len = {
+        r["id"]: r["ml"]
+        for r in walks.groupBy("id").agg(F.min("len").alias("ml")).collect()
+        # walks revisit the source (any even-length loop); BFS says 0
+        if r["id"] != 0
+    }
+    edges = read_edge_list(spark, "/root/reference/datasets/smallG.txt")
+    res = bfs(edges, source=0, with_paths=False, max_rounds=4,
+              warn_on_truncation=False, reached_only=True)
+    dist = {r["id"]: r["dist"] for r in res.collect() if r["dist"] > 0}
+    assert min_len == dist
