@@ -246,6 +246,18 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
             "content_sha": hashlib.sha256(bytes(blob)).hexdigest(),
             "mean_brightness": _round6(float(arr.mean()) / 255),
         }
+    if kind == "gif":
+        from bfs_mapreduce_spark.sources.gif_py import decode_gif
+
+        w, h, _channels, pixels = decode_gif(bytes(blob))
+        arr = np.frombuffer(pixels, dtype=np.uint8)
+        return {
+            "width": w,
+            "height": h,
+            "blob_len": len(blob),
+            "content_sha": hashlib.sha256(bytes(blob)).hexdigest(),
+            "mean_brightness": _round6(float(arr.mean()) / 255),
+        }
     if kind in ("jpg", "jpeg"):
         from bfs_mapreduce_spark.sources.jpeg_py import decode_jpeg
 
@@ -292,6 +304,7 @@ def _extract_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     markers for JPEG), not just plumbing."""
     import numpy as np
 
+    from bfs_mapreduce_spark.sources.gif_py import decode_gif, encode_gif
     from bfs_mapreduce_spark.sources.jpeg_py import (
         QUANT_LUMA,
         decode_jpeg,
@@ -304,10 +317,22 @@ def _extract_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
 
     for pdf in batches:
         rows = []
-        for fmt, blob in zip(pdf["fmt"], pdf["blob"]):
+        for doc_id, fmt, blob in zip(pdf["doc_id"], pdf["fmt"], pdf["blob"]):
             b = bytes(blob)
             if fmt == "ppm":
                 w, h, maxval, pixels = parse_ppm(b)
+            elif fmt == "gif":
+                # round 10: real GIF89a — palette build + variable-width
+                # LZW + interlace (sources/gif_py.py). Palette formats
+                # are LOSSLESS for <=256 distinct colors (64 pixels here
+                # can't exceed 64), so the decoded plane must be
+                # byte-identical to the ppm/png legs' — same oracle sha.
+                # Interlace rotates by doc so both row orders hit data.
+                gif = encode_gif(
+                    _PPM_W, _PPM_H, b, interlace=bool(int(doc_id) % 2)
+                )
+                w, h, _ch, pixels = decode_gif(gif)
+                maxval = 255
             elif fmt in ("jpg", "jpgp"):
                 blk = np.frombuffer(b, dtype=np.uint8).reshape(2, 4)
                 plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
@@ -390,7 +415,9 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- (ASCII corpus, so varchar ops == byte ops); each doc yields one
     -- 'ppm' row (P6 header parse + plane load), one 'png' row
     -- (deflate + all-five-filters encode, then full from-spec
-    -- reconstruction), and one 'jpg' row (baseline JPEG encode+decode
+    -- reconstruction), one 'gif' row (palette + variable-width LZW —
+    -- lossless, so it lands on the SAME plane sha), and one 'jpg' row
+    -- (baseline JPEG encode+decode
     -- of a 32x16 block-constant image — bit-exact by construction,
     -- see jpeg_py). All must land on the EXPECTED plane's sha and
     -- mean — a codec bug (filter math, inflate framing, DCT/Huffman/
@@ -410,7 +437,8 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(pix) AS pixel_sha,
            ROUND(px.mb / 255.0, 6) AS mean_brightness
     FROM blob JOIN px USING (doc_id)
-    CROSS JOIN (SELECT 'ppm' AS fmt UNION ALL SELECT 'png' AS fmt) f
+    CROSS JOIN (SELECT 'ppm' AS fmt UNION ALL SELECT 'png' AS fmt
+                UNION ALL SELECT 'gif' AS fmt) f
     UNION ALL
     -- jpg / jpgp (sequential / progressive encode, same decoded
     -- plane): the 8 gray bytes tile a {_JPG_W}x{_JPG_H} RGB plane as
@@ -453,8 +481,13 @@ def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fourth leg, fmt='jpgp': the same plane through the PROGRESSIVE "
     "encoder (SOF2 — most real web JPEGs), so spectral selection, "
     "successive approximation, DC refinement bits, and EOB-run "
-    "batching sit inside the same hash. Blobs are consumed where "
-    "they are read; only small feature columns leave the stage.",
+    "batching sit inside the same hash. Round 10 also adds a fifth "
+    "leg, fmt='gif': the plane through the from-spec GIF89a codec "
+    "(sources/gif_py.py — palette build, variable-width LZW, "
+    "interlace on odd doc_ids); palette GIF is lossless at <=256 "
+    "colors, so the decoded plane must equal the ppm/png legs' "
+    "byte-for-byte and shares their oracle sha. Blobs are consumed "
+    "where they are read; only small feature columns leave the stage.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm = _with_ppm_blob(spark, sf_dir).select(
@@ -466,6 +499,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = docs.select(
         "doc_id", F.lit("png").alias("fmt"), F.encode(pix, "utf-8").alias("blob")
     )
+    gif = docs.select(
+        "doc_id", F.lit("gif").alias("fmt"), F.encode(pix, "utf-8").alias("blob")
+    )
     jpg = docs.select(
         "doc_id",
         F.lit("jpg").alias("fmt"),
@@ -476,8 +512,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("jpgp").alias("fmt"),
         F.encode(F.substring(pix, 1, 8), "utf-8").alias("blob"),
     )
-    return ppm.unionByName(png).unionByName(jpg).unionByName(jpgp).mapInPandas(
-        _extract_media_features, schema=_FEATURE_SCHEMA
+    return (
+        ppm.unionByName(png)
+        .unionByName(gif)
+        .unionByName(jpg)
+        .unionByName(jpgp)
+        .mapInPandas(_extract_media_features, schema=_FEATURE_SCHEMA)
     )
 
 
@@ -1068,7 +1108,7 @@ def q_multimodal_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IMG_BUILTIN_DOCS = 24  # staged files = 2 per doc (one .png + one .jpg)
+_IMG_BUILTIN_DOCS = 24  # staged files = 4 per doc (.png, .gif, .jpg, p.jpg)
 
 
 @register(
@@ -1093,10 +1133,11 @@ _IMG_BUILTIN_DOCS = 24  # staged files = 2 per doc (one .png + one .jpg)
              string_agg(substring(pix, CAST(3*(i//3) + 3 - (i%3) AS INT), 1),
                         '' ORDER BY i) AS plane
       FROM blob, range({_PPM_PIXEL_BYTES}) t(i) GROUP BY doc_id)
-    SELECT 'doc' || bgr.doc_id || '.png' AS file,
+    SELECT 'doc' || bgr.doc_id || e.ext AS file,
            {_PPM_W} AS width, {_PPM_H} AS height, 3 AS n_channels,
            sha256(plane) AS data_sha
     FROM bgr
+    CROSS JOIN (SELECT '.png' AS ext UNION ALL SELECT '.gif' AS ext) e
     UNION ALL
     SELECT 'doc' || doc_id || ext AS file,
            {_JPG_W} AS width, {_JPG_H} AS height, 3 AS n_channels,
@@ -1123,9 +1164,12 @@ _IMG_BUILTIN_DOCS = 24  # staged files = 2 per doc (one .png + one .jpg)
     "The oracle reconstructs ImageIO's exact BGR pixel buffer from "
     "the source text, so a single bit of disagreement between the "
     "engine's encoders and the industry decoder fails the hash — "
-    "mutual validation of png_py, jpeg_py, and the builtin source's "
-    "channel layout. Staging is driver-side fixture construction "
-    "(50 small files), same hygiene as q_scan_avro.",
+    "mutual validation of png_py, jpeg_py, gif_py (round 10: one "
+    ".gif per doc — lossless palette encode, interlaced on odd ids, "
+    "so ImageIO independently certifies the LZW layer and both row "
+    "orders), and the builtin source's channel layout. Staging is "
+    "driver-side fixture construction (~100 small files), same "
+    "hygiene as q_scan_avro.",
 )
 def q_scan_image_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1133,6 +1177,7 @@ def q_scan_image_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
+    from bfs_mapreduce_spark.sources.gif_py import encode_gif
     from bfs_mapreduce_spark.sources.jpeg_py import QUANT_LUMA, encode_jpeg
     from bfs_mapreduce_spark.sources.png_py import encode_png
     from bfs_mapreduce_spark.tmputil import proc_dir
@@ -1158,6 +1203,13 @@ def q_scan_image_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _PPM_W, _PPM_H, pix, color_type=2, filter_choice=lambda i: i % 5
                 )
             )
+        # doc{N}.gif (round 10): the same plane through the from-spec
+        # GIF89a encoder — lossless palette format, so ImageIO must
+        # hand back the identical BGR plane as the .png row (interlace
+        # on odd ids exercises both row orders through the
+        # independent decoder)
+        with open(os.path.join(root, f"doc{r.doc_id}.gif"), "wb") as f:
+            f.write(encode_gif(_PPM_W, _PPM_H, pix, interlace=bool(r.doc_id % 2)))
         blk = np.frombuffer(pix[:8], dtype=np.uint8).reshape(2, 4)
         plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
         rgb = np.repeat(plane[:, :, None], 3, axis=2)

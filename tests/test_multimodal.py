@@ -663,3 +663,143 @@ def test_audio_spectrum_pure_tone():
     assert r1.dominant_bin == 2
     assert abs(r2.mag_k3 - 0.125) < 1e-3
     assert r2.dominant_bin == 3
+
+
+# ------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_palettes_and_interlace():
+    """Lossless roundtrip across palette sizes (2..256 colors), both
+    row orders, and streams deep enough to force every LZW width bump
+    and the 4096-entry clear-and-reset path."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.gif_py import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    cases = []
+    # 2-color checkerboard (mcs floor of 2)
+    cases.append((8, 8, bytes([0, 0, 0, 255, 255, 255] * 32)))
+    # doc-style 8x8 plane, arbitrary RGB triples
+    cases.append((8, 8, bytes(rng.integers(32, 127, 192, dtype=np.uint8))))
+    # 256 distinct grays, large enough to fill the 4096-code table
+    big = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    cases.append((300, 200, np.repeat(big[:, :, None], 3, axis=2).tobytes()))
+    # long runs -> deep dictionary strings
+    need = 120 * 160 * 3
+    cases.append(
+        (160, 120, ((b"\x01\x02\x03" * 64 + b"\x09" * 19200) * 4)[:need])
+    )
+    # exactly-256-entry palette edge (max table, mcs=8)
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:, 0] = np.arange(256)
+    cases.append((32, 32, np.tile(pal, (4, 1)).tobytes()))
+    for w, h, rgb in cases:
+        for interlace in (False, True):
+            blob = encode_gif(w, h, rgb, interlace=interlace)
+            assert decode_gif(blob) == (w, h, 3, rgb), (w, h, interlace)
+
+
+def test_gif_honest_failures():
+    import numpy as np
+    import struct
+
+    from bfs_mapreduce_spark.sources.gif_py import (
+        GifFormatError,
+        decode_gif,
+        encode_gif,
+    )
+
+    # >256 colors is GIF's hard format limit -> refuse, never quantize
+    arr = np.zeros((1024, 3), np.uint8)
+    arr[:, 0] = np.arange(1024) % 256
+    arr[:, 1] = np.arange(1024) // 256
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(32, 32, arr.tobytes())
+
+    good = encode_gif(8, 8, bytes(range(192)))
+    with pytest.raises(GifFormatError):
+        decode_gif(b"NOTGIF" + good[6:])
+    with pytest.raises(GifFormatError):
+        decode_gif(good[:40])  # truncated mid-stream
+    # transparency flag in a GCE: still decode must refuse (it cannot
+    # invent RGB for transparent pixels)
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00])
+    with_gce = good[:13 + 3 * 64] + gce + good[13 + 3 * 64:]
+    with pytest.raises(NotImplementedError, match="transparency"):
+        decode_gif(with_gce)
+    # wrong geometry byte count
+    with pytest.raises(ValueError, match="expected"):
+        encode_gif(8, 8, b"\x00" * 100)
+    # image rect exceeding the logical screen
+    hdr = bytearray(good)
+    # patch the image descriptor's width (offset: 13 + GCT + 5)
+    gct_end = 13 + 3 * 64
+    struct.pack_into("<H", hdr, gct_end + 5, 999)
+    with pytest.raises(GifFormatError, match="exceeds"):
+        decode_gif(bytes(hdr))
+
+
+def test_gif_cross_certified_against_imageio_both_directions(spark):
+    """The engine's encoder is decoded by JVM ImageIO (via Spark's
+    builtin image source) and ImageIO's OWN GIF encoder is decoded by
+    gif_py — mutual certification against an independent industry
+    implementation, same standard as the PNG/JPEG codecs."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.gif_py import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    d = tempfile.mkdtemp(prefix="gif_xcert_")
+    raw = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8).tobytes()
+    with open(os.path.join(d, "a.gif"), "wb") as f:
+        f.write(encode_gif(8, 8, raw))
+    big = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    braw = np.repeat(big[:, :, None], 3, axis=2).tobytes()
+    with open(os.path.join(d, "b.gif"), "wb") as f:
+        f.write(encode_gif(64, 48, braw, interlace=True))
+    rows = spark.read.format("image").load(d).select("image.*").collect()
+    assert len(rows) == 2
+    for r in rows:
+        exp = raw if r.origin.endswith("a.gif") else braw
+        assert r.nChannels == 3
+        bgr = (
+            np.frombuffer(exp, dtype=np.uint8).reshape(-1, 3)[:, ::-1].tobytes()
+        )
+        assert bytes(r.data) == bgr, r.origin
+
+    # reverse direction: ImageIO writes, gif_py reads
+    jvm = spark._jvm
+    bi = jvm.java.awt.image.BufferedImage(
+        8, 6, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    pix = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    for y in range(6):
+        for x in range(8):
+            rr, gg, bb = map(int, pix[y, x])
+            bi.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "gif", baos)
+    blob = bytes(baos.toByteArray())
+    assert blob[:6] in (b"GIF87a", b"GIF89a")
+    assert decode_gif(blob) == (8, 6, 3, pix.tobytes())
+
+
+def test_decode_media_gif_kind():
+    import hashlib as _h
+
+    import numpy as np
+
+    from bfs_mapreduce_spark.operators.multimodal_queries import decode_media
+    from bfs_mapreduce_spark.sources.gif_py import encode_gif
+
+    rgb = bytes(range(192))
+    blob = encode_gif(8, 8, rgb)
+    feats = decode_media(blob, kind="gif")
+    assert feats["width"] == 8 and feats["height"] == 8
+    assert feats["content_sha"] == _h.sha256(blob).hexdigest()
+    arr = np.frombuffer(rgb, dtype=np.uint8)
+    assert abs(feats["mean_brightness"] - float(arr.mean()) / 255) < 1e-6
