@@ -1128,3 +1128,87 @@ def q_sink_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_price2x",
     )
     return r1.unionByName(r2)
+
+
+@register(
+    "q_sink_snapshot_delete",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    d1 AS (SELECT * FROM base WHERE o_orderstatus <> 'F'),
+    d2 AS (SELECT * FROM d1 WHERE o_orderkey % 2 = 1)
+    SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(0 AS BIGINT) AS n_delete_files
+    FROM base
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+           CAST(1 AS BIGINT)
+    FROM d1
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+           CAST(2 AS BIGINT)
+    FROM d2
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+           CAST(0 AS BIGINT)
+    FROM d2
+    """,
+    doc="Merge-on-read DELETE over the snapshot table (round 10, "
+    "table_snapshots.delete_where — Iceberg format-v2 position "
+    "deletes): orders staged as 3 files; DELETE WHERE status='F' "
+    "writes ONE (file_path, row_index) delete file instead of "
+    "rewriting any of them, a second stacked DELETE (even keys) adds "
+    "another, and compaction finally MATERIALIZES both (reads "
+    "through the vectors, commits rewritten files with zero delete "
+    "entries). Stages 1-4 read: the pre-delete version (time travel "
+    "— delete vectors version like everything else), each "
+    "merge-on-read state, and the post-compact table; stage 3 and 4 "
+    "must agree on rows and decimal-exact sums while their "
+    "delete-file counts differ (2 vs 0) — all inside the oracle "
+    "hash. The second delete's victim scan reads THROUGH the first "
+    "delete's vectors, so already-deleted rows are never masked or "
+    "counted twice. At 100 TB this is the write-amplification "
+    "trade: O(deleted rows) bytes per DELETE, readers pay one "
+    "broadcast anti-join on masked files only, and compaction "
+    "restores the clean fast path.",
+)
+def q_sink_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_del"), tag)
+    if ts.current_version(root) < 4:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        v1 = ts.commit(
+            root, ts.stage_files(orders.repartition(3), root), base_version=0
+        )
+        v2, _n, _aff = ts.delete_where(spark, root, "o_orderstatus = 'F'")
+        v3, _n2, _a2 = ts.delete_where(spark, root, "o_orderkey % 2 = 0")
+        assert (v2, v3) == (v1 + 1, v1 + 2)
+        assert ts.compact(spark, root, n_files=1) == v3 + 1
+    rows = []
+    price = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    for stage, v in ((1, 1), (2, 2), (3, 3), (4, 4)):
+        m = ts.read_manifest(root, v)
+        n_dv = len({d for lst in (m.get("deletes") or {}).values() for d in lst})
+        rows.append(
+            ts.read(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n"), price.alias("tp"))
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                F.col("tp").cast("double").alias("total_price"),
+                F.lit(n_dv).cast("bigint").alias("n_delete_files"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -51,6 +51,18 @@ Round-10 extensions (same session, building the full lakehouse core):
   downstream consumer reads exactly the new files of v(a..b] —
   Iceberg's incremental scan. Ranges crossing a REPLACE (compaction /
   merge) raise instead of silently double-counting rewritten rows.
+- **Merge-on-read DELETE** (``delete_where``): Iceberg format-v2's
+  position-delete mechanic — instead of rewriting data files, a
+  DELETE writes tiny delete files of ``(file_path, pos)`` pairs
+  (``pos`` = the parquet ``_metadata.row_index``) and records them in
+  the manifest next to the data files they mask. ``read`` applies
+  them as an anti-join on (file, position) — only files that carry
+  deletes pay it, clean files scan untouched; ``compact`` reads
+  through the delete vectors and therefore MATERIALIZES them (the
+  replace manifest carries no delete entries for its new files);
+  ``vacuum`` treats referenced delete files exactly like data files.
+  At 100 TB this is the write-amplification trade: a delete touching
+  one row per file costs O(deleted rows) bytes, not O(table).
 
 Scale posture: the manifest is file-granular metadata (like Iceberg's
 manifest lists) — at 100 TB this object is thousands of entries, not
@@ -164,6 +176,8 @@ def commit(
     stats: dict[str, dict] | None = None,
     txn: tuple[str, int] | None = None,
     schema: str | None = None,
+    deletes: dict[str, list[str]] | None = None,
+    operation: str | None = None,
 ) -> int:
     """Commit ``files`` as the next version: append to the base
     version's file list, or ``replace`` the whole list (compaction).
@@ -187,7 +201,19 @@ def commit(
     columns append; type conflicts raise :class:`SchemaConflict`)
     and pinned IN the manifest — so every version reads with the
     schema it was committed under (schema time travel), and current
-    reads NULL-fill the new column for pre-evolution files."""
+    reads NULL-fill the new column for pre-evolution files.
+
+    ``deletes`` maps data-file path -> list of position-delete files
+    masking it (see :func:`delete_where`); entries are merged over the
+    base version's and — like stats — carried forward only for data
+    files still in the new list, so a rewrite (compact / merge) that
+    drops a file also drops its delete vectors: the rewrite read
+    through them, so they are materialized, not lost.
+
+    ``operation`` overrides the recorded commit kind (default
+    ``replace``/``append`` from the flag) — ``delete_where`` labels
+    its commits ``'delete'`` so :func:`read_changes` refuses to
+    file-diff across them."""
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
     latest = current_version(root)
     if latest != base_version:
@@ -205,6 +231,11 @@ def commit(
     if txn is not None:
         new_txn[txn[0]] = max(int(txn[1]), new_txn.get(txn[0], -1))
     new_schema = _merge_schema_json(base.get("schema"), schema)
+    new_deletes = {
+        p: d
+        for p, d in {**base.get("deletes", {}), **(deletes or {})}.items()
+        if p in set(new_files)
+    }
     version = latest + 1
     _atomic_write(
         _manifest_path(root, version),
@@ -212,11 +243,12 @@ def commit(
             {
                 "version": version,
                 "parent": latest,
-                "operation": "replace" if replace else "append",
+                "operation": operation or ("replace" if replace else "append"),
                 "files": new_files,
                 "stats": new_stats,
                 "txn": new_txn,
                 "schema": new_schema,
+                "deletes": new_deletes,
             },
             indent=1,
         ),
@@ -229,6 +261,48 @@ def commit(
     return version
 
 
+# input_file_name() URI -> the manifest's plain local path, as a
+# column expression ('file:///root/x' and 'file:/root/x' -> '/root/x')
+def _norm_file_col(col: F.Column) -> F.Column:
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _scan(
+    spark: SparkSession,
+    files: list[str],
+    deletes: dict[str, list[str]],
+    schema_json: str | None = None,
+) -> DataFrame:
+    """DataFrame over ``files`` with position deletes applied. Files
+    with no delete entries scan on the plain fast path; masked files
+    pay one broadcast anti-join on (file, position) — the
+    merge-on-read cost lands only where a delete actually landed."""
+    reader = spark.read
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    clean = [f for f in files if f not in deletes]
+    masked = [f for f in files if f in deletes]
+    parts: list[DataFrame] = []
+    if clean:
+        parts.append(reader.parquet(*clean))
+    if masked:
+        dv_files = sorted({d for f in masked for d in deletes[f]})
+        dv = spark.read.parquet(*dv_files).select("file_path", "pos")
+        parts.append(
+            reader.parquet(*masked)
+            .withColumn("file_path", _norm_file_col(F.input_file_name()))
+            .withColumn("pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(dv), ["file_path", "pos"], "left_anti")
+            .drop("file_path", "pos")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """DataFrame over exactly the files of ``version`` (default:
     current). Empty table -> empty DataFrame is the caller's concern:
@@ -238,16 +312,18 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     the read uses THAT version's schema: columns added later are
     invisible to old versions, and files written before an added
     column NULL-fill it — Spark's parquet schema projection does the
-    fill, the manifest just says which schema is true at ``version``."""
+    fill, the manifest just says which schema is true at ``version``.
+
+    Position deletes recorded at ``version`` (see
+    :func:`delete_where`) are applied here, so every consumer —
+    time travel, compaction, aggregates — sees the post-delete rows;
+    versions BEFORE a delete commit still see the original rows
+    (delete vectors live in the manifest, so they time-travel like
+    everything else)."""
     m = read_manifest(root, version)
     if not m["files"]:
         raise ValueError(f"snapshot table {root!r} has no committed data")
-    reader = spark.read
-    if m.get("schema"):
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
-    return reader.parquet(*m["files"])
+    return _scan(spark, m["files"], m.get("deletes") or {}, m.get("schema"))
 
 
 def compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
@@ -260,14 +336,99 @@ def compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
     return commit(root, files, base_version=base, replace=True)
 
 
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    condition,
+    *,
+    n_delete_files: int = 1,
+) -> tuple[int, int, list[str]]:
+    """Merge-on-read DELETE (Iceberg v2 position deletes): rows of the
+    current version matching ``condition`` (a Column or SQL string)
+    are masked by writing ``(file_path, pos)`` delete files — no data
+    file is rewritten. Returns ``(new_version, n_deleted,
+    affected_data_files)``; a no-match delete returns the CURRENT
+    version with no commit (an empty delete is not an event).
+
+    The scan that finds victims reads through EXISTING delete vectors
+    first, so already-deleted rows are never counted (or masked)
+    twice, and the commit runs under the same compare-and-swap as
+    every writer with ``operation='delete'`` (file-diff CDC refuses
+    to cross it). Cost at 100 TB: O(matching rows) delete bytes and
+    one scan — the rewrite amplification of copy-on-write DELETE is
+    avoided entirely; readers pay the anti-join only on masked files
+    until :func:`compact` materializes."""
+    base = current_version(root)
+    m = read_manifest(root, base)
+    if not m["files"]:
+        raise ValueError(f"snapshot table {root!r} has no committed data")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    existing = m.get("deletes") or {}
+    hits = (
+        _scan_for_delete(spark, m["files"], existing, m.get("schema"))
+        .filter(cond)
+        .select("file_path", "pos")
+        .orderBy("file_path", "pos")
+        .coalesce(n_delete_files)
+    )
+    staged = stage_files(hits, root)
+    dv = spark.read.parquet(*staged)
+    affected = sorted(r[0] for r in dv.select("file_path").distinct().collect())
+    n_deleted = dv.count()
+    if n_deleted == 0:
+        for p in staged:
+            os.remove(p)
+        return base, 0, []
+    new_deletes = {f: existing.get(f, []) + staged for f in affected}
+    version = commit(
+        root,
+        [],
+        base_version=base,
+        deletes=new_deletes,
+        operation="delete",
+    )
+    return version, n_deleted, affected
+
+
+def _scan_for_delete(
+    spark: SparkSession,
+    files: list[str],
+    deletes: dict[str, list[str]],
+    schema_json: str | None,
+) -> DataFrame:
+    """Like :func:`_scan` but KEEPS the (file_path, pos) columns on
+    every row — the victim-finding scan needs positions for clean
+    files too, not just masked ones."""
+    reader = spark.read
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    df = (
+        reader.parquet(*files)
+        .withColumn("file_path", _norm_file_col(F.input_file_name()))
+        .withColumn("pos", F.col("_metadata.row_index"))
+    )
+    if deletes:
+        dv_files = sorted({d for lst in deletes.values() for d in lst})
+        dv = spark.read.parquet(*dv_files).select("file_path", "pos")
+        df = df.join(F.broadcast(dv), ["file_path", "pos"], "left_anti")
+    return df
+
+
 def vacuum(root: str, retain_from: int = 1) -> list[str]:
     """Delete data files referenced by NO manifest >= ``retain_from``
     (expired time travel). Returns the deleted paths. Refuses nothing:
-    the referenced-set computation IS the safety check."""
+    the referenced-set computation IS the safety check. Position-
+    delete files referenced by a retained manifest are protected
+    exactly like data files."""
     latest = current_version(root)
     keep: set[str] = set()
     for v in range(max(retain_from, 1), latest + 1):
-        keep.update(read_manifest(root, v)["files"])
+        mv = read_manifest(root, v)
+        keep.update(mv["files"])
+        for dvs in (mv.get("deletes") or {}).values():
+            keep.update(dvs)
     deleted = []
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, names in os.walk(data_root):
@@ -370,18 +531,10 @@ def read_pruned(
             f"{root!r} v{m['version']} — empty-scan fast path is "
             "the caller's concern"
         )
-    df = spark.read.parquet(*kept).filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    df = _scan(spark, kept, m.get("deletes") or {}, m.get("schema")).filter(
+        F.col(col).between(F.lit(lo), F.lit(hi))
+    )
     return df, kept, skipped
-
-
-def _local_path(spark_file_uri: str) -> str:
-    """``input_file_name()`` URI -> the manifest's plain local path."""
-    p = spark_file_uri
-    if p.startswith("file:"):
-        p = p[len("file:"):]
-        while p.startswith("//"):
-            p = p[1:]
-    return p
 
 
 def merge_into(
@@ -417,27 +570,30 @@ def merge_into(
     ``source`` must have the target's schema (whole-row upsert)."""
     base = current_version(root)
     m = read_manifest(root, base)
+    deletes = m.get("deletes") or {}
     key = key_cols[0]
     k_lo, k_hi = source.agg(F.min(key), F.max(key)).first()
     candidates, _out_of_range = prune_files(m, key, k_lo, k_hi)
     keys_df = source.select(*key_cols).distinct()
     touched = set()
     if candidates:
-        tgt = spark.read.parquet(*candidates).withColumn(
-            "_file", F.input_file_name()
+        # scan THROUGH any position deletes: a row already deleted
+        # must neither mark its file as touched nor survive a rewrite
+        tgt = _scan_for_delete(
+            spark, candidates, deletes, m.get("schema")
         )
         touched = {
-            _local_path(r[0])
+            r[0]
             for r in tgt.join(F.broadcast(keys_df), key_cols, "left_semi")
-            .select("_file")
+            .select("file_path")
             .distinct()
             .collect()
         }
     untouched = [f for f in m["files"] if f not in touched]
     if touched:
-        survivors = spark.read.parquet(*sorted(touched)).join(
-            F.broadcast(keys_df), key_cols, "left_anti"
-        )
+        survivors = _scan(
+            spark, sorted(touched), deletes, m.get("schema")
+        ).join(F.broadcast(keys_df), key_cols, "left_anti")
         rewritten = survivors.unionByName(source)
     else:
         rewritten = source

@@ -769,3 +769,74 @@ def test_snapshot_schema_evolution_and_conflict(spark, tmp_path):
             base_version=v2,
             schema=bad.schema.json(),
         )
+
+
+def test_snapshot_mor_delete_protocol(spark, tmp_path):
+    """Round-10 merge-on-read DELETE: position-delete files mask rows
+    without rewriting data; stacked deletes scan through earlier
+    vectors; time travel sees pre-delete rows; compaction
+    materializes; vacuum protects referenced delete files; file-diff
+    CDC refuses to cross a delete commit; merge over live deletes
+    neither resurrects nor duplicates rows."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    v1 = ts.commit(root, ts.stage_files(df.repartition(3), root), base_version=0)
+
+    # delete ~1/7 of rows; no data file is rewritten
+    files_before = set(ts.read_manifest(root, v1)["files"])
+    v2, n_del, affected = ts.delete_where(spark, root, "grp = 0")
+    assert n_del == 143 and len(affected) >= 1
+    m2 = ts.read_manifest(root, v2)
+    assert set(m2["files"]) == files_before  # zero rewrites
+    assert m2["operation"] == "delete"
+    assert ts.read(spark, root).count() == 1000 - n_del
+    assert ts.read(spark, root, v1).count() == 1000  # time travel
+
+    # stacked delete reads THROUGH the first vectors: overlapping
+    # predicate (k % 2 = 0 includes already-deleted grp-0 rows) must
+    # count only newly masked rows
+    v3, n2, _ = ts.delete_where(spark, root, "k % 2 = 0")
+    expect2 = df.filter("grp <> 0 and k % 2 = 0").count()
+    assert n2 == expect2
+    assert ts.read(spark, root).count() == 1000 - n_del - n2
+
+    # empty delete is a no-op, not a commit
+    assert ts.delete_where(spark, root, "k < 0") == (v3, 0, [])
+    assert ts.current_version(root) == v3
+
+    # CDC refuses to file-diff across a delete commit
+    with pytest.raises(ValueError, match="delete"):
+        ts.read_changes(spark, root, v1, v3)
+
+    # merge over live deletes: updates must not resurrect masked rows
+    src = df.filter("k % 10 = 1").withColumn("grp", F.lit(99))
+    _v, _staged, _unt = ts.merge_into(spark, root, src, ["k"], target_files=1)
+    got = ts.read(spark, root)
+    exp = (
+        df.filter("grp <> 0 and k % 2 = 1 and k % 10 <> 1").count()
+        + src.count()
+    )
+    assert got.count() == exp
+    assert got.groupBy("k").count().filter("count > 1").count() == 0
+
+    # compaction materializes the remaining vectors
+    rows_before = got.count()
+    v_c = ts.compact(spark, root, n_files=1)
+    m_c = ts.read_manifest(root, v_c)
+    assert m_c.get("deletes") == {}
+    assert ts.read(spark, root).count() == rows_before
+
+    # vacuum retaining v2 must keep v2's delete files (its read still
+    # applies them correctly afterwards)
+    ts.vacuum(root, retain_from=v2)
+    assert ts.read(spark, root, v2).count() == 1000 - n_del
