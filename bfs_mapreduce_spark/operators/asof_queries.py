@@ -398,3 +398,118 @@ def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_views_prev_hour", F.lit(0)).alias("n_views_prev_hour"),
         )
     )
+
+
+@register(
+    "q_events_gapfill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) * 1000000 + 0.5) / 1000000.0 AS hv
+      FROM events WHERE user_id % 50 = 0
+      GROUP BY user_id, date_trunc('hour', ts)),
+    span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT span.user_id, g.h
+      FROM span, LATERAL (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h) g),
+    j AS (SELECT grid.user_id, grid.h, obs.hv FROM grid LEFT JOIN obs USING (user_id, h)),
+    f AS (
+      SELECT user_id, h, hv,
+        LAST_VALUE(hv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        FIRST_VALUE(hv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j)
+    SELECT user_id, h,
+      CASE WHEN hv IS NOT NULL THEN hv
+           ELSE FLOOR((pv + (nv - pv) *
+                (CAST(CAST(epoch(h) AS BIGINT) - CAST(epoch(ph) AS BIGINT) AS DOUBLE) /
+                 CAST(CAST(epoch(nh) AS BIGINT) - CAST(epoch(ph) AS BIGINT) AS DOUBLE)))
+                * 1000000 + 0.5) / 1000000.0
+      END AS v,
+      (hv IS NULL) AS is_interp
+    FROM f
+    """,
+    doc="Time-series REGULARIZATION (gap fill + linear interpolation) "
+    "— the resample step every sensor/metrics pipeline runs before "
+    "modeling: per user, the event 'value' series is bucketed to "
+    "hours (decimal-exact hourly mean), the missing hours of each "
+    "user's [first, last] observed span are generated in-plan "
+    "(sequence + explode — executor-side, no driver loop), and every "
+    "gap is filled by linear interpolation between its surrounding "
+    "observations via ONE ordered window pass (last/first "
+    "ignorenulls carry both endpoints to every gap row; the span "
+    "ends are observed by construction, so interpolation always has "
+    "both anchors). Emits the full regularized series — every "
+    "interpolated value sits in the oracle hash. Scale: one shuffle "
+    "on user_id; grid size = users x span-hours, bounded here by the "
+    "user sample and in production by the resample granularity; the "
+    "window is per-user ordered, exactly the sort the exchange "
+    "already paid for. The interpolation arithmetic is written "
+    "identically in both engines (IEEE doubles, same op order, "
+    "round-6 snap) so the hash certifies values, not just shape.",
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    obs = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        (
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("hv")
+    )
+    span = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    j = grid.join(obs, ["user_id", "h"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("hv").isNotNull(), F.col("h"))
+    f = j.select(
+        "user_id",
+        "h",
+        "hv",
+        F.last("hv", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("hv", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    frac = (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double") / (
+        F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    ).cast("double")
+    return f.select(
+        "user_id",
+        "h",
+        F.when(F.col("hv").isNotNull(), F.col("hv"))
+        .otherwise(
+            F.floor(
+                (F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        )
+        .alias("v"),
+        F.col("hv").isNull().alias("is_interp"),
+    )
