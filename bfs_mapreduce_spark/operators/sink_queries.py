@@ -287,6 +287,94 @@ def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_csv_badrecords",
+    oracle="""
+    WITH v AS (SELECT lang, doc_id,
+                      CAST(n_chars / 100.0 AS DECIMAL(18,2)) AS score
+               FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 13 <> 0)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(score) AS DOUBLE) AS total_score,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM v GROUP BY lang
+    UNION ALL
+    SELECT '__CORRUPT__', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+    """,
+    doc="Malformed-record handling — the dirty-data surface every "
+    "100 TB CSV ingest needs: documents staged as CSV with two "
+    "injected corruption classes (an unparseable double for "
+    "doc_id%7=0, an unparseable bigint id for doc_id%13=0), read "
+    "back in PERMISSIVE mode with columnNameOfCorruptRecord, and "
+    "quarantined in ONE single-pass aggregation: corrupt rows land "
+    "in a '__CORRUPT__' group (their raw line preserved in the "
+    "corrupt column for a real pipeline's dead-letter sink), valid "
+    "rows aggregate per language with decimal-exact score sums. The "
+    "oracle recomputes both populations from the source table, so a "
+    "row mis-flagged in either direction breaks the hash. The id_sum "
+    "column is load-bearing, not decoration: Spark only corrupt-"
+    "flags conversion failures in columns the plan actually PARSES "
+    "(column pruning reaches the CSV parser), so a query that never "
+    "referenced doc_id would silently accept the bad-id rows — "
+    "pinned, with the DROPMALFORMED and FAILFAST mode contracts, in "
+    "tests/test_sources.py.",
+)
+def q_scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(proc_dir("bfs_mapreduce_spark_scan"), tag, "badcsv")
+    score_str = F.concat(
+        F.floor(F.col("n_chars") / 100).cast("string"),
+        F.lit("."),
+        F.lpad((F.col("n_chars") % 100).cast("string"), 2, "0"),
+    )
+    ok_line = F.concat(
+        F.col("doc_id").cast("string"), F.lit(","), F.col("lang"),
+        F.lit(","), score_str,
+    )
+    line = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(","), F.col("lang"),
+                F.lit(",N/A"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("id-"), F.col("doc_id").cast("string"), F.lit(","),
+                F.col("lang"), F.lit(","), score_str,
+            ),
+        )
+        .otherwise(ok_line)
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("doc_id bigint, lang string, score double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    grp = (
+        F.when(F.col("_corrupt").isNotNull(), F.lit("__CORRUPT__"))
+        .otherwise(F.col("lang"))
+    )
+    good = F.col("_corrupt").isNull()
+    return parsed.groupBy(grp.alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(good, F.col("score").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("total_score"),
+        # referencing doc_id forces the parser to convert it, which is
+        # what flags the bad-id class at all (see doc)
+        F.sum(F.when(good, F.col("doc_id"))).cast("bigint").alias("id_sum"),
+    )
+
+
+@register(
     "q_scan_orc",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

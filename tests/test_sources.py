@@ -840,3 +840,73 @@ def test_snapshot_mor_delete_protocol(spark, tmp_path):
     # applies them correctly afterwards)
     ts.vacuum(root, retain_from=v2)
     assert ts.read(spark, root, v2).count() == 1000 - n_del
+
+
+def test_csv_malformed_mode_contracts(spark, tmp_path):
+    """The three CSV parse modes, pinned per malformation class — and
+    the column-pruning caveat that makes q_scan_csv_badrecords carry
+    its id_sum column: Spark corrupt-flags ONLY conversion failures
+    in columns the plan parses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "csv")
+    import os
+
+    os.makedirs(d)
+    with open(os.path.join(d, "x.csv"), "w") as f:
+        f.write(
+            "1,en,2.50\n"        # clean
+            "xx,en,2.50\n"       # bad bigint
+            "2,en,N/A\n"         # bad double
+            "3,en\n"             # too few tokens
+            "4,en,2.50,EXTRA\n"  # too many tokens
+        )
+    schema = "doc_id bigint, lang string, score double"
+
+    # PERMISSIVE: all four dirty classes flagged, raw line preserved
+    p = (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(d)
+    )
+    rows = {r._corrupt: r for r in p.collect()}
+    assert rows[None].doc_id == 1
+    assert set(rows) == {
+        None, "xx,en,2.50", "2,en,N/A", "3,en", "4,en,2.50,EXTRA"
+    }
+    # partially-parsed fields survive on corrupt rows (dead-letter
+    # sinks rely on this)
+    assert rows["xx,en,2.50"].doc_id is None
+    assert rows["xx,en,2.50"].score == 2.5
+
+    # DROPMALFORMED with every column parsed keeps only the clean row
+    kept = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(d)
+        .select("doc_id", "lang", "score")
+        .collect()
+    )
+    assert [tuple(r) for r in kept] == [(1, "en", 2.5)]
+
+    # the pruning caveat: parse only lang and NOTHING is malformed
+    lang_only = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(d)
+        .select("lang")
+        .collect()
+    )
+    assert len(lang_only) == 5
+
+    # FAILFAST raises as soon as a parsed column fails conversion
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        (
+            spark.read.schema(schema)
+            .option("mode", "FAILFAST")
+            .csv(d)
+            .agg(F.max("score"))
+            .collect()
+        )
