@@ -375,6 +375,72 @@ def q_scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_agg_pushdown",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY year(o_orderdate)
+    """,
+    doc="AGGREGATE PUSHDOWN to the parquet footers (DSv2 BatchScan + "
+    "spark.sql.parquet.aggregatePushdown): orders staged partitioned "
+    "by year, then per-year MIN/MAX/COUNT answered from row-group "
+    "STATISTICS — the scan reads zero data pages, and the GROUP BY "
+    "on the partition column pushes down with it (PushedAggregation "
+    "+ PushedGroupBy in the plan, asserted by test). At 100 TB this "
+    "turns 'how many rows per partition, what key range' — the "
+    "profiling queries every pipeline runs first — into a "
+    "footer-metadata walk instead of a table scan. The configs are "
+    "scoped inside build() (DSv2 parquet + pushdown on, restored "
+    "after) because the session-wide default keeps the battle-tested "
+    "V1 path for every other query; the tiny per-year result is "
+    "materialized under that scope and returned as a local frame, "
+    "and the oracle recomputes it from the raw table so a stats-vs-"
+    "data disagreement (a footer lying about its pages) breaks the "
+    "hash.",
+)
+def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(proc_dir("bfs_mapreduce_spark_scan"), tag, "aggpush")
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        (
+            orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(out)
+        )
+        open(marker, "w").close()
+    conf = spark.conf
+    old_push = conf.get("spark.sql.parquet.aggregatePushdown")
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        agg = (
+            spark.read.parquet(out)
+            .groupBy("o_year")
+            .agg(
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        rows = [tuple(r) for r in agg.collect()]
+    finally:
+        conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+        conf.set("spark.sql.sources.useV1SourceList", old_v1)
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_year int, min_key bigint, max_key bigint, n_rows bigint",
+    )
+
+
+@register(
     "q_scan_orc",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

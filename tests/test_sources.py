@@ -910,3 +910,52 @@ def test_csv_malformed_mode_contracts(spark, tmp_path):
             .agg(F.max("score"))
             .collect()
         )
+
+
+def test_parquet_aggregate_pushdown_plan_and_parity(spark, tmp_path, sf_smoke_dir):
+    """q_scan_agg_pushdown's claim, proven from the plan: with DSv2
+    parquet + aggregatePushdown the per-partition MIN/MAX/COUNT is
+    answered by the BatchScan itself (PushedAggregation and
+    PushedGroupBy nodes), and the values equal the ordinary
+    aggregation's."""
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources.readers import load_table
+
+    out = str(tmp_path / "p")
+    orders = load_table(spark, sf_smoke_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .write.partitionBy("o_year")
+        .parquet(out)
+    )
+    expected = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy("o_year")
+        .agg(F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1)))
+        .collect()
+    )
+    conf = spark.conf
+    old_push = conf.get("spark.sql.parquet.aggregatePushdown")
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        agg = (
+            spark.read.parquet(out)
+            .groupBy("o_year")
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1)))
+        )
+        plan = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted"
+        )
+        assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan
+        assert "PushedGroupBy: [o_year]" in plan
+        got = sorted(tuple(r) for r in agg.collect())
+    finally:
+        conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+        conf.set("spark.sql.sources.useV1SourceList", old_v1)
+    assert got == expected
