@@ -93,6 +93,93 @@ class SchemaConflict(ValueError):
     type — widening needs an explicit migration, never a silent cast."""
 
 
+class ConstraintViolation(ValueError):
+    """Data offered to the table fails a registered CHECK constraint —
+    the write is rejected BEFORE any manifest is published (staged
+    files stay invisible), so readers never observe violating rows."""
+
+
+def add_check(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """Register a table-level CHECK constraint (Delta's ``ALTER TABLE
+    ADD CONSTRAINT`` mechanic): ``expr`` is a boolean SQL expression
+    every row must satisfy. The EXISTING table is validated first —
+    a constraint the current data already violates is refused, the
+    same contract Delta enforces — then the constraint is committed as
+    a metadata-only version, carried forward by every later commit,
+    and enforced against all new data by :func:`append_checked` and
+    :func:`merge_into`. NULL results count as violations (a check
+    that silently passes NULLs is how bad rows sneak in; callers that
+    want Delta's NULL-passes semantics say ``expr OR x IS NULL``)."""
+    base = current_version(root)
+    m = read_manifest(root, base)
+    if m["files"]:
+        _validate_checks(read(spark, root, base), {name: expr})
+    checks = dict(m.get("checks", {}))
+    checks[name] = expr
+    return _commit_meta(root, base, checks=checks)
+
+
+def _validate_checks(df: DataFrame, checks: dict[str, str]) -> None:
+    if not checks:
+        return
+    flags = [
+        F.count(
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)), F.lit(1))
+        ).alias(name)
+        for name, expr in checks.items()
+    ]
+    bad = df.agg(*flags).first().asDict()
+    violated = {k: v for k, v in bad.items() if v > 0}
+    if violated:
+        raise ConstraintViolation(
+            "CHECK constraint(s) violated by offered data: "
+            + ", ".join(
+                f"{k!r} ({v} rows, expr: {checks[k]})"
+                for k, v in sorted(violated.items())
+            )
+        )
+
+
+def append_checked(
+    spark: SparkSession, root: str, df: DataFrame, **commit_kw
+) -> int:
+    """Stage + commit ``df`` as an APPEND, enforcing every registered
+    CHECK constraint against the offered rows first. The validation
+    runs on the incoming DataFrame (one aggregate — new data only,
+    never a table rescan), and a violation raises before anything is
+    staged, so the failed write leaves no orphan files at all."""
+    base = commit_kw.pop("base_version", current_version(root))
+    _validate_checks(df, read_manifest(root, base).get("checks", {}))
+    files = stage_files(df, root)
+    return commit(root, files, base_version=base, **commit_kw)
+
+
+def _commit_meta(root: str, base_version: int, *, checks: dict[str, str]) -> int:
+    """Metadata-only commit: same file list, new ``checks`` map, same
+    compare-and-swap. (Kept private — constraints are the only
+    metadata-only mutation the format supports.)"""
+    latest = current_version(root)
+    if latest != base_version:
+        raise SnapshotConflict(
+            f"table at v{latest}, commit based on v{base_version}"
+        )
+    base = read_manifest(root, latest)
+    version = latest + 1
+    os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+    payload = dict(base)
+    payload.update(
+        version=version,
+        parent=latest,
+        operation="set_check",
+        checks=checks,
+    )
+    _atomic_write(_manifest_path(root, version), json.dumps(payload, indent=1))
+    _atomic_write(os.path.join(root, "_latest"), str(version))
+    return version
+
+
 def _merge_schema_json(base_json: str | None, new_json: str | None) -> str | None:
     """Union-by-name of two Spark StructType json strings: base fields
     first (stable column order for readers), then genuinely new
@@ -249,6 +336,7 @@ def commit(
                 "txn": new_txn,
                 "schema": new_schema,
                 "deletes": new_deletes,
+                "checks": base.get("checks", {}),
             },
             indent=1,
         ),
@@ -570,6 +658,9 @@ def merge_into(
     ``source`` must have the target's schema (whole-row upsert)."""
     base = current_version(root)
     m = read_manifest(root, base)
+    # CHECK constraints guard every row the merge ADDS (existing rows
+    # were validated when they were written; the rewrite only removes)
+    _validate_checks(source, m.get("checks", {}))
     deletes = m.get("deletes") or {}
     key = key_cols[0]
     k_lo, k_hi = source.agg(F.min(key), F.max(key)).first()
@@ -628,6 +719,8 @@ def read_changes(
         op = m.get("operation") or (
             "append" if parent_files <= set(m["files"]) else "replace"
         )
+        if op == "set_check":  # metadata-only: file set unchanged
+            op = "append"
         if op != "append":
             raise ValueError(
                 f"v{v} is a {op} commit — file-diff CDC is only sound "

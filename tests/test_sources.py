@@ -959,3 +959,65 @@ def test_parquet_aggregate_pushdown_plan_and_parity(spark, tmp_path, sf_smoke_di
         conf.set("spark.sql.parquet.aggregatePushdown", old_push)
         conf.set("spark.sql.sources.useV1SourceList", old_v1)
     assert got == expected
+
+
+def test_snapshot_check_constraints(spark, tmp_path):
+    """Round-10 CHECK constraints (Delta's ADD CONSTRAINT mechanic):
+    registered as a metadata-only version, validated against existing
+    data at registration, enforced on append_checked and merge_into
+    new rows, carried forward by later commits, NULL counts as a
+    violation, and file-diff CDC still works across the metadata-only
+    commit."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(1, 101).select(F.col("id").alias("k"))
+    v1 = ts.commit(root, ts.stage_files(df, root), base_version=0)
+
+    # registering a constraint current data violates is refused
+    with pytest.raises(ts.ConstraintViolation, match="k_big"):
+        ts.add_check(spark, root, "k_big", "k > 50")
+    assert ts.current_version(root) == v1
+
+    v2 = ts.add_check(spark, root, "k_positive", "k > 0")
+    assert ts.read_manifest(root, v2)["operation"] == "set_check"
+    assert ts.read(spark, root).count() == 100  # files untouched
+
+    # violating append refused BEFORE staging (no orphan data files)
+    data_dirs = set(os.listdir(os.path.join(root, "data")))
+    bad = spark.range(-5, 5).select(F.col("id").alias("k"))
+    with pytest.raises(ts.ConstraintViolation, match="k_positive"):
+        ts.append_checked(spark, root, bad)
+    assert set(os.listdir(os.path.join(root, "data"))) == data_dirs
+    assert ts.current_version(root) == v2
+
+    # NULL fails the check (no silent pass-through)
+    nullish = spark.range(1, 3).select(
+        F.when(F.col("id") == 1, F.col("id")).alias("k")
+    )
+    with pytest.raises(ts.ConstraintViolation):
+        ts.append_checked(spark, root, nullish)
+
+    # clean append passes and the constraint carries forward
+    v3 = ts.append_checked(
+        spark, root, spark.range(101, 111).select(F.col("id").alias("k"))
+    )
+    assert ts.read_manifest(root, v3)["checks"] == {"k_positive": "k > 0"}
+    assert ts.read(spark, root).count() == 110
+
+    # CDC crosses the metadata-only commit fine
+    assert ts.read_changes(spark, root, v1, v3).count() == 10
+
+    # merge_into validates its source against the checks
+    with pytest.raises(ts.ConstraintViolation):
+        ts.merge_into(
+            spark, root,
+            spark.range(-3, 0).select(F.col("id").alias("k")),
+            ["k"],
+        )
