@@ -1055,6 +1055,99 @@ def _extract_apng_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
+def _extract_gif_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: build a real 4-frame ANIMATED GIF from the
+    pixel plane (frame f = plane rotated left by f*3 bytes — the same
+    staging as the APNG sampler, so the two containers share one
+    oracle shape), then frame-sample it: decode the container, keep
+    every 2nd frame, emit per-frame features. GCE framing, the
+    NETSCAPE loop block, per-frame LZW, and disposal compositing all
+    sit between the input bytes and the emitted hash."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.gif_py import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            pix = bytes(blob)
+            frames = [pix[f * 3 :] + pix[: f * 3] for f in range(_APNG_FRAMES)]
+            gif = encode_gif_frames(
+                _PPM_W, _PPM_H, frames, interlace=bool(int(doc_id) % 2)
+            )
+            _w, _h, _n, decoded = decode_gif_frames(gif)
+            for f in range(0, _APNG_FRAMES, _APNG_STRIDE):
+                plane = decoded[f]
+                arr = np.frombuffer(plane, dtype=np.uint8)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_idx": f,
+                        "frame_sha": hashlib.sha256(plane).hexdigest(),
+                        "mean_brightness": _round6(float(arr.mean()) / 255),
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_sha", "mean_brightness"]
+        )
+
+
+@register(
+    "q_multimodal_gif_frames",
+    oracle=f"""
+    -- Same staged-frame geometry as q_multimodal_apng_frames (frame f
+    -- = plane rotated left f*3 bytes, sampler keeps 0 and 2), but the
+    -- container is an ANIMATED GIF: the oracle hash certifies the
+    -- GCE/NETSCAPE block walk, per-frame variable-width LZW, and
+    -- disposal compositing of sources/gif_py.py.
+    WITH blob AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
+                       1, {_PPM_PIXEL_BYTES}) AS pix
+      FROM documents WHERE length(text) > 0),
+    f AS (SELECT 0 AS frame_idx UNION ALL SELECT 2),
+    pl AS (
+      SELECT doc_id, frame_idx,
+             substring(pix, frame_idx * 3 + 1) || substring(pix, 1, frame_idx * 3)
+               AS plane
+      FROM blob CROSS JOIN f),
+    px AS (
+      SELECT doc_id, AVG(ascii(substring(pix, CAST(u.range + 1 AS INT), 1))) AS mb
+      FROM blob, range({_PPM_PIXEL_BYTES}) AS u
+      GROUP BY doc_id)
+    SELECT pl.doc_id, pl.frame_idx,
+           sha256(plane) AS frame_sha,
+           ROUND(px.mb / 255.0, 6) AS mean_brightness
+    FROM pl JOIN px USING (doc_id)
+    """,
+    doc="Animated-GIF frame sampling (round 10 — the GIF codec's "
+    "animation tier, the web's other ubiquitous animated container "
+    "next to APNG): each document becomes a 4-frame animated GIF89a "
+    "(global palette over the frame union, NETSCAPE loop extension, "
+    "per-frame GCE + full-screen image, interlaced on odd doc_ids), "
+    "and the sampler decodes the container and keeps every 2nd "
+    "frame. The staged frames are byte-identical to the APNG "
+    "sampler's, so both containers certify against the SAME "
+    "reconstruction oracle — a cross-container consistency check on "
+    "top of the per-codec one. Palette GIF is lossless here (<=64 "
+    "colors/frame-union), so a single bit of drift anywhere in the "
+    "animation machinery breaks the hash. Encoded and consumed in "
+    "ONE Arrow stage; only (idx, sha, mean) leave.",
+)
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    reps = F.ceil(F.lit(float(_PPM_PIXEL_BYTES)) / F.length("text")).cast("int")
+    pix = F.substring(F.repeat(F.col("text"), reps), 1, _PPM_PIXEL_BYTES)
+    return docs.select("doc_id", F.encode(pix, "utf-8").alias("blob")).mapInPandas(
+        _extract_gif_frames,
+        schema="doc_id bigint, frame_idx int, frame_sha string, "
+        "mean_brightness double",
+    )
+
+
 @register(
     "q_multimodal_apng_frames",
     oracle=f"""

@@ -275,6 +275,24 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
     semantics (later frames of an animation are ignored by contract;
     see module docstring). Transparency raises NotImplementedError
     rather than inventing pixel values."""
+    w, h, _n, frames = decode_gif_frames(blob, max_frames=1)
+    return w, h, 3, frames[0]
+
+
+def decode_gif_frames(
+    blob: bytes, max_frames: int | None = None
+) -> tuple[int, int, int, list[bytes]]:
+    """Walk EVERY image of a (possibly animated) GIF, compositing each
+    onto the logical-screen canvas per its Graphic Control Extension's
+    disposal method, and return ``(width, height, n_frames,
+    [rgb_bytes])`` — one full-canvas RGB snapshot per frame, the shape
+    frame-sampling pipelines consume (same contract as
+    png_py.decode_apng_frames). Supported disposals: 0/1 (leave in
+    place — the next frame draws over) and 2 (restore the frame's
+    rectangle to the background color). Disposal 3 (restore-previous)
+    and transparency raise NotImplementedError — both would otherwise
+    produce silently wrong pixels. The NETSCAPE looping extension and
+    other application/comment blocks are skipped structurally."""
     import numpy as np
 
     if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
@@ -289,64 +307,165 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
         gct = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
 
+    frames: list[bytes] = []
+    canvas: np.ndarray | None = None
+    disposal = 0  # from the GCE preceding the next image
+    pending_restore: tuple[int, int, int, int] | None = None
+
     while True:
         if pos >= len(blob):
             raise GifFormatError("missing trailer")
         sep = blob[pos]
         pos += 1
         if sep == _TRAILER:
-            raise GifFormatError("no image data before trailer")
+            break
         if sep == _EXTENSION:
             if pos >= len(blob):
                 raise GifFormatError("truncated extension")
             label = blob[pos]
             data, pos = _read_subblocks(blob, pos + 1)
-            if label == _GCE_LABEL and len(data) >= 1 and data[0] & 0x01:
-                raise NotImplementedError(
-                    "GIF transparency: a still-image decode cannot "
-                    "assign RGB to transparent pixels; composite with "
-                    "an explicit background instead"
-                )
+            if label == _GCE_LABEL and len(data) >= 1:
+                if data[0] & 0x01:
+                    raise NotImplementedError(
+                        "GIF transparency: a still-image decode cannot "
+                        "assign RGB to transparent pixels; composite "
+                        "with an explicit background instead"
+                    )
+                disposal = (data[0] >> 2) & 0x07
+                if disposal >= 3:
+                    raise NotImplementedError(
+                        f"GIF disposal method {disposal} "
+                        "(restore-previous) is not supported"
+                    )
             continue
         if sep != _IMAGE_SEP:
             raise GifFormatError(f"unexpected block 0x{sep:02x}")
-        break
 
-    left, top, iw, ih, ipacked = struct.unpack("<HHHHB", blob[pos : pos + 9])
-    pos += 9
-    if left + iw > sw or top + ih > sh:
-        raise GifFormatError("image rectangle exceeds logical screen")
-    ct = gct
-    if ipacked & 0x80:
-        n = 2 << (ipacked & 0x07)
-        ct = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
-        pos += 3 * n
-    if ct is None:
-        raise GifFormatError("no color table (neither global nor local)")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", blob[pos : pos + 9])
+        pos += 9
+        if left + iw > sw or top + ih > sh:
+            raise GifFormatError("image rectangle exceeds logical screen")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(
+                blob[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise GifFormatError("no color table (neither global nor local)")
 
-    mcs = blob[pos]
-    pos += 1
-    if not 2 <= mcs <= 11:
-        raise GifFormatError(f"LZW minimum code size {mcs} out of range")
-    lzw, pos = _read_subblocks(blob, pos)
-    indices = np.frombuffer(
-        _lzw_decode(lzw, mcs, iw * ih), dtype=np.uint8
-    )
-    if int(indices.max(initial=0)) >= len(ct):
-        raise GifFormatError("pixel index beyond color table")
+        mcs = blob[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise GifFormatError(f"LZW minimum code size {mcs} out of range")
+        lzw, pos = _read_subblocks(blob, pos)
+        indices = np.frombuffer(_lzw_decode(lzw, mcs, iw * ih), dtype=np.uint8)
+        if int(indices.max(initial=0)) >= len(ct):
+            raise GifFormatError("pixel index beyond color table")
+        rows = indices.reshape(ih, iw)
+        if ipacked & 0x40:
+            deinter = np.empty_like(rows)
+            deinter[_interlace_order(ih)] = rows
+            rows = deinter
+        frame = ct[rows]  # (ih, iw, 3)
 
-    rows = indices.reshape(ih, iw)
-    if ipacked & 0x40:
-        deinter = np.empty_like(rows)
-        deinter[_interlace_order(ih)] = rows
-        rows = deinter
+        if canvas is None:
+            if iw == sw and ih == sh:
+                canvas = frame.copy()
+            else:
+                if gct is None or bg_index >= len(gct):
+                    raise GifFormatError("partial first frame without background")
+                canvas = np.tile(gct[bg_index], (sh, sw, 1))
+                canvas[top : top + ih, left : left + iw] = frame
+        else:
+            canvas = canvas.copy()
+            if pending_restore is not None:
+                rl, rt, rw, rh = pending_restore
+                canvas[rt : rt + rh, rl : rl + rw] = gct[bg_index]
+            canvas[top : top + ih, left : left + iw] = frame
+        frames.append(canvas.tobytes())
+        if disposal == 2:
+            if gct is None or bg_index >= len(gct):
+                raise GifFormatError("disposal 2 without a background color")
+            pending_restore = (left, top, iw, ih)
+        else:
+            pending_restore = None
+        disposal = 0
+        if max_frames is not None and len(frames) >= max_frames:
+            return sw, sh, len(frames), frames
 
-    frame = ct[rows]  # (ih, iw, 3)
-    if iw == sw and ih == sh and left == 0 and top == 0:
-        canvas = frame
-    else:
-        if gct is None or bg_index >= len(gct):
-            raise GifFormatError("partial first frame without background")
-        canvas = np.tile(gct[bg_index], (sh, sw, 1))
-        canvas[top : top + ih, left : left + iw] = frame
-    return sw, sh, 3, canvas.tobytes()
+    if not frames:
+        raise GifFormatError("no image data before trailer")
+    return sw, sh, len(frames), frames
+
+
+def encode_gif_frames(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    *,
+    delay_cs: int = 10,
+    interlace: bool = False,
+) -> bytes:
+    """Encode full-rect RGB24 frames as an animated GIF89a: one global
+    color table over the UNION of all frames' colors (<= 256 total —
+    GIF's hard limit; raises beyond), a NETSCAPE2.0 infinite-loop
+    application extension, and per frame a Graphic Control Extension
+    (disposal 1 = leave in place, ``delay_cs`` hundredths of a second)
+    followed by a full-screen image. Lossless by construction, so
+    ``decode_gif_frames`` returns the input frames byte-for-byte."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError(
+                f"every frame must be {width * height * 3} bytes, got {len(f)}"
+            )
+    px = np.frombuffer(b"".join(frames), dtype=np.uint8).reshape(-1, 3)
+    palette, inverse = np.unique(px, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"{len(palette)} distinct colors across frames: GIF holds "
+            "at most 256 (quantize first, or use encode_apng)"
+        )
+    ct_bits = max(1, int(len(palette) - 1).bit_length())
+    ct_size = 1 << ct_bits
+    table = palette.tobytes() + b"\x00" * (3 * (ct_size - len(palette)))
+    mcs = max(2, ct_bits)
+
+    out = bytearray(b"GIF89a")
+    packed = 0x80 | ((ct_bits - 1) << 4) | (ct_bits - 1)
+    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+    out += table
+    # NETSCAPE2.0 looping extension (loop forever), spec-conformant
+    # application extension framing
+    out += bytes([_EXTENSION, 0xFF, 11]) + b"NETSCAPE2.0"
+    out += bytes([3, 1, 0, 0, 0])
+
+    per_frame = len(frames[0]) // 3
+    idx = inverse.astype(np.uint8)
+    for k in range(len(frames)):
+        out += bytes([_EXTENSION, _GCE_LABEL, 4])
+        # disposal 1 (leave in place), no user input, no transparency
+        out += struct.pack("<BHB", 0x04, delay_cs, 0)
+        out.append(0)  # GCE terminator
+        f_idx = idx[k * per_frame : (k + 1) * per_frame]
+        if interlace:
+            rows = f_idx.reshape(height, width)
+            f_idx = rows[_interlace_order(height)].reshape(-1)
+        out += struct.pack(
+            "<BHHHHB", _IMAGE_SEP, 0, 0, width, height,
+            0x40 if interlace else 0,
+        )
+        out.append(mcs)
+        lzw = _lzw_encode(f_idx.tobytes(), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(_TRAILER)
+    return bytes(out)

@@ -803,3 +803,70 @@ def test_decode_media_gif_kind():
     assert feats["content_sha"] == _h.sha256(blob).hexdigest()
     arr = np.frombuffer(rgb, dtype=np.uint8)
     assert abs(feats["mean_brightness"] - float(arr.mean()) / 255) < 1e-6
+
+
+def test_gif_animation_roundtrip_and_disposal():
+    """Animated GIF: multi-frame roundtrip (both row orders), still
+    decode == frame 0, and disposal semantics — a partial frame
+    composites over the previous canvas (disposal 1) or onto a
+    background-restored rectangle (disposal 2); restore-previous
+    (disposal 3) refuses."""
+    import struct
+
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.gif_py import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    pix = bytes(rng.integers(32, 127, 192, dtype=np.uint8))
+    frames = [pix[f * 3:] + pix[:f * 3] for f in range(4)]
+    for interlace in (False, True):
+        blob = encode_gif_frames(8, 8, frames, interlace=interlace)
+        w, h, n, dec = decode_gif_frames(blob)
+        assert (w, h, n) == (8, 8, 4) and dec == frames
+    blob = encode_gif_frames(8, 8, frames)
+    assert decode_gif(blob)[3] == frames[0]
+
+    # hand-build a 2-frame file whose second image covers only a 1x1
+    # rect at (1,0): disposal 1 keeps frame 1's other pixels, then the
+    # same file with disposal 2 restores the full rect to background
+    def tiny(disposal):
+        # palette: idx0=black (background), idx1=white, idx2=red
+        gct = bytes([0, 0, 0, 255, 255, 255, 200, 10, 10]) + b"\x00" * 3
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 2, 1, 0x80 | 0x01, 0, 0)  # 2x1, 4-color GCT
+        out += gct
+        from bfs_mapreduce_spark.sources.gif_py import _lzw_encode
+
+        # frame 1: [white, red] full rect, with GCE carrying `disposal`
+        out += bytes([0x21, 0xF9, 4, (disposal << 2), 0, 0, 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+        out.append(2)  # LZW minimum code size
+        lzw = _lzw_encode(bytes([1, 2]), 2)
+        out += bytes([len(lzw)]) + lzw
+        out.append(0)
+        # frame 2: 1x1 red at (0,0) only
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+        out.append(2)
+        lzw = _lzw_encode(bytes([2]), 2)
+        out += bytes([len(lzw)]) + lzw
+        out.append(0)
+        out.append(0x3B)
+        return bytes(out)
+
+    # disposal 1: pixel (1,0) keeps frame 1's red
+    _w, _h, _n, d1 = decode_gif_frames(tiny(1))
+    assert d1[1] == bytes([200, 10, 10, 200, 10, 10])
+    # disposal 2: frame 1's rect restored to background first, then
+    # the 1x1 overlay — pixel (1,0) is background black
+    _w, _h, _n, d2 = decode_gif_frames(tiny(2))
+    assert d2[1] == bytes([200, 10, 10, 0, 0, 0])
+    # disposal 3 refuses
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="disposal"):
+        decode_gif_frames(tiny(3))
