@@ -452,17 +452,22 @@ def delete_where(
         raise ValueError(f"snapshot table {root!r} has no committed data")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     existing = m.get("deletes") or {}
+    # coalesce + sortWithinPartitions (not a global orderBy): per-file
+    # position runs only need to be sorted WITHIN each delete file for
+    # a reader to merge them — a range-exchange sort would buy nothing
     hits = (
         _scan_for_delete(spark, m["files"], existing, m.get("schema"))
         .filter(cond)
         .select("file_path", "pos")
-        .orderBy("file_path", "pos")
         .coalesce(n_delete_files)
+        .sortWithinPartitions("file_path", "pos")
     )
     staged = stage_files(hits, root)
-    dv = spark.read.parquet(*staged)
-    affected = sorted(r[0] for r in dv.select("file_path").distinct().collect())
-    n_deleted = dv.count()
+    # one job over the (tiny) staged delete files for both outputs
+    n_deleted, affected_set = spark.read.parquet(*staged).agg(
+        F.count(F.lit(1)), F.collect_set("file_path")
+    ).first()
+    affected = sorted(affected_set)
     if n_deleted == 0:
         for p in staged:
             os.remove(p)
