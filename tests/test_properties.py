@@ -378,3 +378,21 @@ def test_jpeg_roundtrip_bounded_error_on_random_images(w, h, seed):
         np.frombuffer(pix3, dtype=np.uint8).astype(int) - rgb.reshape(-1)
     )
     assert err3.max() <= 2, err3.max()
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+@_prop_settings
+def test_gif_lzw_roundtrip_property(data, mcs):
+    """Property fuzz of the GIF LZW pair: any byte stream whose
+    symbols fit the root-code space must roundtrip exactly — this
+    hammers the variable-width schedule (the one subtle part: encoder
+    simulates the decoder's table growth), the 4096-entry
+    clear-and-reset, and the kwkwk self-reference case."""
+    from bfs_mapreduce_spark.sources.gif_py import _lzw_decode, _lzw_encode
+
+    clipped = bytes(b % (1 << mcs) for b in data)
+    enc = _lzw_encode(clipped, mcs)
+    assert _lzw_decode(enc, mcs, len(clipped)) == clipped
