@@ -273,10 +273,12 @@ def decode_media(blob: bytes, kind: str = "fake") -> dict:
     if kind != "fake":
         raise NotImplementedError(
             f"media decode for kind={kind!r} requires a decoder library "
-            "(video/compressed audio: torchaudio/ffmpeg, not present in "
-            "this environment; ppm/wav/png and baseline-sequential jpeg "
-            "are implemented from their public specs — for jpeg, only "
-            "the progressive/arithmetic/12-bit variants still raise)"
+            "(inter-frame video codecs — H.26x/VP/AV1 — and compressed "
+            "audio need ffmpeg/torchaudio, not present in this "
+            "environment; ppm/wav/png/gif, baseline+progressive jpeg, "
+            "and MJPEG-AVI video are implemented from their public "
+            "specs — for jpeg, only arithmetic/hierarchical/12-bit "
+            "still raise)"
         )
     return {
         "blob_len": len(blob),
@@ -1143,6 +1145,124 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pix = F.substring(F.repeat(F.col("text"), reps), 1, _PPM_PIXEL_BYTES)
     return docs.select("doc_id", F.encode(pix, "utf-8").alias("blob")).mapInPandas(
         _extract_gif_frames,
+        schema="doc_id bigint, frame_idx int, frame_sha string, "
+        "mean_brightness double",
+    )
+
+
+def _extract_avi_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: render 4 block-constant frames (the jpg
+    leg's 8 gray bytes, rotated left by f per frame), encode each as
+    a REAL baseline JPEG in the bit-exact configuration, wrap them as
+    an MJPEG AVI (sources/avi_py.py), then frame-sample the container:
+    RIFF walk, per-frame from-spec JPEG decode, keep every 2nd frame."""
+    import numpy as np
+
+    from bfs_mapreduce_spark.sources.avi_py import (
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+    from bfs_mapreduce_spark.sources.jpeg_py import QUANT_LUMA, encode_jpeg
+
+    ql = QUANT_LUMA.copy()
+    ql[0, 0] = 8  # the bit-exact block-constant configuration (jpeg_py)
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            g8 = bytes(blob)
+            jpegs = []
+            for f in range(_APNG_FRAMES):
+                rot = g8[f:] + g8[:f]
+                blk = np.frombuffer(rot, dtype=np.uint8).reshape(2, 4)
+                plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
+                rgb = np.repeat(plane[:, :, None], 3, axis=2)
+                jpegs.append(
+                    encode_jpeg(
+                        _JPG_W,
+                        _JPG_H,
+                        rgb.tobytes(),
+                        subsample="420",
+                        quant_luma=ql,
+                        restart_interval=1,
+                    )
+                )
+            avi = encode_avi_mjpeg(_JPG_W, _JPG_H, jpegs)
+            _w, _h, _n, decoded = decode_avi_mjpeg_frames(avi)
+            for f in range(0, _APNG_FRAMES, _APNG_STRIDE):
+                plane = decoded[f]
+                arr = np.frombuffer(plane, dtype=np.uint8)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_idx": f,
+                        "frame_sha": hashlib.sha256(plane).hexdigest(),
+                        "mean_brightness": _round6(float(arr.mean()) / 255),
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_sha", "mean_brightness"]
+        )
+
+
+@register(
+    "q_multimodal_video_frames",
+    oracle=f"""
+    -- VIDEO frame sampling over a real container: 4 MJPEG frames in
+    -- an AVI, frame f = the jpg leg's 8 gray bytes rotated left by f,
+    -- each a {_JPG_W}x{_JPG_H} block-constant JPEG (bit-exact config,
+    -- see jpeg_py), sampler keeps frames 0 and 2. The oracle
+    -- reconstructs each sampled frame's DECODED plane, so the RIFF
+    -- walk, per-frame chunk framing (incl. odd-length padding), and
+    -- the JPEG decode of every sampled frame sit inside the hash.
+    WITH blob AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_PPM_PIXEL_BYTES}.0 / length(text)) AS INT)),
+                       1, 8) AS p8
+      FROM documents WHERE length(text) > 0),
+    f AS (SELECT 0 AS frame_idx UNION ALL SELECT 2),
+    r AS (
+      SELECT doc_id, frame_idx,
+             substring(p8, frame_idx + 1) || substring(p8, 1, frame_idx) AS q8
+      FROM blob CROSS JOIN f)
+    SELECT doc_id, frame_idx,
+           sha256(repeat(repeat(substring(q8, 1, 1), 24) ||
+                         repeat(substring(q8, 2, 1), 24) ||
+                         repeat(substring(q8, 3, 1), 24) ||
+                         repeat(substring(q8, 4, 1), 24), 8) ||
+                  repeat(repeat(substring(q8, 5, 1), 24) ||
+                         repeat(substring(q8, 6, 1), 24) ||
+                         repeat(substring(q8, 7, 1), 24) ||
+                         repeat(substring(q8, 8, 1), 24), 8)) AS frame_sha,
+           ROUND((ascii(substring(q8, 1, 1)) + ascii(substring(q8, 2, 1)) +
+                  ascii(substring(q8, 3, 1)) + ascii(substring(q8, 4, 1)) +
+                  ascii(substring(q8, 5, 1)) + ascii(substring(q8, 6, 1)) +
+                  ascii(substring(q8, 7, 1)) + ascii(substring(q8, 8, 1))) / 8.0
+                 / 255.0, 6) AS mean_brightness
+    FROM r
+    """,
+    doc="REAL video-container frame sampling (round 10 — the video "
+    "operator's honest gap closes at the container level): each "
+    "document becomes a 4-frame MOTION-JPEG AVI (sources/avi_py.py — "
+    "RIFF framing from the public AVI reference, frames encoded by "
+    "the from-spec T.81 JPEG codec in its bit-exact block-constant "
+    "configuration), and the sampler walks the RIFF tree, decodes "
+    "every 2nd '00dc' chunk with decode_jpeg, and emits per-frame "
+    "hash + brightness. The oracle reconstructs each sampled frame's "
+    "decoded plane from the source text, so container framing AND "
+    "entropy decode sit in the value hash. The NotImplementedError "
+    "for video now covers only inter-frame codecs (H.26x/VP/AV1), "
+    "which genuinely need external decoders. Encoded and consumed in "
+    "ONE Arrow stage; blobs never shuffle.",
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    reps = F.ceil(F.lit(float(_PPM_PIXEL_BYTES)) / F.length("text")).cast("int")
+    pix = F.substring(F.repeat(F.col("text"), reps), 1, _PPM_PIXEL_BYTES)
+    return docs.select(
+        "doc_id", F.encode(F.substring(pix, 1, 8), "utf-8").alias("blob")
+    ).mapInPandas(
+        _extract_avi_frames,
         schema="doc_id bigint, frame_idx int, frame_sha string, "
         "mean_brightness double",
     )

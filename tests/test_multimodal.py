@@ -870,3 +870,60 @@ def test_gif_animation_roundtrip_and_disposal():
 
     with pytest.raises(NotImplementedError, match="disposal"):
         decode_gif_frames(tiny(3))
+
+
+def test_avi_mjpeg_container_roundtrip_and_refusals():
+    """The MJPEG-AVI container (sources/avi_py.py): frames stored
+    byte-for-byte survive the RIFF round trip (including odd-length
+    chunk padding), decode matches the raw JPEG decode, and the
+    honest refusals fire: truncation, wrong RIFF form, non-MJPG
+    codec, multi-stream files."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from bfs_mapreduce_spark.sources.avi_py import (
+        AviFormatError,
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+    from bfs_mapreduce_spark.sources.jpeg_py import QUANT_LUMA, encode_jpeg
+
+    ql = QUANT_LUMA.copy()
+    ql[0, 0] = 8
+    rng = np.random.default_rng(11)
+    g8 = rng.integers(32, 127, 8, dtype=np.uint8)
+
+    def frame(rot):
+        b = bytes(g8[rot:]) + bytes(g8[:rot])
+        blk = np.frombuffer(b, dtype=np.uint8).reshape(2, 4)
+        plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
+        rgb = np.repeat(plane[:, :, None], 3, axis=2)
+        jpg = encode_jpeg(
+            32, 16, rgb.tobytes(), subsample="420", quant_luma=ql,
+            restart_interval=1,
+        )
+        return jpg, rgb.tobytes()
+
+    jpegs, planes = zip(*[frame(f) for f in range(4)])
+    # at least one odd-length frame so the even-padding path is live
+    assert any(len(j) % 2 for j in jpegs)
+    avi = encode_avi_mjpeg(32, 16, list(jpegs), fps=5)
+    w, h, n, frames = decode_avi_mjpeg_frames(avi)
+    assert (w, h, n) == (32, 16, 4)
+    assert list(frames) == list(planes)
+    assert decode_avi_mjpeg_frames(avi, max_frames=2)[2] == 2
+
+    with pytest.raises(AviFormatError):
+        decode_avi_mjpeg_frames(avi[:30])
+    with pytest.raises(AviFormatError):
+        decode_avi_mjpeg_frames(b"RIFF" + avi[4:8] + b"WAVE" + avi[12:])
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        decode_avi_mjpeg_frames(avi.replace(b"MJPG", b"H264", 1))
+    # patch dwStreams (avih offset: RIFF(12) + LIST hdr(8) + 'hdrl'(4)
+    # + avih hdr(8) + 6*4 bytes into the struct)
+    multi = bytearray(avi)
+    struct.pack_into("<I", multi, 12 + 8 + 4 + 8 + 24, 2)
+    with pytest.raises(NotImplementedError, match="stream"):
+        decode_avi_mjpeg_frames(bytes(multi))
