@@ -158,22 +158,73 @@ def parse_wav(blob: bytes) -> tuple[int, int, int, bytes]:
             audio_format, n_channels, sample_rate, _brate, _balign, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if audio_format != 1:
+            # format 1 = linear PCM; 6/7 = ITU-T G.711 A-law / mu-law,
+            # REAL compressed telephony audio decoded from the public
+            # spec (round 10) — each code byte expands to a 16-bit
+            # sample via pure integer segment/mantissa arithmetic.
+            if audio_format not in (1, 6, 7):
                 raise NotImplementedError(
                     f"compressed wav (format {audio_format}) needs an audio "
-                    "codec library not present in this environment"
+                    "codec library not present in this environment "
+                    "(linear PCM and G.711 A-law/mu-law are implemented "
+                    "from spec)"
                 )
-            if bits != 16:
+            if audio_format == 1 and bits != 16:
                 raise NotImplementedError(f"{bits}-bit pcm not supported (16-bit only)")
-            fmt = (sample_rate, n_channels, bits)
+            if audio_format in (6, 7) and bits != 8:
+                raise ValueError(f"G.711 is an 8-bit code ({bits} declared)")
+            fmt = (audio_format, sample_rate, n_channels, bits)
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
-            if size % 2:
-                raise ValueError("odd pcm byte count for 16-bit samples")
-            return (*fmt, body)
+            audio_format, sample_rate, n_channels, bits = fmt
+            if audio_format == 1:
+                if size % 2:
+                    raise ValueError("odd pcm byte count for 16-bit samples")
+                return sample_rate, n_channels, bits, body
+            pcm = (g711_alaw_decode if audio_format == 6 else g711_ulaw_decode)(
+                body
+            )
+            return sample_rate, n_channels, 16, pcm
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     raise ValueError("missing data chunk")
+
+
+def g711_ulaw_decode(codes: bytes) -> bytes:
+    """ITU-T G.711 mu-law expansion, from the public spec's
+    segment/mantissa formulation: invert the code, split into sign /
+    3-bit exponent / 4-bit mantissa, reconstruct
+    ``((mantissa << 3) + 132) << exponent) - 132`` and apply the
+    sign. Returns LE int16 PCM. Anchors (unit-tested): 0xFF -> 0,
+    0x00 -> -32124, 0x80 -> +32124."""
+    import numpy as np
+
+    u = ~np.frombuffer(codes, dtype=np.uint8) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    out = np.where(u & 0x80, -mag, mag).astype("<i2")
+    return out.tobytes()
+
+
+def g711_alaw_decode(codes: bytes) -> bytes:
+    """ITU-T G.711 A-law expansion: XOR 0x55, then segment 0 is
+    ``(mantissa << 4) + 8`` and segment s >= 1 is
+    ``((mantissa << 4) + 0x108) << (s - 1)``, sign from the top bit.
+    Returns LE int16 PCM. Anchors: 0x55 -> -8, 0xD5 -> +8,
+    0x2A -> -32256."""
+    import numpy as np
+
+    a = np.frombuffer(codes, dtype=np.uint8) ^ 0x55
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(exp.astype(np.int32) - 1, 0),
+    )
+    out = np.where(a & 0x80, mag, -mag).astype("<i2")
+    return out.tobytes()
 
 
 def encode_wav(pcm: bytes, sample_rate: int = _WAV_SR) -> bytes:
@@ -181,6 +232,28 @@ def encode_wav(pcm: bytes, sample_rate: int = _WAV_SR) -> bytes:
     if len(pcm) % 2:
         raise ValueError("pcm byte count must be even for 16-bit samples")
     return _wav_header(len(pcm), sample_rate) + pcm
+
+
+def _wav_header_g711(
+    data_len: int, audio_format: int, sample_rate: int = _WAV_SR
+) -> bytes:
+    """RIFF/WAVE header for a G.711 stream (format 6 = A-law, 7 =
+    mu-law): 8 bits per code, block align 1."""
+    import struct
+
+    if audio_format not in (6, 7):
+        raise ValueError("G.711 header needs format 6 (A-law) or 7 (mu-law)")
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, audio_format, 1, sample_rate, sample_rate, 1, 8
+        )
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
 
 
 def _round6(x: float) -> float:
@@ -682,6 +755,106 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         _extract_spectrum,
         schema="doc_id bigint, mag_k1 double, mag_k2 double, "
         "mag_k3 double, mag_k4 double, dominant_bin int",
+    )
+
+
+def _extract_g711(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: parse each G.711 WAV (format 6 A-law / 7
+    mu-law), which expands the 8-bit codes to 16-bit PCM inside
+    parse_wav, and emit exact integer checksums of every decoded
+    sample (sum and sum of squares are order-independent and pin each
+    sample's value and magnitude)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, codec, blob in zip(pdf["doc_id"], pdf["codec"], pdf["blob"]):
+            _sr, _ch, bits, pcm = parse_wav(bytes(blob))
+            s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "codec": codec,
+                    "n_samples": len(s),
+                    "sum_s": int(s.sum()),
+                    "sum_sq": int((s * s).sum()),
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "codec", "n_samples", "sum_s", "sum_sq"]
+        )
+
+
+@register(
+    "q_multimodal_audio_g711",
+    oracle=f"""
+    -- G.711 expansion recomputed per code byte in SQL (ASCII corpus:
+    -- ascii(ch) IS the code). mu-law: invert, split sign/exponent/
+    -- mantissa, ((mant*8)+132)*2^exp - 132. A-law: XOR 0x55, segment
+    -- 0 is mant*16+8, segment s>=1 is (mant*16+264)*2^(s-1). The
+    -- exact integer sums pin every decoded sample.
+    WITH cod AS (
+      SELECT doc_id,
+             substring(repeat(text, CAST(ceil({_WAV_DATA_BYTES}.0 / length(text)) AS INT)),
+                       1, {_WAV_DATA_BYTES}) AS d
+      FROM documents WHERE length(text) > 0),
+    b AS (
+      SELECT doc_id, ascii(substring(d, CAST(u.range + 1 AS INT), 1)) AS c
+      FROM cod, range({_WAV_DATA_BYTES}) AS u),
+    dec AS (
+      SELECT doc_id, 'ulaw' AS codec,
+             CASE WHEN (255 - c) >= 128 THEN -(((((255 - c) % 16) * 8 + 132)
+                       * CAST(power(2, ((255 - c) // 16) % 8) AS BIGINT)) - 132)
+                  ELSE ((((255 - c) % 16) * 8 + 132)
+                       * CAST(power(2, ((255 - c) // 16) % 8) AS BIGINT)) - 132
+             END AS s
+      FROM b
+      UNION ALL
+      SELECT doc_id, 'alaw',
+             CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+             CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                  THEN (xor(c, 85) % 16) * 16 + 8
+                  ELSE ((xor(c, 85) % 16) * 16 + 264)
+                       * CAST(power(2, (xor(c, 85) // 16) % 8 - 1) AS BIGINT)
+             END AS s
+      FROM b)
+    SELECT doc_id, codec,
+           CAST({_WAV_DATA_BYTES} AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq
+    FROM dec GROUP BY doc_id, codec
+    """,
+    doc="REAL compressed-audio decode (round 10 — the compressed-wav "
+    "refusal narrows): each document's 256 bytes become a G.711 "
+    "mu-law AND an A-law WAV (format tags 7 and 6 — the telephony "
+    "codecs every voice corpus starts from), and parse_wav expands "
+    "the 8-bit codes to 16-bit PCM from the public ITU-T G.711 "
+    "segment/mantissa arithmetic (g711_ulaw_decode/g711_alaw_decode, "
+    "spec anchors unit-tested). The oracle recomputes the expansion "
+    "per code byte in SQL and pins every decoded sample via exact "
+    "integer sum + sum-of-squares. The NotImplementedError now "
+    "covers only perceptual codecs (MP3/AAC/Opus), which genuinely "
+    "need external decoders. Blobs decoded where read, one Arrow "
+    "stage, no shuffle.",
+)
+def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    reps = F.ceil(F.lit(float(_WAV_DATA_BYTES)) / F.length("text")).cast("int")
+    codes = F.substring(F.repeat(F.col("text"), reps), 1, _WAV_DATA_BYTES)
+    legs = []
+    for codec, tag in (("ulaw", 7), ("alaw", 6)):
+        hdr = _wav_header_g711(_WAV_DATA_BYTES, tag)
+        legs.append(
+            docs.select(
+                "doc_id",
+                F.lit(codec).alias("codec"),
+                F.concat(F.lit(hdr), F.encode(codes, "utf-8")).alias("blob"),
+            )
+        )
+    return legs[0].unionByName(legs[1]).mapInPandas(
+        _extract_g711,
+        schema="doc_id bigint, codec string, n_samples bigint, "
+        "sum_s bigint, sum_sq bigint",
     )
 
 

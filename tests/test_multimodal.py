@@ -927,3 +927,48 @@ def test_avi_mjpeg_container_roundtrip_and_refusals():
     struct.pack_into("<I", multi, 12 + 8 + 4 + 8 + 24, 2)
     with pytest.raises(NotImplementedError, match="stream"):
         decode_avi_mjpeg_frames(bytes(multi))
+
+
+def test_g711_expansion_spec_anchors_and_wav_integration():
+    """G.711 decode pinned to the spec's anchor values, plus the WAV
+    integration: format-6/7 files expand to 16-bit PCM through
+    parse_wav, and unsupported perceptual formats still refuse."""
+    import struct
+
+    import numpy as np
+
+    from bfs_mapreduce_spark.operators.multimodal_queries import (
+        _wav_header_g711,
+        g711_alaw_decode,
+        g711_ulaw_decode,
+        parse_wav,
+    )
+
+    u = np.frombuffer(g711_ulaw_decode(bytes([0xFF, 0x00, 0x80, 0x7F])), "<i2")
+    assert list(u) == [0, -32124, 32124, 0]
+    a = np.frombuffer(g711_alaw_decode(bytes([0x55, 0xD5, 0x2A, 0xAA])), "<i2")
+    assert list(a) == [-8, 8, -32256, 32256]
+    # mu-law is symmetric: code and its sign-flipped twin negate
+    for c in range(128):
+        lo = np.frombuffer(g711_ulaw_decode(bytes([c])), "<i2")[0]
+        hi = np.frombuffer(g711_ulaw_decode(bytes([c | 0x80])), "<i2")[0]
+        assert lo == -hi
+
+    codes = bytes(range(40, 90))
+    blob = _wav_header_g711(len(codes), 7) + codes
+    sr, ch, bits, pcm = parse_wav(blob)
+    assert (sr, ch, bits) == (8000, 1, 16)
+    assert pcm == g711_ulaw_decode(codes)
+    blob6 = _wav_header_g711(len(codes), 6) + codes
+    assert parse_wav(blob6)[3] == g711_alaw_decode(codes)
+
+    # a perceptual-codec tag still refuses (MP3 = format 85)
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 20, 85)
+    with pytest.raises(NotImplementedError, match="compressed wav"):
+        parse_wav(bytes(bad))
+    # G.711 must declare 8-bit codes
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 34, 16)
+    with pytest.raises(ValueError, match="8-bit"):
+        parse_wav(bytes(bad))
