@@ -740,6 +740,61 @@ def q_stream_avro_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_avro_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="The custom Avro source's STREAMING WRITE half (round 10 — "
+    "format('avro_py') now covers the full batch/stream x read/write "
+    "matrix): the events table streams in as parquet file arrivals "
+    "and writeStream.format('avro_py') lands each micro-batch as "
+    "real Avro container files through the DataSourceStreamWriter "
+    "API — per-task attempt-uniquified tmp files renamed by "
+    "driver-side commit(batchId) to deterministic (batch, partition) "
+    "names, so checkpoint-replayed batches overwrite themselves "
+    "instead of duplicating rows. The sink directory is then read "
+    "back by the avro_py BATCH reader and aggregated; the oracle "
+    "recomputes from the source table, so a lost batch, a duplicated "
+    "replay, or any byte mangled by the container encode/decode "
+    "breaks the hash.",
+)
+def q_stream_avro_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bfs_mapreduce_spark.sources.avro_py import register_avro_source
+
+    register_avro_source(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_STAGE_ROOT, f"avro_sink_{tag}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        stream = events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type"
+        )
+        with tempfile.TemporaryDirectory(prefix="avro_sink_ckpt_") as ckpt:
+            q = (
+                stream.writeStream.format("avro_py")
+                .option("path", out)
+                .option("codec", "deflate")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        open(marker, "w").close()
+    back = spark.read.format("avro_py").load(os.path.join(out, "*.avro"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("user_id_sum"),
+    )
+
+
+@register(
     "q_stream_snapshot_ingest",
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,

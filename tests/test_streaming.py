@@ -275,3 +275,46 @@ def test_snapshot_txn_guard_idempotent(spark, tmp_path):
         )
     assert ts.current_version(root) == v2 + 1  # exactly one new commit
     assert ts.last_txn(root, "app") == 1
+
+
+def test_avro_stream_sink_replay_is_idempotent(spark, sf_smoke_dir, tmp_path):
+    """The avro_py streaming sink's exactly-once contract: rerunning
+    the WHOLE stream from a fresh checkpoint (at-least-once
+    redelivery of every batch) rewrites the same deterministic
+    (batch, partition) file names instead of duplicating rows, and no
+    in-flight tmp files remain visible."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources.avro_py import register_avro_source
+    from bfs_mapreduce_spark.streaming.windows import events_stream
+
+    register_avro_source(spark)
+    out = str(tmp_path / "sink")
+
+    def run_once(ckpt):
+        stream = events_stream(spark, sf_smoke_dir).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = (
+            stream.writeStream.format("avro_py")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(str(tmp_path / "ckpt1"))
+    first = sorted(os.path.basename(p) for p in _glob.glob(f"{out}/*.avro"))
+    n_first = spark.read.format("avro_py").load(f"{out}/*.avro").count()
+    # full redelivery: fresh checkpoint, same sink
+    run_once(str(tmp_path / "ckpt2"))
+    second = sorted(os.path.basename(p) for p in _glob.glob(f"{out}/*.avro"))
+    assert second == first  # deterministic names, overwritten in place
+    back = spark.read.format("avro_py").load(f"{out}/*.avro")
+    assert back.count() == n_first
+    assert back.agg(F.countDistinct("event_id")).first()[0] == n_first
+    assert not _glob.glob(f"{out}/.inflight-*")  # no visible tmp litter
