@@ -810,3 +810,112 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+_KCENTER_SEEDS = 6
+
+
+def _kcenter_oracle(k: int = _KCENTER_SEEDS) -> str:
+    """Unrolled farthest-point traversal in DuckDB. All distances are
+    EXACT DECIMAL sums (inputs snapped to DECIMAL(12,6) once), so the
+    per-round argmax is order-independent in both engines — no float
+    accumulation, no 1e-6 snap, no tie ambiguity beyond the explicit
+    vec_id break."""
+    parts = ["""
+    WITH ey AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding::DOUBLE[]) AS DECIMAL(12,6)) AS xd
+      FROM embeddings),
+    s1 AS (SELECT MIN(vec_id) AS vec_id FROM embeddings),
+    c1 AS (SELECT pos, xd FROM ey JOIN s1 USING (vec_id)),
+    m1 AS (
+      SELECT e.vec_id, SUM((e.xd - c.xd) * (e.xd - c.xd)) AS d2
+      FROM ey e JOIN c1 c USING (pos) GROUP BY e.vec_id)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+    s{r} AS (SELECT vec_id, d2 FROM m{r - 1} ORDER BY d2 DESC, vec_id LIMIT 1),
+    c{r} AS (SELECT pos, xd FROM ey WHERE vec_id = (SELECT vec_id FROM s{r})),
+    n{r} AS (
+      SELECT e.vec_id, SUM((e.xd - c.xd) * (e.xd - c.xd)) AS d2
+      FROM ey e JOIN c{r} c USING (pos) GROUP BY e.vec_id),
+    m{r} AS (
+      SELECT m.vec_id, CASE WHEN n.d2 < m.d2 THEN n.d2 ELSE m.d2 END AS d2
+      FROM m{r - 1} m JOIN n{r} n USING (vec_id))""")
+    sel = [
+        "SELECT 1 AS seed_rank, (SELECT vec_id FROM s1) AS vec_id, "
+        "CAST(NULL AS DOUBLE) AS radius_d2"
+    ]
+    for r in range(2, k + 1):
+        sel.append(
+            f"SELECT {r}, (SELECT vec_id FROM s{r}), "
+            f"(SELECT CAST(d2 AS DOUBLE) FROM s{r})"
+        )
+    parts.append("\n    " + "\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@register(
+    "q_similarity_kcenter_seed",
+    oracle=_kcenter_oracle(),
+    doc="Scalable clustering SEEDING: farthest-point traversal "
+    "(Gonzalez's 2-approximate k-center) — start from the min-id "
+    "vector, repeatedly add the point FARTHEST from the current seed "
+    "set. The deterministic counterpart of k-means++ sampling (and "
+    "the seeding k-means|| approximates at scale): each round is one "
+    "broadcast of the single new center + one map-side-combined "
+    "min/argmax over the corpus — k scans total, no quadratic work, "
+    "the same driver-loop shape as BFS with localCheckpoint lineage "
+    "truncation. Emitted radius_d2 per round is the squared k-center "
+    "radius BEFORE adding that seed, so the monotone coverage "
+    "improvement sits in the oracle hash. Distances are EXACT "
+    "DECIMAL sums (inputs snapped to DECIMAL(12,6) once) — "
+    "order-independent in both engines, so unlike the cosine "
+    "queries' 1e-6-snap floats there is no accumulation-order or "
+    "rounding-tie exposure at all. Seeds feed kmeans_centroids as a "
+    "label-free alternative to its label-mean init "
+    "(tests/test_similarity.py asserts the radius is monotone "
+    "non-increasing and the seed set is distinct).",
+)
+def q_similarity_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ey = (
+        emb.select("vec_id", F.posexplode(_vecd()).alias("pos0", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("x").cast("decimal(12,6)").alias("xd"),
+        )
+        .localCheckpoint()
+    )
+    # plan-time literal seed (the accepted pattern — graph.py loops):
+    # one tiny agg job, then k-1 rounds of broadcast + min/argmax
+    seed = emb.agg(F.min("vec_id")).first()[0]
+
+    def d2_to(vid: int) -> DataFrame:
+        c = ey.filter(F.col("vec_id") == vid).select(
+            "pos", F.col("xd").alias("cd")
+        )
+        return (
+            ey.join(F.broadcast(c), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("xd") - F.col("cd")) * (F.col("xd") - F.col("cd"))
+                ).alias("d2")
+            )
+        )
+
+    m = d2_to(seed).localCheckpoint()
+    rows = [(1, int(seed), None)]
+    for r in range(2, _KCENTER_SEEDS + 1):
+        far = m.orderBy(F.desc("d2"), F.asc("vec_id")).first()
+        rows.append((r, int(far["vec_id"]), float(far["d2"])))
+        n = d2_to(far["vec_id"]).withColumnRenamed("d2", "nd2")
+        m = (
+            m.join(n, "vec_id")
+            .select("vec_id", F.least("d2", "nd2").alias("d2"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        rows, "seed_rank int, vec_id bigint, radius_d2 double"
+    )

@@ -171,3 +171,22 @@ def test_ivfpq_recall_and_code_compression(spark, sf_oracle_dir):
         assert -1.0 <= r["cosine"] <= 1.0
         by_q.setdefault(r["query_id"], []).append(r["cosine"])
     assert by_q and all(len(v) == 5 for v in by_q.values())
+
+
+def test_kcenter_seed_radius_monotone_and_distinct(spark, sf_oracle_dir):
+    """Gonzalez farthest-point invariants: the covering radius never
+    increases as seeds are added, every seed is distinct, and the
+    first seed is the deterministic min-id anchor."""
+    from bfs_mapreduce_spark.registry import all_queries
+
+    rows = sorted(
+        (r.seed_rank, r.vec_id, r.radius_d2)
+        for r in all_queries()["q_similarity_kcenter_seed"]
+        .build(spark, sf_oracle_dir)
+        .collect()
+    )
+    assert rows[0][0] == 1 and rows[0][2] is None
+    ids = [v for _, v, _ in rows]
+    assert len(set(ids)) == len(ids)
+    radii = [d for _, _, d in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
