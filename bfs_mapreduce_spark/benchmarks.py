@@ -642,3 +642,70 @@ def run_stream_scale(
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev_provider)
+
+
+def run_snapshot_scale(
+    spark,
+    sf_dir: str = "/root/testdata/sf0.1",
+    n_files: int = 8,
+    reps: int = 3,
+) -> Iterator[dict]:
+    """Merge-on-read DELETE cost profile over the snapshot table
+    format (the BASELINE.md round-10 mask-vs-rewrite table, as a
+    reproducible harness): stage orders as ``n_files`` data files,
+    then measure — clean read, position-delete write (DELETE WHERE
+    status='F', masks every file: the read path's worst case),
+    merge-on-read read, compaction (materializes the vectors), and
+    the restored clean read. Reads are min-of-``reps``; writes are
+    the one-shot costs they are. Emits one JSON-able record per step
+    so BASELINE.md rows regenerate instead of being hand-measured."""
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.readers import load_table
+
+    root = _tempfile.mkdtemp(prefix="bfs_mr_snap_bench_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    total = orders.count()
+    ts.commit(
+        root, ts.stage_files(orders.repartition(n_files), root), base_version=0
+    )
+
+    def read_once():
+        ts.read(spark, root).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        ).collect()
+
+    def best(fn):
+        b = None
+        for _ in range(reps):
+            t0 = _time.monotonic()
+            fn()
+            dt = _time.monotonic() - t0
+            b = dt if b is None or dt < b else b
+        return round(b, 3)
+
+    read_once()  # warm the staged files once before any timing
+    yield {"step": "clean_read", "sec": best(read_once), "rows": total}
+    t0 = _time.monotonic()
+    _v, n_del, masked = ts.delete_where(spark, root, "o_orderstatus = 'F'")
+    yield {
+        "step": "delete_write",
+        "sec": round(_time.monotonic() - t0, 3),
+        "rows_masked": n_del,
+        "files_masked": len(masked),
+    }
+    yield {"step": "mor_read", "sec": best(read_once), "rows": total - n_del}
+    t0 = _time.monotonic()
+    ts.compact(spark, root, n_files=n_files)
+    yield {"step": "compact", "sec": round(_time.monotonic() - t0, 3)}
+    yield {
+        "step": "post_compact_read",
+        "sec": best(read_once),
+        "rows": total - n_del,
+    }

@@ -197,6 +197,26 @@ def _bench_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def _bench_snapshot(args: argparse.Namespace) -> int:
+    """Merge-on-read DELETE cost profile over the snapshot table
+    format (mask vs rewrite — BASELINE.md round-10 table)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import run_snapshot_scale
+
+    spark, owned = _owned_session(app_name="bench_snapshot_scale")
+    try:
+        for rec in run_snapshot_scale(
+            spark, sf_dir=args.sf_dir, n_files=args.n_files
+        ):
+            print(json.dumps(rec))
+            sys.stdout.flush()
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bfs_mapreduce_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -279,6 +299,16 @@ def main(argv: list[str] | None = None) -> int:
         "native disk-spilling store (the 100 TB key-cardinality path)",
     )
     bs.set_defaults(fn=_bench_stream)
+
+    bn = sub.add_parser(
+        "bench-snapshot",
+        help="merge-on-read DELETE cost profile on the snapshot table "
+        "format (JSON line per step: clean read, delete write, MoR "
+        "read, compact, restored read)",
+    )
+    bn.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    bn.add_argument("--n-files", type=int, default=8)
+    bn.set_defaults(fn=_bench_snapshot)
 
     args = ap.parse_args(argv)
     return args.fn(args)

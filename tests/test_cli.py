@@ -153,3 +153,25 @@ def test_cli_bench_dedup_linearity(capsys, tmp_path):
     g1, g2 = (sub[f]["substring_gram_fingerprints"] for f in (1, 2))
     assert g1 > 0 and g2 <= 2 * g1 + 16
     assert sub[2]["substring_doc_hits"] <= 2 * sub[1]["substring_doc_hits"] + 16
+
+
+def test_bench_snapshot_profile(spark, sf_smoke_dir, capsys):
+    """bench-snapshot emits the five-step mask-vs-rewrite profile with
+    consistent row accounting (mor_read rows = clean rows - masked)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import run_snapshot_scale
+
+    recs = list(run_snapshot_scale(spark, sf_dir=sf_smoke_dir, n_files=2, reps=1))
+    steps = [r["step"] for r in recs]
+    assert steps == [
+        "clean_read", "delete_write", "mor_read", "compact",
+        "post_compact_read",
+    ]
+    by = {r["step"]: r for r in recs}
+    assert by["mor_read"]["rows"] == (
+        by["clean_read"]["rows"] - by["delete_write"]["rows_masked"]
+    )
+    assert by["post_compact_read"]["rows"] == by["mor_read"]["rows"]
+    assert all(r["sec"] >= 0 for r in recs)
+    json.dumps(recs)  # each record is JSON-serializable
