@@ -2651,3 +2651,59 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
     )
+
+
+_JOIN_HINTS = (
+    ("broadcast", "BroadcastHashJoin"),
+    ("shuffle_merge", "SortMergeJoin"),
+    ("shuffle_hash", "ShuffledHashJoin"),
+)
+
+
+@register(
+    "q_join_hint_strategies",
+    oracle="""
+    WITH a AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand)
+    SELECT s.strategy, a.* FROM a
+    CROSS JOIN (SELECT 'broadcast' AS strategy
+                UNION ALL SELECT 'shuffle_merge'
+                UNION ALL SELECT 'shuffle_hash') s
+    """,
+    doc="The JOIN HINT surface: the IDENTICAL lineitem-part join "
+    "forced through all three equi-join physical strategies "
+    "(broadcast hash, sort-merge, shuffled hash) via df.hint(...), "
+    "each leg tagged and unioned — so the oracle hash certifies that "
+    "strategy choice NEVER changes values (the property AQE relies "
+    "on when it re-plans at runtime), while "
+    "tests/test_relational.py pins that each hint actually produced "
+    "its strategy's plan node (a hint Catalyst ignored would "
+    "silently demote this query to a one-strategy test). Hints are "
+    "the manual override for the 100 TB cases the optimizer "
+    "mis-sizes: a dimension just over the broadcast threshold, or a "
+    "build side known to fit memory where SMJ's sort would spill.",
+)
+def q_join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    legs = []
+    for hint, _node in _JOIN_HINTS:
+        j = li.join(part.hint(hint), li.l_partkey == part.p_partkey)
+        legs.append(
+            j.groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(hint).alias("strategy"), "p_brand", "n_items", "total_price")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -436,3 +436,20 @@ def test_recursive_walks_agree_with_driver_loop_bfs(spark, sf_oracle_dir):
               warn_on_truncation=False, reached_only=True)
     dist = {r["id"]: r["dist"] for r in res.collect() if r["dist"] > 0}
     assert min_len == dist
+
+
+def test_join_hints_control_the_physical_strategy(spark, sf_oracle_dir):
+    """Each hint leg of q_join_hint_strategies must actually take its
+    strategy's codepath — otherwise the catalog query is silently a
+    one-strategy test."""
+    from bfs_mapreduce_spark.operators.relational import _JOIN_HINTS, _t
+
+    li = _t(spark, sf_oracle_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = _t(spark, sf_oracle_dir, "part").select("p_partkey", "p_brand")
+    for hint, node in _JOIN_HINTS:
+        j = li.join(part.hint(hint), li.l_partkey == part.p_partkey)
+        agg = j.groupBy("p_brand").agg(F.count(F.lit(1)))
+        plan = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "simple"
+        )
+        assert node in plan, (hint, plan)
