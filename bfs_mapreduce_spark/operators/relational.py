@@ -2707,3 +2707,34 @@ def q_join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+_SQL_LATERAL_TOPK = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+             FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             LIMIT 2) t
+    """
+
+
+@register(
+    "q_sql_lateral_topk",
+    oracle=_SQL_LATERAL_TOPK,
+    doc="LATERAL correlated join — the per-row-subquery SQL surface "
+    "(top-2 customers by account balance FOR EACH nation), run with "
+    "the IDENTICAL ANSI string in Spark and DuckDB like "
+    "q_sql_customer_returns. Catalyst decorrelates the lateral "
+    "subquery into a ranked join rather than executing it per outer "
+    "row, which is why the construct survives a 100 TB outer side; "
+    "deterministic tie-break (balance DESC, custkey) keeps the "
+    "hash stable. The DataFrame-API equivalent of this shape is "
+    "q_window_topk's rank-filter; this entry certifies the SQL "
+    "spelling of it.",
+)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_LATERAL_TOPK)
