@@ -71,6 +71,31 @@ HEADLINE = [
 ]
 
 
+def _bfs_phase_rep(spark, sf_dir: str) -> list[dict]:
+    """One phase-decomposed BFS rep (diagnostic, NOT part of the
+    metric): per-round frontier size + wall-clock from the driver
+    loop's own stats — the histogram query's cost is the sum of its
+    rounds, so a regression localizes to the round (= depth) that
+    moved instead of hiding in one number. Mirrors
+    q_graph_bfs_histogram's exact configuration."""
+    from pyspark.sql import functions as Fn
+
+    from bfs_mapreduce_spark.operators.graph import bfs
+    from bfs_mapreduce_spark.operators.graph_queries import _order_part_edges
+
+    edges = _order_part_edges(spark, sf_dir)
+    stats: dict = {}
+    bfs(
+        edges, source_df=edges.agg(Fn.min("src")), source_df_rows=1,
+        max_rounds=6, with_paths=False, warn_on_truncation=False,
+        reached_only=True, stats=stats,
+    )
+    return [
+        {"round": r, "frontier": n, "sec": round(sec, 4)}
+        for r, n, sec in stats.get("rounds", [])
+    ]
+
+
 def _minhash_phase_rep(spark, sf_dir: str) -> list[dict]:
     """One phase-decomposed MinHash-LSH rep (diagnostic, NOT part of
     the metric): shingle → signature/band table → bucket candidates →
@@ -209,6 +234,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     canary_group: dict[str, float] = {}  # per-group canary min (same-load window)
     minhash_phases: dict[str, dict] = {}
+    bfs_rounds: list[dict] = []
     for name in HEADLINE:
         for rep in range(1, reps + 1):
             print(f"# --- {name} rep{rep}", file=sys.stderr)
@@ -226,6 +252,12 @@ def main() -> None:
                         minhash_phases[ph["phase"]] = {
                             "sec": ph["sec"], "rows": ph["rows"],
                         }
+            if name == "q_graph_bfs_histogram" and rep == reps:
+                rounds = _bfs_phase_rep(spark, sf_dir)
+                if not bfs_rounds or sum(r["sec"] for r in rounds) < sum(
+                    r["sec"] for r in bfs_rounds
+                ):
+                    bfs_rounds = rounds
 
     # q1's group canary is billed from the ADJACENT group's canary
     # runs (the group right after q1 — same load window): if q1's own
@@ -264,6 +296,7 @@ def main() -> None:
                     "per_group": canary_group,
                 },
                 "minhash_phases": minhash_phases,
+                "bfs_rounds": bfs_rounds,
                 "sf": sf,
                 "reps": reps,
                 "agg": "min_per_query_canary_interleaved",
