@@ -463,6 +463,8 @@ def delete_where(
         .sortWithinPartitions("file_path", "pos")
     )
     staged = stage_files(hits, root)
+    if not staged:  # a writer may emit zero part files for no rows
+        return base, 0, []
     # one job over the (tiny) staged delete files for both outputs
     n_deleted, affected_set = spark.read.parquet(*staged).agg(
         F.count(F.lit(1)), F.collect_set("file_path")
