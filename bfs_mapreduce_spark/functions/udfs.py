@@ -178,3 +178,76 @@ def entropy_reference(text: str) -> float:
         counts[ch] = counts.get(ch, 0) + 1
     n = len(text)
     return -sum((c / n) * math.log2(c / n) for c in counts.values())
+
+
+# ------------------------------------------------- UDTF with analyze()
+
+
+class NGramsUdtf:
+    """Polymorphic n-gram table function (Spark 4 UDTF ``analyze``):
+    the OUTPUT SCHEMA is computed at plan time from the ``n``
+    argument — ``ngrams(text, 3)`` yields (pos, w1, w2, w3),
+    ``ngrams(text, 2)`` yields (pos, w1, w2) — the dynamic-schema
+    table-function surface a fixed ``returnType`` (ChunkDocument
+    above) cannot express. ``n`` must be a constant expression: the
+    schema is part of the plan, so it cannot depend on row data."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        if (
+            not n.isConstantExpression
+            or not isinstance(n.value, int)
+            or n.value < 1
+        ):
+            raise ValueError("ngrams(text, n): n must be a positive "
+                             "integer literal (the schema depends on it)")
+        fields = [StructField("pos", IntegerType())] + [
+            StructField(f"w{i + 1}", StringType()) for i in range(n.value)
+        ]
+        from pyspark.sql.udtf import AnalyzeResult
+
+        return AnalyzeResult(schema=StructType(fields))
+
+    def eval(self, text, n):  # noqa: D102
+        words = (text or "").split(" ")
+        for i in range(len(words) - n + 1):
+            yield (i, *words[i : i + n])
+
+
+@register(
+    "q_udtf_ngrams_analyze",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id % 10 = 0),
+    p AS (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS pos
+          FROM w WHERE len(ws) >= 3)
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           ws[pos + 1] AS w1, ws[pos + 2] AS w2, ws[pos + 3] AS w3
+    FROM p
+    """,
+    doc="Python UDTF with analyze() — the POLYMORPHIC table-function "
+    "surface (Spark 4): the output schema is computed at plan time "
+    "from the n argument (here trigrams -> pos, w1..w3; a test pins "
+    "that n=2 yields a two-word schema from the same class, and that "
+    "a non-constant n is rejected at analysis). Invoked through the "
+    "SQL LATERAL form over the documents table; the oracle "
+    "reconstructs every trigram by position. Rows are bounded by the "
+    "doc sample; at scale the UDTF runs Arrow-batched per partition "
+    "like every Python table function.",
+)
+def q_udtf_ngrams_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register("ngrams", _udtf(NGramsUdtf))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.* FROM documents d, LATERAL ngrams(d.text, 3) t "
+        "WHERE d.doc_id % 10 = 0"
+    )
