@@ -1966,3 +1966,231 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         "doc_id", F.round(pf, 6).alias("quality"), (pf >= _QT_KEEP).alias("kept")
     )
+
+
+# ------------------------------------------- unigram-LM tokenizer (round 10)
+
+_UNI_MAXLEN, _UNI_MAXP, _UNI_NVOCAB, _UNI_TOPK = 10, 4, 40, 15
+
+
+def _unigram_oracle() -> str:
+    """Unrolled unigram-LM Viterbi + one EM count re-estimation in
+    DuckDB. MATERIALIZED CTEs are load-bearing: each dp level is
+    referenced by up to four successor branches, and inlining would
+    re-expand the whole prefix exponentially."""
+    parts = [f"""
+    WITH words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+      WHERE len(word) BETWEEN 3 AND {_UNI_MAXLEN}
+      GROUP BY word),
+    wpieces AS MATERIALIZED (
+      SELECT word, wcount, CAST(s AS INT) AS s, CAST(k AS INT) AS k,
+             substr(word, CAST(s AS INT), CAST(k AS INT)) AS piece
+      FROM words,
+           LATERAL (SELECT unnest(range(1, {_UNI_MAXP + 1})) AS k) kk,
+           LATERAL (SELECT unnest(range(1, len(word) - CAST(k AS INT) + 2)) AS s) ss),
+    subs AS MATERIALIZED (
+      SELECT piece, SUM(wcount) AS occ FROM wpieces GROUP BY piece),
+    vocab AS MATERIALIZED (
+      SELECT piece, occ FROM (
+        SELECT piece, occ,
+               ROW_NUMBER() OVER (ORDER BY occ DESC, piece) AS rn
+        FROM subs WHERE len(piece) >= 2) WHERE rn <= {_UNI_NVOCAB}
+      UNION ALL
+      SELECT piece, occ FROM subs WHERE len(piece) = 1),
+    tot AS (SELECT SUM(occ) AS t FROM vocab),
+    model AS MATERIALIZED (
+      SELECT piece,
+             CAST(ROUND(-ln(CAST(occ AS DOUBLE) / (SELECT t FROM tot))
+                        * 1000000, 0) AS BIGINT) AS cost
+      FROM vocab),
+    cand AS MATERIALIZED (
+      SELECT wp.word, wp.s, wp.k, wp.piece, m.cost
+      FROM wpieces wp JOIN model m USING (piece)),
+    dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words)"""]
+    for i in range(1, _UNI_MAXLEN + 1):
+        branches = []
+        for k in range(1, min(_UNI_MAXP, i) + 1):
+            branches.append(f"""
+        SELECT d.word, d.cost + c.cost AS cost,
+               d.seg || '-' || c.piece AS seg, c.k
+        FROM dp{i - k} d JOIN cand c
+          ON c.word = d.word AND c.s = {i - k + 1} AND c.k = {k}""")
+        parts.append(f""",
+    dp{i} AS MATERIALIZED (
+      SELECT word, cost, seg FROM (
+        SELECT word, cost, seg,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY cost ASC, k DESC) AS rn
+        FROM ({" UNION ALL ".join(branches)})) WHERE rn = 1)""")
+    fins = " UNION ALL ".join(
+        f"SELECT d.word, d.seg FROM dp{n} d "
+        f"JOIN words w ON w.word = d.word AND len(w.word) = {n}"
+        for n in range(3, _UNI_MAXLEN + 1)
+    )
+    parts.append(f""",
+    final AS ({fins}),
+    est AS (
+      SELECT piece, SUM(w.wcount) AS est_count
+      FROM final f JOIN words w USING (word),
+           LATERAL (SELECT unnest(string_split(substr(f.seg, 2), '-')) AS piece) p
+      GROUP BY piece)
+    SELECT CAST(rn AS INT) AS rank, piece, CAST(est_count AS BIGINT) AS est_count
+    FROM (SELECT piece, est_count,
+                 ROW_NUMBER() OVER (ORDER BY est_count DESC, piece) AS rn
+          FROM est) WHERE rn <= {_UNI_TOPK}""")
+    return "".join(parts)
+
+
+@register(
+    "q_text_unigram_em",
+    oracle=_unigram_oracle(),
+    doc="Unigram-LM tokenizer (the SentencePiece family's other half "
+    "next to the three BPE queries): a substring-frequency unigram "
+    "model over the word-count table, VITERBI best segmentation of "
+    "every unique word under integer costs (-ln p snapped to the "
+    "1e-6 grid — irrational values, so the snap has no tie "
+    "exposure), and one EM count re-estimation (piece counts under "
+    "the best segmentations, weighted by word frequency) — the "
+    "E-step/M-step core of Kudo 2018's trainer. The dp is "
+    "level-unrolled: dp[i] = min over the last piece's length of "
+    "dp[i-k] + cost(piece), ties broken toward the LONGER piece — "
+    "all relational (position-exploded candidates equi-joined to "
+    "the broadcast model; no Python in the hot path), mirrored "
+    "construct-for-construct by the unrolled SQL oracle, so every "
+    "segmentation decision sits inside the value hash via the "
+    "re-estimated counts. Scale: work is O(unique words x length), "
+    "bounded like the word-table BPE trainer — the production "
+    "formulation; candidate substrings are alphabet-bounded "
+    "(<= 26^4), never corpus-bounded, so the top-N vocab window is "
+    "a constant-size sort at any corpus.",
+)
+def q_text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .filter(F.length("word").between(3, _UNI_MAXLEN))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .localCheckpoint()
+    )
+    ks = F.explode(F.sequence(F.lit(1), F.lit(_UNI_MAXP))).alias("k")
+    wpieces = (
+        words.select("word", "wcount", ks)
+        .filter(F.length("word") - F.col("k") + 1 >= 1)
+        .select(
+            "word",
+            "wcount",
+            "k",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - F.col("k") + 1)
+            ).alias("s"),
+        )
+        .select(
+            "word",
+            "wcount",
+            "s",
+            "k",
+            F.substring(F.col("word"), F.col("s"), F.col("k")).alias("piece"),
+        )
+    )
+    subs = wpieces.groupBy("piece").agg(F.sum("wcount").alias("occ"))
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("occ"), F.asc("piece"))
+            ),
+        )
+        .filter(F.col("rn") <= _UNI_NVOCAB)
+        .select("piece", "occ")
+    )
+    vocab = multi.unionByName(
+        subs.filter(F.length("piece") == 1).select("piece", "occ")
+    )
+    tot = vocab.agg(F.sum("occ").alias("t"))
+    model = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.round(
+                -F.log(F.col("occ").cast("double") / F.col("t")) * 1000000, 0
+            )
+            .cast("bigint")
+            .alias("cost"),
+        )
+        .localCheckpoint()
+    )
+    cand = (
+        wpieces.join(F.broadcast(model), "piece")
+        .select("word", "s", "k", "piece", "cost")
+        .localCheckpoint()
+    )
+    dp = {
+        0: words.select(
+            "word", F.lit(0).cast("bigint").alias("cost"), F.lit("").alias("seg")
+        )
+    }
+    w_rank = Window.partitionBy("word").orderBy(F.asc("cost"), F.desc("k"))
+    for i in range(1, _UNI_MAXLEN + 1):
+        branches = []
+        for k in range(1, min(_UNI_MAXP, i) + 1):
+            c = cand.filter((F.col("s") == i - k + 1) & (F.col("k") == k))
+            branches.append(
+                dp[i - k]
+                .select("word", F.col("cost").alias("dcost"), "seg")
+                .join(c.select("word", "piece", "k", "cost"), "word")
+                .select(
+                    "word",
+                    (F.col("dcost") + F.col("cost")).alias("cost"),
+                    F.concat(F.col("seg"), F.lit("-"), F.col("piece")).alias(
+                        "seg"
+                    ),
+                    "k",
+                )
+            )
+        u = branches[0]
+        for b in branches[1:]:
+            u = u.unionByName(b)
+        dp[i] = (
+            u.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select("word", "cost", "seg")
+            .localCheckpoint()
+        )
+    fins = None
+    for n in range(3, _UNI_MAXLEN + 1):
+        leg = dp[n].filter(F.length("word") == n).select("word", "seg")
+        fins = leg if fins is None else fins.unionByName(leg)
+    est = (
+        fins.join(words, "word")
+        .select(
+            "wcount",
+            F.explode(
+                F.split(F.expr("substring(seg, 2)"), "-")
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wcount").alias("est_count"))
+    )
+    return (
+        est.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("est_count"), F.asc("piece"))
+            ),
+        )
+        .filter(F.col("rank") <= _UNI_TOPK)
+        .select(
+            F.col("rank").cast("int"),
+            "piece",
+            F.col("est_count").cast("bigint"),
+        )
+    )

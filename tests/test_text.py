@@ -181,3 +181,21 @@ def test_bigram_lm_exact_on_tiny_corpus(spark, tmp_path):
     assert out["d1"].n_bigrams == 3 and out["d2"].n_bigrams == 1
     assert abs(out["d1"].bigram_nll - round(d1, 6)) < 1e-9
     assert abs(out["d2"].bigram_nll - round(d2, 6)) < 1e-9
+
+
+def test_unigram_em_learns_subword_pieces(spark, sf_oracle_dir):
+    """Regression canary on the unigram trainer's output shape: a full
+    top-15 with dense distinct ranks, and the EM counts actually
+    surface MULTI-char pieces (a dp that degenerated to per-char
+    segmentation would emit letters only). Semantics are certified by
+    the strict oracle hash; this pins the learning signal."""
+    from bfs_mapreduce_spark.registry import all_queries
+
+    rows = (
+        all_queries()["q_text_unigram_em"].build(spark, sf_oracle_dir).collect()
+    )
+    assert sorted(r.rank for r in rows) == list(range(1, 16))
+    assert len({r.piece for r in rows}) == 15
+    assert any(len(r.piece) >= 2 for r in rows)
+    counts = [r.est_count for r in sorted(rows, key=lambda r: r.rank)]
+    assert counts == sorted(counts, reverse=True)
