@@ -2194,3 +2194,288 @@ def q_text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_count").cast("bigint"),
         )
     )
+
+
+def _uni_dp_sql(pfx: str, cand: str, words: str = "words") -> str:
+    """The unrolled Viterbi dp as SQL CTE text, prefixed so one query
+    can run it twice (round-0 and re-estimated models). Produces
+    ``{pfx}dp0..{pfx}dp{N}`` and ``{pfx}final(word, seg)``."""
+    parts = [f""",
+    {pfx}dp0 AS MATERIALIZED (
+      SELECT word, CAST(0 AS BIGINT) AS cost, '' AS seg FROM {words})"""]
+    for i in range(1, _UNI_MAXLEN + 1):
+        branches = []
+        for k in range(1, min(_UNI_MAXP, i) + 1):
+            branches.append(f"""
+        SELECT d.word, d.cost + c.cost AS cost,
+               d.seg || '-' || c.piece AS seg, c.k
+        FROM {pfx}dp{i - k} d JOIN {cand} c
+          ON c.word = d.word AND c.s = {i - k + 1} AND c.k = {k}""")
+        parts.append(f""",
+    {pfx}dp{i} AS MATERIALIZED (
+      SELECT word, cost, seg FROM (
+        SELECT word, cost, seg,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY cost ASC, k DESC) AS rn
+        FROM ({" UNION ALL ".join(branches)})) WHERE rn = 1)""")
+    fins = " UNION ALL ".join(
+        f"SELECT d.word, d.seg FROM {pfx}dp{n} d "
+        f"JOIN {words} w ON w.word = d.word AND len(w.word) = {n}"
+        for n in range(3, _UNI_MAXLEN + 1)
+    )
+    parts.append(f""",
+    {pfx}final AS MATERIALIZED ({fins})""")
+    return "".join(parts)
+
+
+def _uni_viterbi_frame(words: DataFrame, cand: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_uni_dp_sql`: min-cost segmentation per
+    word (ties to the longer last piece) as ``(word, seg)``."""
+    dp = {
+        0: words.select(
+            "word", F.lit(0).cast("bigint").alias("cost"), F.lit("").alias("seg")
+        )
+    }
+    w_rank = Window.partitionBy("word").orderBy(F.asc("cost"), F.desc("k"))
+    for i in range(1, _UNI_MAXLEN + 1):
+        branches = []
+        for k in range(1, min(_UNI_MAXP, i) + 1):
+            c = cand.filter((F.col("s") == i - k + 1) & (F.col("k") == k))
+            branches.append(
+                dp[i - k]
+                .select("word", F.col("cost").alias("dcost"), "seg")
+                .join(c.select("word", "piece", "k", "cost"), "word")
+                .select(
+                    "word",
+                    (F.col("dcost") + F.col("cost")).alias("cost"),
+                    F.concat(F.col("seg"), F.lit("-"), F.col("piece")).alias("seg"),
+                    "k",
+                )
+            )
+        u = branches[0]
+        for b in branches[1:]:
+            u = u.unionByName(b)
+        dp[i] = (
+            u.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select("word", "cost", "seg")
+            .localCheckpoint()
+        )
+    fins = None
+    for n in range(3, _UNI_MAXLEN + 1):
+        leg = dp[n].filter(F.length("word") == n).select("word", "seg")
+        fins = leg if fins is None else fins.unionByName(leg)
+    return fins
+
+
+_UNI_ENC_TOPK = 20
+
+
+def _unigram_encode_oracle() -> str:
+    cost_expr = (
+        "CAST(ROUND(-ln(CAST({occ} AS DOUBLE) / ({tot})) * 1000000, 0) AS BIGINT)"
+    )
+    head = f"""
+    WITH allw AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+      GROUP BY word),
+    words AS MATERIALIZED (
+      SELECT * FROM allw WHERE len(word) BETWEEN 3 AND {_UNI_MAXLEN}),
+    oov AS MATERIALIZED (
+      SELECT * FROM allw WHERE len(word) NOT BETWEEN 3 AND {_UNI_MAXLEN}),
+    wpieces AS MATERIALIZED (
+      SELECT word, wcount, CAST(s AS INT) AS s, CAST(k AS INT) AS k,
+             substr(word, CAST(s AS INT), CAST(k AS INT)) AS piece
+      FROM words,
+           LATERAL (SELECT unnest(range(1, {_UNI_MAXP + 1})) AS k) kk,
+           LATERAL (SELECT unnest(range(1, len(word) - CAST(k AS INT) + 2)) AS s) ss),
+    subs AS MATERIALIZED (
+      SELECT piece, SUM(wcount) AS occ FROM wpieces GROUP BY piece),
+    vocab AS MATERIALIZED (
+      SELECT piece, occ FROM (
+        SELECT piece, occ,
+               ROW_NUMBER() OVER (ORDER BY occ DESC, piece) AS rn
+        FROM subs WHERE len(piece) >= 2) WHERE rn <= {_UNI_NVOCAB}
+      UNION ALL
+      SELECT piece, occ FROM subs WHERE len(piece) = 1),
+    model0 AS MATERIALIZED (
+      SELECT piece,
+             {cost_expr.format(occ="occ", tot="SELECT SUM(occ) FROM vocab")} AS cost
+      FROM vocab),
+    cand0 AS MATERIALIZED (
+      SELECT wp.word, wp.s, wp.k, wp.piece, m.cost
+      FROM wpieces wp JOIN model0 m USING (piece))"""
+    mid = f""",
+    est AS MATERIALIZED (
+      SELECT piece, SUM(w.wcount) AS n
+      FROM afinal f JOIN words w USING (word),
+           LATERAL (SELECT unnest(string_split(substr(f.seg, 2), '-')) AS piece) p
+      GROUP BY piece),
+    m1src AS MATERIALIZED (
+      SELECT s.piece, COALESCE(e.n, 0) + 1 AS n1
+      FROM subs s LEFT JOIN est e USING (piece) WHERE len(s.piece) = 1
+      UNION ALL
+      SELECT piece, n AS n1 FROM est WHERE len(piece) >= 2),
+    model1 AS MATERIALIZED (
+      SELECT piece,
+             {cost_expr.format(occ="n1", tot="SELECT SUM(n1) FROM m1src")} AS cost
+      FROM m1src),
+    cand1 AS MATERIALIZED (
+      SELECT wp.word, wp.s, wp.k, wp.piece, m.cost
+      FROM wpieces wp JOIN model1 m USING (piece))"""
+    tail = f""",
+    tokens AS (
+      SELECT piece AS token, SUM(w.wcount) AS n
+      FROM bfinal f JOIN words w USING (word),
+           LATERAL (SELECT unnest(string_split(substr(f.seg, 2), '-')) AS piece) p
+      GROUP BY piece
+      UNION ALL
+      SELECT word AS token, wcount AS n FROM oov),
+    tok AS (SELECT token, SUM(n) AS n FROM tokens GROUP BY token)
+    SELECT CAST(rn AS INT) AS rank, token, CAST(n AS BIGINT) AS n
+    FROM (SELECT token, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rn
+          FROM tok) WHERE rn <= {_UNI_ENC_TOPK}"""
+    return (
+        head
+        + _uni_dp_sql("a", "cand0")
+        + mid
+        + _uni_dp_sql("b", "cand1")
+        + tail
+    )
+
+
+@register(
+    "q_text_unigram_encode",
+    oracle=_unigram_encode_oracle(),
+    doc="Unigram-tokenizer ENCODE under the re-estimated model — the "
+    "EM second iteration plus corpus encoding in one query (the "
+    "unigram twin of q_text_bpe_encode): round-0 Viterbi "
+    "segmentations produce EM counts, the model is re-estimated "
+    "from them (single-char pieces +1-smoothed so coverage never "
+    "breaks, multi-char pieces survive only if the E-step actually "
+    "used them), and the corpus is segmented AGAIN under the "
+    "re-estimated costs. Output = top-20 corpus tokens by weighted "
+    "count, with out-of-range words (len <3 or >10) passed through "
+    "as whole-word tokens — the documented boundary. Both Viterbi "
+    "rounds run through the shared dp machinery "
+    "(_uni_viterbi_frame / _uni_dp_sql), so the oracle replays "
+    "EVERY segmentation decision of BOTH rounds inside the value "
+    "hash. Same scale posture as the trainer: O(unique words x "
+    "length) per round, alphabet-bounded candidate space.",
+)
+def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    allw = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .localCheckpoint()
+    )
+    words = allw.filter(F.length("word").between(3, _UNI_MAXLEN))
+    oov = allw.filter(~F.length("word").between(3, _UNI_MAXLEN))
+    ks = F.explode(F.sequence(F.lit(1), F.lit(_UNI_MAXP))).alias("k")
+    wpieces = (
+        words.select("word", "wcount", ks)
+        .filter(F.length("word") - F.col("k") + 1 >= 1)
+        .select(
+            "word",
+            "wcount",
+            "k",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - F.col("k") + 1)
+            ).alias("s"),
+        )
+        .select(
+            "word",
+            "wcount",
+            "s",
+            "k",
+            F.substring(F.col("word"), F.col("s"), F.col("k")).alias("piece"),
+        )
+        .localCheckpoint()
+    )
+    subs = wpieces.groupBy("piece").agg(F.sum("wcount").alias("occ"))
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("occ"), F.asc("piece"))),
+        )
+        .filter(F.col("rn") <= _UNI_NVOCAB)
+        .select("piece", "occ")
+    )
+    vocab = multi.unionByName(
+        subs.filter(F.length("piece") == 1).select("piece", "occ")
+    )
+
+    def model_from(counts: DataFrame, col: str) -> DataFrame:
+        tot = counts.agg(F.sum(col).alias("t"))
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                "piece",
+                F.round(
+                    -F.log(F.col(col).cast("double") / F.col("t")) * 1000000, 0
+                )
+                .cast("bigint")
+                .alias("cost"),
+            )
+            .localCheckpoint()
+        )
+
+    def cand_from(model: DataFrame) -> DataFrame:
+        return (
+            wpieces.join(F.broadcast(model), "piece")
+            .select("word", "s", "k", "piece", "cost")
+            .localCheckpoint()
+        )
+
+    seg0 = _uni_viterbi_frame(words, cand_from(model_from(vocab, "occ")))
+    est = (
+        seg0.join(words, "word")
+        .select(
+            "wcount",
+            F.explode(F.split(F.expr("substring(seg, 2)"), "-")).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wcount").alias("n"))
+        .localCheckpoint()
+    )
+    m1src = (
+        subs.filter(F.length("piece") == 1)
+        .join(est, "piece", "left")
+        .select("piece", (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("n1"))
+        .unionByName(
+            est.filter(F.length("piece") >= 2).select(
+                "piece", F.col("n").alias("n1")
+            )
+        )
+    )
+    seg1 = _uni_viterbi_frame(words, cand_from(model_from(m1src, "n1")))
+    tokens = (
+        seg1.join(words, "word")
+        .select(
+            "wcount",
+            F.explode(F.split(F.expr("substring(seg, 2)"), "-")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.sum("wcount").alias("n"))
+        .unionByName(oov.select(F.col("word").alias("token"), F.col("wcount").alias("n")))
+        .groupBy("token")
+        .agg(F.sum("n").alias("n"))
+    )
+    return (
+        tokens.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
+        )
+        .filter(F.col("rank") <= _UNI_ENC_TOPK)
+        .select(F.col("rank").cast("int"), "token", F.col("n").cast("bigint"))
+    )
