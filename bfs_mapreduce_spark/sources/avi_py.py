@@ -63,7 +63,7 @@ def encode_avi_mjpeg(
         us_per_frame,  # dwMicroSecPerFrame
         max_bytes * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10 = AVIF_ISINTERLEAVED off... keep simple
+        0,  # dwFlags: no idx1 chunk is written, so AVIF_HASINDEX (0x10) must be OFF — a strict player told the file has an index would look for a missing one
         n,  # dwTotalFrames
         0,  # dwInitialFrames
         1,  # dwStreams

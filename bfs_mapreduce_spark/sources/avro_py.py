@@ -674,8 +674,17 @@ class AvroPyStreamWriter(DataSourceStreamWriter):
         return _AvroCommit(tmp, "", len(rows))
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import os
 
+        # A replay with FEWER partitions than the first attempt would
+        # otherwise leave the first attempt's higher-index files in
+        # place next to the new ones and duplicate rows — sweep every
+        # prior part-b<batch>-* file before publishing this attempt.
+        for stale in glob.glob(
+            os.path.join(self._path, f"part-b{batchId:06d}-*.avro")
+        ):
+            os.remove(stale)
         for i, m in enumerate(messages):
             if m is not None:
                 final = os.path.join(

@@ -236,8 +236,14 @@ def stage_files(df: DataFrame, root: str) -> list[str]:
     """Write ``df``'s partitions as immutable data files under
     ``data/`` (one parquet directory per stage call, uuid-named so
     concurrent stagers never collide) and return the file list. The
-    files are INVISIBLE to readers until a manifest references them."""
-    out = os.path.join(root, "data", uuid.uuid4().hex[:12])
+    files are INVISIBLE to readers until a manifest references them.
+
+    The root is normalized to an ABSOLUTE path before staging: the
+    delete/merge scans match manifest paths against
+    ``input_file_name()`` (always absolute), so a relative root would
+    make every such comparison silently miss — a delete would report
+    n_deleted>0 yet mask nothing."""
+    out = os.path.join(os.path.abspath(root), "data", uuid.uuid4().hex[:12])
     df.write.mode("error").parquet(out)
     return sorted(
         os.path.join(out, f)
@@ -318,6 +324,18 @@ def commit(
     if txn is not None:
         new_txn[txn[0]] = max(int(txn[1]), new_txn.get(txn[0], -1))
     new_schema = _merge_schema_json(base.get("schema"), schema)
+    # Base-version delete entries for files a REPLACE drops are
+    # filtered by design (the rewrite read through them). But a key in
+    # THIS commit's deletes that matches no file in the new list is a
+    # caller bug (classically: a relative root recorded relative
+    # manifest paths while input_file_name() yielded absolute ones) —
+    # silently dropping it would publish a delete that masks nothing.
+    dangling = [p for p in (deletes or {}) if p not in set(new_files)]
+    if dangling:
+        raise ValueError(
+            "deletes reference data file(s) absent from the committed "
+            f"file list: {dangling[:3]}{'...' if len(dangling) > 3 else ''}"
+        )
     new_deletes = {
         p: d
         for p, d in {**base.get("deletes", {}), **(deletes or {})}.items()
@@ -355,6 +373,16 @@ def _norm_file_col(col: F.Column) -> F.Column:
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+# Internal working columns injected by the delete-aware scans. The
+# names are collision-proofed so a user table that itself has a
+# `file_path` or `pos` column keeps it intact (with the plain names,
+# the injected values silently OVERWROTE the user's column and the
+# anti-join keyed on the wrong thing). On-disk delete files still
+# store the spec-ish plain names (file_path, pos).
+_FP = "__ts_file_path"
+_POS = "__ts_pos"
+
+
 def _scan(
     spark: SparkSession,
     files: list[str],
@@ -377,13 +405,15 @@ def _scan(
         parts.append(reader.parquet(*clean))
     if masked:
         dv_files = sorted({d for f in masked for d in deletes[f]})
-        dv = spark.read.parquet(*dv_files).select("file_path", "pos")
+        dv = spark.read.parquet(*dv_files).select(
+            F.col("file_path").alias(_FP), F.col("pos").alias(_POS)
+        )
         parts.append(
             reader.parquet(*masked)
-            .withColumn("file_path", _norm_file_col(F.input_file_name()))
-            .withColumn("pos", F.col("_metadata.row_index"))
-            .join(F.broadcast(dv), ["file_path", "pos"], "left_anti")
-            .drop("file_path", "pos")
+            .withColumn(_FP, _norm_file_col(F.input_file_name()))
+            .withColumn(_POS, F.col("_metadata.row_index"))
+            .join(F.broadcast(dv), [_FP, _POS], "left_anti")
+            .drop(_FP, _POS)
         )
     out = parts[0]
     for p in parts[1:]:
@@ -458,23 +488,40 @@ def delete_where(
     hits = (
         _scan_for_delete(spark, m["files"], existing, m.get("schema"))
         .filter(cond)
-        .select("file_path", "pos")
+        .select(F.col(_FP).alias("file_path"), F.col(_POS).alias("pos"))
         .coalesce(n_delete_files)
         .sortWithinPartitions("file_path", "pos")
     )
     staged = stage_files(hits, root)
     if not staged:  # a writer may emit zero part files for no rows
         return base, 0, []
-    # one job over the (tiny) staged delete files for both outputs
-    n_deleted, affected_set = spark.read.parquet(*staged).agg(
-        F.count(F.lit(1)), F.collect_set("file_path")
-    ).first()
-    affected = sorted(affected_set)
-    if n_deleted == 0:
-        for p in staged:
+    # one job over the (tiny) staged delete files: per-(delete file,
+    # data file) hit counts, so each masked data file maps to exactly
+    # the delete files that HOLD rows for it — with n_delete_files>1
+    # a file no longer pays anti-joins against vectors that contain
+    # nothing for it (the per-file granularity the format claims)
+    pairs = (
+        spark.read.parquet(*staged)
+        .groupBy(
+            _norm_file_col(F.input_file_name()).alias("dv"), "file_path"
+        )
+        .count()
+        .collect()
+    )
+    n_deleted = sum(r["count"] for r in pairs)
+    referenced = {r["dv"] for r in pairs}
+    for p in staged:  # empty part files mask nothing: don't commit them
+        if p not in referenced:
             os.remove(p)
+    if n_deleted == 0:
         return base, 0, []
-    new_deletes = {f: existing.get(f, []) + staged for f in affected}
+    by_data: dict[str, list[str]] = {}
+    for r in pairs:
+        by_data.setdefault(r["file_path"], []).append(r["dv"])
+    affected = sorted(by_data)
+    new_deletes = {
+        f: existing.get(f, []) + sorted(by_data[f]) for f in affected
+    }
     version = commit(
         root,
         [],
@@ -491,9 +538,9 @@ def _scan_for_delete(
     deletes: dict[str, list[str]],
     schema_json: str | None,
 ) -> DataFrame:
-    """Like :func:`_scan` but KEEPS the (file_path, pos) columns on
-    every row — the victim-finding scan needs positions for clean
-    files too, not just masked ones."""
+    """Like :func:`_scan` but KEEPS the injected (``__ts_file_path``,
+    ``__ts_pos``) columns on every row — the victim-finding scan needs
+    positions for clean files too, not just masked ones."""
     reader = spark.read
     if schema_json:
         from pyspark.sql.types import StructType
@@ -501,13 +548,15 @@ def _scan_for_delete(
         reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
     df = (
         reader.parquet(*files)
-        .withColumn("file_path", _norm_file_col(F.input_file_name()))
-        .withColumn("pos", F.col("_metadata.row_index"))
+        .withColumn(_FP, _norm_file_col(F.input_file_name()))
+        .withColumn(_POS, F.col("_metadata.row_index"))
     )
     if deletes:
         dv_files = sorted({d for lst in deletes.values() for d in lst})
-        dv = spark.read.parquet(*dv_files).select("file_path", "pos")
-        df = df.join(F.broadcast(dv), ["file_path", "pos"], "left_anti")
+        dv = spark.read.parquet(*dv_files).select(
+            F.col("file_path").alias(_FP), F.col("pos").alias(_POS)
+        )
+        df = df.join(F.broadcast(dv), [_FP, _POS], "left_anti")
     return df
 
 
@@ -683,7 +732,7 @@ def merge_into(
         touched = {
             r[0]
             for r in tgt.join(F.broadcast(keys_df), key_cols, "left_semi")
-            .select("file_path")
+            .select(_FP)
             .distinct()
             .collect()
         }

@@ -1021,3 +1021,154 @@ def test_snapshot_check_constraints(spark, tmp_path):
             spark.range(-3, 0).select(F.col("id").alias("k")),
             ["k"],
         )
+
+
+def test_snapshot_delete_user_filepath_column_survives(spark, tmp_path):
+    """Round-11 ADVICE regression: the delete-aware scans inject
+    internal working columns — a user table that itself has
+    `file_path` / `pos` columns must keep them (values intact) through
+    delete_where and masked reads, and the anti-join must key on the
+    injected physical positions, not the user's data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("user-"), F.col("id")).alias("file_path"),
+        (F.col("id") * 10).alias("pos"),
+    )
+    ts.commit(root, ts.stage_files(df.repartition(2), root), base_version=0)
+    _v, n_del, _aff = ts.delete_where(spark, root, "k % 4 = 0")
+    assert n_del == 25
+    got = ts.read(spark, root)
+    # user columns present, values untouched, survivors exact
+    assert {"k", "file_path", "pos"} <= set(got.columns)
+    rows = got.orderBy("k").collect()
+    assert len(rows) == 75
+    assert all(r["file_path"] == f"user-{r['k']}" for r in rows)
+    assert all(r["pos"] == r["k"] * 10 for r in rows)
+    # merge over a file_path-bearing table keys on physical files too
+    src = df.filter("k = 1").withColumn("pos", F.lit(-1).cast("long"))
+    ts.merge_into(spark, root, src, ["k"], target_files=1)
+    got2 = ts.read(spark, root)
+    assert got2.count() == 75
+    assert got2.filter("k = 1").first()["pos"] == -1
+
+
+def test_snapshot_relative_root_delete_masks(spark, tmp_path):
+    """Round-11 ADVICE regression: a RELATIVE table root used to
+    record relative manifest paths while delete vectors held absolute
+    input_file_name() paths — the delete 'succeeded' but masked
+    nothing. stage_files now normalizes to abspath, and commit raises
+    on delete keys that match no committed file."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    rel = os.path.relpath(str(tmp_path / "reltbl"), os.getcwd())
+    os.makedirs(rel)
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    v1 = ts.commit(root=rel, files=ts.stage_files(df, rel), base_version=0)
+    assert all(os.path.isabs(f) for f in ts.read_manifest(rel, v1)["files"])
+    _v, n_del, _aff = ts.delete_where(spark, rel, "k < 10")
+    assert n_del == 10
+    assert ts.read(spark, rel).count() == 40  # actually masked
+
+    # a dangling delete key is an error, never a silent no-op commit
+    with pytest.raises(ValueError, match="absent"):
+        ts.commit(
+            rel,
+            [],
+            base_version=ts.current_version(rel),
+            deletes={"/nonexistent/data.parquet": ["/dv.parquet"]},
+            operation="delete",
+        )
+
+
+def test_snapshot_delete_mapping_is_per_file(spark, tmp_path):
+    """Round-11 ADVICE regression: with n_delete_files > 1, each
+    masked data file's manifest entry lists ONLY the delete files that
+    actually contain rows for it — not every staged vector."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 600).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("grp")
+    )
+    ts.commit(
+        root,
+        ts.stage_files(df.repartition(4, "k"), root),
+        base_version=0,
+    )
+    v2, n_del, affected = ts.delete_where(
+        spark, root, "grp = 1", n_delete_files=3
+    )
+    assert n_del == 200
+    deletes = ts.read_manifest(root, v2)["deletes"]
+    assert set(deletes) == set(affected)
+    for data_file, dvs in deletes.items():
+        for dv in dvs:  # every listed vector holds rows for THIS file
+            held = (
+                spark.read.parquet(dv)
+                .filter(F.col("file_path") == data_file)
+                .count()
+            )
+            assert held > 0, f"{dv} mapped to {data_file} but holds no rows"
+    # and masking is still exact
+    assert ts.read(spark, root).count() == 400
+
+
+def test_avro_stream_commit_sweeps_stale_replay_files(tmp_path):
+    """Round-11 ADVICE regression: a replayed micro-batch that lands
+    with FEWER partitions than the first attempt must not leave the
+    first attempt's higher-index part files behind (duplicate rows).
+    commit() sweeps part-b<batch>-* before publishing."""
+    import glob
+    import os
+
+    from bfs_mapreduce_spark.sources.avro_py import (
+        AvroPyStreamWriter,
+        _AvroCommit,
+        read_avro,
+        write_avro,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    w = AvroPyStreamWriter({"path": out}, schema)
+
+    def attempt(rows_per_part):
+        msgs = []
+        for rows in rows_per_part:
+            tmp = os.path.join(out, f".inflight-{len(msgs)}-{rows[0]['k']}.avro.tmp")
+            write_avro(tmp, schema, rows)
+            msgs.append(_AvroCommit(tmp, "", len(rows)))
+        w.commit(msgs, batchId=7)
+
+    # first attempt: 3 partitions
+    attempt([[{"k": 1}], [{"k": 2}], [{"k": 3}]])
+    assert len(glob.glob(out + "/part-b000007-*.avro")) == 3
+    # replay with 1 partition (changed parallelism after restart)
+    attempt([[{"k": 1}, {"k": 2}, {"k": 3}]])
+    files = sorted(glob.glob(out + "/part-b000007-*.avro"))
+    assert len(files) == 1  # stale higher-index files swept
+    _s, rows = read_avro(files[0])
+    assert sorted(r["k"] for r in rows) == [1, 2, 3]
