@@ -75,8 +75,23 @@ def synthesize_graph(name: str, n: int, m: int, out_dir: str) -> str:
     return path
 
 
-def run_graph_scale(spark, graphs=None, out_dir: str = "/tmp/bfs_mapreduce_spark_scale") -> Iterator[dict]:
-    """Yield one result dict per graph (see module docstring)."""
+def run_graph_scale(
+    spark,
+    graphs=None,
+    out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+    reliable: bool = False,
+) -> Iterator[dict]:
+    """Yield one result dict per graph (see module docstring).
+
+    ``reliable=True`` reruns each BFS with a durable checkpoint
+    directory (plans/reliable.py): every round's frontier spills to
+    parquet instead of executor-memory localCheckpoint blocks, the
+    price of surviving executor loss mid-traversal at cluster scale.
+    The emitted rows carry ``mode: "reliable"`` so BASELINE.md can
+    table the overhead side by side with the default."""
+    import shutil
+    import tempfile
+
     from bfs_mapreduce_spark.operators.graph import bfs
 
     os.makedirs(out_dir, exist_ok=True)
@@ -88,15 +103,26 @@ def run_graph_scale(spark, graphs=None, out_dir: str = "/tmp/bfs_mapreduce_spark
         path = synthesize_graph(name, n, m, out_dir)
         edges = spark.read.parquet(path)
         stats: dict = {}
+        ckpt_dir = tempfile.mkdtemp(prefix="bfs_reliable_") if reliable else None
         t0 = time.perf_counter()
-        res = bfs(edges, source=0, with_paths=False, reached_only=True, stats=stats)
+        res = bfs(
+            edges,
+            source=0,
+            with_paths=False,
+            reached_only=True,
+            stats=stats,
+            checkpoint_dir=ckpt_dir,
+        )
         n_reached = res.count()
         total = round(time.perf_counter() - t0, 3)
+        if ckpt_dir:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
         rounds = stats["rounds"]
         yield {
             "graph": name,
             "vertices": n,
             "edges": m,
+            "mode": "reliable" if reliable else "local",
             "reached": n_reached,
             "rounds": len(rounds),
             "total_sec": total,

@@ -142,7 +142,9 @@ def _bench_graph(args: argparse.Namespace) -> int:
                 graphs = [_parse_graph_spec(s) for s in args.graph]
             else:
                 graphs = GRAPHS[:2] if args.quick else GRAPHS
-            runs = run_graph_scale(spark, graphs, out_dir=args.out_dir)
+            runs = run_graph_scale(
+                spark, graphs, out_dir=args.out_dir, reliable=args.reliable
+            )
         for rec in runs:
             print(json.dumps(rec))
             sys.stdout.flush()
@@ -261,6 +263,12 @@ def main(argv: list[str] | None = None) -> int:
         action="append",
         metavar="NAME:N:M",
         help="synthesize NAME with N vertices / M edges instead of the defaults (repeatable)",
+    )
+    bg.add_argument(
+        "--reliable",
+        action="store_true",
+        help="run BFS with durable per-round checkpoints (fault-tolerant "
+        "mode) to measure the overhead vs default localCheckpoint",
     )
     bg.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
     bg.set_defaults(fn=_bench_graph)

@@ -50,7 +50,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from bfs_mapreduce_spark.plans import reliable as _reliable
+
 logger = logging.getLogger(__name__)
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Chain-position lineage truncation (``df.transform(_ckpt)``):
+    ``localCheckpoint()`` by default, a durable parquet spill+re-read
+    inside ``reliable_checkpoints(...)`` — see plans/reliable.py for
+    the executor-loss failure mode this closes at cluster scale."""
+    return _reliable.truncate(df)
+
+
+def _ckpt_lazy(df: DataFrame) -> DataFrame:
+    """Lazy twin of :func:`_ckpt` (materialized by the caller's next
+    action, fusing checkpoint + count into one job in default mode;
+    reliable mode is inherently eager — the durable write is the
+    materialization)."""
+    return _reliable.truncate(df, eager=False)
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:
@@ -124,8 +142,19 @@ def bfs(
     stats: dict | None = None,
     edge_partitions: int | None = None,
     dedup_edges: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Single-source shortest paths via level-synchronous BFS.
+
+    ``checkpoint_dir`` switches every per-round lineage truncation
+    from ``localCheckpoint`` (executor-memory blocks — fast, but an
+    executor lost after round k discards truncated state and fails the
+    job) to a durable parquet spill + re-read under the given
+    directory (HDFS/object store on a real cluster): sugar for running
+    the call inside ``plans.reliable.reliable_checkpoints(dir)``. The
+    spill files back the RETURNED plan too — keep the directory until
+    results are materialized. Overhead is measured in BASELINE.md
+    (bench-graph reliable rows).
     Pass ``sources=[...]`` for the multi-source form — dist becomes
     distance to the NEAREST seed and path starts at that seed (the
     distance-to-seed primitive behind label propagation / partition
@@ -172,6 +201,28 @@ def bfs(
     never moves at all — and falls back to a shuffle join for huge
     frontiers (dense-graph middle rounds at scale).
     """
+    if checkpoint_dir is not None:
+        # Delegate with the ambient reliable context active: all
+        # truncations (and the loop's actions) happen inside; the
+        # returned plan reads the already-written spill files, so the
+        # context can close before the caller materializes.
+        with _reliable.reliable_checkpoints(checkpoint_dir):
+            return bfs(
+                edges,
+                source=source,
+                max_rounds=max_rounds,
+                with_paths=with_paths,
+                directed=directed,
+                warn_on_truncation=warn_on_truncation,
+                broadcast_frontier_rows=broadcast_frontier_rows,
+                reached_only=reached_only,
+                sources=sources,
+                source_df=source_df,
+                source_df_rows=source_df_rows,
+                stats=stats,
+                edge_partitions=edge_partitions,
+                dedup_edges=dedup_edges,
+            )
     spark = edges.sparkSession
     if edge_partitions is None:
         edge_partitions = _auto_edge_partitions(edges, directed)
@@ -233,7 +284,7 @@ def bfs(
     # inside round 1's job — for a source_df seed the min()-aggregate
     # scan runs as part of that job instead of as its own, and later
     # consumers (prev_ids, loops_and_source) read the cached rows.
-    frontier = seeds_df.select(*init_cols).localCheckpoint(eager=False)
+    frontier = seeds_df.select(*init_cols).transform(_ckpt_lazy)
     if n_seeds is None:
         # undeclared seed count: materialize the seed checkpoint now
         # (its rows are cached for round 1, so this job costs only the
@@ -337,7 +388,7 @@ def bfs(
                     # Lazy checkpoint: the count() below materializes it —
                     # one job per round where eager checkpoint + count
                     # cost two.
-                    .localCheckpoint(eager=False)
+                    .transform(_ckpt_lazy)
                 )
             else:
                 # dist-only BFS needs no aggregate at all: every vertex
@@ -352,7 +403,7 @@ def bfs(
                     .select(
                         "id", F.lit(round_no).cast("bigint").alias("dist")
                     )
-                    .localCheckpoint(eager=False)
+                    .transform(_ckpt_lazy)
                 )
             prev_ids, n_prev = frontier.select("id"), n_front
             n_front = new.count()  # materializes the checkpoint; drives the hints
@@ -371,7 +422,7 @@ def bfs(
             # would otherwise hand the planner an equally deep Union tree.
             visited = visited.union(new)
             if round_no % 16 == 0:
-                visited = visited.localCheckpoint()
+                visited = visited.transform(_ckpt)
             frontier = new
     finally:
         conf.set("spark.sql.adaptive.enabled", saved_aqe)
@@ -396,7 +447,7 @@ def bfs(
     # all_vertices reads sym, and an unpersisted sym would silently
     # recompute its repartition+dedup when the caller materializes the
     # result. Cheap: the distinct is exchange-free over cached data.
-    all_vertices = all_vertices.localCheckpoint()
+    all_vertices = all_vertices.transform(_ckpt)
     sym.unpersist()
     result = all_vertices.join(visited, "id", "left").select(
         "id", "dist", *(["path"] if with_paths else [])
@@ -519,9 +570,10 @@ def bfs_rdd(
             break
         visited = visited.union(new)
         if round_no % 3 == 0:
-            # NB: RDD.localCheckpoint marks in place and returns None
-            # (unlike DataFrame.localCheckpoint)
-            visited.localCheckpoint()
+            # NB: the RDD truncation marks in place and returns None
+            # (unlike the DataFrame form); reliable mode uses the real
+            # RDD.checkpoint against the ambient durable directory
+            _reliable.truncate_rdd(visited)
         prev = frontier
         frontier = new
 
@@ -580,7 +632,7 @@ def sssp(
         F.col("w").cast("double").alias("w"),
     ).repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
 
-    dist = spark.createDataFrame([(source, 0.0)], "id bigint, cost double").localCheckpoint()
+    dist = spark.createDataFrame([(source, 0.0)], "id bigint, cost double").transform(_ckpt)
     converged = False
     for _hop in range(max_hops):
         cand = dist.join(e, dist["id"] == e["src"]).select(
@@ -590,7 +642,7 @@ def sssp(
             dist.unionByName(cand)
             .groupBy("id")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         # fixpoint early-exit: no vertex improved and none added
         if new_dist.count() == dist.count():
@@ -666,10 +718,10 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     n = vertices.count()
-    ranks = vertices.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+    ranks = vertices.withColumn("pr", F.lit(1.0 / n)).transform(_ckpt)
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contribs = (
@@ -684,7 +736,7 @@ def pagerank(
                 "id",
                 (F.lit(base) + F.lit(damping) * F.coalesce("csum", F.lit(0.0))).alias("pr"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     links.unpersist()
     return ranks
@@ -707,7 +759,7 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     |V|·distinct-neighbour-labels rows, never the raw edge fanout.
     Same localCheckpoint lineage discipline as bfs/kcore.
     """
-    sym = undirected_edges(edges).localCheckpoint()
+    sym = undirected_edges(edges).transform(_ckpt)
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -724,7 +776,7 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
             votes.groupBy("src")
             .agg(best.alias("label"))
             .select(F.col("src").alias("id"), "label")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return labels
 
@@ -751,7 +803,7 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
     cur = (
         cur.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(cur.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
 
     converged = False
@@ -770,7 +822,7 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
         cur = (
             cur.join(keep, cur["src"] == keep["id"], "left_semi")
             .join(keep, F.col("dst") == keep["id"], "left_semi")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         n_vertices = n_keep
     if not converged:
@@ -817,7 +869,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     e1 = ranked.select(F.col("a"), F.col("b"))
     e2 = ranked.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -869,7 +921,7 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
 
     def large_star(cur: DataFrame) -> DataFrame:
@@ -902,7 +954,7 @@ def connected_components_star(
     converged = False
     for _ in range(max_iters):
         rounds += 1
-        nxt = small_star(large_star(e)).localCheckpoint()
+        nxt = small_star(large_star(e)).transform(_ckpt)
         # fixed point: the (canonical, deduped) edge sets are equal
         if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
             e = nxt
@@ -981,7 +1033,7 @@ def strongly_connected_components(
     e0 = (
         e_raw.filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     # Vertex set from the UNFILTERED input: a vertex whose only edges are
     # self-loops is a valid singleton SCC and must still get an output row.
@@ -989,7 +1041,7 @@ def strongly_connected_components(
         e_raw.select(F.col("src").alias("v"))
         .union(e_raw.select(F.col("dst").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     done: DataFrame | None = None
     rounds_left = max_rounds
@@ -1005,7 +1057,7 @@ def strongly_connected_components(
     pass_no = 0
 
     def add(res: DataFrame, part: DataFrame) -> DataFrame:
-        return part if res is None else res.unionByName(part).localCheckpoint()
+        return part if res is None else res.unionByName(part).transform(_ckpt)
 
     while rounds_left > 0:
         pass_no += 1
@@ -1015,7 +1067,7 @@ def strongly_connected_components(
         e = (
             e0.join(remaining.withColumnRenamed("v", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("v", "dst"), "dst", "left_semi")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         # --- trim the DAG fringe
         trimmed_any = False
@@ -1025,24 +1077,24 @@ def strongly_connected_components(
             srcs = e.select(F.col("src").alias("v")).distinct()
             dsts = e.select(F.col("dst").alias("v")).distinct()
             keep = srcs.join(dsts, "v", "left_semi")  # has both in and out edges
-            fringe = remaining.join(keep, "v", "left_anti").localCheckpoint(eager=False)
+            fringe = remaining.join(keep, "v", "left_anti").transform(_ckpt_lazy)
             n_fringe = fringe.count()  # materializes the lazy checkpoint
             if n_fringe == 0:
                 break
             trimmed_any = True
             done = add(done, fringe.select("v", F.col("v").alias("scc_id")))
-            remaining = remaining.join(fringe, "v", "left_anti").localCheckpoint()
+            remaining = remaining.join(fringe, "v", "left_anti").transform(_ckpt)
             e = (
                 e.join(fringe.withColumnRenamed("v", "src"), "src", "left_anti")
                 .join(fringe.withColumnRenamed("v", "dst"), "dst", "left_anti")
-                .localCheckpoint()
+                .transform(_ckpt)
             )
         _note(pass_no, "trim", _r0 - rounds_left, _t0)
         if remaining.count() == 0 or rounds_left <= 0:
             break
         # --- forward min-label propagation to fixpoint
         _t0, _r0 = time.perf_counter(), rounds_left
-        c = remaining.select("v", F.col("v").alias("c")).localCheckpoint()
+        c = remaining.select("v", F.col("v").alias("c")).transform(_ckpt)
         colors_converged = False
         while rounds_left > 0:
             rounds_left -= 1
@@ -1064,7 +1116,7 @@ def strongly_connected_components(
                     c.withColumnRenamed("c", "c_old"), "v"
                 )
                 .select("v", "c", (F.col("c") < F.col("c_old")).alias("chg"))
-                .localCheckpoint(eager=False)
+                .transform(_ckpt_lazy)
             )
             changed = c2.filter("chg").count()  # full count: materializes every partition
             c = c2.select("v", "c")
@@ -1083,7 +1135,7 @@ def strongly_connected_components(
             break
         # --- backward mark within colors, from every root at once
         _t0, _r0 = time.perf_counter(), rounds_left
-        mark = c.filter(F.col("v") == F.col("c")).localCheckpoint()
+        mark = c.filter(F.col("v") == F.col("c")).transform(_ckpt)
         while rounds_left > 0:
             rounds_left -= 1
             # candidate u joins SCC(c(u)) only if it has an edge into an
@@ -1098,14 +1150,14 @@ def strongly_connected_components(
                 .select("v", "c")
                 .distinct()
                 .join(mark.select("v"), "v", "left_anti")
-                .localCheckpoint(eager=False)
+                .transform(_ckpt_lazy)
             )
             if new.count() == 0:
                 break
-            mark = mark.unionByName(new).localCheckpoint(eager=False)
+            mark = mark.unionByName(new).transform(_ckpt_lazy)
         _note(pass_no, "backward", _r0 - rounds_left, _t0)
         done = add(done, mark.select("v", F.col("c").alias("scc_id")))
-        remaining = remaining.join(mark.select("v"), "v", "left_anti").localCheckpoint()
+        remaining = remaining.join(mark.select("v"), "v", "left_anti").transform(_ckpt)
         if not trimmed_any and mark.count() == 0:  # defensive: no progress
             break
     if rounds_left <= 0:

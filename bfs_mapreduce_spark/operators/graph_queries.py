@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bfs_mapreduce_spark.plans.reliable import (
+    ckpt as _ckpt,  # lineage truncation: localCheckpoint, or a durable
+    ckpt_lazy as _ckpt_lazy,  # parquet spill inside reliable_checkpoints()
+)
+
 from bfs_mapreduce_spark.operators.graph import bfs
 from bfs_mapreduce_spark.registry import register
 from bfs_mapreduce_spark.sources.readers import load_table, read_edge_list
@@ -264,7 +269,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_ecc_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = read_edge_list(spark, _SMALLG)
-    b1 = bfs(edges, source=0, with_paths=False, reached_only=True).localCheckpoint()
+    b1 = bfs(edges, source=0, with_paths=False, reached_only=True).transform(_ckpt)
     ecc0 = b1.agg(F.max("dist").alias("ecc_source"))
     far = (
         b1.orderBy(F.desc("dist"), F.asc("id")).limit(1).select("id")
@@ -315,7 +320,7 @@ _CLOSENESS_LANDMARKS = (0, 50, 100)
     "landmark over the same edge-list file.",
 )
 def q_graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = read_edge_list(spark, _SMALLG).localCheckpoint(eager=False)
+    edges = read_edge_list(spark, _SMALLG).transform(_ckpt_lazy)
     parts = []
     for lm in _CLOSENESS_LANDMARKS:
         b = bfs(edges, source=lm, with_paths=False, reached_only=True)
@@ -435,13 +440,13 @@ _HB_ROUNDS = 15  # covers smallG's diameter (>= 14, see q_graph_ecc_smallg)
 def q_graph_hyperball_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.operators.graph import undirected_edges
 
-    edges = undirected_edges(read_edge_list(spark, _SMALLG)).localCheckpoint()
+    edges = undirected_edges(read_edge_list(spark, _SMALLG)).transform(_ckpt)
     verts = edges.select(F.col("src").alias("v")).distinct()
 
     # exact side: reach table of (a, b) pairs within <= r hops
-    reach = verts.select(F.col("v").alias("a"), F.col("v").alias("b")).localCheckpoint()
+    reach = verts.select(F.col("v").alias("a"), F.col("v").alias("b")).transform(_ckpt)
     # sketch side: per-vertex HLL of the r-ball
-    state = verts.groupBy("v").agg(F.hll_sketch_agg("v").alias("sk")).localCheckpoint()
+    state = verts.groupBy("v").agg(F.hll_sketch_agg("v").alias("sk")).transform(_ckpt)
 
     rows = [
         reach.agg(F.count(F.lit(1)).alias("n_pairs")).select(
@@ -456,7 +461,7 @@ def q_graph_hyperball_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", F.col("dst").alias("b"))
             .unionByName(reach)
             .distinct()
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         nb = edges.join(state.withColumnRenamed("v", "dst"), "dst").select(
             F.col("src").alias("v"), "sk"
@@ -466,7 +471,7 @@ def q_graph_hyperball_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(nb)
             .groupBy("v")
             .agg(F.hll_union_agg("sk").alias("sk"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         reach = grown
         exact = grown.agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -962,12 +967,12 @@ _HARMONIC_LCM = 360360  # lcm(1..13), and ALSO divisible by 14
 def q_graph_harmonic_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.operators.graph import undirected_edges
 
-    edges = undirected_edges(read_edge_list(spark, _SMALLG)).localCheckpoint()
+    edges = undirected_edges(read_edge_list(spark, _SMALLG)).transform(_ckpt)
     verts = edges.select(F.col("src").alias("v")).distinct()
     d = verts.select(
         F.col("v").alias("a"), F.col("v").alias("b"),
         F.lit(0).cast("bigint").alias("dist"),
-    ).localCheckpoint()
+    ).transform(_ckpt)
     frontier = d
     for r in range(1, _SMALLG_DIAM + 1):
         nxt = (
@@ -976,11 +981,11 @@ def q_graph_harmonic_smallg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(d.select("a", "b"), ["a", "b"], "left_anti")
             .select("a", "b", F.lit(r).cast("bigint").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         if nxt.count() == 0:
             break
-        d = d.unionByName(nxt).localCheckpoint(eager=False)
+        d = d.unionByName(nxt).transform(_ckpt_lazy)
         frontier = nxt
     scaled = F.when(
         F.col("dist") > 0, F.floor(F.lit(_HARMONIC_LCM) / F.col("dist"))

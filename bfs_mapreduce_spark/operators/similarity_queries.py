@@ -25,6 +25,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from bfs_mapreduce_spark.plans.reliable import (
+    ckpt as _ckpt,  # lineage truncation: localCheckpoint, or a durable
+    ckpt_lazy as _ckpt_lazy,  # parquet spill inside reliable_checkpoints()
+)
 from pyspark.sql.functions import pandas_udf
 
 from bfs_mapreduce_spark.registry import register
@@ -274,13 +279,13 @@ def kmeans_centroids(
     BFS driver loop. Cells that lose every vector simply drop out
     (standard Lloyd's behavior; cells can die, never appear)."""
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    cent = _label_centroids(emb).localCheckpoint()
+    cent = _label_centroids(emb).transform(_ckpt)
     for _ in range(iters):
         assign = _nearest_cell(base, cent).select("vec_id", "cell")
         pairs = base.join(assign, "vec_id").select(
             "cell", F.posexplode("v").alias("pos", "x")
         )
-        cent = _centroid_frame(pairs).localCheckpoint()
+        cent = _centroid_frame(pairs).transform(_ckpt)
     return cent
 
 
@@ -436,7 +441,7 @@ def ivf_search(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     """IVF probe search against ``centroids`` (``(cell, cv, cn)``) —
     label-mean centroids by default; pass ``kmeans_centroids(emb)`` to
     serve from the learned quantizer instead."""
-    cent = (centroids if centroids is not None else _label_centroids(emb)).localCheckpoint()
+    cent = (centroids if centroids is not None else _label_centroids(emb)).transform(_ckpt)
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
     cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
     # cc rounded to the same 1e-6 grid as every other ranking cosine
@@ -738,7 +743,7 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "j")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
         .select("s", "j", F.transform("pa", lambda t: t["avg"]).alias("cv"))
-        .localCheckpoint()  # m*k rows; broadcast into encode AND the LUT
+        .transform(_ckpt)  # m*k rows; broadcast into encode AND the LUT
     )
     d2 = F.round(_l2sq("sv", "cv"), 6)
     enc = subs.join(F.broadcast(book), "s").select(
@@ -755,7 +760,7 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # IVF probes bound the candidate set (q_similarity_ivf_search's
     # construction, verbatim)
-    cent = _label_centroids(emb).localCheckpoint()
+    cent = _label_centroids(emb).transform(_ckpt)
     cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
     scored_cells = base.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cell", F.round(cell_cos, 6).alias("cc")
@@ -885,7 +890,7 @@ def q_similarity_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos0") + 1).alias("pos"),
             F.col("x").cast("decimal(12,6)").alias("xd"),
         )
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     # plan-time literal seed (the accepted pattern — graph.py loops):
     # one tiny agg job, then k-1 rounds of broadcast + min/argmax
@@ -905,7 +910,7 @@ def q_similarity_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    m = d2_to(seed).localCheckpoint()
+    m = d2_to(seed).transform(_ckpt)
     rows = [(1, int(seed), None)]
     for r in range(2, _KCENTER_SEEDS + 1):
         far = m.orderBy(F.desc("d2"), F.asc("vec_id")).first()
@@ -914,7 +919,7 @@ def q_similarity_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = (
             m.join(n, "vec_id")
             .select("vec_id", F.least("d2", "nd2").alias("d2"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return spark.createDataFrame(
         rows, "seed_rank int, vec_id bigint, radius_d2 double"

@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bfs_mapreduce_spark.plans.reliable import (
+    ckpt as _ckpt,  # lineage truncation: localCheckpoint, or a durable
+    ckpt_lazy as _ckpt_lazy,  # parquet spill inside reliable_checkpoints()
+)
+
 from bfs_mapreduce_spark.registry import register
 from bfs_mapreduce_spark.sources.readers import load_table
 
@@ -772,7 +777,7 @@ def _ngram_arrays(docs: DataFrame, n: int) -> DataFrame:
     a materialized words column (same barrier rationale as
     dedup_queries.shingle_arrays: interpreted HOFs re-evaluate their
     input per element)."""
-    w = docs.select("doc_id", F.split("text", " ").alias("w")).localCheckpoint()
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).transform(_ckpt)
     grams = F.when(
         F.size("w") >= n,
         F.array_distinct(
@@ -857,7 +862,7 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("w")).localCheckpoint()
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).transform(_ckpt)
     bigrams = F.when(
         F.size("w") >= 2,
         F.transform(
@@ -1300,7 +1305,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", _words().alias("ws")).filter(
         F.size("ws") >= _DECON_N
-    ).localCheckpoint(eager=False)  # words materialized once for the n-gram transform
+    ).transform(_ckpt_lazy)  # words materialized once for the n-gram transform
     ng = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("ws") - _DECON_N),
@@ -1374,7 +1379,7 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint") % _DSIR_B
     tok = docs.select("doc_id", F.explode(_words()).alias("w")).select(
         "doc_id", hv.alias("bkt")
-    ).localCheckpoint(eager=False)  # feeds both distributions + scoring
+    ).transform(_ckpt_lazy)  # feeds both distributions + scoring
     is_target = F.col("doc_id") % 20 == 0
     tcnt = tok.filter(is_target).groupBy("bkt").agg(F.count(F.lit(1)).alias("tc"))
     rcnt = tok.filter(~is_target).groupBy("bkt").agg(F.count(F.lit(1)).alias("rc"))
@@ -1685,7 +1690,7 @@ def _bpe_merge_rounds(
     ``return_rows=True`` also returns the post-merge token stream —
     the ENCODE half: after the last round, ``rows`` is the corpus
     tokenized under the trained merge table."""
-    rows = rows.localCheckpoint(eager=False)
+    rows = rows.transform(_ckpt_lazy)
     keep = [part, "pos"] + ([weight] if weight else [])
     wdoc = Window.partitionBy(part).orderBy("pos")
     wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1733,7 +1738,7 @@ def _bpe_merge_rounds(
                 .alias("tok"),
             )
             .withColumn("pos", F.row_number().over(wdoc))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     return (rules, rows) if return_rows else rules
 
@@ -1843,7 +1848,7 @@ def q_text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # monotone label (stopword-rate AND length floor): a linear
         # model can actually fit it, unlike a band rule on n_words
         F.when(((ns / nw) >= 0.04) & (nw >= 20), 1.0).otherwise(0.0).alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
 
     w = [0.0, 0.0, 0.0, 0.0]
     rows = []
@@ -1944,7 +1949,7 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.length("text") - nw + 1) * 0.1 / nw).alias("x2"),
         (ns / nw).alias("x3"),
         F.when(((ns / nw) >= 0.04) & (nw >= 20), 1.0).otherwise(0.0).alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
 
     w = [0.0, 0.0, 0.0, 0.0]
     for _step in range(_QT_STEPS):
@@ -2078,7 +2083,7 @@ def q_text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("word").between(3, _UNI_MAXLEN))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     ks = F.explode(F.sequence(F.lit(1), F.lit(_UNI_MAXP))).alias("k")
     wpieces = (
@@ -2126,12 +2131,12 @@ def q_text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cost"),
         )
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     cand = (
         wpieces.join(F.broadcast(model), "piece")
         .select("word", "s", "k", "piece", "cost")
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     dp = {
         0: words.select(
@@ -2163,7 +2168,7 @@ def q_text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             u.withColumn("rn", F.row_number().over(w_rank))
             .filter(F.col("rn") == 1)
             .select("word", "cost", "seg")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     fins = None
     for n in range(3, _UNI_MAXLEN + 1):
@@ -2259,7 +2264,7 @@ def _uni_viterbi_frame(words: DataFrame, cand: DataFrame) -> DataFrame:
             u.withColumn("rn", F.row_number().over(w_rank))
             .filter(F.col("rn") == 1)
             .select("word", "cost", "seg")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     fins = None
     for n in range(3, _UNI_MAXLEN + 1):
@@ -2376,7 +2381,7 @@ def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     words = allw.filter(F.length("word").between(3, _UNI_MAXLEN))
     oov = allw.filter(~F.length("word").between(3, _UNI_MAXLEN))
@@ -2399,7 +2404,7 @@ def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             F.substring(F.col("word"), F.col("s"), F.col("k")).alias("piece"),
         )
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     subs = wpieces.groupBy("piece").agg(F.sum("wcount").alias("occ"))
     multi = (
@@ -2427,14 +2432,14 @@ def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("cost"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
 
     def cand_from(model: DataFrame) -> DataFrame:
         return (
             wpieces.join(F.broadcast(model), "piece")
             .select("word", "s", "k", "piece", "cost")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
 
     seg0 = _uni_viterbi_frame(words, cand_from(model_from(vocab, "occ")))
@@ -2446,7 +2451,7 @@ def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("piece")
         .agg(F.sum("wcount").alias("n"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     m1src = (
         subs.filter(F.length("piece") == 1)
