@@ -175,8 +175,7 @@ def _commit_meta(root: str, base_version: int, *, checks: dict[str, str]) -> int
         operation="set_check",
         checks=checks,
     )
-    _atomic_write(_manifest_path(root, version), json.dumps(payload, indent=1))
-    _atomic_write(os.path.join(root, "_latest"), str(version))
+    _publish_manifest(root, version, json.dumps(payload, indent=1))
     return version
 
 
@@ -209,12 +208,21 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def current_version(root: str) -> int:
-    """Version in the ``_latest`` pointer; 0 if the table is empty."""
+    """Current committed version: the ``_latest`` pointer, ROLLED
+    FORWARD past any manifests created after it. The manifest file's
+    exclusive creation is the true commit point (see :func:`commit`);
+    the pointer is a convenience cache, so a writer that died between
+    creating v+1 and bumping the pointer must not wedge the table —
+    every reader/writer heals the pointer by walking forward. 0 if
+    the table is empty."""
     try:
         with open(os.path.join(root, "_latest")) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
     except FileNotFoundError:
-        return 0
+        v = 0
+    while os.path.exists(_manifest_path(root, v + 1)):
+        v += 1
+    return v
 
 
 def read_manifest(root: str, version: int | None = None) -> dict:
@@ -230,6 +238,32 @@ def _atomic_write(path: str, payload: str) -> None:
     with open(tmp, "w") as f:
         f.write(payload)
     os.replace(tmp, path)
+
+
+def _publish_manifest(root: str, version: int, payload: str) -> None:
+    """ATOMIC compare-and-swap commit point: create the version's
+    manifest with fail-if-exists semantics (``os.link`` — atomic on
+    POSIX, EEXIST if a racing writer already created this version).
+    Exactly one writer per version number wins; the loser gets
+    :class:`SnapshotConflict` and retries against the new version.
+    The serial pre-check in :func:`commit` is an optimization; THIS is
+    the correctness boundary — on an object store it maps to a
+    conditional PUT (If-None-Match) / catalog CAS. Only after winning
+    is the ``_latest`` pointer advanced; a crash in between is healed
+    by :func:`current_version`'s roll-forward."""
+    path = _manifest_path(root, version)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"version {version} was committed by a concurrent writer"
+        ) from None
+    finally:
+        os.remove(tmp)
+    _atomic_write(os.path.join(root, "_latest"), str(version))
 
 
 def stage_files(df: DataFrame, root: str) -> list[str]:
@@ -270,6 +304,7 @@ def commit(
     txn: tuple[str, int] | None = None,
     schema: str | None = None,
     deletes: dict[str, list[str]] | None = None,
+    eq_deletes: list[dict] | None = None,
     operation: str | None = None,
 ) -> int:
     """Commit ``files`` as the next version: append to the base
@@ -302,6 +337,13 @@ def commit(
     files still in the new list, so a rewrite (compact / merge) that
     drops a file also drops its delete vectors: the rewrite read
     through them, so they are materialized, not lost.
+
+    ``eq_deletes`` appends equality-delete entries (see
+    :func:`delete_eq`): each ``{"files", "cols", "applies"}`` masks
+    key-matching rows of the data files in ``applies``. Entries are
+    carried forward with ``applies`` filtered to surviving files —
+    a rewrite that drops every applied file drops the entry (the
+    rewrite read through it: materialized, not lost).
 
     ``operation`` overrides the recorded commit kind (default
     ``replace``/``append`` from the flag) — ``delete_where`` labels
@@ -341,9 +383,20 @@ def commit(
         for p, d in {**base.get("deletes", {}), **(deletes or {})}.items()
         if p in set(new_files)
     }
+    new_eq = []
+    for e in base.get("eq_deletes", []) + list(eq_deletes or []):
+        applies = [p for p in e["applies"] if p in set(new_files)]
+        if applies:  # a rewrite that dropped every applied file
+            new_eq.append(  # materialized this entry — carry nothing
+                {"files": e["files"], "cols": e["cols"], "applies": applies}
+            )
     version = latest + 1
-    _atomic_write(
-        _manifest_path(root, version),
+    # Manifest creation (inside _publish_manifest) is the atomic CAS
+    # commit point — exactly one writer per version number; the serial
+    # base_version check above is a fast-fail optimization.
+    _publish_manifest(
+        root,
+        version,
         json.dumps(
             {
                 "version": version,
@@ -354,16 +407,12 @@ def commit(
                 "txn": new_txn,
                 "schema": new_schema,
                 "deletes": new_deletes,
+                "eq_deletes": new_eq,
                 "checks": base.get("checks", {}),
             },
             indent=1,
         ),
     )
-    # The pointer swap is the commit point. A second writer racing to
-    # the same version number would have failed the CAS check above in
-    # any serial interleaving; on a real catalog this is one atomic
-    # conditional update.
-    _atomic_write(os.path.join(root, "_latest"), str(version))
     return version
 
 
@@ -383,38 +432,76 @@ _FP = "__ts_file_path"
 _POS = "__ts_pos"
 
 
+def _apply_eq_deletes(
+    spark: SparkSession, df: DataFrame, eq_deletes: list[dict], scope: set[str]
+) -> DataFrame:
+    """Apply equality-delete entries to ``df`` (which carries the
+    injected ``_FP`` column). A row is masked iff some entry's key set
+    matches it AND the row's data file is in that entry's ``applies``
+    list — files appended AFTER the delete commit are untouched, the
+    Iceberg v2 sequence-number rule expressed file-granularly. Each
+    entry is one broadcast left join + filter on its (tiny) key set."""
+    for e in eq_deletes:
+        applies = [f for f in e["applies"] if f in scope]
+        if not applies:
+            continue
+        hit = f"__ts_eq_hit_{abs(hash(tuple(e['files']))) % 10**8}"
+        keys = (
+            spark.read.parquet(*e["files"])
+            .select(*e["cols"])
+            .dropDuplicates()
+            .withColumn(hit, F.lit(True))
+        )
+        df = (
+            df.join(F.broadcast(keys), on=list(e["cols"]), how="left")
+            .filter(
+                ~(F.col(hit).isNotNull() & F.col(_FP).isin(applies))
+            )
+            .drop(hit)
+        )
+    return df
+
+
 def _scan(
     spark: SparkSession,
     files: list[str],
     deletes: dict[str, list[str]],
     schema_json: str | None = None,
+    eq_deletes: list[dict] | None = None,
 ) -> DataFrame:
-    """DataFrame over ``files`` with position deletes applied. Files
-    with no delete entries scan on the plain fast path; masked files
-    pay one broadcast anti-join on (file, position) — the
-    merge-on-read cost lands only where a delete actually landed."""
+    """DataFrame over ``files`` with position AND equality deletes
+    applied. Files with no delete entries of either kind scan on the
+    plain fast path; tracked files pay one broadcast anti-join on
+    (file, position) for position deletes plus one broadcast key join
+    per equality-delete entry — the merge-on-read cost lands only
+    where a delete actually landed."""
+    eq = eq_deletes or []
+    eq_scope = {f for e in eq for f in e["applies"]}
     reader = spark.read
     if schema_json:
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-    clean = [f for f in files if f not in deletes]
-    masked = [f for f in files if f in deletes]
+    clean = [f for f in files if f not in deletes and f not in eq_scope]
+    tracked = [f for f in files if f in deletes or f in eq_scope]
     parts: list[DataFrame] = []
     if clean:
         parts.append(reader.parquet(*clean))
-    if masked:
-        dv_files = sorted({d for f in masked for d in deletes[f]})
-        dv = spark.read.parquet(*dv_files).select(
-            F.col("file_path").alias(_FP), F.col("pos").alias(_POS)
-        )
-        parts.append(
-            reader.parquet(*masked)
-            .withColumn(_FP, _norm_file_col(F.input_file_name()))
-            .withColumn(_POS, F.col("_metadata.row_index"))
-            .join(F.broadcast(dv), [_FP, _POS], "left_anti")
-            .drop(_FP, _POS)
-        )
+    if tracked:
+        df = reader.parquet(*tracked)
+        orig_cols = df.columns  # the eq-delete key join reorders; pin
+        df = df.withColumn(
+            _FP, _norm_file_col(F.input_file_name())
+        ).withColumn(_POS, F.col("_metadata.row_index"))
+        pos_masked = [f for f in tracked if f in deletes]
+        if pos_masked:
+            dv_files = sorted({d for f in pos_masked for d in deletes[f]})
+            dv = spark.read.parquet(*dv_files).select(
+                F.col("file_path").alias(_FP), F.col("pos").alias(_POS)
+            )
+            df = df.join(F.broadcast(dv), [_FP, _POS], "left_anti")
+        df = _apply_eq_deletes(spark, df, eq, set(tracked))
+        parts.append(df.select(*orig_cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -441,7 +528,13 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     m = read_manifest(root, version)
     if not m["files"]:
         raise ValueError(f"snapshot table {root!r} has no committed data")
-    return _scan(spark, m["files"], m.get("deletes") or {}, m.get("schema"))
+    return _scan(
+        spark,
+        m["files"],
+        m.get("deletes") or {},
+        m.get("schema"),
+        m.get("eq_deletes"),
+    )
 
 
 def compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
@@ -486,7 +579,9 @@ def delete_where(
     # position runs only need to be sorted WITHIN each delete file for
     # a reader to merge them — a range-exchange sort would buy nothing
     hits = (
-        _scan_for_delete(spark, m["files"], existing, m.get("schema"))
+        _scan_for_delete(
+            spark, m["files"], existing, m.get("schema"), m.get("eq_deletes")
+        )
         .filter(cond)
         .select(F.col(_FP).alias("file_path"), F.col(_POS).alias("pos"))
         .coalesce(n_delete_files)
@@ -532,15 +627,78 @@ def delete_where(
     return version, n_deleted, affected
 
 
+def delete_eq(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+) -> tuple[int, list[str]]:
+    """EQUALITY delete (Iceberg format-v2's second delete kind): mask
+    every current row whose key columns match a row of ``keys``
+    WITHOUT scanning for victims — the primitive a streaming upsert
+    needs, because finding positions would cost the full-table scan
+    the merge-on-read contract exists to avoid. ``keys``'s columns ARE
+    the equality key (one or more table columns, no NULLs — a NULL
+    key row raises, since NULL = NULL matches nothing in SQL and a
+    delete that silently never fires is how ghosts survive).
+
+    The staged delete file holds the key rows; the manifest entry
+    records ``{files, cols, applies}`` where ``applies`` is the data
+    file set AT COMMIT TIME — Iceberg's sequence-number rule made
+    file-granular: rows appended AFTER the delete are untouched even
+    if their keys match. Readers pay one broadcast key join per entry,
+    only on files in ``applies``; position deletes stack with it (a
+    row is masked if EITHER kind claims it); :func:`compact` and
+    :func:`merge_into` read through both kinds and so materialize
+    them. Commits under the same CAS with ``operation='delete'``
+    (file-diff CDC refuses to cross it).
+
+    Returns ``(new_version, key_delete_files)``. Cost at 100 TB:
+    O(|keys|) bytes written, zero data files read or rewritten — the
+    cheapest possible delete; the read-side join cost is retired at
+    the next compaction."""
+    base = current_version(root)
+    m = read_manifest(root, base)
+    if not m["files"]:
+        raise ValueError(f"snapshot table {root!r} has no committed data")
+    cols = list(keys.columns)
+    if not cols:
+        raise ValueError("keys DataFrame has no columns")
+    n_null = keys.filter(
+        F.greatest(*[F.col(c).isNull() for c in cols])
+        if len(cols) > 1
+        else F.col(cols[0]).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"equality-delete keys contain {n_null} row(s) with NULL key "
+            "values — NULL never equality-matches, so the delete would "
+            "silently not fire for them"
+        )
+    staged = stage_files(keys.dropDuplicates().coalesce(1), root)
+    if not staged:
+        return base, []
+    entry = {"files": staged, "cols": cols, "applies": list(m["files"])}
+    version = commit(
+        root,
+        [],
+        base_version=base,
+        eq_deletes=[entry],
+        operation="delete",
+    )
+    return version, staged
+
+
 def _scan_for_delete(
     spark: SparkSession,
     files: list[str],
     deletes: dict[str, list[str]],
     schema_json: str | None,
+    eq_deletes: list[dict] | None = None,
 ) -> DataFrame:
     """Like :func:`_scan` but KEEPS the injected (``__ts_file_path``,
     ``__ts_pos``) columns on every row — the victim-finding scan needs
-    positions for clean files too, not just masked ones."""
+    positions for clean files too, not just masked ones. Reads through
+    BOTH delete kinds, so already-masked rows are never re-counted."""
     reader = spark.read
     if schema_json:
         from pyspark.sql.types import StructType
@@ -557,7 +715,7 @@ def _scan_for_delete(
             F.col("file_path").alias(_FP), F.col("pos").alias(_POS)
         )
         df = df.join(F.broadcast(dv), [_FP, _POS], "left_anti")
-    return df
+    return _apply_eq_deletes(spark, df, eq_deletes or [], set(files))
 
 
 def vacuum(root: str, retain_from: int = 1) -> list[str]:
@@ -573,6 +731,8 @@ def vacuum(root: str, retain_from: int = 1) -> list[str]:
         keep.update(mv["files"])
         for dvs in (mv.get("deletes") or {}).values():
             keep.update(dvs)
+        for e in mv.get("eq_deletes") or []:
+            keep.update(e["files"])
     deleted = []
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, names in os.walk(data_root):
@@ -675,9 +835,9 @@ def read_pruned(
             f"{root!r} v{m['version']} — empty-scan fast path is "
             "the caller's concern"
         )
-    df = _scan(spark, kept, m.get("deletes") or {}, m.get("schema")).filter(
-        F.col(col).between(F.lit(lo), F.lit(hi))
-    )
+    df = _scan(
+        spark, kept, m.get("deletes") or {}, m.get("schema"), m.get("eq_deletes")
+    ).filter(F.col(col).between(F.lit(lo), F.lit(hi)))
     return df, kept, skipped
 
 
@@ -724,10 +884,10 @@ def merge_into(
     keys_df = source.select(*key_cols).distinct()
     touched = set()
     if candidates:
-        # scan THROUGH any position deletes: a row already deleted
+        # scan THROUGH any deletes (both kinds): a row already deleted
         # must neither mark its file as touched nor survive a rewrite
         tgt = _scan_for_delete(
-            spark, candidates, deletes, m.get("schema")
+            spark, candidates, deletes, m.get("schema"), m.get("eq_deletes")
         )
         touched = {
             r[0]
@@ -739,7 +899,7 @@ def merge_into(
     untouched = [f for f in m["files"] if f not in touched]
     if touched:
         survivors = _scan(
-            spark, sorted(touched), deletes, m.get("schema")
+            spark, sorted(touched), deletes, m.get("schema"), m.get("eq_deletes")
         ).join(F.broadcast(keys_df), key_cols, "left_anti")
         rewritten = survivors.unionByName(source)
     else:

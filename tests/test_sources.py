@@ -1172,3 +1172,225 @@ def test_avro_stream_commit_sweeps_stale_replay_files(tmp_path):
     assert len(files) == 1  # stale higher-index files swept
     _s, rows = read_avro(files[0])
     assert sorted(r["k"] for r in rows) == [1, 2, 3]
+
+
+def test_snapshot_concurrent_writers_cas_race(spark, tmp_path):
+    """Round-11 ask #3: TWO writers racing commits against the same
+    table. The manifest's exclusive creation (os.link fail-if-exists)
+    is the commit point, so exactly one writer wins each version; the
+    loser sees SnapshotConflict, re-reads, and retries. Afterward the
+    version chain is linear, every committed batch's rows are present
+    exactly once, and file-diff CDC over the whole range is exact —
+    the serializability claim the format's docstring makes, now
+    actually raced."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    ts.commit(
+        root,
+        ts.stage_files(spark.range(0, 10).toDF("k"), root),
+        base_version=0,
+    )
+    per_thread, n_threads, rows_each = 5, 3, 10
+    conflicts = [0] * n_threads
+    errors = []
+    barrier = threading.Barrier(n_threads)
+
+    def writer(tid):
+        try:
+            barrier.wait()
+            for i in range(per_thread):
+                lo = 1_000_000 * (tid + 1) + 1000 * i
+                files = ts.stage_files(
+                    spark.range(lo, lo + rows_each).toDF("k"), root
+                )
+                while True:
+                    try:
+                        ts.commit(
+                            root,
+                            files,
+                            base_version=ts.current_version(root),
+                        )
+                        break
+                    except ts.SnapshotConflict:
+                        conflicts[tid] += 1
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errors.append((tid, repr(ex)))
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    total_commits = n_threads * per_thread
+    final = ts.current_version(root)
+    assert final == 1 + total_commits  # one version per commit, no gaps
+    # linear parent chain, strictly growing append-only file lists
+    prev_files = None
+    for v in range(1, final + 1):
+        mv = ts.read_manifest(root, v)
+        assert mv["parent"] == v - 1
+        if prev_files is not None:
+            assert set(prev_files) < set(mv["files"])
+        prev_files = mv["files"]
+    # all rows present exactly once
+    got = ts.read(spark, root)
+    assert got.count() == 10 + total_commits * rows_each
+    assert got.groupBy("k").count().filter("count > 1").count() == 0
+    # CDC across the raced range is the exact appended set
+    assert (
+        ts.read_changes(spark, root, 1, final).count()
+        == total_commits * rows_each
+    )
+    # the race actually happened (the barrier makes this overwhelmingly
+    # likely; if the scheduler serialized everything, conflicts may be
+    # 0 — so assert on the invariant above, merely REPORT contention)
+    print("CAS conflicts per thread:", conflicts)
+
+
+def test_snapshot_stale_pointer_heals(spark, tmp_path):
+    """A writer that created its manifest but died before bumping
+    ``_latest`` must not wedge the table: current_version rolls
+    forward past the stale pointer and the next commit proceeds."""
+    import os
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v1 = ts.commit(
+        root, ts.stage_files(spark.range(5).toDF("k"), root), base_version=0
+    )
+    v2 = ts.commit(
+        root, ts.stage_files(spark.range(5, 9).toDF("k"), root), base_version=v1
+    )
+    # simulate the crash window: rewind the pointer behind the manifest
+    with open(os.path.join(root, "_latest"), "w") as f:
+        f.write(str(v1))
+    assert ts.current_version(root) == v2  # healed by roll-forward
+    v3 = ts.commit(
+        root, ts.stage_files(spark.range(9, 12).toDF("k"), root), base_version=v2
+    )
+    assert v3 == v2 + 1
+    assert ts.read(spark, root).count() == 12
+
+
+def test_snapshot_equality_deletes(spark, tmp_path):
+    """Round-11 ask #4: Iceberg-v2-style equality deletes — delete by
+    key WITHOUT scanning victims; later appends with the same key
+    survive (commit-time applies scope); stacks with position deletes;
+    compact materializes; merge reads through; time travel exact."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    v1 = ts.commit(
+        root, ts.stage_files(df.repartition(3), root), base_version=0
+    )
+
+    # equality delete of grp=2: zero data files read or rewritten
+    keys = spark.createDataFrame([(2,)], "grp bigint")
+    v2, dv_files = ts.delete_eq(spark, root, keys)
+    assert len(dv_files) == 1
+    m2 = ts.read_manifest(root, v2)
+    assert set(m2["files"]) == set(ts.read_manifest(root, v1)["files"])
+    assert m2["operation"] == "delete"
+    assert ts.read(spark, root).count() == 240
+    assert ts.read(spark, root).filter("grp = 2").count() == 0
+    assert ts.read(spark, root, v1).count() == 300  # time travel
+
+    # rows appended AFTER the delete keep grp=2 (applies scoping)
+    late = spark.createDataFrame([(1000, 2), (1001, 3)], "k bigint, grp bigint")
+    v3 = ts.commit(root, ts.stage_files(late, root), base_version=v2)
+    got3 = ts.read(spark, root, v3)
+    assert got3.count() == 242
+    assert got3.filter("grp = 2").count() == 1  # only the late row
+
+    # stacked position delete on top of the equality delete:
+    # overlapping predicate counts only still-live rows
+    v4, n_pos, _aff = ts.delete_where(spark, root, "k % 2 = 0 AND k < 300")
+    assert n_pos == df.filter("grp <> 2 AND k % 2 = 0").count()
+    expect_live = 242 - n_pos
+    assert ts.read(spark, root).count() == expect_live
+
+    # equality delete whose keys also hit already-masked rows: the
+    # victim-less path writes the key file regardless (cheap), and the
+    # read masks the union — no double-count possible by construction
+    v5, _ = ts.delete_eq(spark, root, spark.createDataFrame([(4,)], "grp bigint"))
+    live_after = ts.read(spark, root)
+    assert live_after.filter("grp = 4 AND k < 300").count() == 0
+    # NULL keys refuse loudly
+    with pytest.raises(ValueError, match="NULL"):
+        ts.delete_eq(
+            spark, root,
+            spark.createDataFrame([(None,)], "grp bigint"),
+        )
+
+    # CDC refuses to cross the eq-delete commit
+    with pytest.raises(ValueError, match="delete"):
+        ts.read_changes(spark, root, v1, v5)
+
+    # compact materializes BOTH delete kinds: the replace manifest
+    # carries no delete entries and reads identically
+    before = sorted(tuple(r) for r in ts.read(spark, root).collect())
+    v6 = ts.compact(spark, root, n_files=2)
+    m6 = ts.read_manifest(root, v6)
+    assert m6.get("deletes") in (None, {}) and m6.get("eq_deletes") in (None, [])
+    assert sorted(tuple(r) for r in ts.read(spark, root).collect()) == before
+
+    # vacuum keeps history: the eq-delete key file of retained v5 survives
+    kept_before = os.path.exists(dv_files[0])
+    assert kept_before
+    ts.vacuum(root, retain_from=1)
+    assert os.path.exists(dv_files[0])
+
+
+def test_snapshot_merge_reads_through_equality_deletes(spark, tmp_path):
+    """merge_into over live equality deletes: masked rows neither mark
+    files as touched nor survive the rewrite, and the merge commit
+    materializes the entries for rewritten files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+    )
+    ts.commit(root, ts.stage_files(df.repartition(2), root), base_version=0)
+    ts.delete_eq(spark, root, spark.createDataFrame([(1,)], "grp bigint"))
+    assert ts.read(spark, root).count() == 75
+
+    # upsert rows 0..9 with grp=9; masked grp-1 rows must NOT resurrect
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(9).cast("bigint").alias("grp")
+    )
+    ts.merge_into(spark, root, src, ["k"], target_files=1)
+    got = ts.read(spark, root)
+    # live before merge: 75; merge replaces the 7 live rows of k<10
+    # (k=1,5,9 were grp-1-masked) and inserts the 3 masked keys anew
+    assert got.count() == 78
+    assert got.filter("k < 10").count() == 10
+    assert got.filter("k < 10 AND grp <> 9").count() == 0
+    assert got.filter("grp = 1").count() == 0
+    assert got.groupBy("k").count().filter("count > 1").count() == 0
