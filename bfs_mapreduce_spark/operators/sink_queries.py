@@ -1366,3 +1366,102 @@ def q_sink_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "q_sink_snapshot_eqdelete",
+    oracle="""
+    -- Equality-delete lifecycle re-derived relationally: v1 = base,
+    -- v2 = base minus key-matched rows, v3 = v2 plus LATE rows whose
+    -- keys match the earlier delete (applies scoping: they survive),
+    -- v4 = v3 minus a stacked position delete, v5 = v4 compacted.
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    live2 AS (SELECT * FROM base WHERE o_custkey % 7 <> 0),
+    late AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+      FROM base WHERE o_custkey % 7 = 0 AND o_orderkey % 100 < 5),
+    live3 AS (SELECT * FROM live2 UNION ALL SELECT * FROM late),
+    live4 AS (SELECT * FROM live3 WHERE o_orderkey % 3 <> 0),
+    agg AS (
+      SELECT 1 AS stage, 0 AS n_eq, 0 AS n_dv, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM base
+      UNION ALL
+      SELECT 2, 1, 0, COUNT(*), SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live2
+      UNION ALL
+      SELECT 3, 1, 0, COUNT(*), SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live3
+      UNION ALL
+      SELECT 4, 1, 1, COUNT(*), SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live4
+      UNION ALL
+      SELECT 5, 0, 0, COUNT(*), SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live4)
+    SELECT stage, CAST(n AS BIGINT) AS n_rows, CAST(tp AS DOUBLE) AS total_price,
+           CAST(n_eq AS BIGINT) AS n_eq_entries, CAST(n_dv AS BIGINT) AS n_delete_files
+    FROM agg
+    """,
+    doc="EQUALITY deletes over the snapshot table (round 11, "
+    "table_snapshots.delete_eq — Iceberg format-v2's second delete "
+    "kind, the primitive streaming upsert needs): DELETE by key "
+    "writes only the key rows (zero data files read or rewritten — "
+    "O(|keys|) bytes, vs the position delete's victim scan), and the "
+    "manifest entry's commit-time 'applies' list carries Iceberg's "
+    "sequence-number rule file-granularly: rows APPENDED AFTER the "
+    "delete survive even with matching keys (stage 3 re-appends "
+    "key-matched late rows and the oracle counts them alive). A "
+    "stacked position delete then masks through the equality mask "
+    "(stage 4: both kinds applied, metadata columns pin one eq entry "
+    "+ one delete vector), and compaction materializes BOTH kinds "
+    "(stage 5: same rows, zero delete metadata). Counts, "
+    "decimal-exact sums, and the delete-metadata shape of all five "
+    "versions sit inside one oracle hash.",
+)
+def q_sink_snapshot_eqdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_eqdel"), tag)
+    if ts.current_version(root) < 5:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        v1 = ts.commit(
+            root, ts.stage_files(orders.repartition(3), root), base_version=0
+        )
+        keys = (
+            orders.filter(F.col("o_custkey") % 7 == 0)
+            .select("o_custkey")
+            .dropDuplicates()
+        )
+        v2, _dv = ts.delete_eq(spark, root, keys)
+        late = (
+            orders.filter(
+                (F.col("o_custkey") % 7 == 0) & (F.col("o_orderkey") % 100 < 5)
+            )
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        )
+        v3 = ts.commit(root, ts.stage_files(late, root), base_version=v2)
+        v4, _n, _aff = ts.delete_where(spark, root, "o_orderkey % 3 = 0")
+        assert (v2, v3, v4) == (v1 + 1, v1 + 2, v1 + 3)
+        assert ts.compact(spark, root, n_files=1) == v4 + 1
+    rows = []
+    price = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    for stage in (1, 2, 3, 4, 5):
+        m = ts.read_manifest(root, stage)
+        n_eq = len(m.get("eq_deletes") or [])
+        n_dv = len({d for lst in (m.get("deletes") or {}).values() for d in lst})
+        rows.append(
+            ts.read(spark, root, stage)
+            .agg(F.count(F.lit(1)).alias("n"), price.alias("tp"))
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                F.col("tp").cast("double").alias("total_price"),
+                F.lit(n_eq).cast("bigint").alias("n_eq_entries"),
+                F.lit(n_dv).cast("bigint").alias("n_delete_files"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -875,3 +875,108 @@ def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(final_version).cast("bigint").alias("final_version"),
         F.lit(replay_version).cast("bigint").alias("version_after_replay"),
     )
+
+
+@register(
+    "q_stream_snapshot_changes",
+    oracle="""
+    -- Phase 1: the stream (startingVersion=1) must deliver exactly
+    -- the rows of the v2+v3 append commits; phase 2: after a FOURTH
+    -- commit lands, resuming from the SAME checkpoint must deliver
+    -- only the new commit's rows (shifted keys mark them).
+    WITH tail AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 3 IN (1, 2)),
+    late AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 0)
+    SELECT 1 AS phase, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM tail GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 2, o_orderpriority, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM late GROUP BY o_orderpriority
+    """,
+    doc="Streaming CDC source over the snapshot table (round 11, "
+    "sources/snapshot_changes_source.py — the streaming twin of "
+    "q_sink_snapshot_changes, closing the lakehouse loop: commits in, "
+    "commits OUT as a stream). Offsets are table versions; "
+    "partitions() plans one executor-side Arrow read per appended "
+    "file (driver touches manifests only); a REPLACE/DELETE commit "
+    "in range fails the stream with the same refusal as the batch "
+    "read_changes. Certified the hard way: phase 1 streams commits "
+    "(v1, v3] with startingVersion=1 and must match the batch-CDC "
+    "row set exactly; then a FOURTH commit lands and the stream "
+    "RESUMES from its checkpoint — phase 2 must contain only the new "
+    "commit's rows (key-shifted so any re-delivery of old versions "
+    "lands in the wrong phase and breaks the hash). At 100 TB each "
+    "trigger moves O(appended files), never O(table).",
+)
+def q_stream_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        register_snapshot_changes_source,
+    )
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(proc_dir("bfs_mapreduce_spark_streamcdc"), tag)
+    table = os.path.join(base, "table")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(table, exist_ok=True)
+        register_snapshot_changes_source(spark)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        v = 0
+        for i in (0, 1, 2):
+            batch = orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1)
+            v = ts.commit(root=table, files=ts.stage_files(batch, table), base_version=v)
+
+        def _run_tail() -> None:
+            stream = (
+                spark.readStream.format("snapshot_changes")
+                .option("path", table)
+                .option("startingVersion", 1)
+                .load()
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda b, _bid: b.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _run_tail()  # phase 1: delivers (v1, v3]
+        late = (
+            orders.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(30_000_000))
+            .coalesce(1)
+        )
+        ts.commit(root=table, files=ts.stage_files(late, table), base_version=v)
+        _run_tail()  # phase 2: resume from checkpoint, ONLY the new commit
+        open(marker, "w").close()
+    streamed = spark.read.parquet(sink)
+    return (
+        streamed.withColumn(
+            "phase",
+            F.when(F.col("o_orderkey") >= 30_000_000, F.lit(2)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .groupBy("phase", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -318,3 +318,97 @@ def test_avro_stream_sink_replay_is_idempotent(spark, sf_smoke_dir, tmp_path):
     assert back.count() == n_first
     assert back.agg(F.countDistinct("event_id")).first()[0] == n_first
     assert not _glob.glob(f"{out}/.inflight-*")  # no visible tmp litter
+
+
+def test_snapshot_changes_stream_source(spark, tmp_path):
+    """Round-11 CDC streaming source (snapshot_changes): offsets are
+    table versions; a fresh start with startingVersion=0 delivers the
+    whole history exactly once; a checkpoint resume delivers only new
+    commits; a REPLACE commit in range fails the stream with the batch
+    read_changes refusal; schema evolution NULL-fills old files."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        register_snapshot_changes_source,
+    )
+
+    register_snapshot_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    for i in range(3):
+        ts.commit(
+            root,
+            ts.stage_files(
+                spark.range(i * 10, i * 10 + 10).toDF("k"), root
+            ),
+            base_version=i,
+        )
+    got = []
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .option("startingVersion", 0)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: got.append(sorted(r["k"] for r in b.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    assert sorted(k for ks in got for k in ks) == list(range(30))
+
+    # schema evolution: v4 appends with an extra column; the stream's
+    # NEXT run (fresh checkpoint, evolved schema) NULL-fills old files
+    evolved = spark.range(100, 103).select(
+        F.col("id").alias("k"), F.lit(7).cast("bigint").alias("extra")
+    )
+    ts.commit(
+        root,
+        ts.stage_files(evolved, root),
+        base_version=3,
+        schema=evolved.schema.json(),
+    )
+    got.clear()
+    rows = []
+    stream2 = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", root)
+        .option("startingVersion", 0)
+        .load()
+    )
+    q = (
+        stream2.writeStream.foreachBatch(
+            lambda b, bid: rows.extend(
+                (r["k"], r["extra"]) for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(rows) == 33
+    assert {e for k, e in rows if k < 100} == {None}  # NULL-filled
+    assert {e for k, e in rows if k >= 100} == {7}
+
+    # resume from the ORIGINAL checkpoint delivers only v4's rows
+    run(ckpt)
+    assert got == [[100, 101, 102]]
+
+    # a compaction in range fails the stream loudly
+    ts.compact(spark, root, n_files=1)
+    with pytest.raises(Exception, match="(?i)replace|append-only"):
+        run(str(tmp_path / "ckpt3"))
