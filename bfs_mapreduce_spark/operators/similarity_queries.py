@@ -599,7 +599,17 @@ def q_similarity_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 8                  # subspaces
 _PQ_SUB = _DIM // _PQ_M    # dims per subspace
-_PQ_SHORTLIST = 50         # ADC shortlist size fed to the exact rerank
+# Round-11 re-parameterization (verdict ask #2): the shipped config
+# (k=10 label-seeded centroids, nprobe 3, shortlist 50) measured 0.29
+# recall@5 at sf0.1 — the full sweep (tools/ivfpq_sweep.py, table in
+# BASELINE.md) shows the bottleneck is codebook coarseness, not the
+# rerank (recall == shortlist recall exactly: the exact rerank
+# recovers every true neighbor the ADC shortlist admits). Cheapest
+# config with recall >= 0.8: k = 40 centroids/subspace (label x
+# vec_id%4 seeding), nprobe 8, shortlist 200 -> 0.82.
+_PQ_KG = 4                 # codebook seed groups: k = 10 labels * _PQ_KG
+_PQ_NPROBE = 8             # probed coarse cells (ivfpq only)
+_PQ_SHORTLIST = 200        # ADC shortlist size fed to the exact rerank
 
 
 def _l2sq(a: str | F.Column, b: str | F.Column) -> F.Column:
@@ -625,8 +635,9 @@ def _l2sq(a: str | F.Column, b: str | F.Column) -> F.Column:
              (pos - 1) % {_PQ_SUB} AS spos, x
       FROM ex),
     book AS MATERIALIZED (
-      SELECT s, label AS j, spos, ROUND(AVG(x), 9) AS avg
-      FROM sub GROUP BY s, label, spos),
+      SELECT s, (label * {_PQ_KG} + vec_id % {_PQ_KG}) AS j, spos,
+             ROUND(AVG(x), 9) AS avg
+      FROM sub GROUP BY s, j, spos),
     enc AS MATERIALIZED (
       SELECT u.vec_id, u.s, b.j,
              ROUND(SUM((u.x - b.avg) * (u.x - b.avg)), 6) AS d2
@@ -660,7 +671,7 @@ def _l2sq(a: str | F.Column, b: str | F.Column) -> F.Column:
       SELECT vec_id AS query_id, cell FROM (
         SELECT vec_id, cell,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
-        FROM scored WHERE vec_id % {_QUERY_MOD} = 0) WHERE rn <= {_N_PROBE}),
+        FROM scored WHERE vec_id % {_QUERY_MOD} = 0) WHERE rn <= {_PQ_NPROBE}),
     cand AS MATERIALIZED (
       SELECT DISTINCT p.query_id, a.vec_id
       FROM probes p JOIN assign a USING (cell)
@@ -690,29 +701,35 @@ def _l2sq(a: str | F.Column, b: str | F.Column) -> F.Column:
                                 ORDER BY cosine DESC, vec_id) AS rn
       FROM rer) WHERE rn <= {_TOP_K}
     """,
-    doc="IVF-PQ search with ADC shortlist + exact rerank (round 10) "
-    "— the FAISS-style production ANN shape at 100 TB: the coarse "
-    "IVF quantizer bounds WHICH vectors a query touches (top-3 "
-    "probed cells, as q_similarity_ivf_search), product quantization "
-    "bounds HOW MUCH is read per touched vector — each 64-dim float "
-    "vector is encoded as 8 codebook ids (one per 8-dim subspace, "
-    "nearest of 10 label-seeded per-subspace centroids by L2), so "
-    "shortlist scoring reads 8 small ints + a per-query 8x10 ADC "
+    doc="IVF-PQ search with ADC shortlist + exact rerank (round 10; "
+    "re-parameterized round 11 off the measured recall sweep) — the "
+    "FAISS-style production ANN shape at 100 TB: the coarse IVF "
+    "quantizer bounds WHICH vectors a query touches (top-8 probed "
+    "cells), product quantization bounds HOW MUCH is read per "
+    "touched vector — each 64-dim float vector is encoded as 8 "
+    "codebook ids (one per 8-dim subspace, nearest of 40 "
+    "label-x-(vec_id%4)-seeded per-subspace centroids by L2), so "
+    "shortlist scoring reads 8 small ints + a per-query 8x40 ADC "
     "lookup table instead of 256 bytes of floats — and only the "
-    "ADC-top-50 shortlist is reranked with exact cosines (the full "
-    "vectors are fetched for 50 candidates per query, not the whole "
-    "probed cells). Asymmetric distance (query side exact, corpus "
-    "side quantized) = sum over subspaces of LUT[s][code]. Every "
-    "ranking quantity (codebook entries 1e-9, sub-distances / ADC "
-    "sums / cosines 1e-6) is grid-snapped in both engines, so "
-    "encode, probe, shortlist, and final ranks are all inside the "
-    "oracle's value hash. tests/test_similarity.py measures recall "
-    "against the exact top-k (~0.54 here; PQ-without-rerank measured "
-    "0.16-0.30 on this corpus — the rerank is load-bearing, exactly "
-    "why FAISS serves IVFPQ with a refine stage). Scale: codebook "
-    "build is two tiny shuffles; encoding is one broadcast-join "
-    "pass; per-query cost is probed-cell candidates x 8 LUT lookups "
-    "+ 50 exact distances.",
+    "ADC-top-200 shortlist is reranked with exact cosines. "
+    "Asymmetric distance (query side exact, corpus side quantized) "
+    "= sum over subspaces of LUT[s][code]. Every ranking quantity "
+    "(codebook entries 1e-9, sub-distances / ADC sums / cosines "
+    "1e-6) is grid-snapped in both engines, so encode, probe, "
+    "shortlist, and final ranks are all inside the oracle's value "
+    "hash. Recall engineering (tools/ivfpq_sweep.py, full table in "
+    "BASELINE.md): the round-10 config (k=10, nprobe 3, shortlist "
+    "50) measured 0.29@sf0.1 with the loss entirely in the ADC "
+    "shortlist — recall == shortlist recall in every swept config, "
+    "i.e. the exact rerank recovers every true neighbor the "
+    "shortlist admits, so the levers are codebook resolution and "
+    "shortlist size, not the rerank. Shipped config k=40 / nprobe 8 "
+    "/ shortlist 200 -> recall 0.82 (the cheapest swept config "
+    ">= 0.8), asserted by the recall twin in "
+    "tests/test_similarity.py. Scale: codebook build is two tiny "
+    "shuffles; encoding is one broadcast-join pass; per-query cost "
+    "is probed-cell candidates x 8 LUT lookups + 200 exact "
+    "distances.",
 )
 def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -734,10 +751,11 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("vec_id", "label", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    seed_j = (
+        F.col("label").cast("bigint") * _PQ_KG + F.col("vec_id") % _PQ_KG
+    ).alias("j")
     book = (
-        subs.select(
-            "s", F.col("label").alias("j"), F.posexplode("sv").alias("pos", "x")
-        )
+        subs.select("s", seed_j, F.posexplode("sv").alias("pos", "x"))
         .groupBy("s", "j", "pos")
         .agg(F.round(F.avg("x"), 9).alias("avg"))
         .groupBy("s", "j")
@@ -774,7 +792,7 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         scored_cells.filter(F.col("vec_id") % _QUERY_MOD == 0)
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= _N_PROBE)
+        .filter(F.col("rn") <= _PQ_NPROBE)
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
     cand = (
