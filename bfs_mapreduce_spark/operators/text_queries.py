@@ -2484,3 +2484,349 @@ def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _UNI_ENC_TOPK)
         .select(F.col("rank").cast("int"), "token", F.col("n").cast("bigint"))
     )
+
+
+# -------------------------------- unigram-LM vocabulary pruning (round 11)
+
+_UNI_SEED = 60    # seed vocabulary: top-60 multi-char pieces + singles
+_UNI_KEEP1 = 40   # survivors of prune round 1
+_UNI_TARGET = 25  # final target multi-char vocabulary size
+
+
+def _uni_alt_sql(pfx: str, model: str) -> str:
+    """SQL for the ALTERNATIVE-segmentation cost of every multi-char
+    vocab piece: the min cost of segmenting the piece's own string
+    using the model WITHOUT the piece itself (= the only excluded
+    candidate is the full-span one; shorter spans can never equal the
+    piece). This is Kudo 2018 §4's loss approximation: removing piece
+    p forces each of its uses into p's best alternative segmentation,
+    so loss(p) = est_count(p) * (alt_cost(p) - cost(p)). Pieces are
+    at most _UNI_MAXP chars, so the dp unrolls in that many tiny
+    levels; single chars are always in the model, so an alternative
+    always exists. Produces the CTE ``<pfx>alt(piece, alt_cost)``."""
+    parts = [f""",
+    {pfx}spans AS MATERIALIZED (
+      SELECT v.piece AS w, CAST(s AS INT) AS s, CAST(k AS INT) AS k,
+             substr(v.piece, CAST(s AS INT), CAST(k AS INT)) AS sub
+      FROM {model} v,
+           LATERAL (SELECT unnest(range(1, {_UNI_MAXP + 1})) AS k) kk,
+           LATERAL (SELECT unnest(range(1, len(v.piece) - CAST(k AS INT) + 2)) AS s) ss
+      WHERE len(v.piece) >= 2
+        AND NOT (CAST(s AS INT) = 1 AND CAST(k AS INT) = len(v.piece))),
+    {pfx}acand AS MATERIALIZED (
+      SELECT sp.w, sp.s, sp.k, m.cost
+      FROM {pfx}spans sp JOIN {model} m ON m.piece = sp.sub),
+    {pfx}adp0 AS (
+      SELECT piece AS w, CAST(0 AS BIGINT) AS cost
+      FROM {model} WHERE len(piece) >= 2)"""]
+    for i in range(1, _UNI_MAXP + 1):
+        branches = " UNION ALL ".join(
+            f"""
+        SELECT d.w, d.cost + c.cost AS cost
+        FROM {pfx}adp{i - k} d JOIN {pfx}acand c
+          ON c.w = d.w AND c.s = {i - k + 1} AND c.k = {k}"""
+            for k in range(1, min(_UNI_MAXP, i) + 1)
+        )
+        parts.append(f""",
+    {pfx}adp{i} AS MATERIALIZED (
+      SELECT w, MIN(cost) AS cost FROM ({branches}) GROUP BY w)""")
+    fins = " UNION ALL ".join(
+        f"SELECT d.w AS piece, d.cost AS alt_cost FROM {pfx}adp{n} d "
+        f"JOIN {model} v ON v.piece = d.w AND len(v.piece) = {n}"
+        for n in range(2, _UNI_MAXP + 1)
+    )
+    parts.append(f""",
+    {pfx}alt AS MATERIALIZED ({fins})""")
+    return "".join(parts)
+
+
+def _uni_alt_frame(model: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_uni_alt_sql`: ``(piece, alt_cost)`` for
+    every multi-char piece of ``model``."""
+    multi = model.filter(F.length("piece") >= 2)
+    ks = F.explode(F.sequence(F.lit(1), F.lit(_UNI_MAXP))).alias("k")
+    spans = (
+        multi.select(F.col("piece").alias("w"), ks)
+        .filter(F.length("w") - F.col("k") + 1 >= 1)
+        .select(
+            "w",
+            "k",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - F.col("k") + 1)
+            ).alias("s"),
+        )
+        .filter(~((F.col("s") == 1) & (F.col("k") == F.length("w"))))
+        .select("w", "s", "k", F.substring("w", F.col("s"), F.col("k")).alias("sub"))
+    )
+    acand = spans.join(
+        F.broadcast(model.select(F.col("piece").alias("sub"), "cost")), "sub"
+    ).select("w", "s", "k", "cost")
+    dp = {0: multi.select(F.col("piece").alias("w"), F.lit(0).cast("bigint").alias("cost"))}
+    for i in range(1, _UNI_MAXP + 1):
+        branches = []
+        for k in range(1, min(_UNI_MAXP, i) + 1):
+            c = acand.filter((F.col("s") == i - k + 1) & (F.col("k") == k))
+            branches.append(
+                dp[i - k]
+                .select("w", F.col("cost").alias("dcost"))
+                .join(c.select("w", "cost"), "w")
+                .select("w", (F.col("dcost") + F.col("cost")).alias("cost"))
+            )
+        u = branches[0]
+        for b in branches[1:]:
+            u = u.unionByName(b)
+        dp[i] = u.groupBy("w").agg(F.min("cost").alias("cost"))
+    fins = None
+    for n in range(2, _UNI_MAXP + 1):
+        leg = dp[n].filter(F.length("w") == n)
+        fins = leg if fins is None else fins.unionByName(leg)
+    return fins.select(F.col("w").alias("piece"), F.col("cost").alias("alt_cost"))
+
+
+def _unigram_prune_oracle() -> str:
+    cost_expr = (
+        "CAST(ROUND(-ln(CAST({occ} AS DOUBLE) / ({tot})) * 1000000, 0) AS BIGINT)"
+    )
+    head = f"""
+    WITH words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+      WHERE len(word) BETWEEN 3 AND {_UNI_MAXLEN}
+      GROUP BY word),
+    wpieces AS MATERIALIZED (
+      SELECT word, wcount, CAST(s AS INT) AS s, CAST(k AS INT) AS k,
+             substr(word, CAST(s AS INT), CAST(k AS INT)) AS piece
+      FROM words,
+           LATERAL (SELECT unnest(range(1, {_UNI_MAXP + 1})) AS k) kk,
+           LATERAL (SELECT unnest(range(1, len(word) - CAST(k AS INT) + 2)) AS s) ss),
+    subs AS MATERIALIZED (
+      SELECT piece, SUM(wcount) AS occ FROM wpieces GROUP BY piece),
+    vocab0 AS MATERIALIZED (
+      SELECT piece, occ FROM (
+        SELECT piece, occ,
+               ROW_NUMBER() OVER (ORDER BY occ DESC, piece) AS rn
+        FROM subs WHERE len(piece) >= 2) WHERE rn <= {_UNI_SEED}
+      UNION ALL
+      SELECT piece, occ FROM subs WHERE len(piece) = 1),
+    model0 AS MATERIALIZED (
+      SELECT piece,
+             {cost_expr.format(occ="occ", tot="SELECT SUM(occ) FROM vocab0")} AS cost
+      FROM vocab0),
+    cand0 AS MATERIALIZED (
+      SELECT wp.word, wp.s, wp.k, wp.piece, m.cost
+      FROM wpieces wp JOIN model0 m USING (piece))"""
+    prune1 = f""",
+    est0 AS MATERIALIZED (
+      SELECT piece, SUM(w.wcount) AS n
+      FROM afinal f JOIN words w USING (word),
+           LATERAL (SELECT unnest(string_split(substr(f.seg, 2), '-')) AS piece) p
+      GROUP BY piece),
+    loss0 AS MATERIALIZED (
+      SELECT m.piece,
+             COALESCE(e.n, 0) * (a.alt_cost - m.cost) AS loss,
+             COALESCE(e.n, 0) AS est
+      FROM model0 m JOIN palt a ON a.piece = m.piece
+      LEFT JOIN est0 e ON e.piece = m.piece),
+    keep1 AS MATERIALIZED (
+      SELECT piece, est FROM (
+        SELECT piece, est, ROW_NUMBER() OVER (ORDER BY loss DESC, piece) AS rn
+        FROM loss0) WHERE rn <= {_UNI_KEEP1}),
+    c1 AS MATERIALIZED (
+      SELECT s.piece, COALESCE(e.n, 0) + 1 AS n1
+      FROM subs s LEFT JOIN est0 e USING (piece) WHERE len(s.piece) = 1
+      UNION ALL
+      SELECT piece, GREATEST(est, 1) AS n1 FROM keep1),
+    model1 AS MATERIALIZED (
+      SELECT piece,
+             {cost_expr.format(occ="n1", tot="SELECT SUM(n1) FROM c1")} AS cost
+      FROM c1),
+    cand1 AS MATERIALIZED (
+      SELECT wp.word, wp.s, wp.k, wp.piece, m.cost
+      FROM wpieces wp JOIN model1 m USING (piece))"""
+    tail = f""",
+    est1 AS MATERIALIZED (
+      SELECT piece, SUM(w.wcount) AS n
+      FROM bfinal f JOIN words w USING (word),
+           LATERAL (SELECT unnest(string_split(substr(f.seg, 2), '-')) AS piece) p
+      GROUP BY piece),
+    loss1 AS MATERIALIZED (
+      SELECT m.piece,
+             COALESCE(e.n, 0) * (a.alt_cost - m.cost) AS loss,
+             COALESCE(e.n, 0) AS est
+      FROM model1 m JOIN qalt a ON a.piece = m.piece
+      LEFT JOIN est1 e ON e.piece = m.piece)
+    SELECT CAST(rn AS INT) AS rank, piece,
+           CAST(est AS BIGINT) AS est_count, CAST(loss AS BIGINT) AS loss
+    FROM (SELECT piece, est, loss,
+                 ROW_NUMBER() OVER (ORDER BY loss DESC, piece) AS rn
+          FROM loss1) WHERE rn <= {_UNI_TARGET}"""
+    return (
+        head
+        + _uni_dp_sql("a", "cand0")
+        + _uni_alt_sql("p", "model0")
+        + prune1
+        + _uni_dp_sql("b", "cand1")
+        + _uni_alt_sql("q", "model1")
+        + tail
+    )
+
+
+@register(
+    "q_text_unigram_prune",
+    oracle=_unigram_prune_oracle(),
+    doc="Unigram-LM VOCABULARY PRUNING to a target size (round 11 — "
+    "Kudo 2018 §4's prune-by-loss loop, the production missing half "
+    "the round-10 verdict named): seed vocabulary of the top-60 "
+    "substrings + all singles, then two EM+prune rounds (60 -> 40 -> "
+    "25 multi-char pieces; singles always survive for coverage). "
+    "Each round: Viterbi-segment every word under the current model "
+    "(the shared unrolled dp), EM-estimate piece counts, compute "
+    "each piece's removal loss via Kudo's approximation — loss(p) = "
+    "est_count(p) x (alt_cost(p) - cost(p)), where alt_cost is the "
+    "piece's own best segmentation WITHOUT itself (a second, tiny "
+    "unrolled dp over the piece strings; cost(p) <= alt_cost(p) "
+    "whenever the E-step used p, so losses are provably "
+    "non-negative and unused pieces prune first at loss 0) — and "
+    "keep the top pieces by loss. Survivors re-enter EM with their "
+    "estimated counts (singles +1-smoothed, survivors floored at 1 "
+    "so -ln never sees zero). Losses are INTEGER (est x integer "
+    "cost delta), so the ranking needs no float snap at all. The "
+    "oracle replays both Viterbi rounds, both alt-cost dps, both "
+    "prunes construct-for-construct — the surviving vocabulary AND "
+    "every segmentation decision sit inside the value hash. Scale: "
+    "everything is bounded by unique words x length and vocab size; "
+    "the alt-cost dp is O(vocab x piece-length), independent of the "
+    "corpus.",
+)
+def q_text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .filter(F.length("word").between(3, _UNI_MAXLEN))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .transform(_ckpt)
+    )
+    ks = F.explode(F.sequence(F.lit(1), F.lit(_UNI_MAXP))).alias("k")
+    wpieces = (
+        words.select("word", "wcount", ks)
+        .filter(F.length("word") - F.col("k") + 1 >= 1)
+        .select(
+            "word",
+            "wcount",
+            "k",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - F.col("k") + 1)
+            ).alias("s"),
+        )
+        .select(
+            "word",
+            "wcount",
+            "s",
+            "k",
+            F.substring(F.col("word"), F.col("s"), F.col("k")).alias("piece"),
+        )
+        .transform(_ckpt)
+    )
+    subs = wpieces.groupBy("piece").agg(F.sum("wcount").alias("occ")).transform(_ckpt)
+    vocab0 = (
+        subs.filter(F.length("piece") >= 2)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("occ"), F.asc("piece"))),
+        )
+        .filter(F.col("rn") <= _UNI_SEED)
+        .select("piece", "occ")
+        .unionByName(subs.filter(F.length("piece") == 1).select("piece", "occ"))
+    )
+
+    def model_from(counts: DataFrame, col: str) -> DataFrame:
+        tot = counts.agg(F.sum(col).alias("t"))
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                "piece",
+                F.round(
+                    -F.log(F.col(col).cast("double") / F.col("t")) * 1000000, 0
+                )
+                .cast("bigint")
+                .alias("cost"),
+            )
+            .transform(_ckpt)
+        )
+
+    def cand_from(model: DataFrame) -> DataFrame:
+        return (
+            wpieces.join(F.broadcast(model), "piece")
+            .select("word", "s", "k", "piece", "cost")
+            .transform(_ckpt)
+        )
+
+    def est_from(seg: DataFrame) -> DataFrame:
+        return (
+            seg.join(words, "word")
+            .select(
+                "wcount",
+                F.explode(F.split(F.expr("substring(seg, 2)"), "-")).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("wcount").alias("n"))
+            .transform(_ckpt)
+        )
+
+    def losses(model: DataFrame, est: DataFrame) -> DataFrame:
+        return (
+            model.join(F.broadcast(_uni_alt_frame(model)), "piece")
+            .join(est, "piece", "left")
+            .select(
+                "piece",
+                (
+                    F.coalesce(F.col("n"), F.lit(0))
+                    * (F.col("alt_cost") - F.col("cost"))
+                ).alias("loss"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("est"),
+            )
+        )
+
+    # round 1: seed model -> segment -> EM counts -> prune 60 -> 40
+    model0 = model_from(vocab0, "occ")
+    est0 = est_from(_uni_viterbi_frame(words, cand_from(model0)))
+    keep1 = (
+        losses(model0, est0)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("loss"), F.asc("piece"))),
+        )
+        .filter(F.col("rn") <= _UNI_KEEP1)
+        .select("piece", "est")
+    )
+    c1 = (
+        subs.filter(F.length("piece") == 1)
+        .join(est0, "piece", "left")
+        .select("piece", (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("n1"))
+        .unionByName(
+            keep1.select("piece", F.greatest("est", F.lit(1)).alias("n1"))
+        )
+    )
+    # round 2: re-estimated model -> segment -> EM counts -> prune -> 25
+    model1 = model_from(c1, "n1")
+    est1 = est_from(_uni_viterbi_frame(words, cand_from(model1)))
+    return (
+        losses(model1, est1)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("loss"), F.asc("piece"))),
+        )
+        .filter(F.col("rank") <= _UNI_TARGET)
+        .select(
+            F.col("rank").cast("int"),
+            "piece",
+            F.col("est").cast("bigint").alias("est_count"),
+            F.col("loss").cast("bigint").alias("loss"),
+        )
+    )

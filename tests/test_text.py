@@ -199,3 +199,29 @@ def test_unigram_em_learns_subword_pieces(spark, sf_oracle_dir):
     assert any(len(r.piece) >= 2 for r in rows)
     counts = [r.est_count for r in sorted(rows, key=lambda r: r.rank)]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_unigram_prune_invariants(spark, sf_oracle_dir):
+    """Kudo-prune invariants: exactly the target number of multi-char
+    survivors, losses non-negative (cost(p) <= alt_cost(p) whenever
+    the E-step used p) and non-increasing by rank, every piece within
+    the substring length bounds."""
+    from bfs_mapreduce_spark.operators.text_queries import (
+        _UNI_MAXP,
+        _UNI_TARGET,
+        q_text_unigram_prune,
+    )
+
+    rows = sorted(
+        q_text_unigram_prune(spark, sf_oracle_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == _UNI_TARGET
+    assert [r["rank"] for r in rows] == list(range(1, _UNI_TARGET + 1))
+    assert all(2 <= len(r["piece"]) <= _UNI_MAXP for r in rows)
+    losses = [r["loss"] for r in rows]
+    assert all(l >= 0 for l in losses)
+    assert losses == sorted(losses, reverse=True)
+    assert all(r["est_count"] >= 0 for r in rows)
+    # the top survivor is actually used by the E-step
+    assert rows[0]["est_count"] > 0 and rows[0]["loss"] > 0
