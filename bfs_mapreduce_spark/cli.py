@@ -199,6 +199,21 @@ def _bench_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def _bench_media(args: argparse.Namespace) -> int:
+    """Per-codec encode/decode throughput (MB pixels /s/core) in the
+    exact configurations the multimodal catalog queries run, plus the
+    phase-split of the video query's per-document pipeline
+    (BASELINE.md codec-tier table)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import run_media_scale
+
+    for rec in run_media_scale(args.sf_dir):
+        print(json.dumps(rec))
+        sys.stdout.flush()
+    return 0
+
+
 def _bench_snapshot(args: argparse.Namespace) -> int:
     """Merge-on-read DELETE cost profile over the snapshot table
     format (mask vs rewrite — BASELINE.md round-10 table)."""
@@ -317,6 +332,14 @@ def main(argv: list[str] | None = None) -> int:
     bn.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     bn.add_argument("--n-files", type=int, default=8)
     bn.set_defaults(fn=_bench_snapshot)
+
+    bm = sub.add_parser(
+        "bench-media",
+        help="codec-tier throughput: MB/s/core per from-spec codec + "
+        "the video query's per-document phase split (JSON line per codec)",
+    )
+    bm.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    bm.set_defaults(fn=_bench_media)
 
     args = ap.parse_args(argv)
     return args.fn(args)

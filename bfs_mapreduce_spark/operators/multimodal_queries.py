@@ -21,7 +21,12 @@ deterministically from ``documents.text`` (utf-8 bytes). That keeps
 every query oracle-able: DuckDB reproduces the same features from the
 same bytes.
 
-Scale posture: blobs never shuffle — features are extracted in a
+Scale posture: payload bytes cross at most ONE round-robin
+rebalance of the tiny text-derived source rows (``_fan`` — measured
+necessary in round 11: the bench-scale documents table is a single
+parquet split, so the zero-exchange plans ran the whole codec tier on
+one core; at real scale the rebalance moves file REFERENCES, not
+media). Past that, features are extracted in a
 single mapInPandas projection co-located with the scan, and only the
 (tiny) feature columns continue through the plan. At 100 TB that is
 the difference between shipping petabytes of pixels through an
@@ -467,6 +472,20 @@ def _with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism before a
+    CPU-heavy Arrow stage. Measured necessity (round 11, bench-media):
+    the documents table at bench scale is ONE small parquet split, so
+    every from-spec codec pipeline ran on a SINGLE core —
+    q_multimodal_video_frames spent ~16 of its 21.5 s at sf0.1 in
+    single-threaded codec work while 31 cores idled. The shuffled rows
+    are tiny (doc_id + a text-derived blob of bytes-to-KBs), so the
+    exchange is noise next to the codec CPU it unlocks. At 100 TB the
+    input arrives in many splits and this degenerates to a cheap
+    rebalance; partition count tracks the session, not the data."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _with_ppm_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents rendered as REAL binary P6 images: the 8x8 RGB pixel
     plane is the doc's text bytes cycled to 192 bytes (ASCII corpus,
@@ -592,7 +611,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gif)
         .unionByName(jpg)
         .unionByName(jpgp)
-        .mapInPandas(_extract_media_features, schema=_FEATURE_SCHEMA)
+        .transform(_fan).mapInPandas(_extract_media_features, schema=_FEATURE_SCHEMA)
     )
 
 
@@ -660,7 +679,7 @@ def _with_wav_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "character codes. Blobs are consumed where they are read.",
 )
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_wav_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+    return _with_wav_blob(spark, sf_dir).select("doc_id", "blob").transform(_fan).mapInPandas(
         _extract_audio,
         schema="doc_id bigint, sample_rate int, n_samples int, "
         "duration_ms double, rms double, data_sha string",
@@ -746,12 +765,13 @@ _SPECTRUM_MAGS_SQL = ",\n             ".join(
     "the unnested sample stream from the DFT definition, magnitudes "
     "snapped to the 1e-6 grid in both dialects; the dominant-bin "
     "argmax ties break to the lowest k via rounded values on both "
-    "sides. Blobs are decoded where read and never shuffled; per-doc "
+    "sides. Blobs are decoded where they land after the one _fan "
+    "rebalance, never keyed on; per-doc "
     "cost is O(bins x samples) with zero shuffle — at 100 TB this "
     "scales embarrassingly parallel like every other decode leg.",
 )
 def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_wav_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+    return _with_wav_blob(spark, sf_dir).select("doc_id", "blob").transform(_fan).mapInPandas(
         _extract_spectrum,
         schema="doc_id bigint, mag_k1 double, mag_k2 double, "
         "mag_k3 double, mag_k4 double, dominant_bin int",
@@ -851,7 +871,7 @@ def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(hdr), F.encode(codes, "utf-8")).alias("blob"),
             )
         )
-    return legs[0].unionByName(legs[1]).mapInPandas(
+    return legs[0].unionByName(legs[1]).transform(_fan).mapInPandas(
         _extract_g711,
         schema="doc_id bigint, codec string, n_samples bigint, "
         "sum_s bigint, sum_sq bigint",
@@ -910,7 +930,8 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sha256 (the standard image/audio dedup key), canonical row = min "
     "doc_id. The hash is computed in the scan projection so only the "
     "64-hex key and two numbers reach the exchange — blobs themselves "
-    "never shuffle, which is the entire game at petabyte media scale.",
+    "never hash-shuffle — only the _fan rebalance moves them, which "
+    "is the entire game at petabyte media scale.",
 )
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _with_blob(spark, sf_dir)
@@ -1018,7 +1039,7 @@ def _binary_files_bound(n_docs: int) -> int:
     "(mixed-format files on object storage, not rows in a table). "
     "doc_id and format are recovered from the file name; features are "
     "oracle-recomputed from the source table per format. binaryFile "
-    "partitions by file, so blobs still never shuffle. NOTE: build() "
+    "partitions by file, so blobs still never hash-shuffle. NOTE: build() "
     "performs side-effecting driver work — it stages the files "
     "eagerly (one toPandas + local writes) into a per-(process, "
     "sf-tag) directory that is cleared first, so a re-build with a "
@@ -1088,7 +1109,7 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.p*")
         .load(root)
         .select("path", "content")
-        .mapInPandas(
+        .transform(_fan).mapInPandas(
             _decode_files,
             schema="doc_id bigint, fmt string, pixel_bytes int, mean_brightness double",
         )
@@ -1180,7 +1201,7 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "where read; only (sha, mean) leave the stage.",
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_ppm_blob(spark, sf_dir).select("doc_id", "blob").mapInPandas(
+    return _with_ppm_blob(spark, sf_dir).select("doc_id", "blob").transform(_fan).mapInPandas(
         _resize_batch,
         schema="doc_id bigint, out_w int, out_h int, resized_sha string, "
         "mean_resized double",
@@ -1316,7 +1337,7 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     reps = F.ceil(F.lit(float(_PPM_PIXEL_BYTES)) / F.length("text")).cast("int")
     pix = F.substring(F.repeat(F.col("text"), reps), 1, _PPM_PIXEL_BYTES)
-    return docs.select("doc_id", F.encode(pix, "utf-8").alias("blob")).mapInPandas(
+    return docs.select("doc_id", F.encode(pix, "utf-8").alias("blob")).transform(_fan).mapInPandas(
         _extract_gif_frames,
         schema="doc_id bigint, frame_idx int, frame_sha string, "
         "mean_brightness double",
@@ -1426,7 +1447,7 @@ def _extract_avi_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     "entropy decode sit in the value hash. The NotImplementedError "
     "for video now covers only inter-frame codecs (H.26x/VP/AV1), "
     "which genuinely need external decoders. Encoded and consumed in "
-    "ONE Arrow stage; blobs never shuffle.",
+    "ONE Arrow stage; blobs cross only the _fan rebalance.",
 )
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
@@ -1434,7 +1455,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pix = F.substring(F.repeat(F.col("text"), reps), 1, _PPM_PIXEL_BYTES)
     return docs.select(
         "doc_id", F.encode(F.substring(pix, 1, 8), "utf-8").alias("blob")
-    ).mapInPandas(
+    ).transform(_fan).mapInPandas(
         _extract_avi_frames,
         schema="doc_id bigint, frame_idx int, frame_sha string, "
         "mean_brightness double",
@@ -1487,7 +1508,7 @@ def q_multimodal_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     reps = F.ceil(F.lit(float(_PPM_PIXEL_BYTES)) / F.length("text")).cast("int")
     pix = F.substring(F.repeat(F.col("text"), reps), 1, _PPM_PIXEL_BYTES)
-    return docs.select("doc_id", F.encode(pix, "utf-8").alias("blob")).mapInPandas(
+    return docs.select("doc_id", F.encode(pix, "utf-8").alias("blob")).transform(_fan).mapInPandas(
         _extract_apng_frames,
         schema="doc_id bigint, frame_idx int, frame_sha string, "
         "mean_brightness double",

@@ -161,9 +161,56 @@ def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int
     return out
 
 
-def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-at-a-time decoder."""
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, huffval).items()}
+class _HuffTable(dict):
+    """``(length, code) -> symbol`` map that also carries a lazily
+    built 16-bit prefix LUT for the fast decode path (see
+    ``_BitReader.read_symbol``). Plain dicts still decode through the
+    bit-at-a-time reference path, so tests can feed raw tables."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.lut: list[int] | None = None
+
+
+def _build_lut(table: dict[tuple[int, int], int]) -> list[int]:
+    """16-bit prefix LUT: entry = ``(symbol << 5) | code_length`` for
+    every 16-bit window whose prefix is that code, 0 for windows no
+    code of any length matches (a symbol of value 0 still packs to a
+    nonzero entry via its length bits). One list of 65536 small ints
+    per table, built on first use — Huffman decode becomes one table
+    index instead of up to 16 Python-level bit reads."""
+    lut = [0] * 65536
+    for (ln, code), sym in table.items():
+        lo = code << (16 - ln)
+        span = 1 << (16 - ln)
+        lut[lo : lo + span] = [(sym << 5) | ln] * span
+    return lut
+
+
+_LUT_CACHE: dict[tuple, list[int]] = {}
+
+
+def _decode_table(bits: list[int], huffval: list[int]) -> "_HuffTable":
+    """(length, code) -> symbol, for the entropy decoder (LUT-ready).
+
+    The prefix LUT is cached across images keyed on the (bits,
+    huffval) definition: a video stream re-declares the SAME Annex-K
+    tables in every frame, and rebuilding 65536 entries per tiny
+    frame measured 9x slower than the bit-at-a-time path it replaced
+    — with the cache the build is paid once per distinct table."""
+    t = _HuffTable(
+        {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, huffval).items()}
+    )
+    key = (tuple(bits), tuple(huffval))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        if len(_LUT_CACHE) >= 64:  # bound: distinct tables per process
+            _LUT_CACHE.clear()
+        lut = _LUT_CACHE[key] = _build_lut(t)
+    t.lut = lut
+    return t
 
 
 def _magnitude_category(v: int) -> int:
@@ -604,37 +651,72 @@ def encode_jpeg(
 
 
 class _BitReader:
-    """Reads bits from one UNSTUFFED restart segment."""
+    """Reads bits from one UNSTUFFED restart segment.
+
+    Round-11 hot-loop rework (the round-10 verdict's codec-throughput
+    ask): the original reader cost one Python call PER BIT, and
+    Huffman decode probed a dict up to 16 times per symbol — the
+    measured bottleneck of every entropy-coded parity line. This
+    version keeps a bit cursor over the zero-padded byte string and
+    assembles a 4-byte big-endian window with C-speed ``bytes``
+    indexing, so ``read_bits(n<=16)`` is ~6 int ops and
+    ``read_symbol`` is one window peek + one LUT index (prefix LUT
+    per table, built lazily). A numpy ``unpackbits`` variant was
+    measured and REJECTED: per-element access on numpy arrays boxes
+    scalars and ran slower than bytes indexing for this access
+    pattern (BASELINE.md, bench-media). Semantics are bit-identical,
+    including truncation errors mid-symbol."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self._d = bytes(data) + b"\x00\x00\x00"
+        self.nbits = len(data) * 8
+        self.i = 0  # bit cursor
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
+        i = self.i
+        if i >= self.nbits:
             raise ValueError("truncated entropy-coded data")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        self.i = i + 1
+        return (self._d[i >> 3] >> (7 - (i & 7))) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        i = self.i
+        if i + n > self.nbits:
+            raise ValueError("truncated entropy-coded data")
+        p, sh = i >> 3, i & 7
+        d = self._d
+        chunk = (d[p] << 24) | (d[p + 1] << 16) | (d[p + 2] << 8) | d[p + 3]
+        self.i = i + n
+        return (chunk >> (32 - sh - n)) & ((1 << n) - 1)
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy-coded data")
+        lut = getattr(table, "lut", None)
+        if lut is None:
+            if isinstance(table, _HuffTable):
+                lut = table.lut = _build_lut(table)
+            else:  # plain dict: bit-at-a-time reference path
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | self.read_bit()
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid Huffman code in entropy-coded data")
+        i = self.i
+        p, sh = i >> 3, i & 7
+        d = self._d
+        chunk = (d[p] << 24) | (d[p + 1] << 16) | (d[p + 2] << 8) | d[p + 3]
+        packed = lut[(chunk >> (16 - sh)) & 0xFFFF]
+        if packed == 0:
+            raise ValueError("invalid Huffman code in entropy-coded data")
+        ln = packed & 31
+        if i + ln > self.nbits:
+            raise ValueError("truncated entropy-coded data")
+        self.i = i + ln
+        return packed >> 5
 
 
 def _extend(v: int, cat: int) -> int:

@@ -137,11 +137,16 @@ def test_wav_rejects_malformed_and_unsupported():
         parse_wav(bytes(blob))
 
 
-def test_decode_plans_never_shuffle_blobs(spark, sf_oracle_dir):
-    """The multimodal scale contract: blobs are consumed where they
-    are read. Both real-decoder plans must be scan -> project ->
-    (Arrow) mapInPandas with NO exchange anywhere — the feature
-    columns, not the payload bytes, are what downstream stages see."""
+def test_decode_plans_shuffle_at_most_one_rebalance(spark, sf_oracle_dir):
+    """The multimodal scale contract, amended in round 11 after
+    bench-media measured the old zero-exchange plans running the
+    entire codec tier on ONE core (the bench-scale documents table is
+    a single parquet split): the decode plans may contain AT MOST one
+    exchange, and it must be the round-robin REBALANCE that fans the
+    tiny text-derived source rows across cores (_fan) — never a hash/
+    range partitioning, which would mean some operator is keying on
+    payload bytes. Downstream of the Arrow stage, feature columns —
+    not payloads — are still all that moves."""
     from bfs_mapreduce_spark.plans import executed_plan as _plan
     from bfs_mapreduce_spark.registry import all_queries
 
@@ -149,7 +154,13 @@ def test_decode_plans_never_shuffle_blobs(spark, sf_oracle_dir):
     for name in ("q_multimodal_features", "q_multimodal_audio_features"):
         plan = _plan(catalog[name].build(spark, sf_oracle_dir))
         assert "MapInPandas" in plan, plan
-        assert "Exchange" not in plan, f"{name} shuffles blobs:\n{plan}"
+        n_ex = plan.count("Exchange")
+        assert n_ex <= 1, f"{name} has {n_ex} exchanges:\n{plan}"
+        if n_ex:
+            assert "RoundRobinPartitioning" in plan, (
+                f"{name}'s exchange keys on data:\n{plan}"
+            )
+            assert "hashpartitioning" not in plan.lower(), plan
 
 
 # ---------------------------------------------------------------- png codec
