@@ -654,7 +654,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     v = v.withColumn("norm", norm)
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    # embeddings.parquet is a single file → a single input split: without
+    # this, the streamed side of the nested-loop join below is ONE
+    # partition and the whole O(n^2) cosine verify runs on one core.
+    # One cheap shuffle of n rows spreads the n^2 work across the
+    # cluster; the broadcast side stays un-shuffled.
+    a = v.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("na") * F.col("nb"))
@@ -696,8 +703,12 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # single-file table → single split: spread the Arrow-batched
+    # signature matmuls (and the per-vector norm) across cores before
+    # the heavy per-row work, not after.
     base = (
-        emb.select("vec_id", "embedding", _vecd().alias("v"))
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding", _vecd().alias("v"))
         .withColumn("n", _norm("v"))
         .withColumn("sig", _lsh_signatures("embedding", bits=_EMB_ANN_BITS))
         .drop("embedding")
