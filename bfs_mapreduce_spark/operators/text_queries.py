@@ -2138,42 +2138,7 @@ def q_text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "s", "k", "piece", "cost")
         .transform(_ckpt)
     )
-    dp = {
-        0: words.select(
-            "word", F.lit(0).cast("bigint").alias("cost"), F.lit("").alias("seg")
-        )
-    }
-    w_rank = Window.partitionBy("word").orderBy(F.asc("cost"), F.desc("k"))
-    for i in range(1, _UNI_MAXLEN + 1):
-        branches = []
-        for k in range(1, min(_UNI_MAXP, i) + 1):
-            c = cand.filter((F.col("s") == i - k + 1) & (F.col("k") == k))
-            branches.append(
-                dp[i - k]
-                .select("word", F.col("cost").alias("dcost"), "seg")
-                .join(c.select("word", "piece", "k", "cost"), "word")
-                .select(
-                    "word",
-                    (F.col("dcost") + F.col("cost")).alias("cost"),
-                    F.concat(F.col("seg"), F.lit("-"), F.col("piece")).alias(
-                        "seg"
-                    ),
-                    "k",
-                )
-            )
-        u = branches[0]
-        for b in branches[1:]:
-            u = u.unionByName(b)
-        dp[i] = (
-            u.withColumn("rn", F.row_number().over(w_rank))
-            .filter(F.col("rn") == 1)
-            .select("word", "cost", "seg")
-            .transform(_ckpt)
-        )
-    fins = None
-    for n in range(3, _UNI_MAXLEN + 1):
-        leg = dp[n].filter(F.length("word") == n).select("word", "seg")
-        fins = leg if fins is None else fins.unionByName(leg)
+    fins = _uni_viterbi_frame(words, cand)
     est = (
         fins.join(words, "word")
         .select(
@@ -2235,42 +2200,62 @@ def _uni_dp_sql(pfx: str, cand: str, words: str = "words") -> str:
 
 def _uni_viterbi_frame(words: DataFrame, cand: DataFrame) -> DataFrame:
     """Spark twin of :func:`_uni_dp_sql`: min-cost segmentation per
-    word (ties to the longer last piece) as ``(word, seg)``."""
-    dp = {
-        0: words.select(
-            "word", F.lit(0).cast("bigint").alias("cost"), F.lit("").alias("seg")
-        )
-    }
-    w_rank = Window.partitionBy("word").orderBy(F.asc("cost"), F.desc("k"))
-    for i in range(1, _UNI_MAXLEN + 1):
-        branches = []
-        for k in range(1, min(_UNI_MAXP, i) + 1):
-            c = cand.filter((F.col("s") == i - k + 1) & (F.col("k") == k))
-            branches.append(
-                dp[i - k]
-                .select("word", F.col("cost").alias("dcost"), "seg")
-                .join(c.select("word", "piece", "k", "cost"), "word")
-                .select(
-                    "word",
-                    (F.col("dcost") + F.col("cost")).alias("cost"),
-                    F.concat(F.col("seg"), F.lit("-"), F.col("piece")).alias("seg"),
-                    "k",
+    word (ties to the longer last piece) as ``(word, seg)``.
+
+    One pass, zero iterative jobs: each word's candidate costs fold
+    into a map keyed on start*100+len, and the Viterbi dp runs INSIDE
+    a single JVM-side ``F.aggregate`` over the word's positions (word
+    and piece lengths are bounded at _UNI_MAXLEN/_UNI_MAXP, so the
+    per-row fold is a constant ~40 map lookups). This replaces an
+    unrolled 10-level join dp that paid one window shuffle + lineage
+    truncation PER LEVEL per EM round; segmentations are identical
+    (min cost, ties to larger k — the fold scans k descending and
+    replaces only on strictly lower cost)."""
+    cmap = cand.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("s") * 100 + F.col("k")).cast("int").alias("sk"),
+                    F.struct(
+                        F.col("piece").alias("piece"),
+                        F.col("cost").alias("cost"),
+                    ).alias("pc"),
                 )
             )
-        u = branches[0]
-        for b in branches[1:]:
-            u = u.unionByName(b)
-        dp[i] = (
-            u.withColumn("rn", F.row_number().over(w_rank))
-            .filter(F.col("rn") == 1)
-            .select("word", "cost", "seg")
-            .transform(_ckpt)
-        )
-    fins = None
-    for n in range(3, _UNI_MAXLEN + 1):
-        leg = dp[n].filter(F.length("word") == n).select("word", "seg")
-        fins = leg if fins is None else fins.unionByName(leg)
-    return fins
+        ).alias("cmap")
+    )
+
+    def step(acc, i):
+        best = None
+        for k in range(_UNI_MAXP, 0, -1):
+            prior = F.element_at(acc, (i - k + 1).cast("int"))
+            entry = F.element_at(F.col("cmap"), ((i - k + 1) * 100 + k).cast("int"))
+            b = F.when(
+                (i >= k) & prior.isNotNull() & entry.isNotNull(),
+                F.struct(
+                    (prior["cost"] + entry["cost"]).alias("cost"),
+                    F.concat(prior["seg"], F.lit("-"), entry["piece"]).alias("seg"),
+                ),
+            )
+            best = b if best is None else (
+                F.when(
+                    b.isNotNull() & (best.isNull() | (b["cost"] < best["cost"])), b
+                ).otherwise(best)
+            )
+        return F.concat(acc, F.array(best))
+
+    init = F.array(
+        F.struct(F.lit(0).cast("bigint").alias("cost"), F.lit("").alias("seg"))
+    )
+    fin = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length("word")), init, step),
+        F.length("word") + 1,
+    )
+    return (
+        cmap.select("word", fin.alias("fin"))
+        .filter(F.col("fin").isNotNull())
+        .select("word", F.col("fin")["seg"].alias("seg"))
+    )
 
 
 _UNI_ENC_TOPK = 20
@@ -2561,26 +2546,44 @@ def _uni_alt_frame(model: DataFrame) -> DataFrame:
     acand = spans.join(
         F.broadcast(model.select(F.col("piece").alias("sub"), "cost")), "sub"
     ).select("w", "s", "k", "cost")
-    dp = {0: multi.select(F.col("piece").alias("w"), F.lit(0).cast("bigint").alias("cost"))}
-    for i in range(1, _UNI_MAXP + 1):
-        branches = []
-        for k in range(1, min(_UNI_MAXP, i) + 1):
-            c = acand.filter((F.col("s") == i - k + 1) & (F.col("k") == k))
-            branches.append(
-                dp[i - k]
-                .select("w", F.col("cost").alias("dcost"))
-                .join(c.select("w", "cost"), "w")
-                .select("w", (F.col("dcost") + F.col("cost")).alias("cost"))
+    # same one-pass fold as _uni_viterbi_frame, cost-only (the SQL twin
+    # takes MIN(cost) per level, so no tie-break is needed here)
+    cmap = acand.groupBy("w").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("s") * 100 + F.col("k")).cast("int").alias("sk"),
+                    F.col("cost").alias("cost"),
+                )
             )
-        u = branches[0]
-        for b in branches[1:]:
-            u = u.unionByName(b)
-        dp[i] = u.groupBy("w").agg(F.min("cost").alias("cost"))
-    fins = None
-    for n in range(2, _UNI_MAXP + 1):
-        leg = dp[n].filter(F.length("w") == n)
-        fins = leg if fins is None else fins.unionByName(leg)
-    return fins.select(F.col("w").alias("piece"), F.col("cost").alias("alt_cost"))
+        ).alias("cmap")
+    )
+
+    def step(acc, i):
+        best = None
+        for k in range(_UNI_MAXP, 0, -1):
+            prior = F.element_at(acc, (i - k + 1).cast("int"))
+            entry = F.element_at(F.col("cmap"), ((i - k + 1) * 100 + k).cast("int"))
+            b = F.when(
+                (i >= k) & prior.isNotNull() & entry.isNotNull(), prior + entry
+            )
+            best = b if best is None else (
+                F.when(b.isNotNull() & (best.isNull() | (b < best)), b).otherwise(best)
+            )
+        return F.concat(acc, F.array(best))
+
+    fin = F.element_at(
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("w")),
+            F.array(F.lit(0).cast("bigint")),
+            step,
+        ),
+        F.length("w") + 1,
+    )
+    return (
+        cmap.select(F.col("w").alias("piece"), fin.alias("alt_cost"))
+        .filter(F.col("alt_cost").isNotNull())
+    )
 
 
 def _unigram_prune_oracle() -> str:
