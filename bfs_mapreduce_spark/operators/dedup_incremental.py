@@ -12,8 +12,13 @@ sets, both parquet, bucket-keyed) and each new batch:
 4. appends its own signatures to the store.
 
 Cost per batch: O(batch) signature work + a bucket equi-join against
-the store — never O(corpus). The store parquet is written partitioned
-by band so the candidate join prunes to matching band directories.
+the store — never O(corpus). The store parquet is written flat,
+band-clustered and sorted by (band, h) within files: every document
+emits every band, so a band=... directory layout can never prune (all
+bands are touched by any batch) — it only buys the dynamic-partition
+commit overhead and a bands-times-tasks small-file explosion per
+ingest. Sorted flat files instead give parquet row-group min/max
+stats on the join keys.
 
 Exactness contract (tested, including under hot-bucket skew):
 running batches through this path yields exactly the pairs — values,
@@ -30,12 +35,9 @@ from pyspark.sql import functions as F
 from bfs_mapreduce_spark.operators.dedup_queries import (
     _LSH_ROWS_PER_BAND,
     _MINHASH_AB,
-    _H31,
-    _P,
+    minhash_band_table,
     shingle_arrays,
 )
-
-_N_BANDS = 64 // _LSH_ROWS_PER_BAND
 
 
 def _signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -43,30 +45,19 @@ def _signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     bands:    (doc_id, band, h)      — LSH bucket keys
     shingles: (doc_id, shingles)     — for the exact-Jaccard verify
-    """
+
+    Delegates to the batch path's ``minhash_band_table`` (identical
+    hash formulas, F.expr construction): composing the 64 min-aggs +
+    32 band structs as Column objects here cost the driver ~1.2 s of
+    py4j chatter PER CALL — and the store queries call this once per
+    ingest batch."""
+    # batches often arrive as a filter over a few input splits (in the
+    # catalog queries: ONE) — spread the shingle + signature compute
+    # before the heavy per-row work
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sh = shingle_arrays(docs).localCheckpoint()
-    rows = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_H31)).alias("h31")
-    )
-    sig = rows.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_P))).alias(f"m{j}")
-            for j, (a, b) in enumerate(_MINHASH_AB)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    *[f"m{i * _LSH_ROWS_PER_BAND + r}" for r in range(_LSH_ROWS_PER_BAND)]
-                ).alias("h"),
-            )
-            for i in range(_N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bh")).select(
-        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    bands = minhash_band_table(
+        sh, n_hashes=len(_MINHASH_AB), rows_per_band=_LSH_ROWS_PER_BAND
     )
     return bands, sh
 
@@ -74,7 +65,11 @@ def _signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 def init_store(spark: SparkSession, docs: DataFrame, store_path: str) -> None:
     """Create (or overwrite) the signature store from an initial corpus."""
     bands, sh = _signatures(docs)
-    bands.write.mode("overwrite").partitionBy("band").parquet(f"{store_path}/bands")
+    # flat, band-clustered, (band, h)-sorted files — see module
+    # docstring for why NOT partitionBy("band")
+    bands.repartition("band").sortWithinPartitions("band", "h").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/bands")
     sh.write.mode("overwrite").parquet(f"{store_path}/shingles")
 
 
@@ -121,8 +116,8 @@ def ingest_batch(
     new_sh = new_sh.localCheckpoint()
     new_ids = new_sh.select("doc_id")
 
-    # full membership of every bucket the batch touches (the store
-    # side prunes by the band partitioning + broadcastable key set)
+    # full membership of every bucket the batch touches (a semi-join
+    # on the (band, h) bucket keys against the sorted store)
     touched = new_bands.select("band", "h").distinct()
     relevant = old_bands.join(touched, ["band", "h"], "left_semi").unionByName(
         new_bands
@@ -157,7 +152,9 @@ def ingest_batch(
     )
 
     if append:
-        new_bands.write.mode("append").partitionBy("band").parquet(f"{store_path}/bands")
+        new_bands.repartition("band").sortWithinPartitions(
+            "band", "h"
+        ).write.mode("append").parquet(f"{store_path}/bands")
         new_sh.write.mode("append").parquet(f"{store_path}/shingles")
     return pairs
 
@@ -262,7 +259,11 @@ def init_semantic_store(spark: SparkSession, emb: DataFrame, store_path: str) ->
     cent.write.mode("overwrite").parquet(f"{store_path}/centroids")
     base = _sem_base(emb)
     rows = _nearest_cell(base, cent).select("vec_id", "cell").join(base, "vec_id")
-    rows.write.mode("overwrite").partitionBy("cell").parquet(f"{store_path}/vectors")
+    # cell-clustered before the dynamic-partition write: one file per
+    # cell instead of tasks x cells tiny files
+    rows.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{store_path}/vectors"
+    )
 
 
 def ingest_semantic_batch(
@@ -322,9 +323,9 @@ def ingest_semantic_batch(
     pairs = cross.unionByName(self_pairs).distinct().localCheckpoint()
 
     if append:
-        new_rows.write.mode("append").partitionBy("cell").parquet(
-            f"{store_path}/vectors"
-        )
+        new_rows.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{store_path}/vectors")
     return pairs
 
 
