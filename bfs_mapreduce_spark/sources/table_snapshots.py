@@ -688,6 +688,77 @@ def delete_eq(
     return version, staged
 
 
+def upsert_eq(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Merge-on-read UPSERT in ONE atomic commit — the streaming write
+    path :func:`delete_eq` exists for (Iceberg format-v2 upsert
+    semantics): every current row whose ``key_cols`` match a source
+    row is masked by an equality delete, and the source rows are
+    appended, both published by the same manifest CAS. Readers can
+    never observe the half-applied state delete-then-append as two
+    commits would expose (old row gone, new row missing), and the
+    sequence rule — ``applies`` is the file set at commit time — keeps
+    the delete off the rows this very commit appends, so a source row
+    whose key matches another source row's is NOT self-masked
+    (duplicate source keys both land; dedupe upstream if last-wins
+    within a batch is needed).
+
+    No data file is read or rewritten: cost is O(|source|) bytes
+    written, which is why a streaming writer can afford an upsert per
+    micro-batch; the read-side key join is retired at the next
+    :func:`compact` / :func:`merge_into`. ``txn=(app_id, batch_id)``
+    publishes streaming progress in the same pointer swap (check
+    :func:`last_txn` before calling to skip replayed batches).
+
+    Returns the new version. Commits as ``operation='upsert'``:
+    file-diff CDC (:func:`read_changes`) refuses to cross it, since
+    the masked rows are invisible to a file diff."""
+    if not key_cols:
+        raise ValueError("upsert_eq needs at least one key column")
+    missing = [c for c in key_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"key column(s) {missing} not in source")
+    base = current_version(root)
+    m = read_manifest(root, base)
+    keys = source.select(*key_cols).dropDuplicates()
+    n_null = keys.filter(
+        F.greatest(*[F.col(c).isNull() for c in key_cols])
+        if len(key_cols) > 1
+        else F.col(key_cols[0]).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"upsert keys contain {n_null} row(s) with NULL key values — "
+            "NULL never equality-matches, so the old row would survive "
+            "next to the new one"
+        )
+    eq_entries = []
+    if m["files"]:  # first commit into an empty table: pure append
+        staged_keys = stage_files(keys.coalesce(1), root)
+        if staged_keys:
+            eq_entries.append(
+                {
+                    "files": staged_keys,
+                    "cols": list(key_cols),
+                    "applies": list(m["files"]),
+                }
+            )
+    new_files = stage_files(source, root)
+    return commit(
+        root,
+        new_files,
+        base_version=base,
+        eq_deletes=eq_entries,
+        operation="upsert",
+        txn=txn,
+    )
+
+
 def _scan_for_delete(
     spark: SparkSession,
     files: list[str],

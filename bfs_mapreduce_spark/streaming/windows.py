@@ -878,6 +878,114 @@ def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_snapshot_upsert",
+    oracle="""
+    -- last-writer-wins per key: %3==0 keys are inserted by batch 0
+    -- (price x1) then UPDATED by batch 1 (x20); %3==1 inserted by
+    -- batch 1 (x2) then updated by batch 2 (x30); %3==2 inserted by
+    -- batch 2 (x3), never updated. Each key must appear EXACTLY once
+    -- (a failed equality-delete doubles n_rows; a double-applied
+    -- replay breaks both counts and totals).
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+                CASE o_orderkey % 3 WHEN 0 THEN 20 WHEN 1 THEN 30 ELSE 3 END)
+                AS DOUBLE) AS total_price,
+           CAST(3 AS BIGINT) AS final_version,
+           CAST(3 AS BIGINT) AS version_after_replay
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="STREAMING UPSERT into the snapshot table via equality deletes "
+    "(round 11 — the write path table_snapshots.delete_eq exists "
+    "for, and the lakehouse loop's last missing verb): each "
+    "micro-batch is applied by upsert_eq as ONE atomic commit — an "
+    "equality delete on the batch's keys against the files present "
+    "at commit time, plus the batch's rows as appended files, "
+    "published by the same manifest CAS, carrying Delta's txn "
+    "action. No data file is read or rewritten per batch (O(batch) "
+    "bytes — why a stream can afford an upsert per trigger); readers "
+    "merge the delete at scan time, compaction retires it. "
+    "Certified the hard way, like q_stream_snapshot_ingest: batches "
+    "arrive in mtime order (inserts for key-third i, UPDATES for "
+    "key-third i-1 at new prices), so the final state is "
+    "last-writer-wins per key — then the whole stream replays from a "
+    "FRESH checkpoint and the txn guard must swallow every batch: "
+    "the oracle hash pins per-key exactly-once (n_rows doubles if a "
+    "delete missed), the updated decimal-exact totals, and the "
+    "version before AND after replay.",
+)
+def q_stream_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_streamupsert"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    chunks, table = os.path.join(root, "chunks"), os.path.join(root, "table")
+    os.makedirs(table, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    key3 = F.col("o_orderkey") % 3
+
+    def _priced(rows: DataFrame, mult: int) -> DataFrame:
+        return rows.withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(mult)).cast(
+                "decimal(18,2)"
+            ),
+        )
+
+    schema = None
+    for i in (0, 1, 2):
+        batch = _priced(orders.filter(key3 == i), i + 1)
+        if i > 0:  # updates for the previous third at a new price
+            batch = batch.unionByName(
+                _priced(orders.filter(key3 == i - 1), 10 * (i + 1))
+            )
+        path = os.path.join(chunks, f"chunk_{i}.parquet")
+        batch.coalesce(1).write.mode("overwrite").parquet(path)
+        schema = batch.schema
+        # micro-batch ORDER is the upsert semantic (update-after-
+        # insert): pin it via mtime, which the file stream source
+        # orders by
+        mt = 1_000_000_000 + i * 600
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mt, mt))
+    app = "snap_upsert"
+
+    def _apply_batch(batch: DataFrame, bid: int) -> None:
+        if ts.last_txn(table, app) >= bid:
+            return  # replayed batch: already published, skip
+        ts.upsert_eq(spark, table, batch, ["o_orderkey"], txn=(app, bid))
+
+    def _run_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(chunks, "*"))
+        )
+        with tempfile.TemporaryDirectory(prefix="bfs_mr_upsert_ckpt_") as ckpt:
+            q = (
+                stream.writeStream.foreachBatch(_apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    _run_once()
+    final_version = ts.current_version(table)
+    _run_once()  # fresh checkpoint = full redelivery; txn guard absorbs
+    replay_version = ts.current_version(table)
+    return ts.read(spark, table).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_totalprice").cast("double").alias("total_price"),
+        F.lit(final_version).cast("bigint").alias("final_version"),
+        F.lit(replay_version).cast("bigint").alias("version_after_replay"),
+    )
+
+
+@register(
     "q_stream_snapshot_changes",
     oracle="""
     -- Phase 1: the stream (startingVersion=1) must deliver exactly

@@ -1394,3 +1394,71 @@ def test_snapshot_merge_reads_through_equality_deletes(spark, tmp_path):
     assert got.filter("k < 10 AND grp <> 9").count() == 0
     assert got.filter("grp = 1").count() == 0
     assert got.groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_snapshot_upsert_eq(spark, tmp_path):
+    """upsert_eq (round 11): merge-on-read upsert as ONE atomic commit
+    — equality delete on the source's keys scoped to pre-commit files,
+    plus the source rows appended, same manifest CAS. Covers: pure
+    append into an empty table, last-writer-wins on overlap, no
+    self-masking of same-commit rows, txn idempotence, NULL/missing
+    key refusal, CDC refusal, and compaction materializing the mask."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+
+    a = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+    )
+    v1 = ts.upsert_eq(spark, root, a, ["k"], txn=("app", 0))
+    m1 = ts.read_manifest(root, v1)
+    assert m1["operation"] == "upsert"
+    assert m1.get("eq_deletes") in (None, [])  # empty table: pure append
+    assert ts.read(spark, root).count() == 10
+    assert ts.last_txn(root, "app") == 0
+
+    # overlap: k 5..14 at val=2 — last writer wins per key, exactly once
+    b = spark.range(5, 15).select(
+        F.col("id").alias("k"),
+        F.lit(2).cast("bigint").alias("val"),
+    )
+    v2 = ts.upsert_eq(spark, root, b, ["k"], txn=("app", 1))
+    got = ts.read(spark, root)
+    assert got.count() == 15
+    assert got.groupBy("k").count().filter("count > 1").count() == 0
+    assert got.filter("k >= 5").filter("val <> 2").count() == 0
+    assert got.filter("k < 5").filter("val <> 1").count() == 0
+    assert ts.read(spark, root, v1).count() == 10  # time travel intact
+
+    # same-commit rows are NOT self-masked: duplicate source keys both
+    # land (the applies scope is the PRE-commit file set)
+    dup = spark.createDataFrame([(100, 7), (100, 8)], "k bigint, val bigint")
+    ts.upsert_eq(spark, root, dup, ["k"])
+    assert ts.read(spark, root).filter("k = 100").count() == 2
+
+    # refusals: NULL key values, missing key column
+    with pytest.raises(ValueError, match="NULL"):
+        ts.upsert_eq(
+            spark, root,
+            spark.createDataFrame([(None, 1)], "k bigint, val bigint"),
+            ["k"],
+        )
+    with pytest.raises(ValueError, match="not in source"):
+        ts.upsert_eq(spark, root, a, ["nope"])
+
+    # file-diff CDC refuses to cross an upsert commit
+    with pytest.raises(ValueError, match="upsert"):
+        ts.read_changes(spark, root, v1, v2)
+
+    # compaction materializes the equality masks; values identical
+    before = sorted(tuple(r) for r in ts.read(spark, root).collect())
+    v5 = ts.compact(spark, root, n_files=1)
+    m5 = ts.read_manifest(root, v5)
+    assert m5.get("eq_deletes") in (None, [])
+    assert sorted(tuple(r) for r in ts.read(spark, root).collect()) == before
