@@ -824,8 +824,12 @@ _SUB_L, _SUB_S = 40, 20  # window length / stride (chars)
     "inside otherwise-distinct docs.",
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _SUB_L
+    # same single-split spread as substring_fingerprints: the window
+    # transform multiplies rows before the first shuffle
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _SUB_L)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     wins = F.transform(
         F.sequence(
@@ -867,7 +871,13 @@ def substring_fingerprints(docs: DataFrame) -> DataFrame:
     shuffled downstream is 16 bytes + doc_id per row. Exposed so the
     scale benchmark (benchmarks.run_dedup_scale) can time and count
     this stage — the heaviest shuffle-per-byte feed in the repo — as
-    its own phase."""
+    its own phase.
+
+    Spreads the input first: the explode multiplies rows ~|text|x
+    BEFORE the first shuffle, so a few-split input (the single-file
+    test tables; any filter that collapses splits) would otherwise
+    hash serially."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.length("text") - _SUB_L)).alias("p"),
@@ -1029,7 +1039,14 @@ def q_dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     L = _SUB_L
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= L)
+    # single-file table → single split: the every-position explode
+    # multiplies rows ~|text|x before the first shuffle, so without
+    # this the whole window+hash stage runs on one core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= L)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     g = docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.length("text") - L)).alias("p"),
