@@ -1462,3 +1462,63 @@ def test_snapshot_upsert_eq(spark, tmp_path):
     m5 = ts.read_manifest(root, v5)
     assert m5.get("eq_deletes") in (None, [])
     assert sorted(tuple(r) for r in ts.read(spark, root).collect()) == before
+
+
+def test_snapshot_concurrent_upserts_race(spark, tmp_path):
+    """Two writers racing upsert_eq on DISJOINT key ranges: the CAS
+    loser retries the WHOLE upsert (its equality delete must re-scope
+    `applies` to the new base's files), and afterward every key holds
+    its writer's LAST value exactly once — the serializability story
+    of the streaming-upsert commit, actually raced."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.lit(0).cast("bigint").alias("val")
+    )
+    ts.commit(root, ts.stage_files(base, root), base_version=0)
+
+    per_thread, n_threads = 4, 2
+    errors: list = []
+    barrier = threading.Barrier(n_threads)
+
+    def writer(tid):
+        try:
+            barrier.wait()
+            for i in range(1, per_thread + 1):
+                # thread 0 owns keys 0..19, thread 1 owns 20..39;
+                # round i rewrites the whole range at val = tid*100+i
+                src = spark.range(20 * tid, 20 * (tid + 1)).select(
+                    F.col("id").alias("k"),
+                    F.lit(tid * 100 + i).cast("bigint").alias("val"),
+                )
+                while True:
+                    try:
+                        ts.upsert_eq(spark, root, src, ["k"])
+                        break
+                    except ts.SnapshotConflict:
+                        continue  # re-stage against the moved base
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # linear version chain: 1 seed + 8 upserts
+    assert ts.current_version(root) == 1 + per_thread * n_threads
+    got = ts.read(spark, root)
+    assert got.count() == 40
+    assert got.groupBy("k").count().filter("count > 1").count() == 0
+    # last writer wins per key range, regardless of interleaving
+    assert got.filter("k < 20").filter(f"val <> {per_thread}").count() == 0
+    assert got.filter("k >= 20").filter(f"val <> {100 + per_thread}").count() == 0
