@@ -1465,3 +1465,113 @@ def q_sink_snapshot_eqdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "q_sink_snapshot_optimize",
+    oracle="""
+    -- bands = bottom 5% of each key's range; the file-level skipping
+    -- outcomes are booleans (range-partitioner boundaries are
+    -- sampled, so exact kept/skipped counts are layout noise), the
+    -- row values and band populations are exact
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(COUNT(*) FILTER (WHERE l_partkey <=
+                (SELECT MAX(l_partkey) // 20 FROM lineitem)) AS BIGINT)
+             AS band_a_rows,
+           CAST(COUNT(*) FILTER (WHERE l_suppkey <=
+                (SELECT MAX(l_suppkey) // 20 FROM lineitem)) AS BIGINT)
+             AS band_b_rows,
+           TRUE AS skip_a_improved,
+           TRUE AS skip_b_improved,
+           TRUE AS rewrite_identical
+    FROM lineitem
+    """,
+    doc="OPTIMIZE ZORDER BY for the snapshot table format (round 11, "
+    "table_snapshots.optimize_zorder — Delta's table-maintenance "
+    "verb, composing the engine's Morton-layout expressions "
+    "(functions/layout.py, q_sink_zorder) with the manifest commit "
+    "path): lineitem lands as three arrival-ordered appends with "
+    "footer stats on (l_partkey, l_suppkey), where manifest skipping "
+    "(prune_files) is provably useless — every file spans both key "
+    "ranges, zero skipped on either band. One optimize_zorder rewrite "
+    "(in-plan z-value, one range exchange + in-partition sort, "
+    "REPLACE manifest with fresh stats) makes a 5%-band read on "
+    "EITHER column skip files from the manifest alone. The oracle "
+    "hash pins the exact row count, decimal-exact total, both band "
+    "populations (read through the PRUNED scan, so a wrong skip "
+    "changes values, not just counts), and three booleans: skipping "
+    "improved on a, on b, and the rewrite changed no values (old "
+    "version still readable by time travel — compaction changes "
+    "layout, never history). At 100 TB this is the nightly OPTIMIZE "
+    "job: one sort amortized across every subsequent multi-dim range "
+    "query.",
+)
+def q_sink_snapshot_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_opt"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    stats_cols = ["l_partkey", "l_suppkey"]
+    v = 0
+    for i in (0, 1, 2):  # arrival-ordered appends: no key clustering
+        files = ts.stage_files(
+            li.filter(F.col("l_orderkey") % 3 == i).coalesce(4), root
+        )
+        v = ts.commit(
+            root,
+            files,
+            base_version=v,
+            stats=ts.collect_stats(files, stats_cols),
+        )
+    mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    a_hi, b_hi = mx[0] // 20, mx[1] // 20
+    m_pre = ts.read_manifest(root)
+    skip_a_pre = len(ts.prune_files(m_pre, "l_partkey", 0, a_hi)[1])
+    skip_b_pre = len(ts.prune_files(m_pre, "l_suppkey", 0, b_hi)[1])
+
+    v_opt = ts.optimize_zorder(
+        spark, root, "l_partkey", "l_suppkey", n_files=12
+    )
+    m_post = ts.read_manifest(root, v_opt)
+    skip_a_post = len(ts.prune_files(m_post, "l_partkey", 0, a_hi)[1])
+    skip_b_post = len(ts.prune_files(m_post, "l_suppkey", 0, b_hi)[1])
+
+    price = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    after = ts.read(spark, root).agg(
+        F.count(F.lit(1)).alias("n"), price.alias("tp")
+    )
+    before = ts.read(spark, root, v).agg(
+        F.count(F.lit(1)).alias("n0"), price.alias("tp0")
+    )
+    # band populations THROUGH the pruned read: a wrong skip loses rows
+    dfa, _, _ = ts.read_pruned(spark, root, "l_partkey", 0, a_hi)
+    band_a = dfa.filter(F.col("l_partkey") <= a_hi).agg(
+        F.count(F.lit(1)).alias("ba")
+    )
+    dfb, _, _ = ts.read_pruned(spark, root, "l_suppkey", 0, b_hi)
+    band_b = dfb.filter(F.col("l_suppkey") <= b_hi).agg(
+        F.count(F.lit(1)).alias("bb")
+    )
+    return (
+        after.crossJoin(before)
+        .crossJoin(band_a)
+        .crossJoin(band_b)
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("tp").cast("double").alias("total_price"),
+            F.col("ba").cast("bigint").alias("band_a_rows"),
+            F.col("bb").cast("bigint").alias("band_b_rows"),
+            F.lit(skip_a_post > skip_a_pre).alias("skip_a_improved"),
+            F.lit(skip_b_post > skip_b_pre).alias("skip_b_improved"),
+            ((F.col("n") == F.col("n0")) & (F.col("tp") == F.col("tp0"))).alias(
+                "rewrite_identical"
+            ),
+        )
+    )

@@ -547,6 +547,48 @@ def compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
     return commit(root, files, base_version=base, replace=True)
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Table maintenance verb OPTIMIZE ZORDER BY (Delta's command;
+    Iceberg sort orders): rewrite the current version's LIVE rows
+    Morton-clustered on ``(col_a, col_b)`` into ``n_files`` files —
+    one range exchange on the in-plan z-value plus an in-partition
+    sort, so every output file covers a small hyper-rectangle of the
+    two keys — and commit a REPLACE manifest carrying fresh footer
+    stats for both. After it, manifest-level skipping
+    (:func:`prune_files`) is selective on EITHER column, where the
+    pre-optimize layout (clustered by arrival order) typically skips
+    nothing; :mod:`functions/layout` measures the effect on plain
+    parquet, ``q_sink_snapshot_optimize`` certifies it through the
+    manifest path. Reads through both delete kinds (the rewrite
+    materializes them — exactly :func:`compact`'s contract, plus the
+    ordering); old versions keep their original layout, since
+    compaction changes layout, never history."""
+    from bfs_mapreduce_spark.functions.layout import with_zorder
+
+    base = current_version(root)
+    df = read(spark, root, base)
+    for c in (col_a, col_b):
+        if c not in df.columns:
+            raise ValueError(f"zorder column {c!r} not in table schema")
+    zv = "__ts_zv"  # collision-proofed like the scan working columns
+    clustered = (
+        with_zorder(df, col_a, col_b, out=zv)
+        .repartitionByRange(n_files, zv)
+        .sortWithinPartitions(zv)
+        .drop(zv)
+    )
+    staged = stage_files(clustered, root)
+    stats = collect_stats(staged, stats_cols or [col_a, col_b])
+    return commit(root, staged, base_version=base, replace=True, stats=stats)
+
+
 def delete_where(
     spark: SparkSession,
     root: str,

@@ -1522,3 +1522,56 @@ def test_snapshot_concurrent_upserts_race(spark, tmp_path):
     # last writer wins per key range, regardless of interleaving
     assert got.filter("k < 20").filter(f"val <> {per_thread}").count() == 0
     assert got.filter("k >= 20").filter(f"val <> {100 + per_thread}").count() == 0
+
+
+def test_snapshot_optimize_zorder(spark, tmp_path):
+    """optimize_zorder: REPLACE rewrite Morton-clustered on two keys —
+    values identical, old layout readable by time travel, both delete
+    kinds materialized by the rewrite, fresh stats make single-column
+    bands skip files where the arrival layout skipped none."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(4096)).alias("a"),
+        F.pmod(F.col("id") * 40503, F.lit(4096)).alias("b"),
+    )
+    files = ts.stage_files(df.repartition(8), root)
+    v1 = ts.commit(
+        root, files, base_version=0, stats=ts.collect_stats(files, ["a", "b"])
+    )
+    # arrival layout: every file spans both ranges -> nothing skips
+    m1 = ts.read_manifest(root, v1)
+    assert len(ts.prune_files(m1, "a", 0, 200)[1]) == 0
+    assert len(ts.prune_files(m1, "b", 0, 200)[1]) == 0
+
+    # stack both delete kinds, then optimize: the rewrite reads through
+    ts.delete_where(spark, root, "k % 5 = 0")
+    v3, _ = ts.delete_eq(spark, root, spark.createDataFrame([(7,)], "k bigint"))
+    live = sorted(tuple(r) for r in ts.read(spark, root).collect())
+
+    v4 = ts.optimize_zorder(spark, root, "a", "b", n_files=16)
+    m4 = ts.read_manifest(root, v4)
+    assert m4["operation"] == "replace"
+    assert m4.get("deletes") in (None, {}) and m4.get("eq_deletes") in (None, [])
+    assert sorted(tuple(r) for r in ts.read(spark, root).collect()) == live
+    assert ts.read(spark, root, v1).count() == 4096  # history intact
+
+    # z-clustering: a thin band on EITHER key now skips files
+    assert len(ts.prune_files(m4, "a", 0, 200)[1]) > 0
+    assert len(ts.prune_files(m4, "b", 0, 200)[1]) > 0
+    # pruned read returns exactly the band rows
+    dfa, kept, skipped = ts.read_pruned(spark, root, "a", 0, 200)
+    assert len(kept) + len(skipped) == 16
+    want = len([r for r in live if r[1] <= 200])
+    assert dfa.filter("a <= 200").count() == want
+
+    with pytest.raises(ValueError, match="not in table schema"):
+        ts.optimize_zorder(spark, root, "a", "nope")
