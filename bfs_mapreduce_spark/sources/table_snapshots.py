@@ -67,9 +67,15 @@ Round-10 extensions (same session, building the full lakehouse core):
 Scale posture: the manifest is file-granular metadata (like Iceberg's
 manifest lists) — at 100 TB this object is thousands of entries, not
 billions of rows; reads plan partition pruning / predicate pushdown on
-the listed files exactly as on a raw directory, and commit cost is
-O(files touched), independent of table size. On a real object store
-the ``os.replace`` swap point becomes a conditional PUT / catalog CAS.
+the listed files exactly as on a raw directory. APPEND commits write
+O(new files) metadata, not O(table): the version manifest references
+immutable SEGMENT files (Iceberg's manifest-file layer) for
+already-listed data and adds one segment for its own files, so a
+streaming writer's per-batch commit cost is independent of how many
+million files the table has accumulated; a REPLACE (compaction /
+merge / optimize) flattens back to an inline list — the rewrite
+already paid O(table). On a real object store the ``os.replace`` swap
+point becomes a conditional PUT / catalog CAS.
 """
 
 from __future__ import annotations
@@ -168,7 +174,14 @@ def _commit_meta(root: str, base_version: int, *, checks: dict[str, str]) -> int
     base = read_manifest(root, latest)
     version = latest + 1
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
-    payload = dict(base)
+    # restore the RAW stored form: read_manifest flattens segment
+    # references into files/stats, and publishing the flattened view
+    # next to the carried "segments" key would double-list every file
+    payload = {k: v for k, v in base.items() if not k.startswith("_")}
+    if base.get("_segments"):
+        payload["segments"] = base["_segments"]
+        payload["files"] = base["_inline_files"]
+        payload["stats"] = base["_inline_stats"]
     payload.update(
         version=version,
         parent=latest,
@@ -225,12 +238,49 @@ def current_version(root: str) -> int:
     return v
 
 
+def _write_segment(root: str, files: list[str], stats: dict) -> str:
+    """Write an immutable manifest SEGMENT (a file-list + stats chunk,
+    Iceberg's manifest-file idea): append commits reference base
+    segments by path and add one new segment for their own files, so
+    an append writes O(new files) metadata instead of re-serializing
+    the whole table's file list. Segments live next to the manifests
+    (never under data/, so vacuum's walk cannot touch them) and are
+    shared by every later version until a REPLACE flattens."""
+    seg_dir = os.path.join(root, "_manifests", "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    path = os.path.join(seg_dir, f"seg-{uuid.uuid4().hex[:12]}.json")
+    _atomic_write(path, json.dumps({"files": files, "stats": stats}))
+    return path
+
+
 def read_manifest(root: str, version: int | None = None) -> dict:
+    """The version's manifest with its segment references RESOLVED:
+    ``files``/``stats`` are always the full flattened view, so every
+    consumer keeps treating the manifest as file-granular metadata.
+    The raw split is preserved under ``_segments`` / ``_inline_files``
+    / ``_inline_stats`` for :func:`commit`'s append fast path."""
     v = current_version(root) if version is None else version
     if v == 0:
         return {"version": 0, "parent": None, "files": []}
     with open(_manifest_path(root, v)) as f:
-        return json.load(f)
+        m = json.load(f)
+    segs = m.get("segments") or []
+    if segs:
+        files: list[str] = []
+        stats: dict = {}
+        for sp in segs:
+            with open(sp) as sf:
+                s = json.load(sf)
+            files.extend(s["files"])
+            stats.update(s.get("stats") or {})
+        m["_segments"] = segs
+        m["_inline_files"] = m.get("files") or []
+        m["_inline_stats"] = m.get("stats") or {}
+        files.extend(m["_inline_files"])
+        stats.update(m["_inline_stats"])
+        m["files"] = files
+        m["stats"] = stats
+    return m
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -391,28 +441,55 @@ def commit(
                 {"files": e["files"], "cols": e["cols"], "applies": applies}
             )
     version = latest + 1
+    payload = {
+        "version": version,
+        "parent": latest,
+        "operation": operation or ("replace" if replace else "append"),
+        "txn": new_txn,
+        "schema": new_schema,
+        "deletes": new_deletes,
+        "eq_deletes": new_eq,
+        "checks": base.get("checks", {}),
+    }
+    if replace:
+        # a rewrite names the full new file set: inline, no segments
+        payload["files"] = new_files
+        payload["stats"] = new_stats
+    else:
+        # APPEND fast path (the streaming-commit hot path): reference
+        # the base's segments by path, spill any base inline list into
+        # a segment ONCE (first append after a replace / legacy
+        # manifest), and add one segment for this commit's files — the
+        # manifest written per append is O(new files + n_segments),
+        # never O(total files).
+        segs = list(base.get("_segments") or [])
+        base_inline = (
+            base.get("_inline_files", []) if segs else base["files"]
+        )
+        if base_inline:
+            segs.append(
+                _write_segment(
+                    root,
+                    list(base_inline),
+                    {p: new_stats[p] for p in base_inline if p in new_stats},
+                )
+            )
+        added = list(files)
+        if added:
+            segs.append(
+                _write_segment(
+                    root,
+                    added,
+                    {p: new_stats[p] for p in added if p in new_stats},
+                )
+            )
+        payload["segments"] = segs
+        payload["files"] = []
+        payload["stats"] = {}
     # Manifest creation (inside _publish_manifest) is the atomic CAS
     # commit point — exactly one writer per version number; the serial
     # base_version check above is a fast-fail optimization.
-    _publish_manifest(
-        root,
-        version,
-        json.dumps(
-            {
-                "version": version,
-                "parent": latest,
-                "operation": operation or ("replace" if replace else "append"),
-                "files": new_files,
-                "stats": new_stats,
-                "txn": new_txn,
-                "schema": new_schema,
-                "deletes": new_deletes,
-                "eq_deletes": new_eq,
-                "checks": base.get("checks", {}),
-            },
-            indent=1,
-        ),
-    )
+    _publish_manifest(root, version, json.dumps(payload, indent=1))
     return version
 
 

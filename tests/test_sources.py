@@ -1575,3 +1575,67 @@ def test_snapshot_optimize_zorder(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in table schema"):
         ts.optimize_zorder(spark, root, "a", "nope")
+
+
+def test_snapshot_manifest_segments_append_cost(spark, tmp_path):
+    """Manifest segments (round 11): APPEND commits write O(new files)
+    metadata — the version manifest references immutable segment files
+    and adds one for its own batch, so per-append manifest size stays
+    flat while the table's file count grows; a REPLACE flattens back
+    to an inline list. Reads, stats skipping, time travel, and the
+    delete kinds are unchanged through the flattened view."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = 0
+    for i in range(6):  # 6 appends x 4 files
+        df = spark.range(100 * i, 100 * (i + 1)).select(
+            F.col("id").alias("k")
+        )
+        files = ts.stage_files(df.repartition(4), root)
+        v = ts.commit(
+            root, files, base_version=v, stats=ts.collect_stats(files, ["k"])
+        )
+
+    # flattened view: all 24 files, all stats, right rows
+    m = ts.read_manifest(root, v)
+    assert len(m["files"]) == 24 and len(m["stats"]) == 24
+    assert ts.read(spark, root).count() == 600
+    assert ts.read(spark, root, 2).count() == 200  # time travel flattens too
+
+    # the RAW manifest on disk is O(new files): its inline file list is
+    # empty and its byte size stays flat as appends accumulate
+    raw3 = _json.load(open(os.path.join(root, "_manifests", "v3.json")))
+    raw6 = _json.load(open(os.path.join(root, "_manifests", "v6.json")))
+    assert raw3["files"] == [] and raw6["files"] == []
+    assert len(raw6["segments"]) == len(raw3["segments"]) + 3
+    sz3 = os.path.getsize(os.path.join(root, "_manifests", "v3.json"))
+    sz6 = os.path.getsize(os.path.join(root, "_manifests", "v6.json"))
+    # growth per append is ONE segment path (~O(1) bytes), not the
+    # 4 file paths + their stats an inline manifest would re-list
+    per_append = (sz6 - sz3) / 3
+    seg_sz = os.path.getsize(raw6["segments"][-1])
+    assert per_append < seg_sz / 2, (per_append, seg_sz)
+
+    # stats skipping works off the flattened stats
+    kept, skipped = ts.prune_files(m, "k", 0, 99)
+    assert len(kept) == 4 and len(skipped) == 20
+
+    # deletes + vacuum interact with segments correctly
+    ts.delete_where(spark, root, "k % 2 = 0")
+    assert ts.read(spark, root).count() == 300
+    ts.vacuum(root, retain_from=1)
+    assert ts.read(spark, root, 1).count() == 100  # nothing GC'd wrongly
+
+    # REPLACE flattens: inline list, no segments, same values
+    vr = ts.compact(spark, root, n_files=2)
+    raw_r = _json.load(open(os.path.join(root, "_manifests", f"v{vr}.json")))
+    assert "segments" not in raw_r or not raw_r["segments"]
+    assert len(raw_r["files"]) == 2
+    assert ts.read(spark, root).count() == 300
