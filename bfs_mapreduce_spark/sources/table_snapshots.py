@@ -624,6 +624,36 @@ def compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
     return commit(root, files, base_version=base, replace=True)
 
 
+def rewrite_manifests(root: str) -> int:
+    """Metadata-only segment compaction (Iceberg's rewrite_manifests):
+    collapse the current version's accumulated per-append segments
+    into ONE segment and commit a manifest referencing just it — no
+    data file is touched, read, or rewritten, so the commit is CDC-
+    transparent like set_check (the file set is provably unchanged).
+    Run it on the same cadence as data compaction: after N streaming
+    appends the manifest carries N segment paths, and this retires
+    them to one for O(1) manifest reads until appends accumulate
+    again. Returns the new version (the current one when there is
+    nothing to collapse)."""
+    latest = current_version(root)
+    base = read_manifest(root, latest)
+    segs = base.get("_segments") or []
+    if len(segs) <= 1 and not (segs and base.get("_inline_files")):
+        return latest  # zero or one segment and nothing inline: no-op
+    seg = _write_segment(root, list(base["files"]), dict(base.get("stats") or {}))
+    payload = {k: v for k, v in base.items() if not k.startswith("_")}
+    payload.update(
+        version=latest + 1,
+        parent=latest,
+        operation="rewrite_manifests",
+        segments=[seg],
+        files=[],
+        stats={},
+    )
+    _publish_manifest(root, latest + 1, json.dumps(payload, indent=1))
+    return latest + 1
+
+
 def optimize_zorder(
     spark: SparkSession,
     root: str,
@@ -1125,8 +1155,8 @@ def read_changes(
         op = m.get("operation") or (
             "append" if parent_files <= set(m["files"]) else "replace"
         )
-        if op == "set_check":  # metadata-only: file set unchanged
-            op = "append"
+        if op in ("set_check", "rewrite_manifests"):
+            op = "append"  # metadata-only: file set provably unchanged
         if op != "append":
             raise ValueError(
                 f"v{v} is a {op} commit — file-diff CDC is only sound "

@@ -1639,3 +1639,52 @@ def test_snapshot_manifest_segments_append_cost(spark, tmp_path):
     assert "segments" not in raw_r or not raw_r["segments"]
     assert len(raw_r["files"]) == 2
     assert ts.read(spark, root).count() == 300
+
+
+def test_snapshot_rewrite_manifests(spark, tmp_path):
+    """rewrite_manifests: metadata-only segment compaction — collapses
+    N per-append segments to one, touches no data file, stays CDC-
+    transparent (file set provably unchanged), and is a no-op when
+    there is nothing to collapse."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = 0
+    for i in range(5):
+        files = ts.stage_files(
+            spark.range(100 * i, 100 * (i + 1)).toDF("k").coalesce(2), root
+        )
+        v = ts.commit(
+            root, files, base_version=v, stats=ts.collect_stats(files, ["k"])
+        )
+    before = sorted(r[0] for r in ts.read(spark, root).collect())
+
+    vr = ts.rewrite_manifests(root)
+    assert vr == v + 1
+    raw = _json.load(open(os.path.join(root, "_manifests", f"v{vr}.json")))
+    assert raw["operation"] == "rewrite_manifests"
+    assert len(raw["segments"]) == 1 and raw["files"] == []
+    m = ts.read_manifest(root, vr)
+    assert len(m["files"]) == 10 and len(m["stats"]) == 10
+    assert sorted(r[0] for r in ts.read(spark, root).collect()) == before
+    assert ts.read(spark, root, 2).count() == 200  # history intact
+
+    # CDC crosses the metadata-only commit: appends either side diff
+    files = ts.stage_files(spark.range(500, 600).toDF("k").coalesce(1), root)
+    v_after = ts.commit(root, files, base_version=vr)
+    got = sorted(
+        r[0] for r in ts.read_changes(spark, root, v - 1, v_after).collect()
+    )
+    assert got == list(range(400, 600))
+
+    # idempotent: a fresh collapse right after one is a no-op
+    v_again = ts.rewrite_manifests(root)  # collapses (old seg + new seg)
+    assert v_again == v_after + 1
+    assert ts.rewrite_manifests(root) == v_again  # now a true no-op
+    assert ts.read(spark, root).count() == 600
