@@ -1575,3 +1575,85 @@ def q_sink_snapshot_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_scan_snapshot_source",
+    oracle="""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % 4 <> 1 AND o_orderpriority <> '5-LOW')
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows_before
+    FROM live GROUP BY o_orderpriority
+    """,
+    doc="Batch DataSource over the snapshot table format (round 11, "
+    "sources/snapshot_source.py — the spark.read half of the "
+    "lakehouse API, twin of the streaming CDC source): "
+    "format('snapshot').option('path').option('versionAsOf') plans "
+    "one partition per live data file from the manifest alone, and "
+    "each EXECUTOR task streams its parquet file as Arrow batches, "
+    "applying the file's position-delete vectors (row-index mask) "
+    "and applicable equality-delete entries (key anti-filter) before "
+    "a row leaves the task — row bytes never pass the driver, clean "
+    "files pay neither join. Certified: a table built by appends + a "
+    "position DELETE + an equality DELETE is read through the "
+    "source; per-priority counts and decimal-exact totals of the "
+    "LIVE rows, plus a versionAsOf time-travel read of the "
+    "pre-delete table folded in as a column, all sit in the oracle "
+    "hash (and the unit test pins row identity with "
+    "table_snapshots.read, the Catalyst-visible path).",
+)
+def q_scan_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_src"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v = 0
+    for i in (0, 1):
+        v = ts.commit(
+            root,
+            ts.stage_files(
+                orders.filter(F.col("o_orderkey") % 2 == i).coalesce(2), root
+            ),
+            base_version=v,
+        )
+    ts.delete_where(spark, root, "o_orderkey % 4 = 1")
+    ts.delete_eq(
+        spark,
+        root,
+        orders.select("o_orderpriority").filter(
+            F.col("o_orderpriority") == "5-LOW"
+        ).distinct(),
+    )
+    register_snapshot_source(spark)
+    cur = spark.read.format("snapshot").option("path", root).load()
+    pre = (
+        spark.read.format("snapshot")
+        .option("path", root)
+        .option("versionAsOf", v)
+        .load()
+        .agg(F.count(F.lit(1)).alias("_n0"))
+    )
+    return (
+        cur.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .crossJoin(F.broadcast(pre))
+        .withColumn("n_rows_before", F.col("_n0").cast("bigint"))
+        .drop("_n0")
+    )

@@ -121,7 +121,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         while v > v0:
             m = ts.read_manifest(self._root, v)
             op = m.get("operation") or "append"
-            if op not in ("append", "set_check"):
+            if op not in ("append", "set_check", "rewrite_manifests"):
                 raise ValueError(
                     f"snapshot_changes: v{v} is a {op} commit — file-diff "
                     "CDC is only sound across append-only ranges (the "

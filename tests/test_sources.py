@@ -1688,3 +1688,50 @@ def test_snapshot_rewrite_manifests(spark, tmp_path):
     assert v_again == v_after + 1
     assert ts.rewrite_manifests(root) == v_again  # now a true no-op
     assert ts.read(spark, root).count() == 600
+
+
+def test_snapshot_batch_source_matches_read(spark, tmp_path):
+    """format('snapshot') row-identity with table_snapshots.read across
+    appends, position + equality deletes (incl. composite keys),
+    schema evolution NULL-fill, and versionAsOf time travel."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    v1 = ts.commit(root, ts.stage_files(df.repartition(3), root), base_version=0)
+    ts.delete_where(spark, root, "k % 2 = 0")
+    ts.delete_eq(spark, root, spark.createDataFrame([(3,)], "grp bigint"))
+    late = spark.createDataFrame(
+        [(1000, 1, "x")], "k bigint, grp bigint, tag string"
+    )
+    ts.commit(
+        root,
+        ts.stage_files(late, root),
+        base_version=ts.current_version(root),
+        schema=late.schema.json(),
+    )
+    ts.delete_eq(
+        spark, root, spark.createDataFrame([(1, 1)], "k bigint, grp bigint")
+    )
+    register_snapshot_source(spark)
+    got = spark.read.format("snapshot").option("path", root).load()
+    want = ts.read(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # time travel through the source
+    tt = (
+        spark.read.format("snapshot")
+        .option("path", root)
+        .option("versionAsOf", v1)
+        .load()
+    )
+    assert tt.count() == 300 and tt.columns == ["k", "grp"]
