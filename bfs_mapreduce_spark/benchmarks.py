@@ -735,6 +735,49 @@ def run_snapshot_scale(
         "sec": best(read_once),
         "rows": total - n_del,
     }
+    # ---- round 11: the UPSERT verbs' write-cost contrast on the same
+    # table — merge-on-read upsert_eq (O(batch) bytes, one equality
+    # delete + append, readers pay a key join) vs copy-on-write
+    # merge_into (rewrites every touched file; scattered keys touch
+    # ALL files, the realistic worst case)
+    live = ts.read(spark, root)
+    batch = (
+        live.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .localCheckpoint()
+    )
+    n_batch = batch.count()
+    t0 = _time.monotonic()
+    ts.upsert_eq(spark, root, batch, ["o_orderkey"])
+    yield {
+        "step": "upsert_eq_write",
+        "sec": round(_time.monotonic() - t0, 3),
+        "rows_upserted": n_batch,
+    }
+    yield {
+        "step": "post_upsert_read",
+        "sec": best(read_once),
+        "rows": total - n_del,
+    }
+    batch2 = (
+        ts.read(spark, root)
+        .filter(F.col("o_orderkey") % 10 == 7)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .localCheckpoint()
+    )
+    n_batch2 = batch2.count()
+    t0 = _time.monotonic()
+    ts.merge_into(spark, root, batch2, ["o_orderkey"], target_files=n_files)
+    yield {
+        "step": "merge_cow_write",
+        "sec": round(_time.monotonic() - t0, 3),
+        "rows_upserted": n_batch2,
+    }
+    yield {
+        "step": "post_merge_read",
+        "sec": best(read_once),
+        "rows": total - n_del,
+    }
 
 
 def run_media_scale(sf_dir: str = "/root/testdata/sf0.1") -> Iterator[dict]:

@@ -156,8 +156,10 @@ def test_cli_bench_dedup_linearity(capsys, tmp_path):
 
 
 def test_bench_snapshot_profile(spark, sf_smoke_dir, capsys):
-    """bench-snapshot emits the five-step mask-vs-rewrite profile with
-    consistent row accounting (mor_read rows = clean rows - masked)."""
+    """bench-snapshot emits the mask-vs-rewrite DELETE profile plus
+    the round-11 upsert contrast (MoR upsert_eq vs CoW merge_into),
+    with consistent row accounting throughout (upserts change values,
+    never the live row count)."""
     import json
 
     from bfs_mapreduce_spark.benchmarks import run_snapshot_scale
@@ -166,12 +168,17 @@ def test_bench_snapshot_profile(spark, sf_smoke_dir, capsys):
     steps = [r["step"] for r in recs]
     assert steps == [
         "clean_read", "delete_write", "mor_read", "compact",
-        "post_compact_read",
+        "post_compact_read", "upsert_eq_write", "post_upsert_read",
+        "merge_cow_write", "post_merge_read",
     ]
     by = {r["step"]: r for r in recs}
     assert by["mor_read"]["rows"] == (
         by["clean_read"]["rows"] - by["delete_write"]["rows_masked"]
     )
-    assert by["post_compact_read"]["rows"] == by["mor_read"]["rows"]
+    live = by["mor_read"]["rows"]
+    for step in ("post_compact_read", "post_upsert_read", "post_merge_read"):
+        assert by[step]["rows"] == live
+    assert by["upsert_eq_write"]["rows_upserted"] > 0
+    assert by["merge_cow_write"]["rows_upserted"] > 0
     assert all(r["sec"] >= 0 for r in recs)
     json.dumps(recs)  # each record is JSON-serializable
