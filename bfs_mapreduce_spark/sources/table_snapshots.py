@@ -938,6 +938,33 @@ def _scan_for_delete(
     return _apply_eq_deletes(spark, df, eq_deletes or [], set(files))
 
 
+def history(root: str) -> list[dict]:
+    """DESCRIBE HISTORY (Delta's verb): one dict per version, newest
+    first — version, parent, operation, file/segment/delete counts,
+    txn watermarks — all from manifests, no data file touched. The
+    operational view a table owner reads before choosing vacuum /
+    compact / rewrite_manifests cadences."""
+    out = []
+    for v in range(current_version(root), 0, -1):
+        m = read_manifest(root, v)
+        out.append(
+            {
+                "version": v,
+                "parent": m.get("parent"),
+                "operation": m.get("operation") or "append",
+                "n_files": len(m["files"]),
+                "n_segments": len(m.get("_segments") or []),
+                "n_pos_delete_files": len(
+                    {d for lst in (m.get("deletes") or {}).values() for d in lst}
+                ),
+                "n_eq_delete_entries": len(m.get("eq_deletes") or []),
+                "txn": dict(m.get("txn") or {}),
+                "checks": sorted((m.get("checks") or {}).keys()),
+            }
+        )
+    return out
+
+
 def vacuum(root: str, retain_from: int = 1) -> list[str]:
     """Delete data files referenced by NO manifest >= ``retain_from``
     (expired time travel). Returns the deleted paths. Refuses nothing:

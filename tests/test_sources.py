@@ -1735,3 +1735,33 @@ def test_snapshot_batch_source_matches_read(spark, tmp_path):
         .load()
     )
     assert tt.count() == 300 and tt.columns == ["k", "grp"]
+
+
+def test_snapshot_history(spark, tmp_path):
+    """history(): newest-first operational view of the version chain —
+    operations, file/segment/delete counts, txn watermarks."""
+    import os
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = ts.commit(
+        root, ts.stage_files(spark.range(10).toDF("k"), root), base_version=0
+    )
+    ts.commit(
+        root,
+        ts.stage_files(spark.range(10, 20).toDF("k"), root),
+        base_version=v,
+        txn=("app", 4),
+    )
+    ts.delete_where(spark, root, "k < 3")
+    ts.compact(spark, root, n_files=1)
+    h = ts.history(root)
+    assert [r["version"] for r in h] == [4, 3, 2, 1]
+    assert [r["operation"] for r in h] == [
+        "replace", "delete", "append", "append",
+    ]
+    assert h[1]["n_pos_delete_files"] == 1 and h[0]["n_pos_delete_files"] == 0
+    assert h[1]["txn"] == {"app": 4}
+    assert h[0]["n_segments"] == 0 and h[1]["n_segments"] >= 1
