@@ -214,6 +214,18 @@ def _bench_media(args: argparse.Namespace) -> int:
     return 0
 
 
+def _snapshot_history(args: argparse.Namespace) -> int:
+    """DESCRIBE HISTORY for a snapshot table root: one JSON line per
+    version, newest first — manifests only, no Spark session."""
+    import json
+
+    from bfs_mapreduce_spark.sources.table_snapshots import history
+
+    for rec in history(args.root):
+        print(json.dumps(rec))
+    return 0
+
+
 def _bench_snapshot(args: argparse.Namespace) -> int:
     """Merge-on-read DELETE cost profile over the snapshot table
     format (mask vs rewrite — BASELINE.md round-10 table)."""
@@ -332,6 +344,14 @@ def main(argv: list[str] | None = None) -> int:
     bn.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     bn.add_argument("--n-files", type=int, default=8)
     bn.set_defaults(fn=_bench_snapshot)
+
+    sh = sub.add_parser(
+        "snapshot-history",
+        help="DESCRIBE HISTORY for a snapshot table root (one JSON "
+        "line per version, newest first; manifests only, no Spark)",
+    )
+    sh.add_argument("root")
+    sh.set_defaults(fn=_snapshot_history)
 
     bm = sub.add_parser(
         "bench-media",
