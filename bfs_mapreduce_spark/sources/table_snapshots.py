@@ -246,7 +246,9 @@ def _write_segment(root: str, files: list[str], stats: dict) -> str:
     the whole table's file list. Segments live next to the manifests
     (never under data/, so vacuum's walk cannot touch them) and are
     shared by every later version until a REPLACE flattens."""
-    seg_dir = os.path.join(root, "_manifests", "segments")
+    # abspath like stage_files: the manifest stores this path, and a
+    # relative root would break reads from any other working directory
+    seg_dir = os.path.join(os.path.abspath(root), "_manifests", "segments")
     os.makedirs(seg_dir, exist_ok=True)
     path = os.path.join(seg_dir, f"seg-{uuid.uuid4().hex[:12]}.json")
     _atomic_write(path, json.dumps({"files": files, "stats": stats}))
