@@ -983,6 +983,90 @@ def q_sketch_theta_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sketch_countmin",
+    oracle="""
+    WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+               FROM documents),
+    c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact FROM w GROUP BY term),
+    top AS (SELECT term, n_exact,
+                   ROW_NUMBER() OVER (ORDER BY n_exact DESC, term) AS rank
+            FROM c)
+    SELECT CAST(rank AS INT) AS rank, term, n_exact,
+           TRUE AS no_underestimate, TRUE AS within_eps
+    FROM top WHERE rank <= 10
+    """,
+    doc="Count-min sketch — the fourth classic sketch family next to "
+    "HLL/theta/KLL: a fixed eps=0.001 x confidence=0.999 CMS is "
+    "built over the corpus word stream by Spark's DISTRIBUTED "
+    "countMinSketch aggregate (JVM-side partial sketches merged by "
+    "counter addition — order-independent, so deterministic under "
+    "any parallelism at a fixed seed), then the exact top-10 terms "
+    "are probed against it. The two booleans are the structure's "
+    "textbook guarantees, certified per term in the oracle hash: a "
+    "CMS NEVER underestimates (est >= exact, unconditionally), and "
+    "overestimates by at most eps*N with probability >= confidence "
+    "(deterministic here: fixed seed + fixed corpus). The top-10 "
+    "probe is a driver-side loop over a bounded 10-row collect — "
+    "the same plan-time-scalar shape as manifest planning; the "
+    "sketch build itself never leaves the executors. At 100 TB this "
+    "is the heavy-hitter screen that costs O(width x depth) memory "
+    "per executor instead of a full term table.",
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term")
+    )
+    eps = 0.001
+    # the DISTRIBUTED sketch build: Spark's count_min_sketch aggregate
+    # (JVM partial sketches, counter-additive merge), probed through
+    # the public CountMinSketch.readFrom — Spark 4 dropped the old
+    # df.stat.countMinSketch sugar but kept both halves public
+    blob = words.agg(
+        F.count_min_sketch(
+            "term", F.lit(eps), F.lit(0.999), F.lit(42)
+        ).alias("s")
+    ).first()["s"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(blob)
+    )
+    n_total = cms.totalCount()
+    top = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(10)
+        .collect()
+    )
+    rows = []
+    for rank, r in enumerate(top, start=1):
+        est = cms.estimateCount(r["term"])
+        rows.append(
+            (
+                rank,
+                r["term"],
+                r["n_exact"],
+                bool(est >= r["n_exact"]),
+                bool(est <= r["n_exact"] + eps * n_total),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("n_exact", T.LongType()),
+            T.StructField("no_underestimate", T.BooleanType()),
+            T.StructField("within_eps", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------- windows
 
 
