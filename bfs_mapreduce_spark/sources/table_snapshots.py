@@ -876,6 +876,9 @@ def upsert_eq(
         raise ValueError(f"key column(s) {missing} not in source")
     base = current_version(root)
     m = read_manifest(root, base)
+    # CHECK constraints guard every row the upsert ADDS, exactly as
+    # append_checked/merge_into do — the masked old rows only leave
+    _validate_checks(source, m.get("checks", {}))
     keys = source.select(*key_cols).dropDuplicates()
     n_null = keys.filter(
         F.greatest(*[F.col(c).isNull() for c in key_cols])

@@ -1765,3 +1765,30 @@ def test_snapshot_history(spark, tmp_path):
     assert h[1]["n_pos_delete_files"] == 1 and h[0]["n_pos_delete_files"] == 0
     assert h[1]["txn"] == {"app": 4}
     assert h[0]["n_segments"] == 0 and h[1]["n_segments"] >= 1
+
+
+def test_upsert_eq_enforces_checks(spark, tmp_path):
+    """upsert_eq validates CHECK constraints on the offered rows before
+    staging anything — the same contract as append_checked/merge_into
+    (an upsert is an add plus a mask; only the add needs guarding)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    ok = spark.range(1, 10).select(F.col("id").alias("k"))
+    ts.commit(root, ts.stage_files(ok, root), base_version=0)
+    ts.add_check(spark, root, "k_positive", "k > 0")
+
+    bad = spark.createDataFrame([(5,), (-1,)], "k bigint")
+    with pytest.raises(ts.ConstraintViolation, match="k_positive"):
+        ts.upsert_eq(spark, root, bad, ["k"])
+    assert ts.read(spark, root).count() == 9  # nothing staged or masked
+
+    good = spark.createDataFrame([(5,), (100,)], "k bigint")
+    ts.upsert_eq(spark, root, good, ["k"])
+    assert ts.read(spark, root).count() == 10
