@@ -694,7 +694,19 @@ def optimize_zorder(
         .drop(zv)
     )
     staged = stage_files(clustered, root)
-    stats = collect_stats(staged, stats_cols or [col_a, col_b])
+    if stats_cols is None:
+        # a REPLACE drops the base's per-file stats with its files, so
+        # default to re-collecting every column any earlier commit
+        # tracked (plus the sort keys) — optimizing the layout must
+        # not silently turn off skipping on a third column
+        m = read_manifest(root, base)
+        prior = {
+            c
+            for s in (m.get("stats") or {}).values()
+            for c in (s.get("cols") or {})
+        }
+        stats_cols = sorted(prior | {col_a, col_b})
+    stats = collect_stats(staged, stats_cols)
     return commit(root, staged, base_version=base, replace=True, stats=stats)
 
 
