@@ -1792,3 +1792,98 @@ def test_upsert_eq_enforces_checks(spark, tmp_path):
     good = spark.createDataFrame([(5,), (100,)], "k bigint")
     ts.upsert_eq(spark, root, good, ["k"])
     assert ts.read(spark, root).count() == 10
+
+
+def test_snapshot_verb_algebra_model(spark, tmp_path):
+    """Model-based check of the snapshot format's verb algebra: a
+    seeded pseudo-random program of appends / MoR upserts / equality
+    deletes / predicate deletes interleaved with layout maintenance
+    (compact, rewrite_manifests, optimize_zorder) is applied both to
+    the table and to a driver-side dict model; the live read must
+    equal the model after EVERY mutation, and a time-travel read must
+    reproduce a recorded historical snapshot at the end. Maintenance
+    ops must never change the model."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    rng = random.Random(7)
+    model: dict[int, tuple[int, int]] = {}
+    snapshots: dict[int, dict] = {}
+    next_key = 0
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in rows.items()],
+            "k bigint, a bigint, b bigint",
+        )
+
+    def verify():
+        got = {
+            r["k"]: (r["a"], r["b"])
+            for r in ts.read(spark, root).collect()
+        }
+        assert got == model
+
+    # seed
+    for _ in range(20):
+        model[next_key] = (rng.randrange(1000), rng.randrange(1000))
+        next_key += 1
+    v = ts.commit(root, ts.stage_files(df_of(model), root), base_version=0)
+    snapshots[v] = dict(model)
+
+    for _step in range(10):
+        op = rng.choice(
+            ["append", "upsert", "del_eq", "del_where",
+             "compact", "rewrite_manifests", "optimize"]
+        )
+        if op == "append":
+            batch = {}
+            for _ in range(rng.randrange(1, 6)):
+                batch[next_key] = (rng.randrange(1000), rng.randrange(1000))
+                next_key += 1
+            v = ts.commit(
+                root, ts.stage_files(df_of(batch), root),
+                base_version=ts.current_version(root),
+            )
+            model.update(batch)
+        elif op == "upsert":
+            keys = rng.sample(sorted(model), min(4, len(model)))
+            batch = {k: (rng.randrange(1000), rng.randrange(1000)) for k in keys}
+            for _ in range(2):  # plus some inserts
+                batch[next_key] = (rng.randrange(1000), rng.randrange(1000))
+                next_key += 1
+            v = ts.upsert_eq(spark, root, df_of(batch), ["k"])
+            model.update(batch)
+        elif op == "del_eq" and model:
+            keys = rng.sample(sorted(model), min(3, len(model)))
+            v, _ = ts.delete_eq(
+                spark, root, spark.createDataFrame([(k,) for k in keys], "k bigint")
+            )
+            for k in keys:
+                model.pop(k, None)
+        elif op == "del_where" and model:
+            r = rng.randrange(5)
+            v, _n, _aff = ts.delete_where(spark, root, f"a % 5 = {r}")
+            model = {k: ab for k, ab in model.items() if ab[0] % 5 != r}
+        elif op == "compact":
+            v = ts.compact(spark, root, n_files=2)
+        elif op == "rewrite_manifests":
+            v = ts.rewrite_manifests(root)
+        elif op == "optimize":
+            v = ts.optimize_zorder(spark, root, "a", "b", n_files=4)
+        snapshots[ts.current_version(root)] = dict(model)
+        verify()
+
+    # time travel reproduces a mid-history snapshot exactly
+    mid = sorted(snapshots)[len(snapshots) // 2]
+    got_mid = {
+        r["k"]: (r["a"], r["b"])
+        for r in ts.read(spark, root, mid).collect()
+    }
+    assert got_mid == snapshots[mid]
