@@ -129,3 +129,36 @@ def truncate_rdd(rdd):
     if sc._jsc.sc().getCheckpointDir().isEmpty():
         sc.setCheckpointDir(os.path.join(d, "_rdd"))
     rdd.checkpoint()
+
+
+def spill_truncate(df: DataFrame, name: str = "state") -> DataFrame:
+    """Stats-RESETTING lineage truncation: parquet spill + re-read,
+    ALWAYS — even in default local mode (into a process-local tmp dir
+    swept at exit; inside :func:`reliable_checkpoints` it spills to
+    the durable directory like :func:`truncate`, gaining fault
+    tolerance for free).
+
+    Why it exists when ``localCheckpoint`` is cheaper: localCheckpoint
+    PRESERVES the origin plan's optimizer statistics, and Catalyst's
+    join size estimation MULTIPLIES operand sizes. In a driver loop
+    whose per-round plan SELF-JOINS its own state (the pointer-jumping
+    pattern: ``state JOIN state ON label``), the carried sizeInBytes
+    therefore SQUARES every round — after k rounds it is a BigInteger
+    with 2^k digits, and the driver burns exponentially-growing CPU in
+    BigInteger.multiply during planning (measured: a 1.2k-row loop hit
+    a 188,635-digit statistic and 90 s rounds by round 8; jstack
+    pinned Thread-3 inside Toom-Cook multiplication — the forensic
+    trail is in BASELINE.md's round-11 SCC note). A parquet re-read
+    roots the next round's plan at a scan with REAL file statistics,
+    so the estimate resets to bytes-on-disk every round and the loop
+    stays flat. Loops WITHOUT state self-joins (BFS, label
+    propagation) only grow the statistic linearly per round and keep
+    the cheaper ``truncate``."""
+    d = _ckpt_dir.get()
+    if d is None:
+        from bfs_mapreduce_spark.tmputil import proc_dir
+
+        d = proc_dir("bfs_mapreduce_spark_spill")
+    out = os.path.join(d, f"{name}-{next(_seq):05d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(out)
+    return df.sparkSession.read.parquet(out)
