@@ -125,3 +125,50 @@ def test_ambient_context_covers_peer_loops(spark, tmp_path):
     with reliable.reliable_checkpoints(str(tmp_path / "kc")):
         got = sorted(tuple(r) for r in kcore(edges, k=2).collect())
     assert got == want == [(0, 2), (1, 2), (2, 2)]
+
+
+def test_spill_truncate_resets_optimizer_stats(spark, tmp_path):
+    """The round-11 forensic claim as a regression test: a per-round
+    state self-join SQUARES the localCheckpoint-carried sizeInBytes
+    statistic (exponential BigInteger growth in the optimizer), while
+    spill_truncate roots each round at a parquet scan with real file
+    stats, keeping the statistic flat."""
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.plans.reliable import spill_truncate
+
+    def bits(df):
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j hands back a Python int while it fits (and the full
+        # pathology would overflow its string conversion entirely)
+        return sz.bit_length() if isinstance(sz, int) else sz.bitLength()
+
+    def round_once(b, truncate):
+        jump = (
+            b.select("v", F.col("b").alias("x"))
+            .join(b.select(F.col("v").alias("x"), F.col("b").alias("b")), "x")
+            .select("v", "b")
+        )
+        nxt = b.unionByName(jump).groupBy("v").agg(F.min("b").alias("b"))
+        return truncate(nxt)
+
+    b0 = spark.range(50).select(
+        F.col("id").alias("v"), F.col("id").alias("b")
+    )
+
+    b = b0.localCheckpoint()
+    local_bits = []
+    for _ in range(4):
+        b = round_once(b, lambda d: d.localCheckpoint())
+        local_bits.append(bits(b))
+    # squaring: each round roughly doubles the statistic's bit length
+    assert local_bits[-1] > 2 * local_bits[0]
+
+    b = spill_truncate(b0, name="t0")
+    spill_bits = []
+    for _ in range(4):
+        b = round_once(b, lambda d: spill_truncate(d, name="t"))
+        spill_bits.append(bits(b))
+    # flat: every round re-roots at real file statistics
+    assert max(spill_bits) < 2 * min(spill_bits)
+    assert max(spill_bits) < local_bits[-1]
