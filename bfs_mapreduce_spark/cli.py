@@ -226,6 +226,33 @@ def _snapshot_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def _snapshot_optimize(args: argparse.Namespace) -> int:
+    """OPTIMIZE ZORDER BY / rewrite_manifests / compact for a snapshot
+    table root — the maintenance verbs behind the bench-snapshot
+    profile, actionable from the shell."""
+    import json
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    spark, owned = _owned_session(app_name="snapshot_optimize")
+    try:
+        if args.zorder:
+            a, b = args.zorder
+            v = ts.optimize_zorder(spark, args.root, a, b, n_files=args.n_files)
+            op = f"optimize_zorder({a}, {b})"
+        elif args.rewrite_manifests:
+            v = ts.rewrite_manifests(args.root)
+            op = "rewrite_manifests"
+        else:
+            v = ts.compact(spark, args.root, n_files=args.n_files)
+            op = "compact"
+        print(json.dumps({"op": op, "version": v, "n_files": args.n_files}))
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def _bench_snapshot(args: argparse.Namespace) -> int:
     """Merge-on-read DELETE cost profile over the snapshot table
     format (mask vs rewrite — BASELINE.md round-10 table)."""
@@ -344,6 +371,18 @@ def main(argv: list[str] | None = None) -> int:
     bn.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     bn.add_argument("--n-files", type=int, default=8)
     bn.set_defaults(fn=_bench_snapshot)
+
+    so = sub.add_parser(
+        "snapshot-optimize",
+        help="run a snapshot table's maintenance verbs: compact "
+        "(default), --zorder COLA COLB (OPTIMIZE ZORDER BY), or "
+        "--rewrite-manifests (metadata-only segment collapse)",
+    )
+    so.add_argument("root")
+    so.add_argument("--zorder", nargs=2, metavar=("COLA", "COLB"))
+    so.add_argument("--rewrite-manifests", action="store_true")
+    so.add_argument("--n-files", type=int, default=8)
+    so.set_defaults(fn=_snapshot_optimize)
 
     sh = sub.add_parser(
         "snapshot-history",
