@@ -320,20 +320,30 @@ _CLOSENESS_LANDMARKS = (0, 50, 100)
     "landmark over the same edge-list file.",
 )
 def q_graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = read_edge_list(spark, _SMALLG).transform(_ckpt_lazy)
-    parts = []
-    for lm in _CLOSENESS_LANDMARKS:
+    from concurrent.futures import ThreadPoolExecutor
+
+    edges = read_edge_list(spark, _SMALLG).transform(_ckpt)
+
+    def sweep(lm: int) -> DataFrame:
         b = bfs(edges, source=lm, with_paths=False, reached_only=True)
-        parts.append(
-            b.agg(
-                F.lit(lm).cast("bigint").alias("landmark"),
-                F.count(F.lit(1)).alias("n_reached"),
-                F.sum("dist").alias("sum_dist"),
-                F.round(
-                    (F.count(F.lit(1)) - 1) / F.sum("dist"), 6
-                ).alias("closeness"),
-            )
+        return b.agg(
+            F.lit(lm).cast("bigint").alias("landmark"),
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").alias("sum_dist"),
+            F.round((F.count(F.lit(1)) - 1) / F.sum("dist"), 6).alias(
+                "closeness"
+            ),
         )
+
+    # the sweeps are INDEPENDENT traversals — run their driver loops on
+    # concurrent threads so Spark's scheduler interleaves the per-round
+    # jobs (the docstring's "a cluster runs them concurrently", made
+    # true locally too: wall-clock ~max(sweep) instead of sum; job
+    # submission is thread-safe, each loop truncates its own lineage).
+    # The shared edge frame is checkpointed EAGERLY first so the racing
+    # loops reuse one materialization instead of racing to build it.
+    with ThreadPoolExecutor(max_workers=len(_CLOSENESS_LANDMARKS)) as ex:
+        parts = list(ex.map(sweep, _CLOSENESS_LANDMARKS))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
