@@ -42,8 +42,10 @@ Scale posture (what changes at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame
@@ -53,6 +55,46 @@ from pyspark.storagelevel import StorageLevel
 from bfs_mapreduce_spark.plans import reliable as _reliable
 
 logger = logging.getLogger(__name__)
+
+# Reentrant save/restore of the loop-tuned session conf. Independent
+# traversals may legally run on CONCURRENT THREADS of one session (the
+# landmark-closeness sweeps do); a naive per-loop save/restore races —
+# thread B snapshots thread A's mid-loop value (partitions=2, AQE off)
+# and restores it last, polluting the session for every later query.
+# Refcount instead: the FIRST entrant per session snapshots the user's
+# values, the LAST exitor restores them; everyone in between only
+# drives the per-round shuffle width.
+_LOOP_CONF_LOCK = threading.Lock()
+_LOOP_CONF_STATE: dict[int, tuple[int, tuple[str, str]]] = {}
+
+
+@contextlib.contextmanager
+def _loop_conf(spark):
+    """Disable AQE and yield the session's shuffle-partition default for
+    a driver loop; conf restore is refcounted per session so concurrent
+    loops on shared threads cannot leak a mid-loop snapshot."""
+    key = id(getattr(spark, "_jsparkSession", spark))
+    conf = spark.conf
+    with _LOOP_CONF_LOCK:
+        depth, saved = _LOOP_CONF_STATE.get(key, (0, ("", "")))
+        if depth == 0:
+            saved = (
+                conf.get("spark.sql.adaptive.enabled"),
+                conf.get("spark.sql.shuffle.partitions"),
+            )
+            conf.set("spark.sql.adaptive.enabled", "false")
+        _LOOP_CONF_STATE[key] = (depth + 1, saved)
+    try:
+        yield int(saved[1])
+    finally:
+        with _LOOP_CONF_LOCK:
+            depth, saved = _LOOP_CONF_STATE[key]
+            if depth == 1:
+                conf.set("spark.sql.adaptive.enabled", saved[0])
+                conf.set("spark.sql.shuffle.partitions", saved[1])
+                del _LOOP_CONF_STATE[key]
+            else:
+                _LOOP_CONF_STATE[key] = (depth - 1, saved)
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -327,15 +369,11 @@ def bfs(
     # frontier, capped at the session default so a cluster-sized
     # default still yields cluster-wide shuffles for huge frontiers.
     conf = spark.conf
-    saved_aqe = conf.get("spark.sql.adaptive.enabled")
-    saved_parts = conf.get("spark.sql.shuffle.partitions")
-    default_parts = int(saved_parts)
 
     truncated = True
     if stats is not None:
         stats["rounds"] = []
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
+    with _loop_conf(spark) as default_parts:
         for round_no in range(1, max_rounds + 1):
             _t_round = time.perf_counter()
             conf.set(
@@ -424,9 +462,6 @@ def bfs(
             if round_no % 16 == 0:
                 visited = visited.transform(_ckpt)
             frontier = new
-    finally:
-        conf.set("spark.sql.adaptive.enabled", saved_aqe)
-        conf.set("spark.sql.shuffle.partitions", saved_parts)
 
     if truncated and warn_on_truncation:
         # Exhausted max_rounds with a non-empty frontier: vertices beyond

@@ -320,6 +320,7 @@ _CLOSENESS_LANDMARKS = (0, 50, 100)
     "landmark over the same edge-list file.",
 )
 def q_graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import contextvars
     from concurrent.futures import ThreadPoolExecutor
 
     edges = read_edge_list(spark, _SMALLG).transform(_ckpt)
@@ -342,8 +343,19 @@ def q_graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # submission is thread-safe, each loop truncates its own lineage).
     # The shared edge frame is checkpointed EAGERLY first so the racing
     # loops reuse one materialization instead of racing to build it.
+    # bfs()'s session-conf tuning is refcounted (graph._loop_conf), so
+    # concurrent sweeps restore the USER's conf exactly once at the
+    # end; and each task runs under a COPY of the caller's contextvars
+    # context so an ambient reliable_checkpoints(...) scope reaches the
+    # worker threads (ThreadPoolExecutor does not propagate context —
+    # without the copy the sweeps would silently fall back to
+    # localCheckpoint and drop the durability guarantee).
     with ThreadPoolExecutor(max_workers=len(_CLOSENESS_LANDMARKS)) as ex:
-        parts = list(ex.map(sweep, _CLOSENESS_LANDMARKS))
+        futs = [
+            ex.submit(contextvars.copy_context().run, sweep, lm)
+            for lm in _CLOSENESS_LANDMARKS
+        ]
+        parts = [f.result() for f in futs]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -92,14 +92,21 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             raise ValueError("snapshot_changes source requires a path")
         cur = ts.current_version(self._root)
         sv = options.get("startingVersion")
-        # Delta's startingVersion contract: absent -> changes AFTER the
-        # version current at stream start; 0 -> the full history.
-        self._start_v = cur if sv is None else int(sv)
-        if self._start_v > cur:
-            raise ValueError(
-                f"startingVersion={self._start_v} is ahead of the table "
-                f"(currently v{cur})"
-            )
+        # Delta's startingVersion contract is INCLUSIVE: absent ->
+        # changes after the version current at stream start; N ->
+        # replay from commit N's OWN changes onward (0 = full history,
+        # same as 1 since commits start at v1). Offsets are exclusive
+        # lower bounds internally, so startingVersion=N maps to offset
+        # N-1 — users porting Delta readStream code keep commit N.
+        if sv is None:
+            self._start_v = cur
+        else:
+            if int(sv) > cur:
+                raise ValueError(
+                    f"startingVersion={int(sv)} is ahead of the table "
+                    f"(currently v{cur})"
+                )
+            self._start_v = max(0, int(sv) - 1)
         m = ts.read_manifest(self._root)
         newest = m["files"][-1] if m["files"] else None
         self._arrow_schema = _arrow_schema_for(m.get("schema"), newest)

@@ -443,6 +443,7 @@ def commit(
                 {"files": e["files"], "cols": e["cols"], "applies": applies}
             )
     version = latest + 1
+    fresh_segs: list[str] = []
     payload = {
         "version": version,
         "parent": latest,
@@ -469,7 +470,7 @@ def commit(
             base.get("_inline_files", []) if segs else base["files"]
         )
         if base_inline:
-            segs.append(
+            fresh_segs.append(
                 _write_segment(
                     root,
                     list(base_inline),
@@ -478,20 +479,31 @@ def commit(
             )
         added = list(files)
         if added:
-            segs.append(
+            fresh_segs.append(
                 _write_segment(
                     root,
                     added,
                     {p: new_stats[p] for p in added if p in new_stats},
                 )
             )
-        payload["segments"] = segs
+        payload["segments"] = segs + fresh_segs
         payload["files"] = []
         payload["stats"] = {}
     # Manifest creation (inside _publish_manifest) is the atomic CAS
     # commit point — exactly one writer per version number; the serial
-    # base_version check above is a fast-fail optimization.
-    _publish_manifest(root, version, json.dumps(payload, indent=1))
+    # base_version check above is a fast-fail optimization. A loser's
+    # freshly written segments are referenced by NOTHING — delete them
+    # here rather than orphaning metadata under a retrying streaming
+    # writer (the retry re-stages its own segments from the new base).
+    try:
+        _publish_manifest(root, version, json.dumps(payload, indent=1))
+    except SnapshotConflict:
+        for sp in fresh_segs:
+            try:
+                os.remove(sp)
+            except OSError:
+                pass
+        raise
     return version
 
 
@@ -767,9 +779,15 @@ def delete_where(
         .collect()
     )
     n_deleted = sum(r["count"] for r in pairs)
-    referenced = {r["dv"] for r in pairs}
+    # Match on basename: part filenames are unique within the staged
+    # directory, and comparing full paths would break on filesystems
+    # where os.path.abspath and Spark's file:-stripped URI diverge
+    # (symlinked tmp dirs, e.g. /private/tmp vs /tmp) — full-path
+    # mismatch there would unlink EVERY staged file while the manifest
+    # still references it, resurrecting deleted rows on read.
+    referenced = {os.path.basename(r["dv"]) for r in pairs}
     for p in staged:  # empty part files mask nothing: don't commit them
-        if p not in referenced:
+        if os.path.basename(p) not in referenced:
             os.remove(p)
     if n_deleted == 0:
         return base, 0, []
@@ -987,12 +1005,21 @@ def vacuum(root: str, retain_from: int = 1) -> list[str]:
     (expired time travel). Returns the deleted paths. Refuses nothing:
     the referenced-set computation IS the safety check. Position-
     delete files referenced by a retained manifest are protected
-    exactly like data files."""
+    exactly like data files. Manifest SEGMENTS are swept by the same
+    rule: a segment referenced only by expired versions (retired by
+    ``rewrite_manifests``, or orphaned by a commit that lost the CAS
+    race before round 12's loser-cleanup) is metadata garbage and is
+    removed too. Like every table-format vacuum, this must not race an
+    in-flight commit (staged-but-uncommitted data files and segments
+    look identical to garbage) — run it from the maintenance cadence,
+    not concurrently with writers."""
     latest = current_version(root)
     keep: set[str] = set()
+    seg_keep: set[str] = set()
     for v in range(max(retain_from, 1), latest + 1):
         mv = read_manifest(root, v)
         keep.update(mv["files"])
+        seg_keep.update(mv.get("_segments") or [])
         for dvs in (mv.get("deletes") or {}).values():
             keep.update(dvs)
         for e in mv.get("eq_deletes") or []:
@@ -1003,6 +1030,14 @@ def vacuum(root: str, retain_from: int = 1) -> list[str]:
         for name in names:
             p = os.path.join(dirpath, name)
             if name.endswith(".parquet") and p not in keep:
+                os.remove(p)
+                deleted.append(p)
+    seg_dir = os.path.join(os.path.abspath(root), "_manifests", "segments")
+    if os.path.isdir(seg_dir):
+        seg_keep = {os.path.abspath(p) for p in seg_keep}
+        for name in os.listdir(seg_dir):
+            p = os.path.join(seg_dir, name)
+            if name.endswith(".json") and p not in seg_keep:
                 os.remove(p)
                 deleted.append(p)
     return sorted(deleted)

@@ -988,7 +988,8 @@ def q_stream_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_snapshot_changes",
     oracle="""
-    -- Phase 1: the stream (startingVersion=1) must deliver exactly
+    -- Phase 1: the stream (startingVersion=2, inclusive per the
+    -- Delta contract) must deliver exactly
     -- the rows of the v2+v3 append commits; phase 2: after a FOURTH
     -- commit lands, resuming from the SAME checkpoint must deliver
     -- only the new commit's rows (shifted keys mark them).
@@ -1014,7 +1015,8 @@ def q_stream_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "file (driver touches manifests only); a REPLACE/DELETE commit "
     "in range fails the stream with the same refusal as the batch "
     "read_changes. Certified the hard way: phase 1 streams commits "
-    "(v1, v3] with startingVersion=1 and must match the batch-CDC "
+    "v2..v3 with startingVersion=2 (INCLUSIVE, the Delta contract "
+    "round 12 aligned) and must match the batch-CDC "
     "row set exactly; then a FOURTH commit lands and the stream "
     "RESUMES from its checkpoint — phase 2 must contain only the new "
     "commit's rows (key-shifted so any re-delivery of old versions "
@@ -1050,7 +1052,7 @@ def q_stream_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = (
                 spark.readStream.format("snapshot_changes")
                 .option("path", table)
-                .option("startingVersion", 1)
+                .option("startingVersion", 2)
                 .load()
             )
             q = (

@@ -172,3 +172,42 @@ def test_spill_truncate_resets_optimizer_stats(spark, tmp_path):
     # flat: every round re-roots at real file statistics
     assert max(spill_bits) < 2 * min(spill_bits)
     assert max(spill_bits) < local_bits[-1]
+
+
+def test_threaded_sweeps_conf_and_context(spark, tmp_path):
+    """Round-12 ADVICE regression: the landmark-closeness sweeps run
+    bfs() driver loops on concurrent threads. (a) bfs's session-conf
+    tuning is refcounted, so the USER's AQE/shuffle-partition values
+    are restored exactly once at the end — no thread can snapshot a
+    peer's mid-loop value (partitions=2, AQE off) and leak it; (b)
+    each sweep task runs under a copy of the caller's contextvars
+    context, so an ambient reliable_checkpoints scope reaches the
+    worker threads and the sweeps actually spill durably."""
+    import glob
+    import os
+
+    from bfs_mapreduce_spark.operators.graph_queries import (
+        q_graph_closeness_landmarks,
+    )
+
+    conf = spark.conf
+    saved = (
+        conf.get("spark.sql.adaptive.enabled"),
+        conf.get("spark.sql.shuffle.partitions"),
+    )
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.shuffle.partitions", "17")
+        d = str(tmp_path / "spill")
+        with reliable.reliable_checkpoints(d):
+            rows = q_graph_closeness_landmarks(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 3 and all(r["n_reached"] > 0 for r in rows)
+        # (a) conf restored to the user's values, not a mid-loop snapshot
+        assert conf.get("spark.sql.adaptive.enabled") == "true"
+        assert conf.get("spark.sql.shuffle.partitions") == "17"
+        # (b) the threaded loops spilled durably (context propagated)
+        spills = glob.glob(os.path.join(d, "*"))
+        assert spills, "worker threads fell back to localCheckpoint"
+    finally:
+        conf.set("spark.sql.adaptive.enabled", saved[0])
+        conf.set("spark.sql.shuffle.partitions", saved[1])

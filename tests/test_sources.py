@@ -612,9 +612,14 @@ def test_snapshot_table_protocol(spark, tmp_path):
     assert ts.read(spark, root, 2).count() == 150
     assert sorted(r.k for r in ts.read(spark, root, 3).collect()) == list(range(150))
 
-    # vacuum retaining only v3 drops v1/v2-only files; v3 still reads
+    # vacuum retaining only v3 drops v1/v2-only files; v3 still reads.
+    # v3 is a REPLACE (inline manifest, no segments), so the v1/v2
+    # append segments are expired metadata and are swept too (r12).
     deleted = ts.vacuum(root, retain_from=3)
-    assert deleted and all(p.endswith(".parquet") for p in deleted)
+    data_gone = [p for p in deleted if p.endswith(".parquet")]
+    segs_gone = [p for p in deleted if p.endswith(".json")]
+    assert data_gone and len(data_gone) + len(segs_gone) == len(deleted)
+    assert all("_manifests" in p for p in segs_gone)
     assert ts.read(spark, root, 3).count() == 150
     with pytest.raises(Exception):
         ts.read(spark, root, 1).count()  # expired history is gone
@@ -1887,3 +1892,56 @@ def test_snapshot_verb_algebra_model(spark, tmp_path):
         for r in ts.read(spark, root, mid).collect()
     }
     assert got_mid == snapshots[mid]
+
+
+def test_snapshot_segment_gc(spark, tmp_path, monkeypatch):
+    """Round-12 metadata hygiene: (a) a commit that loses the CAS race
+    deletes the segments it just wrote (nothing references them — a
+    retrying streaming writer must not leak one per attempt); (b)
+    vacuum sweeps _manifests/segments files referenced by no retained
+    manifest, while every referenced segment survives."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = ts.commit(root, ts.stage_files(spark.range(10).toDF("k"), root), base_version=0)
+    v = ts.commit(
+        root, ts.stage_files(spark.range(10, 20).toDF("k"), root), base_version=v
+    )
+    seg_dir = os.path.join(root, "_manifests", "segments")
+    n_before = len(os.listdir(seg_dir))
+
+    # (a) deterministic CAS loss: a racing writer publishes the same
+    # version number in the window between commit()'s fast-fail check
+    # and its own publish. The loser must clean up its fresh segments.
+    real_pub = ts._publish_manifest
+    raw_base = _json.load(open(os.path.join(root, "_manifests", f"v{v}.json")))
+
+    def racing_pub(root_, version, payload):
+        winner = dict(raw_base, version=version, parent=v, txn={})
+        real_pub(root_, version, _json.dumps(winner))
+        real_pub(root_, version, payload)  # -> SnapshotConflict
+
+    monkeypatch.setattr(ts, "_publish_manifest", racing_pub)
+    staged = ts.stage_files(spark.range(20, 30).toDF("k"), root)
+    with pytest.raises(ts.SnapshotConflict):
+        ts.commit(root, staged, base_version=v)
+    monkeypatch.setattr(ts, "_publish_manifest", real_pub)
+    assert len(os.listdir(seg_dir)) == n_before  # loser's segments gone
+    # the retry against the new base succeeds and reads clean
+    v2 = ts.commit(root, staged, base_version=ts.current_version(root))
+    assert ts.read(spark, root).count() == 30
+
+    # (b) orphan a segment by hand (pre-r12 loser debris); vacuum
+    # removes exactly it and leaves every referenced segment intact
+    orphan = ts._write_segment(root, ["/nonexistent.parquet"], {})
+    assert os.path.exists(orphan)
+    deleted = ts.vacuum(root, retain_from=1)
+    assert orphan in deleted
+    assert ts.read(spark, root).count() == 30
+    assert ts.read(spark, root, v).count() == 20  # time travel intact

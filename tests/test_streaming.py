@@ -412,3 +412,52 @@ def test_snapshot_changes_stream_source(spark, tmp_path):
     ts.compact(spark, root, n_files=1)
     with pytest.raises(Exception, match="(?i)replace|append-only"):
         run(str(tmp_path / "ckpt3"))
+
+
+def test_snapshot_changes_starting_version_inclusive(spark, tmp_path):
+    """Round-12 contract fix: startingVersion=N is INCLUSIVE (Delta's
+    contract — replay from commit N's own changes), not an exclusive
+    lower bound; a user porting Delta readStream code keeps commit N's
+    rows. 0 and 1 both mean full history; ahead-of-table still fails."""
+    import os
+
+    import pytest
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        register_snapshot_changes_source,
+    )
+
+    register_snapshot_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    for i in range(3):
+        ts.commit(
+            root,
+            ts.stage_files(spark.range(i * 10, i * 10 + 10).toDF("k"), root),
+            base_version=i,
+        )
+
+    def collect_from(sv, ckpt):
+        got = []
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .option("startingVersion", sv)
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, _bid: got.extend(r["k"] for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    assert collect_from(2, "c2") == list(range(10, 30))  # v2 INCLUDED
+    assert collect_from(3, "c3") == list(range(20, 30))
+    assert collect_from(1, "c1") == list(range(30))
+    assert collect_from(0, "c0") == list(range(30))  # 0 = full history
+    with pytest.raises(Exception):
+        collect_from(4, "c4")
