@@ -214,6 +214,7 @@ def run_directed_scale(
     graphs=None,
     hb_rounds: int = 6,
     out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+    jumps: bool = False,
 ) -> Iterator[dict]:
     """SCC (FW-BW-Trim, per-phase stats) + HyperBall (sketch-only,
     per-round seconds) on layered directed graphs — the round-7 ask:
@@ -232,7 +233,9 @@ def run_directed_scale(
         edges = spark.read.parquet(path)
         stats: dict = {}
         t0 = time.perf_counter()
-        res = strongly_connected_components(edges, max_rounds=100_000, stats=stats)
+        res = strongly_connected_components(
+            edges, max_rounds=100_000, stats=stats, jumps=jumps
+        )
         sizes = res.groupBy("scc_id").count()
         n_sccs, largest = sizes.agg(
             F.count(F.lit(1)), F.max("count")
@@ -268,6 +271,7 @@ def run_directed_scale(
         )
         yield {
             "graph": name,
+            "jumps": jumps,
             "width": width,
             "scc_size": scc_size,
             "layers": layers,

@@ -136,7 +136,9 @@ def _bench_graph(args: argparse.Namespace) -> int:
     try:
         if args.directed:
             graphs = DIRECTED_GRAPHS[:2] if args.quick else DIRECTED_GRAPHS
-            runs = run_directed_scale(spark, graphs, out_dir=args.out_dir)
+            runs = run_directed_scale(
+                spark, graphs, out_dir=args.out_dir, jumps=args.jumps
+            )
         else:
             if args.graph:
                 graphs = [_parse_graph_spec(s) for s in args.graph]
@@ -253,6 +255,43 @@ def _snapshot_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def _snapshot_vacuum(args: argparse.Namespace) -> int:
+    """VACUUM with a retention policy: --retain-last N keeps the N
+    newest versions, --retain-hours H keeps versions younger than H
+    hours (union when both given; --retain-from pins the cutoff
+    version directly and overrides the policy flags). Expired versions
+    refuse time travel afterwards; CDC/reads inside retention stay
+    exact. Manifests only — no Spark session."""
+    import json
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    if args.retain_from is not None:
+        cutoff = args.retain_from
+    else:
+        cutoff = ts.retention_cutoff(
+            args.root,
+            keep_last=args.retain_last,
+            max_age_s=(
+                args.retain_hours * 3600.0
+                if args.retain_hours is not None
+                else None
+            ),
+        )
+    deleted = ts.vacuum(args.root, retain_from=cutoff)
+    print(
+        json.dumps(
+            {
+                "retain_from": cutoff,
+                "current_version": ts.current_version(args.root),
+                "n_deleted": len(deleted),
+                "deleted_sample": deleted[:5],
+            }
+        )
+    )
+    return 0
+
+
 def _bench_snapshot(args: argparse.Namespace) -> int:
     """Merge-on-read DELETE cost profile over the snapshot table
     format (mask vs rewrite — BASELINE.md round-10 table)."""
@@ -311,6 +350,13 @@ def main(argv: list[str] | None = None) -> int:
         "--directed",
         action="store_true",
         help="bench SCC (FW-BW-Trim per-phase) + HyperBall on layered directed graphs",
+    )
+    bg.add_argument(
+        "--jumps",
+        action="store_true",
+        help="with --directed: pointer-jumping color formulation "
+        "(spill-truncated state self-join) instead of the shipped "
+        "O(diameter) fixpoint",
     )
     bg.add_argument(
         "--graph",
@@ -383,6 +429,18 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--rewrite-manifests", action="store_true")
     so.add_argument("--n-files", type=int, default=8)
     so.set_defaults(fn=_snapshot_optimize)
+
+    sv = sub.add_parser(
+        "snapshot-vacuum",
+        help="vacuum a snapshot table under a retention policy: "
+        "--retain-last N and/or --retain-hours H (union), or an "
+        "explicit --retain-from VERSION",
+    )
+    sv.add_argument("root")
+    sv.add_argument("--retain-last", type=int)
+    sv.add_argument("--retain-hours", type=float)
+    sv.add_argument("--retain-from", type=int)
+    sv.set_defaults(fn=_snapshot_vacuum)
 
     sh = sub.add_parser(
         "snapshot-history",

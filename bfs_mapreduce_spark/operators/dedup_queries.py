@@ -509,13 +509,16 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_dedup_ngram_jaccard(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # consumed by two aggregates below
+        .persist()  # consumed by two aggregates below; persist defers
+        # ALL planning to the single action (lazy localCheckpoint would
+        # physically plan the subtree at build time — see
+        # q_dedup_ann_recall's reconciliation note)
     )
     lsh = (
         minhash_lsh_pairs(docs)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
     hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
@@ -758,15 +761,24 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the row either always matches or the bucket plumbing broke.",
 )
 def q_dedup_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist(), not localCheckpoint(eager=False): each side feeds the
+    # count + both joins, so it must be shared — but lazy localCheckpoint
+    # still calls Dataset.localCheckpoint on the JVM, which physically
+    # plans the whole subtree AT BUILD TIME (measured 6.3 s of driver
+    # CPU for these two subplans at sf0.1 — the round-11 parity sweep's
+    # "17.9 s" was ~10 s of this plan construction, not execution).
+    # persist registers the cache point and defers all planning to the
+    # single collect, where the first materialization fills it and the
+    # other references read it back.
     exact = (
         q_dedup_embedding_cosine(spark, sf_dir)
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=False)  # feeds the count + both joins
+        .persist()
     )
     ann = (
         q_dedup_embedding_ann(spark, sf_dir)
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     extras = ann.join(exact, ["vec_a", "vec_b"], "left_anti")
     hits = ann.join(exact, ["vec_a", "vec_b"], "left_semi")
@@ -1539,7 +1551,7 @@ def q_dedup_lsh_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs(docs, max_bucket_rows=_COMPACT_MB)
         .filter(F.col("star"))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .persist()  # shared by three set-difference joins below
     )
     extra = links.join(batch_star, ["doc_a", "doc_b"], "left_anti")
     missing = batch_star.join(links, ["doc_a", "doc_b"], "left_anti")

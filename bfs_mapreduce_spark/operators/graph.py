@@ -1017,7 +1017,10 @@ def connected_components_star(
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_rounds: int = 200, stats: dict | None = None
+    edges: DataFrame,
+    max_rounds: int = 200,
+    stats: dict | None = None,
+    jumps: bool = False,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph by the
     forward-backward coloring algorithm with trimming (Orzan 2004 /
@@ -1060,6 +1063,19 @@ def strongly_connected_components(
     the color fixpoint dominates (its round count tracks the internal
     diameter of the largest surviving SCC), which is why each color
     round fuses the fixpoint test into the checkpoint job.
+
+    ``jumps=True`` adds a pointer-jumping shortcut to every color
+    round — ``c(v) ← min(c(v), c(c(v)))``, sound by transitivity (if
+    w reaches u and u reaches v then w reaches v) — collapsing the
+    fixpoint from O(diameter) to O(log diameter) rounds. The state
+    SELF-JOIN it requires is exactly the plan shape whose carried
+    localCheckpoint statistics SQUARE per round (the round-11
+    BigInteger forensics, plans/reliable.spill_truncate docstring),
+    so each jump round truncates via :func:`spill_truncate` instead:
+    two parquet spills per round. The trade is measured, not assumed
+    (bench-graph --directed --jumps, BASELINE.md): the spill floor
+    loses at sf0.1-sized graphs — jumps stays OPT-IN — and the
+    formulation wins where per-round data cost dominates the floor.
     """
     e_raw = edges.select(
         F.col("src").cast("bigint").alias("src"),
@@ -1143,15 +1159,37 @@ def strongly_connected_components(
             # separate checkpoint job + change-probe job were the
             # dominant per-round cost (2 jobs x ~90 color rounds at
             # the sf0.1 profile).
+            new_min = (
+                c.unionByName(msgs).groupBy("v").agg(F.min("c").alias("c"))
+            )
+            if jumps:
+                # pointer jumping: shortcut through the current label's
+                # own label. The self-join squares localCheckpoint-
+                # carried stats (round-11 forensics), so this round
+                # truncates with spill_truncate — real file stats, two
+                # spills per (much rarer) round.
+                new_min = _reliable.spill_truncate(new_min, "scc-color-base")
+                jt = new_min.select(
+                    F.col("v").alias("jv"), F.col("c").alias("jc")
+                )
+                new_min = (
+                    new_min.join(jt, new_min["c"] == jt["jv"], "left")
+                    .select(
+                        new_min["v"].alias("v"),
+                        F.least(new_min["c"], F.col("jc")).alias("c"),
+                    )
+                )
             c2 = (
-                c.unionByName(msgs)
-                .groupBy("v")
-                .agg(F.min("c").alias("c"))
+                new_min
                 .join(
                     c.withColumnRenamed("c", "c_old"), "v"
                 )
                 .select("v", "c", (F.col("c") < F.col("c_old")).alias("chg"))
-                .transform(_ckpt_lazy)
+            )
+            c2 = (
+                _reliable.spill_truncate(c2, "scc-color")
+                if jumps
+                else c2.transform(_ckpt_lazy)
             )
             changed = c2.filter("chg").count()  # full count: materializes every partition
             c = c2.select("v", "c")

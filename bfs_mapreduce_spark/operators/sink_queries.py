@@ -1657,3 +1657,92 @@ def q_scan_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_rows_before", F.col("_n0").cast("bigint"))
         .drop("_n0")
     )
+
+
+@register(
+    "q_sink_snapshot_partitioned",
+    oracle="""
+    -- the physical layout is deterministic: each append writes exactly
+    -- one file per present (priority, bucket) combo (repartition by
+    -- the partition tuple routes a combo to one task; partitionBy
+    -- splits by directory), so file counts == distinct combos per
+    -- append and the pruning split is exactly reproducible in SQL
+    WITH c AS (
+      SELECT DISTINCT o_orderkey % 2 AS half, o_orderpriority AS pr,
+             o_custkey % 8 AS bk
+      FROM orders),
+    hit AS (
+      SELECT * FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey % 8 = 3)
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_files,
+           CAST((SELECT COUNT(*) FROM c
+                 WHERE pr = '1-URGENT' AND bk = 3) AS BIGINT) AS n_kept,
+           CAST((SELECT COUNT(*) FROM c
+                 WHERE NOT (pr = '1-URGENT' AND bk = 3)) AS BIGINT)
+             AS n_skipped,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM hit
+    """,
+    doc="Partition specs for the snapshot table format (round 12, "
+    "verdict ask #3 — Iceberg's partition-spec layer): orders lands "
+    "as two appends staged through stage_files_partitioned with spec "
+    "[identity(o_orderpriority), bucket(o_custkey, 8)] (bucket = "
+    "pmod, recorded in the spec, so the oracle reproduces bucket ids "
+    "with plain arithmetic); the manifest records the spec plus a "
+    "per-file partition tuple, carried through the O(new files) "
+    "append SEGMENTS. A read for one (priority, bucket) cell then "
+    "prunes whole partitions from the MANIFEST — before, and much "
+    "cheaper than, footer-stats skipping; at 100 TB the skipped "
+    "files are never even listed. The oracle hash pins the total "
+    "file count, the exact kept/pruned file split (the layout is "
+    "deterministic: one file per partition combo per append), and "
+    "the row count + decimal-exact revenue read THROUGH the pruned "
+    "scan — a wrong skip loses rows and breaks the hash, not just a "
+    "counter. The executed-scan-metric proof (only kept files "
+    "touched) is pinned by tests/test_sources.py::"
+    "test_snapshot_partition_spec, the q_sink_dpp_join pattern.",
+)
+def q_sink_snapshot_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_part"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    spec = [("identity", "o_orderpriority"), ("bucket", "o_custkey", 8)]
+    v = 0
+    for half in (0, 1):  # two appends: tuples must survive SEGMENTS
+        files, parts = ts.stage_files_partitioned(
+            orders.filter(F.col("o_orderkey") % 2 == half), root, spec
+        )
+        v = ts.commit(
+            root,
+            files,
+            base_version=v,
+            partition_spec=spec,
+            partitions=parts,
+        )
+    m = ts.read_manifest(root, v)
+    eq = {
+        "o_orderpriority": "1-URGENT",
+        "o_custkey_bucket_8": 3,
+    }
+    pruned, kept, skipped = ts.read_partition_pruned(spark, root, eq)
+    hit = pruned.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_custkey") % 8 == 3)
+    )
+    return hit.agg(
+        F.lit(len(m["files"])).cast("bigint").alias("n_files"),
+        F.lit(len(kept)).cast("bigint").alias("n_kept"),
+        F.lit(len(skipped)).cast("bigint").alias("n_skipped"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

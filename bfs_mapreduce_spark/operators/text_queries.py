@@ -1574,6 +1574,127 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_ID_CAPACITY = 1024  # context-window size in BPE token ids
+
+
+def _bpe_pack_oracle() -> str:
+    parts = ["""
+    WITH t0 AS MATERIALIZED (
+      SELECT doc, s.pos AS pos, s.tok AS tok FROM (
+        SELECT doc_id AS doc, unnest(list_transform(range(length(text)),
+            i -> {'pos': i + 1, 'tok': substring(text, CAST(i + 1 AS INT), 1)})) AS s
+        FROM documents WHERE length(text) > 0))"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(_BPE_ROUND_SQL.format(r=r, t=f"t{r - 1}"))
+    parts.append(f"""
+    vocab AS MATERIALIZED (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS tid
+      FROM (SELECT DISTINCT tok FROM t{_BPE_ROUNDS})),
+    seq AS MATERIALIZED (
+      SELECT t.doc, t.pos, v.tid
+      FROM t{_BPE_ROUNDS} t JOIN vocab v USING (tok)),
+    cnt AS MATERIALIZED (SELECT doc, COUNT(*) AS n FROM seq GROUP BY doc),
+    st AS MATERIALIZED (
+      SELECT d.doc_id, d.source,
+             SUM(c.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                            ROWS UNBOUNDED PRECEDING) - c.n AS start
+      FROM documents d JOIN cnt c ON c.doc = d.doc_id),
+    g AS MATERIALIZED (
+      SELECT st.source,
+             st.start
+               + ROW_NUMBER() OVER (PARTITION BY s.doc ORDER BY s.pos) - 1
+               AS gpos,
+             s.tid
+      FROM seq s JOIN st ON st.doc_id = s.doc)""")
+    return ",".join(parts) + f"""
+    SELECT source,
+           CAST(FLOOR(gpos * 1.0 / {_PACK_ID_CAPACITY}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos)) AS ids_md5
+    FROM g GROUP BY source, bin"""
+
+
+@register(
+    "q_text_pack_token_ids",
+    oracle=_bpe_pack_oracle(),
+    doc="Train → encode → PACK, end to end (round 12, verdict ask #4 "
+    "— the actual LLM-pipeline output: packed context windows of REAL "
+    "token ids, where q_text_pack_sequences packed whitespace word "
+    "counts): the BPE merge table is re-derived in-plan (the shared "
+    "_bpe_merge_rounds machinery, identical to q_text_bpe_encode), "
+    "the encoded token stream maps to dense integer ids via a "
+    "deterministic vocabulary (distinct final tokens ranked "
+    "lexicographically — the tiny global window is vocabulary-sized, "
+    "never corpus-sized), each source shard concatenates its docs in "
+    "doc_id order with a running token offset, and every token lands "
+    "at a global position gpos -> window bin = gpos // 1024. One row "
+    "per (source, window): token count + an md5 of the COMPLETE id "
+    "sequence in position order — the oracle hash certifies every "
+    "token id of every packed window, including docs split across "
+    "window boundaries. Scale: the chain adds one broadcast "
+    "vocabulary join, one per-shard running-sum window, and one "
+    "(source, bin) aggregate on top of encode — no Python, no new "
+    "corpus-sized shuffle beyond the pack's own exchange.",
+)
+def q_text_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    rows = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(F.split("text", "")).alias("p0", "tok"),
+    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
+    _rules, enc = _bpe_merge_rounds(rows, "doc", _BPE_ROUNDS, return_rows=True)
+    enc = enc.persist()  # consumed by the vocabulary AND the id stream
+    wv = Window.orderBy("tok")  # vocabulary-sized: chars + merges
+    vocab = (
+        enc.select("tok").distinct().withColumn("tid", F.row_number().over(wv))
+    )
+    seq = enc.join(F.broadcast(vocab), "tok").select("doc", "pos", "tid")
+    cnt = seq.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = (
+        docs.select("doc_id", "source")
+        .join(cnt, F.col("doc_id") == F.col("doc"))
+        .select(
+            "doc_id",
+            "source",
+            (F.sum("n").over(wsrc) - F.col("n")).alias("start"),
+        )
+    )
+    wd = Window.partitionBy("doc").orderBy("pos")
+    g = (
+        seq.withColumn("rk", F.row_number().over(wd))
+        .join(F.broadcast(st), seq["doc"] == st["doc_id"])
+        .select(
+            "source",
+            (F.col("start") + F.col("rk") - 1).alias("gpos"),
+            "tid",
+        )
+    )
+    ids_md5 = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            ",",
+        )
+    )
+    return (
+        g.withColumn(
+            "bin", F.floor(F.col("gpos") / _PACK_ID_CAPACITY).cast("bigint")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            ids_md5.alias("ids_md5"),
+        )
+    )
+
+
 _BPE_WORD_ROUNDS = 4
 
 # One word-table BPE round in SQL — the weighted twin of

@@ -107,6 +107,10 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     f"(currently v{cur})"
                 )
             self._start_v = max(0, int(sv) - 1)
+        # Delta's skipChangeCommits: opt-in, fail-by-default stands
+        self._skip_change_commits = str(
+            options.get("skipChangeCommits", "false")
+        ).lower() in ("true", "1")
         m = ts.read_manifest(self._root)
         newest = m["files"][-1] if m["files"] else None
         self._arrow_schema = _arrow_schema_for(m.get("schema"), newest)
@@ -124,23 +128,41 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
     # -- planning --------------------------------------------------
     def partitions(self, start: dict, end: dict):
         v0, v1 = start["v"], end["v"]
+        # walk the commit chain newest-first, collecting per-commit
+        # file ADDITIONS. A plain files(v1) - files(v0) diff would be
+        # equivalent on append-only ranges but cannot skip a REPLACE:
+        # compaction's rewritten files would land in the diff and
+        # re-deliver every compacted row. Per-commit deltas make
+        # skipChangeCommits (Delta's escape hatch, opt-in) sound:
+        # append commits deliver their own additions; REPLACE/DELETE
+        # commits contribute nothing (delete commits add no data files
+        # anyway, so only the rewrite skip is behavioral).
+        chunks: list[list[str]] = []
         v = v1
         while v > v0:
             m = ts.read_manifest(self._root, v)
             op = m.get("operation") or "append"
-            if op not in ("append", "set_check", "rewrite_manifests"):
+            if op in ("append", "set_check", "rewrite_manifests"):
+                parent_files = set(
+                    ts.read_manifest(self._root, m["parent"])["files"]
+                    if m["parent"]
+                    else []
+                )
+                chunks.append(
+                    [f for f in m["files"] if f not in parent_files]
+                )
+            elif self._skip_change_commits:
+                pass  # rewritten/deleted rows are not change data here
+            else:
                 raise ValueError(
                     f"snapshot_changes: v{v} is a {op} commit — file-diff "
                     "CDC is only sound across append-only ranges (the "
-                    "same refusal as the batch read_changes)"
+                    "same refusal as the batch read_changes); pass "
+                    ".option('skipChangeCommits', 'true') to skip "
+                    "REPLACE/DELETE commits instead of failing"
                 )
             v = m["parent"]
-        old = set(ts.read_manifest(self._root, v0)["files"])
-        new_files = [
-            f
-            for f in ts.read_manifest(self._root, v1)["files"]
-            if f not in old
-        ]
+        new_files = [f for chunk in reversed(chunks) for f in chunk]
         return [
             _SnapshotFilePartition(f, self._arrow_schema) for f in new_files
         ]

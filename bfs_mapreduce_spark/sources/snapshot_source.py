@@ -67,6 +67,12 @@ class SnapshotBatchReader(DataSourceReader):
         v = options.get("versionAsOf")
         self._version = int(v) if v is not None else ts.current_version(self._root)
         self._m = ts.read_manifest(self._root, self._version)
+        # optional manifest-side partition pruning (round 12): a JSON
+        # dict of partition-field -> required value; files whose
+        # recorded partition tuple cannot match are never planned at
+        # all — the earliest possible cut, upstream of footer stats
+        pe = options.get("partitionEq")
+        self._part_eq = json.loads(pe) if pe else None
         newest = self._m["files"][-1] if self._m["files"] else None
         self._arrow_schema = _arrow_schema_for(self._m.get("schema"), newest)
 
@@ -74,8 +80,11 @@ class SnapshotBatchReader(DataSourceReader):
         m = self._m
         deletes = m.get("deletes") or {}
         eq = m.get("eq_deletes") or []
+        files = m["files"]
+        if self._part_eq:
+            files, _ = ts.prune_partitions(m, self._part_eq)
         out = []
-        for f in m["files"]:
+        for f in files:
             applicable = [
                 {"files": e["files"], "cols": e["cols"]}
                 for e in eq

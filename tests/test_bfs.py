@@ -342,3 +342,49 @@ def test_auto_edge_partitions_sizing(spark, tmp_path):
     # verified arithmetically against the same formula constants
     total = 100 * (1 << 40)  # 100 TB
     assert min(default, total // (16 << 20) + 1) == default
+
+
+def test_scc_jumps_matches_shipped(spark):
+    """Round-12 (verdict ask #6): the opt-in pointer-jumping color
+    formulation (c(v) <- min(c(v), c(c(v))), spill-truncated) produces
+    byte-identical SCC labels to the shipped fixpoint on random
+    digraphs, in strictly fewer color rounds on a deep cycle."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(12)
+    for _ in range(3):
+        n = rng.randint(8, 18)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(n, 3 * n))
+        ]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        want = sorted(
+            tuple(r) for r in strongly_connected_components(df).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in strongly_connected_components(df, jumps=True).collect()
+        )
+        assert got == want
+
+    # one deep cycle: shipped needs O(n) color rounds, jumps O(log n)
+    n = 64
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src bigint, dst bigint"
+    )
+    s_ship, s_jump = {}, {}
+    a = strongly_connected_components(cyc, stats=s_ship).collect()
+    b = strongly_connected_components(cyc, stats=s_jump, jumps=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rounds = lambda s: sum(r for _p, ph, r, _s in s["phases"] if ph == "color")
+    assert rounds(s_jump) < rounds(s_ship) / 3, (
+        rounds(s_jump),
+        rounds(s_ship),
+    )

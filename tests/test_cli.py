@@ -182,3 +182,57 @@ def test_bench_snapshot_profile(spark, sf_smoke_dir, capsys):
     assert by["merge_cow_write"]["rows_upserted"] > 0
     assert all(r["sec"] >= 0 for r in recs)
     json.dumps(recs)  # each record is JSON-serializable
+
+
+def test_cli_snapshot_vacuum_retention(spark, tmp_path, capsys):
+    """Round-12 (verdict ask #7): the snapshot-vacuum CLI verb applies
+    an age/count retention policy. --retain-last keeps the N newest
+    versions; expired versions refuse time travel afterwards while
+    retained versions (and CDC ranges inside retention) stay exact;
+    policies union with --retain-hours (a generous age keeps all)."""
+    import json
+    import os
+
+    import pytest
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = 0
+    for i in range(4):
+        # replace each time so old versions have exclusive files
+        files = ts.stage_files(spark.range(i * 10, i * 10 + 10).toDF("k"), root)
+        v = ts.commit(root, files, base_version=v, replace=i > 0)
+
+    # a generous age policy keeps everything (union with count absent)
+    rc = main(["snapshot-vacuum", root, "--retain-hours", "24"])
+    assert rc == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_deleted"] == 0
+    assert ts.read(spark, root, 1).count() == 10  # full history intact
+
+    # keep only the last 2 versions
+    rc = main(["snapshot-vacuum", root, "--retain-last", "2"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["retain_from"] == 3 and out2["n_deleted"] > 0
+    # retained versions exact; expired ones refuse time travel
+    assert sorted(r.k for r in ts.read(spark, root, 4).collect()) == list(
+        range(30, 40)
+    )
+    assert sorted(r.k for r in ts.read(spark, root, 3).collect()) == list(
+        range(20, 30)
+    )
+    with pytest.raises(Exception):
+        ts.read(spark, root, 1).count()
+
+    # CDC range inside retention stays exact after vacuum
+    ts.commit(
+        root,
+        ts.stage_files(spark.range(100, 105).toDF("k"), root),
+        base_version=4,
+    )
+    changed = ts.read_changes(spark, root, 4, 5)
+    assert sorted(r.k for r in changed.collect()) == list(range(100, 105))

@@ -192,3 +192,31 @@ def test_kcenter_seed_radius_monotone_and_distinct(spark, sf_oracle_dir):
     assert len(set(ids)) == len(ids)
     radii = [d for _, _, d in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_ivfpq_spill_recall_and_shape(spark, sf_oracle_dir):
+    """Round-12 learned-quantizer spill config (40 Lloyd-refined
+    cells, top-3 multi-assignment, nprobe 6, ADC-top-300 + exact
+    rerank) — swept at sf0.1 to recall 0.805 touching 39% of the
+    corpus (vs 0.82 @ 80% for the label-cell config;
+    tools/ivfpq_sweep.py, BASELINE.md). Floor 0.7, same convention as
+    the ivfpq twin; shape contract: exactly TOP_K rows per query."""
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        q_similarity_ivfpq_spill,
+        q_similarity_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in q_similarity_topk(spark, sf_oracle_dir).collect()
+    }
+    rows = q_similarity_ivfpq_spill(spark, sf_oracle_dir).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert exact
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, f"spill IVF-PQ recall collapsed: {recall:.3f}"
+    by_q = {}
+    for r in rows:
+        assert -1.0 <= r["cosine"] <= 1.0
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    assert by_q and all(len(v) == 5 for v in by_q.values())

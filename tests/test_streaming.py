@@ -461,3 +461,62 @@ def test_snapshot_changes_starting_version_inclusive(spark, tmp_path):
     assert collect_from(0, "c0") == list(range(30))  # 0 = full history
     with pytest.raises(Exception):
         collect_from(4, "c4")
+
+
+def test_snapshot_changes_skip_change_commits(spark, tmp_path):
+    """Round-12 (verdict ask #5): skipChangeCommits — Delta's opt-in
+    escape hatch — lets a CDC stream ride THROUGH a compaction: the
+    REPLACE commit contributes nothing (its rewritten files would
+    double-deliver every compacted row), appends before and after are
+    delivered exactly once. Fail-by-default stands without the option
+    (pinned by test_snapshot_changes_stream_source)."""
+    import os
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        register_snapshot_changes_source,
+    )
+
+    register_snapshot_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = 0
+    for i in (0, 1):
+        v = ts.commit(
+            root,
+            ts.stage_files(spark.range(i * 10, i * 10 + 10).toDF("k"), root),
+            base_version=v,
+        )
+
+    def run(ckpt):
+        got = []
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .option("startingVersion", 0)
+            .option("skipChangeCommits", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, _bid: got.extend(r["k"] for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    # consume the first two appends, checkpointing
+    assert run("ck") == list(range(20))
+    # the table compacts itself, then appends more
+    ts.compact(spark, root, n_files=1)
+    v = ts.commit(
+        root,
+        ts.stage_files(spark.range(20, 30).toDF("k"), root),
+        base_version=ts.current_version(root),
+    )
+    # resume from the SAME checkpoint: only the new append arrives —
+    # the compaction's rewritten files are not re-delivered
+    assert run("ck") == list(range(20, 30))
+    # a fresh full-history read with the option also sees each row once
+    assert run("ck_fresh") == list(range(30))
