@@ -255,6 +255,18 @@ def _snapshot_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def _snapshot_restore(args: argparse.Namespace) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: republish an old version's
+    state as a new commit (audit-preserving rollback). Manifests only."""
+    import json
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    v = ts.restore(args.root, args.version)
+    print(json.dumps({"op": "restore", "restored_version": args.version, "version": v}))
+    return 0
+
+
 def _snapshot_vacuum(args: argparse.Namespace) -> int:
     """VACUUM with a retention policy: --retain-last N keeps the N
     newest versions, --retain-hours H keeps versions younger than H
@@ -429,6 +441,15 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--rewrite-manifests", action="store_true")
     so.add_argument("--n-files", type=int, default=8)
     so.set_defaults(fn=_snapshot_optimize)
+
+    sr = sub.add_parser(
+        "snapshot-restore",
+        help="RESTORE TABLE ... TO VERSION AS OF: roll the current "
+        "state back to VERSION as a new commit (history preserved)",
+    )
+    sr.add_argument("root")
+    sr.add_argument("version", type=int)
+    sr.set_defaults(fn=_snapshot_restore)
 
     sv = sub.add_parser(
         "snapshot-vacuum",

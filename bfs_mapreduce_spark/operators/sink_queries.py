@@ -1746,3 +1746,66 @@ def q_sink_snapshot_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "q_sink_snapshot_restore",
+    oracle="""
+    WITH a AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows_v2,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_head,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price_head,
+           TRUE AS history_intact,
+           CAST(1 AS BIGINT) AS restored_version,
+           CAST(3 AS BIGINT) AS head_version
+    FROM a
+    """,
+    doc="RESTORE TABLE ... TO VERSION AS OF for the snapshot format "
+    "(round 12, table_snapshots.restore — Delta's rollback verb): two "
+    "appends land (even then odd orderkeys), then the table is "
+    "restored to v1 — a METADATA-ONLY new commit republishing v1's "
+    "complete state (files, both delete kinds, schema, partition "
+    "metadata); no data file read or written, the undone append stays "
+    "readable at v2 (audit trail, not a rewind), and CDC refuses to "
+    "file-diff across the restore. The oracle hash pins the pre-"
+    "restore row count, the restored head's row count and decimal-"
+    "exact revenue (read through the restored manifest), a boolean "
+    "that v2 history is intact, and both version numbers — a wrong "
+    "file list or version chain changes values, not just counters. "
+    "At 100 TB restore is O(manifest): the rollback every incident "
+    "runbook wants, at metadata cost.",
+)
+def q_sink_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_restore"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1 = ts.commit(
+        root,
+        ts.stage_files(orders.filter(F.col("o_orderkey") % 2 == 0), root),
+        base_version=0,
+    )
+    v2 = ts.commit(
+        root,
+        ts.stage_files(orders.filter(F.col("o_orderkey") % 2 == 1), root),
+        base_version=v1,
+    )
+    n_v2 = ts.read(spark, root, v2).count()
+    head = ts.restore(root, v1)
+    hist_ok = ts.read(spark, root, v2).count() == n_v2
+    return ts.read(spark, root).agg(
+        F.lit(n_v2).cast("bigint").alias("n_rows_v2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_head"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price_head"),
+        F.lit(hist_ok).alias("history_intact"),
+        F.lit(v1).cast("bigint").alias("restored_version"),
+        F.lit(head).cast("bigint").alias("head_version"),
+    )

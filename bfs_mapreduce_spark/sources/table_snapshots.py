@@ -830,6 +830,60 @@ def compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
     return commit(root, files, base_version=base, replace=True)
 
 
+def restore(root: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF (Delta's verb): roll the
+    table's CURRENT state back to ``version``'s — as a NEW commit, so
+    the mistake being undone stays in history (an audit trail, not a
+    rewind) and concurrent writers still serialize through the same
+    CAS. Metadata-only: the restored version's file list, delete
+    vectors, equality-delete entries, schema, checks, and partition
+    metadata are re-published verbatim under the next version number;
+    no data file is read, written, or touched. txn watermarks are
+    carried from the CURRENT version, not the restored one — a
+    streaming writer's idempotence guard must keep monotone progress
+    or the next replayed micro-batch would double-commit. Restoring
+    requires the target's data files to still exist (vacuum that
+    expired ``version`` makes it unrestorable — same contract as
+    Delta). CDC refuses to file-diff across a restore (rows would
+    double-count), like any other non-append commit."""
+    latest = current_version(root)
+    if not 1 <= version <= latest:
+        raise ValueError(f"cannot restore {root!r} to v{version} (at v{latest})")
+    try:
+        m = read_manifest(root, version)
+    except FileNotFoundError as e:  # vacuum swept the version's segments
+        raise ValueError(
+            f"restore target v{version} references vacuumed manifest "
+            f"metadata ({e.filename})"
+        ) from e
+    missing = [p for p in m["files"] if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"restore target v{version} references vacuumed data file(s): "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    cur = read_manifest(root, latest)
+    payload = {
+        "version": latest + 1,
+        "parent": latest,
+        "operation": "restore",
+        "restored_version": version,
+        "txn": cur.get("txn", {}),
+        "schema": m.get("schema"),
+        "deletes": m.get("deletes") or {},
+        "eq_deletes": m.get("eq_deletes") or [],
+        "checks": m.get("checks", {}),
+        "files": m["files"],
+        "stats": m.get("stats") or {},
+    }
+    if m.get("partition_spec"):
+        payload["partition_spec"] = m["partition_spec"]
+    if m.get("partitions"):
+        payload["partitions"] = m["partitions"]
+    _publish_manifest(root, latest + 1, json.dumps(payload, indent=1))
+    return latest + 1
+
+
 def rewrite_manifests(root: str) -> int:
     """Metadata-only segment compaction (Iceberg's rewrite_manifests):
     collapse the current version's accumulated per-append segments

@@ -2059,3 +2059,66 @@ def test_snapshot_partition_spec(spark, tmp_path):
         r.k for r in want2.collect()
     )
     assert n_rows_kept == want.count()
+
+
+def test_snapshot_restore(spark, tmp_path, capsys):
+    """Round-12 RESTORE (Delta's rollback verb): republishes an old
+    version's complete state — files, position + equality deletes,
+    schema, partition metadata — as a NEW commit, so history keeps the
+    mistake; CDC refuses to cross it; restoring a vacuumed version
+    refuses; txn watermarks keep the CURRENT monotone progress."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v1 = ts.commit(
+        root,
+        ts.stage_files(spark.range(20).toDF("k"), root),
+        base_version=0,
+        txn=("app", 3),
+    )
+    # v2: delete some rows (position deletes live in the manifest)
+    v2, n_del, _ = ts.delete_where(spark, root, "k >= 15")
+    assert n_del == 5
+    # v3: a "bad" append we want to undo
+    v3 = ts.commit(
+        root,
+        ts.stage_files(spark.range(100, 110).toDF("k"), root),
+        base_version=v2,
+        txn=("app", 7),
+    )
+    assert ts.read(spark, root).count() == 25
+
+    # restore to v2: the bad append's rows vanish, deletes still apply
+    v4 = ts.restore(root, v2)
+    assert v4 == 4
+    assert sorted(r.k for r in ts.read(spark, root).collect()) == list(range(15))
+    # history keeps everything; the restore commit is labeled
+    h = ts.history(root)
+    assert h[0]["operation"] == "restore"
+    assert ts.read(spark, root, v3).count() == 25  # mistake still visible
+    # txn watermark is the CURRENT one (monotone), not v2's
+    assert ts.last_txn(root, "app") == 7
+
+    # CDC refuses to cross the restore
+    with pytest.raises(Exception):
+        ts.read_changes(spark, root, v3, v4).count()
+
+    # CLI verb round-trips
+    rc = main(["snapshot-restore", root, "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 5
+    assert ts.read(spark, root).count() == 25
+
+    # a vacuumed target refuses: expire everything below the current
+    ts.vacuum(root, retain_from=5)
+    with pytest.raises(ValueError, match="vacuumed"):
+        ts.restore(root, v1)
