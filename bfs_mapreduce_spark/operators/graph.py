@@ -1064,18 +1064,29 @@ def strongly_connected_components(
     diameter of the largest surviving SCC), which is why each color
     round fuses the fixpoint test into the checkpoint job.
 
-    ``jumps=True`` adds a pointer-jumping shortcut to every color
-    round — ``c(v) ← min(c(v), c(c(v)))``, sound by transitivity (if
-    w reaches u and u reaches v then w reaches v) — collapsing the
-    fixpoint from O(diameter) to O(log diameter) rounds. The state
-    SELF-JOIN it requires is exactly the plan shape whose carried
-    localCheckpoint statistics SQUARE per round (the round-11
-    BigInteger forensics, plans/reliable.spill_truncate docstring),
-    so each jump round truncates via :func:`spill_truncate` instead:
-    two parquet spills per round. The trade is measured, not assumed
-    (bench-graph --directed --jumps, BASELINE.md): the spill floor
-    loses at sf0.1-sized graphs — jumps stays OPT-IN — and the
-    formulation wins where per-round data cost dominates the floor.
+    ``jumps=True`` adds a pointer-jumping shortcut to BOTH
+    propagation phases. Color rounds gain ``c(v) ← min(c(v),
+    c(c(v)))``, sound by transitivity (if w reaches u and u reaches v
+    then w reaches v). The backward phase swaps the one-hop-per-round
+    frontier walk for the same machinery in reverse over SALTED keys:
+    roots seed the sentinel key -1, every other vertex a hash of its
+    id, and each vertex minimizes the key over its class-internal
+    forward-reachable set — membership is "the sentinel reached me"
+    (``dk(v) == -1`` ⟺ v reaches its root). Salting matters: raw-id
+    min-labels collapse to a one-hop wavefront when ids increase
+    along edges (measured 64/64 rounds on the ring fixture); hashed
+    keys decorrelate order from direction so the jump compounds (see
+    the in-loop comment for completeness and convergence arguments).
+    Both fixpoints collapse from O(diameter) to O(log diameter)
+    rounds. The state SELF-JOIN each
+    requires is exactly the plan shape whose carried localCheckpoint
+    statistics SQUARE per round (the round-11 BigInteger forensics,
+    plans/reliable.spill_truncate docstring), so each jump round
+    truncates via :func:`spill_truncate` instead: two parquet spills
+    per round. The trade is measured, not assumed (bench-graph
+    --directed --jumps, BASELINE.md): the spill floor loses at
+    sf0.1-sized graphs — jumps stays OPT-IN — and the formulation
+    wins where per-round data cost dominates the floor.
     """
     e_raw = edges.select(
         F.col("src").cast("bigint").alias("src"),
@@ -1208,26 +1219,164 @@ def strongly_connected_components(
             break
         # --- backward mark within colors, from every root at once
         _t0, _r0 = time.perf_counter(), rounds_left
-        mark = c.filter(F.col("v") == F.col("c")).transform(_ckpt)
-        while rounds_left > 0:
-            rounds_left -= 1
-            # candidate u joins SCC(c(u)) only if it has an edge into an
-            # ALREADY-marked vertex of its own color (reversed-edge walk
-            # restricted to the color partition); lazy checkpoint — the
-            # emptiness count materializes it in the same job
-            new = (
-                e.join(mark.select(F.col("v").alias("dst"), F.col("c").alias("mc")), "dst")
-                .select(F.col("src").alias("v"), "mc")
-                .join(c, "v")
-                .filter(F.col("c") == F.col("mc"))
-                .select("v", "c")
-                .distinct()
-                .join(mark.select("v"), "v", "left_anti")
-                .transform(_ckpt_lazy)
+        if jumps:
+            # Pointer-jumping backward phase (round 12): the frontier
+            # walk below is one hop per round — O(diameter) rounds, and
+            # after the color phase collapsed it was 95% of the
+            # dscc-deep runtime (BASELINE.md round-12 table). Run the
+            # color machinery in REVERSE instead, over CLASS-INTERNAL
+            # edges. Restricting edges to c(src) == c(dst) is complete,
+            # not just sound: if c(v) = r then r reaches v along a path
+            # whose every intermediate u has c(u) = r (anything
+            # reaching u reaches v, so c(u) >= c(v) = r; and r reaches
+            # u, so c(u) <= r — the Orzan lemma).
+            #
+            # The label each vertex minimizes is a SALTED key, not the
+            # raw id: roots carry the sentinel key -1 (unique within
+            # their class — edges never cross classes, so another
+            # class's sentinel cannot leak), every other vertex a
+            # 63-bit hash of its id. Membership is then simply "the
+            # sentinel reached me": dk(v) == -1 ⟺ v reaches its root
+            # class-internally ⟺ v ∈ SCC(root). Raw-id min-labels
+            # degenerate under adversarial orderings — with ids
+            # increasing along edges (the dscc-deep chain exactly),
+            # min(out-neighbor ids) == self everywhere except the
+            # wrap-around, so d(v) stays a self-pointer and the jump
+            # d(d(v)) has nothing to chase: a one-hop wavefront,
+            # O(diameter) rounds, measured 64/64 on the ring fixture.
+            # Hashing decorrelates key order from edge direction, so
+            # min-chains have random geometry and the jump compounds:
+            # O(log diameter) rounds w.h.p. (the same trick behind
+            # Stergiou-style label-propagation shortcutting).
+            #
+            # Base step: d(src) ← min over out-neighbors' (key, ptr);
+            # jump: d(v) ← min(d(v), d(ptr(v))), sound because
+            # class-internal reachability is transitive. Scalar O(V)
+            # state — NOT the Σ|SCC|² pair materialization a
+            # transitive-closure doubling would cost — and the same
+            # spill_truncate discipline as the color jump (the
+            # d(ptr(v)) self-join squares carried stats). A
+            # rounds-exhausted partial d only ever yields marks whose
+            # membership is already proven (dk = -1 certifies a
+            # witness path to the root), matching the frontier walk's
+            # truncation contract.
+            cc_src = c.select(F.col("v").alias("src"), F.col("c").alias("c_src"))
+            cc_dst = c.select(F.col("v").alias("dst"), F.col("c").alias("c_dst"))
+            e_cls = (
+                e.join(cc_src, "src")
+                .join(cc_dst, "dst")
+                .filter(F.col("c_src") == F.col("c_dst"))
+                .select("src", "dst")
+                .transform(_ckpt)
             )
-            if new.count() == 0:
-                break
-            mark = mark.unionByName(new).transform(_ckpt_lazy)
+            d = c.select(
+                "v",
+                F.when(F.col("v") == F.col("c"), F.lit(-1).cast("bigint"))
+                .otherwise(F.shiftrightunsigned(F.xxhash64(F.col("v")), 1))
+                .alias("dk"),
+                F.col("v").alias("dv"),
+            )
+            while rounds_left > 0:
+                rounds_left -= 1
+                msgs = e_cls.join(
+                    d.withColumnRenamed("v", "dst"), "dst"
+                ).select(F.col("src").alias("v"), "dk", "dv")
+                new_min = (
+                    d.unionByName(msgs)
+                    .groupBy("v")
+                    .agg(F.min(F.struct("dk", "dv")).alias("m"))
+                    .select(
+                        "v",
+                        F.col("m.dk").alias("dk"),
+                        F.col("m.dv").alias("dv"),
+                    )
+                )
+                new_min = _reliable.spill_truncate(new_min, "scc-back-base")
+                jt = new_min.select(
+                    F.col("v").alias("jv"),
+                    F.col("dk").alias("jk"),
+                    F.col("dv").alias("jd"),
+                )
+                new_min = (
+                    new_min.join(jt, new_min["dv"] == jt["jv"], "left")
+                    .select(
+                        new_min["v"].alias("v"),
+                        F.least(
+                            F.struct(
+                                new_min["dk"].alias("dk"),
+                                new_min["dv"].alias("dv"),
+                            ),
+                            F.struct(
+                                F.coalesce(F.col("jk"), new_min["dk"]).alias("dk"),
+                                F.coalesce(F.col("jd"), new_min["dv"]).alias("dv"),
+                            ),
+                        ).alias("m"),
+                    )
+                    .select(
+                        "v",
+                        F.col("m.dk").alias("dk"),
+                        F.col("m.dv").alias("dv"),
+                    )
+                )
+                d2 = (
+                    new_min.join(
+                        d.select(
+                            "v",
+                            F.col("dk").alias("dk_old"),
+                            F.col("dv").alias("dv_old"),
+                        ),
+                        "v",
+                    )
+                    .select(
+                        "v",
+                        "dk",
+                        "dv",
+                        (
+                            (F.col("dk") < F.col("dk_old"))
+                            | (
+                                (F.col("dk") == F.col("dk_old"))
+                                & (F.col("dv") < F.col("dv_old"))
+                            )
+                        ).alias("chg"),
+                    )
+                )
+                d2 = _reliable.spill_truncate(d2, "scc-back")
+                changed = d2.filter("chg").count()
+                d = d2.select("v", "dk", "dv")
+                if changed == 0:
+                    break
+            mark = (
+                d.filter(F.col("dk") == -1)
+                .join(c, "v")
+                .select("v", "c")
+                .transform(_ckpt)
+            )
+        else:
+            mark = c.filter(F.col("v") == F.col("c")).transform(_ckpt)
+            while rounds_left > 0:
+                rounds_left -= 1
+                # candidate u joins SCC(c(u)) only if it has an edge into
+                # an ALREADY-marked vertex of its own color (reversed-edge
+                # walk restricted to the color partition); lazy checkpoint
+                # — the emptiness count materializes it in the same job
+                new = (
+                    e.join(
+                        mark.select(
+                            F.col("v").alias("dst"), F.col("c").alias("mc")
+                        ),
+                        "dst",
+                    )
+                    .select(F.col("src").alias("v"), "mc")
+                    .join(c, "v")
+                    .filter(F.col("c") == F.col("mc"))
+                    .select("v", "c")
+                    .distinct()
+                    .join(mark.select("v"), "v", "left_anti")
+                    .transform(_ckpt_lazy)
+                )
+                if new.count() == 0:
+                    break
+                mark = mark.unionByName(new).transform(_ckpt_lazy)
         _note(pass_no, "backward", _r0 - rounds_left, _t0)
         done = add(done, mark.select("v", F.col("c").alias("scc_id")))
         remaining = remaining.join(mark.select("v"), "v", "left_anti").transform(_ckpt)
