@@ -585,10 +585,11 @@ def commit(
         )
     base = read_manifest(root, latest)
     new_files = list(files) if replace else base["files"] + list(files)
+    nf = set(new_files)  # hoisted: the comprehensions below are O(F) each
     new_stats = {
         p: s
         for p, s in {**base.get("stats", {}), **(stats or {})}.items()
-        if p in set(new_files)
+        if p in nf
     }
     new_txn = dict(base.get("txn", {}))
     if txn is not None:
@@ -600,7 +601,7 @@ def commit(
     new_parts = {
         p: t
         for p, t in {**(base.get("partitions") or {}), **(partitions or {})}.items()
-        if p in set(new_files)
+        if p in nf
     }
     new_spec = partition_spec or base.get("partition_spec")
     new_schema = _merge_schema_json(base.get("schema"), schema)
@@ -610,7 +611,7 @@ def commit(
     # caller bug (classically: a relative root recorded relative
     # manifest paths while input_file_name() yielded absolute ones) —
     # silently dropping it would publish a delete that masks nothing.
-    dangling = [p for p in (deletes or {}) if p not in set(new_files)]
+    dangling = [p for p in (deletes or {}) if p not in nf]
     if dangling:
         raise ValueError(
             "deletes reference data file(s) absent from the committed "
@@ -619,11 +620,11 @@ def commit(
     new_deletes = {
         p: d
         for p, d in {**base.get("deletes", {}), **(deletes or {})}.items()
-        if p in set(new_files)
+        if p in nf
     }
     new_eq = []
     for e in base.get("eq_deletes", []) + list(eq_deletes or []):
-        applies = [p for p in e["applies"] if p in set(new_files)]
+        applies = [p for p in e["applies"] if p in nf]
         if applies:  # a rewrite that dropped every applied file
             new_eq.append(  # materialized this entry — carry nothing
                 {"files": e["files"], "cols": e["cols"], "applies": applies}
@@ -1270,7 +1271,10 @@ def retention_cutoff(
     latest = current_version(root)
     cutoffs = []
     if keep_last is not None:
-        cutoffs.append(max(1, latest - int(keep_last) + 1))
+        # Clamp to the current version: keep_last <= 0 must degrade to
+        # "keep only the latest", never to latest+1 (an empty keep-set
+        # would let vacuum delete EVERY file including the live ones).
+        cutoffs.append(min(latest, max(1, latest - int(keep_last) + 1)))
     if max_age_s is not None:
         import time as _time
 

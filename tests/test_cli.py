@@ -236,3 +236,38 @@ def test_cli_snapshot_vacuum_retention(spark, tmp_path, capsys):
     )
     changed = ts.read_changes(spark, root, 4, 5)
     assert sorted(r.k for r in changed.collect()) == list(range(100, 105))
+
+
+def test_retention_keep_last_zero_cannot_destroy_table(spark, tmp_path, capsys):
+    """Round-13 ADVICE regression: keep_last=0 (or negative) used to
+    compute retain_from=latest+1, an EMPTY keep-set — vacuum would
+    then delete every data file and manifest segment including the
+    current version's. The cutoff must clamp to the current version:
+    the most aggressive count policy degrades to "keep only the
+    latest", never "keep nothing"."""
+    import json
+    import os
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = ts.commit(
+        root, ts.stage_files(spark.range(10).toDF("k"), root), base_version=0
+    )
+    v = ts.commit(
+        root,
+        ts.stage_files(spark.range(10, 20).toDF("k"), root),
+        base_version=v,
+    )
+    assert ts.retention_cutoff(root, keep_last=0) == v
+    assert ts.retention_cutoff(root, keep_last=-3) == v
+    rc = main(["snapshot-vacuum", root, "--retain-last", "0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["retain_from"] == v
+    # the docstring's contract holds: the current version still reads
+    assert sorted(r.k for r in ts.read(spark, root).collect()) == list(
+        range(20)
+    )

@@ -174,7 +174,7 @@ def test_spill_truncate_resets_optimizer_stats(spark, tmp_path):
     assert max(spill_bits) < local_bits[-1]
 
 
-def test_threaded_sweeps_conf_and_context(spark, tmp_path):
+def test_threaded_sweeps_conf_and_context(spark, tmp_path, sf_smoke_dir):
     """Round-12 ADVICE regression: the landmark-closeness sweeps run
     bfs() driver loops on concurrent threads. (a) bfs's session-conf
     tuning is refcounted, so the USER's AQE/shuffle-partition values
@@ -200,7 +200,7 @@ def test_threaded_sweeps_conf_and_context(spark, tmp_path):
         conf.set("spark.sql.shuffle.partitions", "17")
         d = str(tmp_path / "spill")
         with reliable.reliable_checkpoints(d):
-            rows = q_graph_closeness_landmarks(spark, "/root/testdata/sf0.001").collect()
+            rows = q_graph_closeness_landmarks(spark, sf_smoke_dir).collect()
         assert len(rows) == 3 and all(r["n_reached"] > 0 for r in rows)
         # (a) conf restored to the user's values, not a mid-loop snapshot
         assert conf.get("spark.sql.adaptive.enabled") == "true"
