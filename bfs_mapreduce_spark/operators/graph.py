@@ -1016,11 +1016,14 @@ def connected_components_star(
     return (labels, rounds) if return_rounds else labels
 
 
+_AUTO_JUMP_AFTER = 8  # "auto": one-hop base rounds 1..8, jump rounds after
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 200,
     stats: dict | None = None,
-    jumps: bool = False,
+    jumps: bool | str = "auto",
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph by the
     forward-backward coloring algorithm with trimming (Orzan 2004 /
@@ -1085,9 +1088,48 @@ def strongly_connected_components(
     truncates via :func:`spill_truncate` instead: two parquet spills
     per round. The trade is measured, not assumed (bench-graph
     --directed --jumps, BASELINE.md): the spill floor loses at
-    sf0.1-sized graphs — jumps stays OPT-IN — and the formulation
+    sf0.1-sized graphs, and the formulation
     wins where per-round data cost dominates the floor.
+
+    ``jumps="auto"`` (the DEFAULT since round 13 — the round-12
+    verdict's adaptive ask) takes both sides of that measured
+    crossover without the caller choosing. Two pieces:
+
+    - **Deferred escalation**: rounds 1..``_AUTO_JUMP_AFTER`` of each
+      propagation fixpoint run the cheap one-hop base step only
+      (``localCheckpoint`` truncation, no spills) — a shallow
+      fixpoint converges before ever paying the spill floor; from
+      round ``_AUTO_JUMP_AFTER + 1`` every round also applies the
+      jump shortcut with the spill_truncate discipline it needs, so
+      a deep fixpoint escalates to exactly the forced-jumps
+      machinery after a bounded prefix of cheap rounds.
+    - **Sentinel-closure convergence** (backward phase, all jump
+      modes): stop when no vertex NEWLY reaches ``dk == -1`` rather
+      than when every salted key stabilizes — the frontier walk's own
+      stopping rule, sound because a zero-new-sentinel round proves
+      the marked set is one-hop closed. This cuts the shallow-graph
+      round count to the root eccentricity (the hash keys' longer
+      mixing time stops mattering), which is what makes the salted
+      machinery competitive with the plain frontier walk at the
+      sf0.1 profile.
+
+    Measured (BASELINE.md round-13 table): auto is within noise of
+    the old shipped default at sf0.1 (fewer color rounds, slightly
+    pricier backward rounds — a wash) and within ~1.2x of forced
+    ``jumps=True`` on the diameter-200 dscc-deep fixture, where the
+    old default was 13.5x slower. Identical labels in every mode.
     """
+    # jump_from: first propagation round that applies the jump
+    # shortcut. None = never (jumps=False), 1 = every round
+    # (jumps=True), _AUTO_JUMP_AFTER+1 = auto (cheap one-hop rounds
+    # first — shallow fixpoints converge before ever paying a spill,
+    # deep ones escalate to per-round jumping).
+    if jumps == "auto":
+        jump_from: int | None = _AUTO_JUMP_AFTER + 1
+    elif jumps:
+        jump_from = 1
+    else:
+        jump_from = None
     e_raw = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
@@ -1158,8 +1200,11 @@ def strongly_connected_components(
         _t0, _r0 = time.perf_counter(), rounds_left
         c = remaining.select("v", F.col("v").alias("c")).transform(_ckpt)
         colors_converged = False
+        color_round = 0
         while rounds_left > 0:
             rounds_left -= 1
+            color_round += 1
+            do_jump = jump_from is not None and color_round >= jump_from
             msgs = e.join(c.withColumnRenamed("v", "src"), "src").select(
                 F.col("dst").alias("v"), "c"
             )
@@ -1173,7 +1218,7 @@ def strongly_connected_components(
             new_min = (
                 c.unionByName(msgs).groupBy("v").agg(F.min("c").alias("c"))
             )
-            if jumps:
+            if do_jump:
                 # pointer jumping: shortcut through the current label's
                 # own label. The self-join squares localCheckpoint-
                 # carried stats (round-11 forensics), so this round
@@ -1199,7 +1244,7 @@ def strongly_connected_components(
             )
             c2 = (
                 _reliable.spill_truncate(c2, "scc-color")
-                if jumps
+                if do_jump
                 else c2.transform(_ckpt_lazy)
             )
             changed = c2.filter("chg").count()  # full count: materializes every partition
@@ -1219,7 +1264,7 @@ def strongly_connected_components(
             break
         # --- backward mark within colors, from every root at once
         _t0, _r0 = time.perf_counter(), rounds_left
-        if jumps:
+        if jump_from is not None:
             # Pointer-jumping backward phase (round 12): the frontier
             # walk below is one hop per round — O(diameter) rounds, and
             # after the color phase collapsed it was 95% of the
@@ -1276,8 +1321,11 @@ def strongly_connected_components(
                 .alias("dk"),
                 F.col("v").alias("dv"),
             )
+            back_round = 0
             while rounds_left > 0:
                 rounds_left -= 1
+                back_round += 1
+                do_jump = back_round >= jump_from
                 msgs = e_cls.join(
                     d.withColumnRenamed("v", "dst"), "dst"
                 ).select(F.col("src").alias("v"), "dk", "dv")
@@ -1291,33 +1339,34 @@ def strongly_connected_components(
                         F.col("m.dv").alias("dv"),
                     )
                 )
-                new_min = _reliable.spill_truncate(new_min, "scc-back-base")
-                jt = new_min.select(
-                    F.col("v").alias("jv"),
-                    F.col("dk").alias("jk"),
-                    F.col("dv").alias("jd"),
-                )
-                new_min = (
-                    new_min.join(jt, new_min["dv"] == jt["jv"], "left")
-                    .select(
-                        new_min["v"].alias("v"),
-                        F.least(
-                            F.struct(
-                                new_min["dk"].alias("dk"),
-                                new_min["dv"].alias("dv"),
-                            ),
-                            F.struct(
-                                F.coalesce(F.col("jk"), new_min["dk"]).alias("dk"),
-                                F.coalesce(F.col("jd"), new_min["dv"]).alias("dv"),
-                            ),
-                        ).alias("m"),
+                if do_jump:
+                    new_min = _reliable.spill_truncate(new_min, "scc-back-base")
+                    jt = new_min.select(
+                        F.col("v").alias("jv"),
+                        F.col("dk").alias("jk"),
+                        F.col("dv").alias("jd"),
                     )
-                    .select(
-                        "v",
-                        F.col("m.dk").alias("dk"),
-                        F.col("m.dv").alias("dv"),
+                    new_min = (
+                        new_min.join(jt, new_min["dv"] == jt["jv"], "left")
+                        .select(
+                            new_min["v"].alias("v"),
+                            F.least(
+                                F.struct(
+                                    new_min["dk"].alias("dk"),
+                                    new_min["dv"].alias("dv"),
+                                ),
+                                F.struct(
+                                    F.coalesce(F.col("jk"), new_min["dk"]).alias("dk"),
+                                    F.coalesce(F.col("jd"), new_min["dv"]).alias("dv"),
+                                ),
+                            ).alias("m"),
+                        )
+                        .select(
+                            "v",
+                            F.col("m.dk").alias("dk"),
+                            F.col("m.dv").alias("dv"),
+                        )
                     )
-                )
                 d2 = (
                     new_min.join(
                         d.select(
@@ -1331,16 +1380,31 @@ def strongly_connected_components(
                         "v",
                         "dk",
                         "dv",
-                        (
-                            (F.col("dk") < F.col("dk_old"))
-                            | (
-                                (F.col("dk") == F.col("dk_old"))
-                                & (F.col("dv") < F.col("dv_old"))
-                            )
-                        ).alias("chg"),
+                        # Sentinel-closure convergence (round 13): stop
+                        # when no vertex NEWLY reached dk == -1 — the
+                        # frontier walk's own stopping rule. Sound and
+                        # complete: the base step gives every vertex
+                        # the min over its out-neighbors, so a round
+                        # with zero new sentinels proves the marked set
+                        # is one-hop closed, i.e. already the full
+                        # backward-reachable set of the roots. The
+                        # non-sentinel hash keys may still be churning
+                        # — irrelevant, membership only reads dk == -1
+                        # — which is what cuts the shallow-graph round
+                        # count from O(key-mixing) to O(root
+                        # eccentricity), the fix that makes the salted
+                        # machinery competitive with the frontier walk
+                        # at the sf0.1 profile.
+                        ((F.col("dk") == -1) & (F.col("dk_old") != -1)).alias(
+                            "chg"
+                        ),
                     )
                 )
-                d2 = _reliable.spill_truncate(d2, "scc-back")
+                d2 = (
+                    _reliable.spill_truncate(d2, "scc-back")
+                    if do_jump
+                    else d2.transform(_ckpt_lazy)
+                )
                 changed = d2.filter("chg").count()
                 d = d2.select("v", "dk", "dv")
                 if changed == 0:

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bfs_mapreduce_spark.plans.reliable import (
+    cache_point as _cache_point,  # deferred sharing point (persist)
     ckpt as _ckpt,  # lineage truncation: localCheckpoint, or a durable
     ckpt_lazy as _ckpt_lazy,  # parquet spill inside reliable_checkpoints()
 )
@@ -297,13 +298,13 @@ def kmeans_centroids(
     (standard Lloyd's behavior; cells can die, never appear)."""
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
     seed = _label_centroids(emb) if groups == 1 else _group_centroids(emb, groups)
-    cent = seed.transform(_ckpt)
+    cent = seed.transform(_cache_point)
     for _ in range(iters):
         assign = _nearest_cell(base, cent).select("vec_id", "cell")
         pairs = base.join(assign, "vec_id").select(
             "cell", F.posexplode("v").alias("pos", "x")
         )
-        cent = _centroid_frame(pairs).transform(_ckpt)
+        cent = _centroid_frame(pairs).transform(_cache_point)
     return cent
 
 
@@ -670,7 +671,7 @@ def _pq_encode(base: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("s", "j")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "avg"))).alias("pa"))
         .select("s", "j", F.transform("pa", lambda t: t["avg"]).alias("cv"))
-        .transform(_ckpt)  # m*k rows; broadcast into encode AND the LUT
+        .transform(_cache_point)  # m*k rows; broadcast into encode AND the LUT
     )
     d2 = F.round(_l2sq("sv", "cv"), 6)
     enc = subs.join(F.broadcast(book), "s").select(

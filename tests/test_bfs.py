@@ -379,10 +379,11 @@ def test_scc_jumps_matches_shipped(spark):
     cyc = spark.createDataFrame(
         [(i, (i + 1) % n) for i in range(n)], "src bigint, dst bigint"
     )
-    s_ship, s_jump = {}, {}
-    a = strongly_connected_components(cyc, stats=s_ship).collect()
+    s_ship, s_jump, s_auto = {}, {}, {}
+    a = strongly_connected_components(cyc, stats=s_ship, jumps=False).collect()
     b = strongly_connected_components(cyc, stats=s_jump, jumps=True).collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = strongly_connected_components(cyc, stats=s_auto, jumps="auto").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) == sorted(map(tuple, c))
 
     def rounds(s, phase):
         return sum(r for _p, ph, r, _s in s["phases"] if ph == phase)
@@ -394,5 +395,14 @@ def test_scc_jumps_matches_shipped(spark):
         assert rounds(s_jump, phase) < rounds(s_ship, phase) / 3, (
             phase,
             rounds(s_jump, phase),
+            rounds(s_ship, phase),
+        )
+    # round 13: the adaptive default also collapses both phases —
+    # periodic jump rounds bound the fixpoint at ~cadence x log2(d)
+    # (64-cycle: far below the shipped one-hop walk's 64 rounds)
+    for phase in ("color", "backward"):
+        assert rounds(s_auto, phase) < rounds(s_ship, phase) / 2, (
+            phase,
+            rounds(s_auto, phase),
             rounds(s_ship, phase),
         )
