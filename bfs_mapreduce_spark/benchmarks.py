@@ -501,6 +501,52 @@ def run_dedup_scale(
         }
 
 
+def run_llm_scale(
+    spark,
+    sf_dir: str = "/root/testdata/sf0.1",
+    factors=(1, 10),
+    out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+    queries=("q_similarity_ivfpq_spill", "q_text_pack_token_ids", "q_text_unigram_prune"),
+) -> Iterator[dict]:
+    """10x scale-latent stress pass for the LLM-tier headliners NOT
+    already covered by :func:`run_dedup_scale` (round 13, verdict ask
+    #6): run each catalog query against the factor-staged corpus
+    (:func:`synthesize_corpus` — same replica construction, skewed
+    sources, planted hot cluster, orthogonally-rotated embedding
+    replicas) and report build seconds (driver-side plan construction
+    + any in-plan training actions), execute seconds (the single
+    materializing count), and result rows per factor. The linearity
+    read: build is corpus-INVARIANT driver cost (per-round argmax
+    actions scale with corpus but stay one job per round), execute
+    must grow ~linearly in the factor — a super-linear execute names
+    its query, and the per-query decomposition localizes it to plan
+    time vs data time. local[32] caveat: at factor 10 some constant
+    per-stage costs amortize, so mildly SUB-linear execute is the
+    expected healthy reading."""
+    from bfs_mapreduce_spark.registry import all_queries
+
+    catalog = all_queries()
+    os.makedirs(out_dir, exist_ok=True)
+    for factor in factors:
+        root = synthesize_corpus(sf_dir, factor, out_dir)
+        rec = {"sf_dir": sf_dir, "factor": factor, "corpus": root, "queries": {}}
+        for name in queries:
+            q = catalog[name]
+            t0 = time.perf_counter()
+            df = q.build(spark, root)
+            t1 = time.perf_counter()
+            rows = df.count()
+            t2 = time.perf_counter()
+            spark.catalog.clearCache()  # factor isolation: no cross-run reuse
+            rec["queries"][name] = {
+                "build_sec": round(t1 - t0, 3),
+                "execute_sec": round(t2 - t1, 3),
+                "total_sec": round(t2 - t0, 3),
+                "rows": rows,
+            }
+        yield rec
+
+
 # ---------------------------------------------------------------- streaming state pressure
 
 # (events, distinct keys) per micro-batch. Cardinality ramps 1k -> 8k

@@ -176,6 +176,30 @@ def _bench_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _bench_llm(args: argparse.Namespace) -> int:
+    """LLM-tier headliner (ivfpq_spill / pack_token_ids /
+    unigram_prune) build/execute cost vs corpus factor
+    (BASELINE.md round-13 scaling table)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import run_llm_scale
+
+    spark, owned = _owned_session(app_name="bench_llm_scale")
+    try:
+        for rec in run_llm_scale(
+            spark,
+            sf_dir=args.sf_dir,
+            factors=args.factor or (1, 10),
+            out_dir=args.out_dir,
+        ):
+            print(json.dumps(rec))
+            sys.stdout.flush()
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def _bench_stream(args: argparse.Namespace) -> int:
     """Streaming state-store pressure: rows/s + state rows/bytes per
     micro-batch under a key-cardinality ramp (BASELINE.md table)."""
@@ -398,6 +422,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     bd.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
     bd.set_defaults(fn=_bench_dedup)
+
+    bl = sub.add_parser(
+        "bench-llm",
+        help="LLM-tier headliner build/execute cost vs corpus factor (JSON line per factor)",
+    )
+    bl.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    bl.add_argument(
+        "--factor",
+        type=int,
+        action="append",
+        help="corpus multiplier (repeatable; default 1 and 10)",
+    )
+    bl.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
+    bl.set_defaults(fn=_bench_llm)
 
     bs = sub.add_parser(
         "bench-stream",

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bfs_mapreduce_spark.functions.numeric import dfrac, dmoney
+from bfs_mapreduce_spark.plans.reliable import cache_point as _cache_point
 from bfs_mapreduce_spark.registry import register
 from bfs_mapreduce_spark.sources.readers import load_table
 
@@ -2332,7 +2333,14 @@ _RANK_BUCKETS = 32
 def q_window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     part = o.repartitionByRange(_RANK_BUCKETS, "o_totalprice", "o_orderkey")
-    b = part.withColumn("_b", F.spark_partition_id())
+    # Cache point: loc and counts both consume the bucketed frame, and
+    # two separate evaluations of a repartitionByRange can draw
+    # DIFFERENT sampled boundaries (sampler seeded by the instantiated
+    # RDD id) — the local ranks and bucket offsets would then describe
+    # different bucketings. Latent here since round 8 (exchange reuse
+    # usually saves it); caught by the round-13 10x stress pass on the
+    # same pattern in q_text_pack_token_ids.
+    b = _cache_point(part.withColumn("_b", F.spark_partition_id()))
     wloc = Window.partitionBy("_b").orderBy("o_totalprice", "o_orderkey")
     loc = b.withColumn("_lr", F.row_number().over(wloc))
     counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))

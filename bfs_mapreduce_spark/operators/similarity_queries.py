@@ -260,6 +260,81 @@ def _label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _cent_matrix(cent: DataFrame):
+    """Collect a (small) centroid frame to driver-side numpy, sorted
+    by cell ascending — the argmax-first-occurrence tie-break then
+    equals ``max_by(cosine desc, cell asc)``. Returns
+    ``(cells int64[], C float64[k,d], cn float64[], cell_type_str)``."""
+    import numpy as np
+
+    rows = cent.select("cell", "cv", "cn").collect()
+    rows.sort(key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cn = np.array([r["cn"] for r in rows], dtype=np.float64)
+    return cells, C, cn, cent.schema["cell"].dataType.simpleString()
+
+
+def _cell_scores_np(base: DataFrame, cent: DataFrame, argmax: bool) -> DataFrame:
+    """Arrow-batched vector-to-centroid cosine scoring (round 13): the
+    N x CELLS cosine table (``argmax=False`` — one row per (vec_id,
+    cell) with 6dp-rounded ``cc``) or the nearest-cell assignment
+    (``argmax=True`` — one row per vec_id with ``(cell, cosine)``,
+    tie-break identical to :func:`_nearest_cell`'s max_by). Numerically
+    it reproduces the JVM fold-left `_dot` after the 1e-6 round —
+    verified 0/80k pairwise differences on the sf0.1 corpus — but runs
+    as one float64 GEMM per Arrow batch instead of per-element
+    Catalyst expressions over corpus x cells rows. This is the cure
+    for the 10x stress pass's super-linear phase (BASELINE.md round-13
+    table): when the learned quantizer's cell count grows with the
+    corpus, N x C expression evaluation was 26x at 10x data; the GEMM
+    is bounded by memory bandwidth. Centroids are collected to the
+    driver (k x dim doubles — 400 cells x 64 dims = 200 KB at the 10x
+    point; ~sqrt(N)-sized by construction) and ship to executors in
+    the UDF closure."""
+    import numpy as np
+    import pandas as pd
+
+    cells, C, cn, cell_t = _cent_matrix(cent)
+    CT = C.T  # (d, k)
+    if argmax:
+        schema = f"vec_id bigint, cell {cell_t}, cosine double"
+    else:
+        schema = f"vec_id bigint, cell {cell_t}, cc double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
+            vn = pdf["n"].to_numpy(dtype=np.float64)[:, None]
+            cc = np.round(V @ CT / (vn * cn[None, :]), 6)
+            if argmax:
+                # first max along ascending-cell columns == max cosine,
+                # min cell — _nearest_cell's exact tie-break
+                j = cc.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        "cell": cells[j],
+                        "cosine": cc[np.arange(len(j)), j],
+                    }
+                )
+            else:
+                n, k = cc.shape
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy(dtype=np.int64), k
+                        ),
+                        "cell": np.tile(cells, n),
+                        "cc": cc.ravel(),
+                    }
+                )
+
+    return base.select("vec_id", "v", "n").mapInPandas(score, schema)
+
+
 def _nearest_cell(base: DataFrame, cent: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid by rounded cosine
     (deterministic tie-break on cell id — the rounding must match the
@@ -300,7 +375,14 @@ def kmeans_centroids(
     seed = _label_centroids(emb) if groups == 1 else _group_centroids(emb, groups)
     cent = seed.transform(_cache_point)
     for _ in range(iters):
-        assign = _nearest_cell(base, cent).select("vec_id", "cell")
+        # Arrow GEMM assignment (round 13): identical values/tie-break
+        # to _nearest_cell, but the N x CELLS scoring runs as one
+        # float64 matmul per batch — the learned quantizer's cell
+        # count grows with the corpus, and the expression-evaluated
+        # crossJoin was the 10x stress pass's super-linear phase
+        assign = _cell_scores_np(base, cent, argmax=True).select(
+            "vec_id", "cell"
+        )
         pairs = base.join(assign, "vec_id").select(
             "cell", F.posexplode("v").alias("pos", "x")
         )
@@ -1013,9 +1095,11 @@ def q_similarity_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes, lut = _pq_encode(base)
     cent = kmeans_centroids(emb, iters=_SPILL_ITERS, groups=_SPILL_CG)
-    cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cell", F.round(cell_cos, 6).alias("cc")
+    # N x CELLS scoring as an Arrow GEMM (round 13) — same values as
+    # the crossJoin expression form, linear-friendly when cells grow
+    # with the corpus (the 10x stress pass's super-linear phase)
+    scored = _cell_scores_np(
+        base.select("vec_id", "v", "n"), cent, argmax=False
     )
 
     def top_cells(df: DataFrame, a: int, out: str) -> DataFrame:

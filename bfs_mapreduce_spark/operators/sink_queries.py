@@ -549,6 +549,83 @@ def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_schema_rename",
+    oracle="""
+    SELECT CAST(o_orderkey % 3 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_total,
+           CAST(COUNT(CASE WHEN o_orderkey % 3 = 2
+                           THEN o_orderstatus END) AS BIGINT) AS n_status,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders WHERE o_orderkey % 3 = 0) AS v1_price_total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Field-id schema evolution (round 13, verdict ask #5): a "
+    "snapshot table lives through five versions — append (o_orderkey, "
+    "o_totalprice); RENAME o_totalprice -> price (metadata-only, zero "
+    "files rewritten); append under the new name plus an "
+    "o_orderstatus column; DROP o_orderstatus; append with a RE-ADDED "
+    "o_orderstatus column. The current read resolves v1's files BY "
+    "FIELD ID (their o_totalprice bytes surface as price), the "
+    "dropped column's old data can never leak into its re-added "
+    "namesake (new field id — n_status counts only the post-re-add "
+    "slice), and time travel to v1 still returns the ORIGINAL column "
+    "name (v1_price_total is summed from the o_totalprice column of "
+    "the v1 read — the name is load-bearing). The oracle reproduces "
+    "all of it from the raw orders table, so a wrong id mapping, a "
+    "leaked dropped value, or a broken rename breaks the hash.",
+)
+def q_sink_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_rename"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    grp = F.col("o_orderkey") % 3
+    d1 = orders.filter(grp == 0).select("o_orderkey", "o_totalprice")
+    v = ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    v = ts.rename_column(root, "o_totalprice", "price")
+    d3 = orders.filter(grp == 1).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), "o_orderstatus"
+    )
+    v = ts.commit(
+        root, ts.stage_files(d3, root), base_version=v, schema=d3.schema.json()
+    )
+    v = ts.drop_column(root, "o_orderstatus")
+    d5 = orders.filter(grp == 2).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), "o_orderstatus"
+    )
+    v = ts.commit(
+        root, ts.stage_files(d5, root), base_version=v, schema=d5.schema.json()
+    )
+    # time travel to v1 returns the ORIGINAL name — o_totalprice is
+    # load-bearing here (an id-mapping bug shows as a missing column)
+    v1_total = ts.read(spark, root, 1).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v1_price_total")
+    )
+    cur = ts.read(spark, root)
+    return (
+        cur.groupBy((F.col("o_orderkey") % 3).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_total"),
+            F.count("o_orderstatus").alias("n_status"),
+        )
+        .crossJoin(F.broadcast(v1_total))
+    )
+
+
+@register(
     "q_scan_xml",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

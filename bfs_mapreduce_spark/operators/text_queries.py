@@ -1667,9 +1667,18 @@ def q_text_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cnt, F.col("doc_id") == F.col("doc"))
         .select("doc_id", "source", "n")
     )
-    part = dc.repartitionByRange(
-        _PACK_PREFIX_BUCKETS, "source", "doc_id"
-    ).withColumn("_b", F.spark_partition_id())
+    # The bucketed frame MUST evaluate exactly once (cache point):
+    # loc (local running sums) and btot (bucket totals) both consume
+    # it, and two separate evaluations of a repartitionByRange can
+    # draw DIFFERENT sampled boundaries (the sampler is seeded by the
+    # instantiated RDD id) — _lp and _off would then describe
+    # different bucketings and the offsets break. Invisible at small
+    # data (sample == exact), caught by the round-13 10x stress pass.
+    part = _cache_point(
+        dc.repartitionByRange(
+            _PACK_PREFIX_BUCKETS, "source", "doc_id"
+        ).withColumn("_b", F.spark_partition_id())
+    )
     wloc = (
         Window.partitionBy("_b", "source")
         .orderBy("doc_id")

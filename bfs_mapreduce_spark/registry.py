@@ -102,6 +102,7 @@ _HEADLINERS: tuple[str, ...] = (
     "q_text_tfidf",
     "q_asof_join",
     "q_graph_bfs_histogram",
+    "q_similarity_ivfpq_spill",
     "q_pipeline_prepare",
 )
 

@@ -106,9 +106,12 @@ def _raw_manifest(root: str, v: int) -> dict:
 
 
 class _SnapshotFilePartition(InputPartition):
-    def __init__(self, path: str, arrow_schema):
+    def __init__(self, path: str, arrow_schema, col_map: dict | None = None):
         self.path = path
         self.arrow_schema = arrow_schema
+        # era name mapping (round 13): {current_name: write-era name,
+        # None = NULL-fill} for files replayed from before a RENAME
+        self.col_map = col_map
 
 
 class SnapshotChangesStreamReader(DataSourceStreamReader):
@@ -157,6 +160,8 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         m = ts.read_manifest(self._root)
         newest = m["files"][-1] if m["files"] else None
         self._arrow_schema = _arrow_schema_for(m.get("schema"), newest)
+        self._schema_json = m.get("schema")
+        self._schema_log = m.get("schema_log")
 
     # -- per-commit additions --------------------------------------
     def _additions(self, v: int) -> list[str]:
@@ -172,9 +177,10 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             return hit
         m = _raw_manifest(self._root, v)
         op = m.get("operation") or "append"
-        if op in ("set_check", "rewrite_manifests"):
+        if op in ("set_check", "rewrite_manifests", "evolve_schema"):
             # metadata-only: the data file set is unchanged by
-            # definition (rewrite_manifests repackages segments)
+            # definition (rewrite_manifests repackages segments,
+            # evolve_schema renames/drops columns without touching data)
             adds: list[str] = []
         elif op == "append":
             parent = m.get("parent") or 0
@@ -282,23 +288,31 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             self._last_end = dict(end)
         v0, i0 = start["v"], start.get("i")
         v1, i1 = end["v"], end.get("i")
-        new_files: list[str] = []
+        new_files: list[tuple[str, int]] = []
         if i0 is not None and v0 <= v1:
             # the rest of the split commit v0 (bounded by i1 if the
             # batch also ENDS inside v0)
             adds = self._additions(v0)
             hi = i1 if (v0 == v1 and i1 is not None) else len(adds)
-            new_files.extend(adds[i0:hi])
+            new_files.extend((f, v0) for f in adds[i0:hi])
         first_full = v0 + 1
         for v in range(first_full, v1 + 1):
             adds = self._additions(v)
             if v == v1 and i1 is not None:
-                new_files.extend(adds[:i1])
+                new_files.extend((f, v) for f in adds[:i1])
             else:
-                new_files.extend(adds)
-        return [
-            _SnapshotFilePartition(f, self._arrow_schema) for f in new_files
-        ]
+                new_files.extend((f, v) for f in adds)
+        cmap_by_v: dict[int, dict | None] = {}
+        out = []
+        for f, v in new_files:
+            if v not in cmap_by_v:
+                cmap_by_v[v] = ts.era_col_map(
+                    self._schema_json, self._schema_log, v
+                )
+            out.append(
+                _SnapshotFilePartition(f, self._arrow_schema, cmap_by_v[v])
+            )
+        return out
 
     # -- executor-side read ---------------------------------------
     def read(self, partition: _SnapshotFilePartition):
@@ -306,12 +320,14 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         target = partition.arrow_schema
+        cmap = partition.col_map or {}
         tbl = pq.read_table(partition.path)
         cols = []
         for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
-            else:  # pre-evolution file: NULL-fill the added column
+            src = cmap.get(field.name, field.name)
+            if src is not None and src in tbl.column_names:
+                cols.append(tbl.column(src).cast(field.type))
+            else:  # pre-evolution / pre-rename file: NULL-fill
                 cols.append(pa.nulls(tbl.num_rows, type=field.type))
         out = pa.table(cols, schema=target)
         yield from out.to_batches()

@@ -52,11 +52,16 @@ class _SnapshotScanPartition(InputPartition):
         arrow_schema,
         delete_files: list[str],
         eq_entries: list[dict],
+        col_map: dict | None = None,
     ):
         self.path = path
         self.arrow_schema = arrow_schema
         self.delete_files = delete_files  # position-delete parquet files
         self.eq_entries = eq_entries  # [{"files": [...], "cols": [...]}]
+        # era name mapping (round 13): {current_name: write-era name,
+        # or None = NULL-fill} for files written before a RENAME/DROP;
+        # None for the identity case
+        self.col_map = col_map
 
 
 class SnapshotBatchReader(DataSourceReader):
@@ -83,6 +88,8 @@ class SnapshotBatchReader(DataSourceReader):
         files = m["files"]
         if self._part_eq:
             files, _ = ts.prune_partitions(m, self._part_eq)
+        added_era = m.get("_added_era") or {}
+        cmap_by_era: dict[int, dict | None] = {}
         out = []
         for f in files:
             applicable = [
@@ -90,9 +97,18 @@ class SnapshotBatchReader(DataSourceReader):
                 for e in eq
                 if f in e["applies"]
             ]
+            era = added_era.get(f, 0)
+            if era not in cmap_by_era:
+                cmap_by_era[era] = ts.era_col_map(
+                    m.get("schema"), m.get("schema_log"), era
+                )
             out.append(
                 _SnapshotScanPartition(
-                    f, self._arrow_schema, deletes.get(f, []), applicable
+                    f,
+                    self._arrow_schema,
+                    deletes.get(f, []),
+                    applicable,
+                    cmap_by_era[era],
                 )
             )
         return out
@@ -114,6 +130,19 @@ class SnapshotBatchReader(DataSourceReader):
             keep[pos[pos < tbl.num_rows]] = False
         if not keep.all():
             tbl = tbl.filter(pa.array(keep))
+        # pinned-schema projection + NULL-fill (schema evolution), era
+        # name resolution included (round 13) — BEFORE eq filtering so
+        # eq-delete key columns resolve by current names
+        target = partition.arrow_schema
+        cmap = partition.col_map or {}
+        out_cols = []
+        for field in target:
+            src = cmap.get(field.name, field.name)
+            if src is not None and src in tbl.column_names:
+                out_cols.append(tbl.column(src).cast(field.type))
+            else:
+                out_cols.append(pa.nulls(tbl.num_rows, type=field.type))
+        tbl = pa.table(out_cols, schema=target)
         # equality deletes: anti-filter on the entry's key columns
         for e in partition.eq_entries:
             cols = e["cols"]
@@ -139,15 +168,7 @@ class SnapshotBatchReader(DataSourceReader):
                     [rk not in key_set for rk in row_keys]
                 )
                 tbl = tbl.filter(keep_rows)
-        # pinned-schema projection + NULL-fill (schema evolution)
-        target = partition.arrow_schema
-        out_cols = []
-        for field in target:
-            if field.name in tbl.column_names:
-                out_cols.append(tbl.column(field.name).cast(field.type))
-            else:
-                out_cols.append(pa.nulls(tbl.num_rows, type=field.type))
-        yield from pa.table(out_cols, schema=target).to_batches()
+        yield from tbl.to_batches()
 
 
 class SnapshotDataSource(DataSource):

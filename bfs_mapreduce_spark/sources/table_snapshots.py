@@ -162,10 +162,16 @@ def append_checked(
     return commit(root, files, base_version=base, **commit_kw)
 
 
-def _commit_meta(root: str, base_version: int, *, checks: dict[str, str]) -> int:
-    """Metadata-only commit: same file list, new ``checks`` map, same
-    compare-and-swap. (Kept private — constraints are the only
-    metadata-only mutation the format supports.)"""
+def _commit_meta(
+    root: str,
+    base_version: int,
+    *,
+    operation: str = "set_check",
+    **updates,
+) -> int:
+    """Metadata-only commit: same file list, updated metadata keys
+    (``checks`` for constraints, ``schema``/``schema_log``/
+    ``max_field_id`` for RENAME/DROP), same compare-and-swap."""
     latest = current_version(root)
     if latest != base_version:
         raise SnapshotConflict(
@@ -182,38 +188,180 @@ def _commit_meta(root: str, base_version: int, *, checks: dict[str, str]) -> int
         payload["segments"] = base["_segments"]
         payload["files"] = base["_inline_files"]
         payload["stats"] = base["_inline_stats"]
-    payload.update(
-        version=version,
-        parent=latest,
-        operation="set_check",
-        checks=checks,
-    )
+    payload.update(version=version, parent=latest, operation=operation)
+    payload.update(updates)
     _publish_manifest(root, version, json.dumps(payload, indent=1))
     return version
 
 
-def _merge_schema_json(base_json: str | None, new_json: str | None) -> str | None:
+# Field-id key in StructField metadata (round 13, verdict ask #5).
+# A custom key, deliberately NOT Spark's "parquet.field.id": ids here
+# are MANIFEST metadata resolved by the reader's era grouping, never
+# pushed into parquet footers — so old data files survive RENAME/DROP
+# without a rewrite, and files written by any plain Spark job (no id
+# stamping) still resolve exactly.
+_FID = "field_id"
+
+
+def _ensure_field_ids(schema_json: str, max_id: int = 0) -> tuple[str, int]:
+    """Stamp ``field_id`` metadata on every field that lacks one
+    (ids ``max_id+1...``, in field order — deterministic), preserving
+    existing ids. Returns ``(schema_json, new_max_id)``. Dropped ids
+    are never reused: ``max_id`` is the table's high-water mark, not
+    the current schema's max."""
+    sch = json.loads(schema_json)
+    mx = max(
+        [int(max_id)]
+        + [
+            int(f.get("metadata", {}).get(_FID))
+            for f in sch["fields"]
+            if f.get("metadata", {}).get(_FID) is not None
+        ]
+    )
+    changed = False
+    for f in sch["fields"]:
+        md = f.setdefault("metadata", {})
+        if _FID not in md:
+            mx += 1
+            md[_FID] = mx
+            changed = True
+    return (json.dumps(sch) if changed else schema_json), mx
+
+
+def _field_ids(schema_json: str) -> dict[int, dict]:
+    """``{field_id: field_json}`` for a stamped schema (fields without
+    an id are keyed by ``None`` — legacy, pre-stamping)."""
+    sch = json.loads(schema_json)
+    return {f.get("metadata", {}).get(_FID): f for f in sch["fields"]}
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN (round 13, verdict ask #5):
+    metadata-only commit — zero data files rewritten. The column's
+    FIELD ID is what survives: the schema log records the pre-rename
+    schema (stamping ids if the table predates them), and every read
+    resolves old files through the schema active when they were
+    written, so data lands under the new name regardless of which
+    name it was written under. Time travel to a pre-rename version
+    returns the OLD name (that version's manifest pins its schema).
+    Requires a pinned schema (commit with ``schema=`` first)."""
+    latest = current_version(root)
+    m = read_manifest(root, latest)
+    sch = m.get("schema")
+    if sch is None:
+        raise ValueError(
+            "rename_column requires a pinned schema — commit with "
+            "schema=df.schema.json() first"
+        )
+    stamped, mx = _ensure_field_ids(sch, int(m.get("max_field_id") or 0))
+    s = json.loads(stamped)
+    names = [f["name"] for f in s["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have: {names})")
+    if new in names:
+        raise SchemaConflict(f"column {new!r} already exists")
+    for f in s["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    new_sj = json.dumps(s)
+    version = latest + 1
+    log = list(m.get("schema_log") or [])
+    if not log:
+        # seed the pre-rename era: files written before the log began
+        # resolve through the FIRST entry, which must carry their names
+        log.append([latest, stamped])
+    log.append([version, new_sj])
+    return _commit_meta(
+        root,
+        latest,
+        operation="evolve_schema",
+        schema=new_sj,
+        schema_log=log,
+        max_field_id=mx,
+    )
+
+
+def drop_column(root: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN (round 13): metadata-only — the
+    column vanishes from the current schema, old data files keep its
+    bytes untouched, and time travel to pre-drop versions still reads
+    it. The dropped FIELD ID is retired forever (``max_field_id``
+    never decreases), so a later column with the same NAME is a new
+    field and can never resurrect the dropped column's data."""
+    latest = current_version(root)
+    m = read_manifest(root, latest)
+    sch = m.get("schema")
+    if sch is None:
+        raise ValueError(
+            "drop_column requires a pinned schema — commit with "
+            "schema=df.schema.json() first"
+        )
+    stamped, mx = _ensure_field_ids(sch, int(m.get("max_field_id") or 0))
+    s = json.loads(stamped)
+    keep = [f for f in s["fields"] if f["name"] != name]
+    if len(keep) == len(s["fields"]):
+        raise ValueError(
+            f"no column {name!r} (have: {[f['name'] for f in s['fields']]})"
+        )
+    if not keep:
+        raise ValueError("cannot drop the table's last column")
+    s["fields"] = keep
+    new_sj = json.dumps(s)
+    version = latest + 1
+    log = list(m.get("schema_log") or [])
+    if not log:
+        log.append([latest, stamped])
+    log.append([version, new_sj])
+    return _commit_meta(
+        root,
+        latest,
+        operation="evolve_schema",
+        schema=new_sj,
+        schema_log=log,
+        max_field_id=mx,
+    )
+
+
+def _merge_schema_json(
+    base_json: str | None, new_json: str | None, max_id: int = 0
+) -> tuple[str | None, int]:
     """Union-by-name of two Spark StructType json strings: base fields
     first (stable column order for readers), then genuinely new
     fields. Same-name fields must agree on type — a mismatch raises
     :class:`SchemaConflict` instead of letting two commits disagree
-    about what a column IS."""
+    about what a column IS.
+
+    Every field of the result carries a ``field_id`` (round 13):
+    existing names keep their ids, genuinely-new names get fresh ones
+    — a re-appearing name of a DROPPED column is a NEW field with a
+    NEW id (Iceberg's rule: ids identify columns, names are labels),
+    so old files' data for the dropped id can never leak into the
+    newcomer. Returns ``(schema_json, max_field_id)``."""
+    if base_json is None and new_json is None:
+        return None, int(max_id)
     if base_json is None:
-        return new_json
+        return _ensure_field_ids(new_json, max_id)
+    base_json, mx = _ensure_field_ids(base_json, max_id)
     if new_json is None:
-        return base_json
+        return base_json, mx
     base, new = json.loads(base_json), json.loads(new_json)
     by_name = {f["name"]: f for f in base["fields"]}
     for f in new["fields"]:
         prev = by_name.get(f["name"])
         if prev is None:
+            f = dict(f)
+            md = dict(f.get("metadata") or {})
+            if _FID not in md:
+                mx += 1
+                md[_FID] = mx
+            f["metadata"] = md
             base["fields"].append(f)
         elif prev["type"] != f["type"]:
             raise SchemaConflict(
                 f"column {f['name']!r}: committed as {prev['type']}, "
                 f"new data says {f['type']}"
             )
-    return json.dumps(base)
+    return json.dumps(base), mx
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -239,7 +387,11 @@ def current_version(root: str) -> int:
 
 
 def _write_segment(
-    root: str, files: list[str], stats: dict, partitions: dict | None = None
+    root: str,
+    files: list[str],
+    stats: dict,
+    partitions: dict | None = None,
+    era: int | dict | None = None,
 ) -> str:
     """Write an immutable manifest SEGMENT (a file-list + stats chunk,
     Iceberg's manifest-file idea): append commits reference base
@@ -256,6 +408,17 @@ def _write_segment(
     payload = {"files": files, "stats": stats}
     if partitions:
         payload["partitions"] = partitions
+    # schema ERA of the segment's files (round 13): the schema-log
+    # version active when they were written — one int per segment
+    # (or a per-file map when a spill segment re-homes mixed-era
+    # files), so per-file era metadata costs O(1) per append and the
+    # read path can resolve RENAMEd/DROPped columns by field id.
+    if era is not None:
+        if isinstance(era, dict):
+            if era:
+                payload["eras"] = era
+        elif era:
+            payload["era"] = era
     _atomic_write(path, json.dumps(payload))
     return path
 
@@ -272,6 +435,7 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     with open(_manifest_path(root, v)) as f:
         m = json.load(f)
     segs = m.get("segments") or []
+    added_era: dict[str, int] = {}
     if segs:
         files: list[str] = []
         stats: dict = {}
@@ -282,6 +446,12 @@ def read_manifest(root: str, version: int | None = None) -> dict:
             files.extend(s["files"])
             stats.update(s.get("stats") or {})
             partitions.update(s.get("partitions") or {})
+            if s.get("eras"):
+                added_era.update(
+                    {p: int(e) for p, e in s["eras"].items() if e}
+                )
+            elif s.get("era"):
+                added_era.update({p: int(s["era"]) for p in s["files"]})
         m["_segments"] = segs
         m["_inline_files"] = m.get("files") or []
         m["_inline_stats"] = m.get("stats") or {}
@@ -292,6 +462,19 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         m["stats"] = stats
         if partitions:
             m["partitions"] = partitions
+        inline_src = m["_inline_files"]
+    else:
+        inline_src = m.get("files") or []
+    # inline files (replace manifests, legacy inline appends) carry
+    # the manifest-level era — per-file map when a REPLACE mixed
+    # carried and rewritten files (merge_into), one int otherwise
+    if m.get("eras"):
+        added_era.update(
+            {p: int(e) for p, e in m["eras"].items() if p in set(inline_src) and e}
+        )
+    elif m.get("era"):
+        added_era.update({p: int(m["era"]) for p in inline_src})
+    m["_added_era"] = added_era  # absent files default to era 0
     return m
 
 
@@ -507,7 +690,13 @@ def read_partition_pruned(
             f"{root!r} v{m['version']}"
         )
     df = _scan(
-        spark, kept, m.get("deletes") or {}, m.get("schema"), m.get("eq_deletes")
+        spark,
+        kept,
+        m.get("deletes") or {},
+        m.get("schema"),
+        m.get("eq_deletes"),
+        m.get("_added_era"),
+        m.get("schema_log"),
     )
     return df, kept, skipped
 
@@ -604,7 +793,28 @@ def commit(
         if p in nf
     }
     new_spec = partition_spec or base.get("partition_spec")
-    new_schema = _merge_schema_json(base.get("schema"), schema)
+    new_schema, new_max_id = _merge_schema_json(
+        base.get("schema"), schema, int(base.get("max_field_id") or 0)
+    )
+    # schema LOG (round 13): one (version, schema) entry per commit
+    # that changed the schema, carried forward by every commit — the
+    # read path resolves each data file's columns through the schema
+    # active when the file was written (its ERA), which is what lets
+    # RENAME/DROP survive without rewriting old files. The log grows
+    # with schema changes (rare), never with data.
+    version = latest + 1
+    schema_log = list(base.get("schema_log") or [])
+    if new_schema is not None and (
+        not schema_log or schema_log[-1][1] != new_schema
+    ) and new_schema != base.get("schema"):
+        schema_log.append([version, new_schema])
+    elif new_schema is not None and not schema_log:
+        # schema existed before the log did (pre-round-13 table whose
+        # ids just got stamped without changing names): seed the log
+        schema_log.append([version, new_schema])
+    # era of THIS commit's new files = the newest schema-log version
+    era_now = schema_log[-1][0] if schema_log else 0
+    base_era = base.get("_added_era") or {}
     # Base-version delete entries for files a REPLACE drops are
     # filtered by design (the rewrite read through them). But a key in
     # THIS commit's deletes that matches no file in the new list is a
@@ -629,7 +839,6 @@ def commit(
             new_eq.append(  # materialized this entry — carry nothing
                 {"files": e["files"], "cols": e["cols"], "applies": applies}
             )
-    version = latest + 1
     fresh_segs: list[str] = []
     payload = {
         "version": version,
@@ -641,6 +850,10 @@ def commit(
         "eq_deletes": new_eq,
         "checks": base.get("checks", {}),
     }
+    if new_max_id:
+        payload["max_field_id"] = new_max_id
+    if schema_log:
+        payload["schema_log"] = schema_log
     if new_spec:
         payload["partition_spec"] = [list(t) for t in new_spec]
     if replace:
@@ -649,6 +862,16 @@ def commit(
         payload["stats"] = new_stats
         if new_parts:
             payload["partitions"] = new_parts
+        base_files = set(base["files"])
+        eras = {
+            p: (base_era.get(p, 0) if p in base_files else era_now)
+            for p in new_files
+        }
+        vals = set(eras.values())
+        if vals == {era_now} and era_now:
+            payload["era"] = era_now
+        elif any(vals):
+            payload["eras"] = {p: e for p, e in eras.items() if e}
     else:
         # APPEND fast path (the streaming-commit hot path): reference
         # the base's segments by path, spill any base inline list into
@@ -667,6 +890,9 @@ def commit(
                     list(base_inline),
                     {p: new_stats[p] for p in base_inline if p in new_stats},
                     {p: new_parts[p] for p in base_inline if p in new_parts},
+                    era={
+                        p: base_era[p] for p in base_inline if base_era.get(p)
+                    },
                 )
             )
         added = list(files)
@@ -677,6 +903,7 @@ def commit(
                     added,
                     {p: new_stats[p] for p in added if p in new_stats},
                     {p: new_parts[p] for p in added if p in new_parts},
+                    era=era_now,
                 )
             )
         payload["segments"] = segs + fresh_segs
@@ -746,19 +973,194 @@ def _apply_eq_deletes(
     return df
 
 
+def _era_groups(
+    files: list[str],
+    schema_json: str | None,
+    schema_log: list | None,
+    added_era: dict[str, int] | None,
+) -> list[tuple[str | None, list | None, list[str]]]:
+    """Partition ``files`` into schema-era read groups (round 13):
+    each group is ``(read_schema_json, select_plan, files)`` where
+    ``select_plan`` is None for the identity era (read with the
+    current schema directly — the only case for tables that never
+    renamed or dropped a column, so the fast path costs nothing) or a
+    list of ``(current_name, current_type_json, era_name_or_None)``
+    projection instructions: read the file under its WRITE-ERA name
+    for the same field id, alias to the current name; ids absent in
+    the era NULL-fill. A name that exists in the era under a
+    DIFFERENT id (drop + re-add) is never read — ids identify
+    columns, names are labels."""
+    log = schema_log or []
+    if not schema_json or not log:
+        return [(schema_json, None, list(files))]
+    cur = json.loads(schema_json)
+    cur_fields = cur["fields"]
+    if any(f.get("metadata", {}).get(_FID) is None for f in cur_fields):
+        return [(schema_json, None, list(files))]  # legacy, by-name
+    ae = added_era or {}
+
+    def era_entry(file_era: int) -> tuple[int, str]:
+        """Newest log entry at/below the file's era; files older than
+        the first entry use the first (names never changed before the
+        log began)."""
+        chosen = log[0]
+        for ver, sj in log:
+            if ver <= file_era:
+                chosen = [ver, sj]
+            else:
+                break
+        return chosen[0], chosen[1]
+
+    by_entry: dict[int, tuple[str, list[str]]] = {}
+    for f in files:
+        ver, sj = era_entry(ae.get(f, 0))
+        sj_prev, group = by_entry.setdefault(ver, (sj, []))
+        group.append(f)
+    out: list[tuple[str | None, list | None, list[str]]] = []
+    for ver, (era_sj, gfiles) in sorted(by_entry.items()):
+        if era_sj == schema_json:
+            out.append((schema_json, None, gfiles))
+            continue
+        era_ids = _field_ids(era_sj)
+        plan = []
+        read_fields = []
+        identity = True
+        for f in cur_fields:
+            fid = f["metadata"][_FID]
+            ef = era_ids.get(fid)
+            if ef is None:
+                plan.append((f["name"], f["type"], None))  # NULL-fill
+                identity = False
+            else:
+                if ef["name"] != f["name"] or ef["type"] != f["type"]:
+                    identity = False
+                rf = dict(ef)
+                rf["nullable"] = True
+                read_fields.append(rf)
+                plan.append((f["name"], f["type"], ef["name"]))
+        if identity and len(read_fields) == len(era_ids):
+            out.append((schema_json, None, gfiles))
+        else:
+            out.append(
+                (
+                    json.dumps({"type": "struct", "fields": read_fields}),
+                    plan,
+                    gfiles,
+                )
+            )
+    return out
+
+
+def era_col_map(
+    schema_json: str | None, schema_log: list | None, file_era: int
+) -> dict | None:
+    """Per-file column-name resolution for the Arrow-side readers
+    (snapshot_source / snapshot_changes_source): ``{current_name:
+    era_name}`` with ``None`` era_name meaning NULL-fill (the field id
+    did not exist when the file was written), or ``None`` overall for
+    the identity case (no rename/drop touches this file — the
+    overwhelmingly common path, zero cost)."""
+    log = schema_log or []
+    if not schema_json or not log:
+        return None
+    cur = json.loads(schema_json)["fields"]
+    if any(f.get("metadata", {}).get(_FID) is None for f in cur):
+        return None  # legacy schema without ids: by-name
+    chosen = log[0]
+    for entry in log:
+        if entry[0] <= file_era:
+            chosen = entry
+        else:
+            break
+    if chosen[1] == schema_json:
+        return None
+    era_ids = _field_ids(chosen[1])
+    cmap: dict[str, str | None] = {}
+    identity = True
+    for f in cur:
+        ef = era_ids.get(f["metadata"][_FID])
+        if ef is None:
+            cmap[f["name"]] = None
+            identity = False
+        else:
+            cmap[f["name"]] = ef["name"]
+            if ef["name"] != f["name"]:
+                identity = False
+    return None if identity else cmap
+
+
+def _apply_era_plan(df: DataFrame, plan: list, keep: tuple = ()) -> DataFrame:
+    """Project an era-read frame onto the CURRENT schema: alias each
+    era column to its current name, NULL-fill ids the era lacks.
+    ``keep`` columns (the delete machinery's file/pos markers) pass
+    through untouched."""
+    from pyspark.sql.types import StructType
+
+    sel = []
+    for cur_name, type_json, era_name in plan:
+        dt = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "x",
+                        "type": type_json,
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ],
+            }
+        ).fields[0].dataType
+        if era_name is None:
+            sel.append(F.lit(None).cast(dt).alias(cur_name))
+        else:
+            sel.append(F.col(era_name).cast(dt).alias(cur_name))
+    sel += [F.col(k) for k in keep]
+    return df.select(*sel)
+
+
 def _scan(
     spark: SparkSession,
     files: list[str],
     deletes: dict[str, list[str]],
     schema_json: str | None = None,
     eq_deletes: list[dict] | None = None,
+    added_era: dict[str, int] | None = None,
+    schema_log: list | None = None,
+) -> DataFrame:
+    """Era-aware scan: group ``files`` by write-era schema (round 13 —
+    see :func:`_era_groups`), scan each group under its era read
+    schema with deletes applied, project onto the current schema, and
+    union. Tables that never renamed/dropped a column take the single
+    identity group — the pre-round-13 plan, byte for byte."""
+    groups = _era_groups(files, schema_json, schema_log, added_era)
+    parts = [
+        _scan_files(spark, gfiles, deletes, read_sj, eq_deletes, plan)
+        for read_sj, plan, gfiles in groups
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _scan_files(
+    spark: SparkSession,
+    files: list[str],
+    deletes: dict[str, list[str]],
+    schema_json: str | None = None,
+    eq_deletes: list[dict] | None = None,
+    era_plan: list | None = None,
 ) -> DataFrame:
     """DataFrame over ``files`` with position AND equality deletes
     applied. Files with no delete entries of either kind scan on the
     plain fast path; tracked files pay one broadcast anti-join on
     (file, position) for position deletes plus one broadcast key join
     per equality-delete entry — the merge-on-read cost lands only
-    where a delete actually landed."""
+    where a delete actually landed. ``era_plan`` (round 13) projects
+    the era-named read onto the current schema FIRST, so the delete
+    machinery — eq-delete key columns included — always works in
+    current names."""
     eq = eq_deletes or []
     eq_scope = {f for e in eq for f in e["applies"]}
     reader = spark.read
@@ -770,13 +1172,18 @@ def _scan(
     tracked = [f for f in files if f in deletes or f in eq_scope]
     parts: list[DataFrame] = []
     if clean:
-        parts.append(reader.parquet(*clean))
+        df = reader.parquet(*clean)
+        if era_plan is not None:
+            df = _apply_era_plan(df, era_plan)
+        parts.append(df)
     if tracked:
         df = reader.parquet(*tracked)
-        orig_cols = df.columns  # the eq-delete key join reorders; pin
         df = df.withColumn(
             _FP, _norm_file_col(F.input_file_name())
         ).withColumn(_POS, F.col("_metadata.row_index"))
+        if era_plan is not None:
+            df = _apply_era_plan(df, era_plan, keep=(_FP, _POS))
+        orig_cols = [c for c in df.columns if c not in (_FP, _POS)]
         pos_masked = [f for f in tracked if f in deletes]
         if pos_masked:
             dv_files = sorted({d for f in pos_masked for d in deletes[f]})
@@ -818,6 +1225,8 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
         m.get("deletes") or {},
         m.get("schema"),
         m.get("eq_deletes"),
+        m.get("_added_era"),
+        m.get("schema_log"),
     )
 
 
@@ -906,9 +1315,12 @@ def rewrite_manifests(root: str) -> int:
         list(base["files"]),
         dict(base.get("stats") or {}),
         dict(base.get("partitions") or {}),
+        era=dict(base.get("_added_era") or {}),  # per-file: eras survive
     )
     payload = {k: v for k, v in base.items() if not k.startswith("_")}
     payload.pop("partitions", None)  # rides the collapsed segment now
+    payload.pop("era", None)  # per-file eras ride the collapsed segment
+    payload.pop("eras", None)
     payload.update(
         version=latest + 1,
         parent=latest,
@@ -1008,7 +1420,13 @@ def delete_where(
     # a reader to merge them — a range-exchange sort would buy nothing
     hits = (
         _scan_for_delete(
-            spark, m["files"], existing, m.get("schema"), m.get("eq_deletes")
+            spark,
+            m["files"],
+            existing,
+            m.get("schema"),
+            m.get("eq_deletes"),
+            m.get("_added_era"),
+            m.get("schema_log"),
         )
         .filter(cond)
         .select(F.col(_FP).alias("file_path"), F.col(_POS).alias("pos"))
@@ -1202,21 +1620,35 @@ def _scan_for_delete(
     deletes: dict[str, list[str]],
     schema_json: str | None,
     eq_deletes: list[dict] | None = None,
+    added_era: dict[str, int] | None = None,
+    schema_log: list | None = None,
 ) -> DataFrame:
     """Like :func:`_scan` but KEEPS the injected (``__ts_file_path``,
     ``__ts_pos``) columns on every row — the victim-finding scan needs
     positions for clean files too, not just masked ones. Reads through
-    BOTH delete kinds, so already-masked rows are never re-counted."""
-    reader = spark.read
-    if schema_json:
-        from pyspark.sql.types import StructType
+    BOTH delete kinds, so already-masked rows are never re-counted.
+    Era-aware (round 13): files written before a RENAME are read under
+    their era names and projected to current names before any delete
+    or predicate logic touches them."""
+    groups = _era_groups(files, schema_json, schema_log, added_era)
+    parts = []
+    for read_sj, plan, gfiles in groups:
+        reader = spark.read
+        if read_sj:
+            from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-    df = (
-        reader.parquet(*files)
-        .withColumn(_FP, _norm_file_col(F.input_file_name()))
-        .withColumn(_POS, F.col("_metadata.row_index"))
-    )
+            reader = reader.schema(StructType.fromJson(json.loads(read_sj)))
+        df = (
+            reader.parquet(*gfiles)
+            .withColumn(_FP, _norm_file_col(F.input_file_name()))
+            .withColumn(_POS, F.col("_metadata.row_index"))
+        )
+        if plan is not None:
+            df = _apply_era_plan(df, plan, keep=(_FP, _POS))
+        parts.append(df)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     if deletes:
         dv_files = sorted({d for lst in deletes.values() for d in lst})
         dv = spark.read.parquet(*dv_files).select(
@@ -1423,7 +1855,13 @@ def read_pruned(
             "the caller's concern"
         )
     df = _scan(
-        spark, kept, m.get("deletes") or {}, m.get("schema"), m.get("eq_deletes")
+        spark,
+        kept,
+        m.get("deletes") or {},
+        m.get("schema"),
+        m.get("eq_deletes"),
+        m.get("_added_era"),
+        m.get("schema_log"),
     ).filter(F.col(col).between(F.lit(lo), F.lit(hi)))
     return df, kept, skipped
 
@@ -1474,7 +1912,13 @@ def merge_into(
         # scan THROUGH any deletes (both kinds): a row already deleted
         # must neither mark its file as touched nor survive a rewrite
         tgt = _scan_for_delete(
-            spark, candidates, deletes, m.get("schema"), m.get("eq_deletes")
+            spark,
+            candidates,
+            deletes,
+            m.get("schema"),
+            m.get("eq_deletes"),
+            m.get("_added_era"),
+            m.get("schema_log"),
         )
         touched = {
             r[0]
@@ -1486,7 +1930,13 @@ def merge_into(
     untouched = [f for f in m["files"] if f not in touched]
     if touched:
         survivors = _scan(
-            spark, sorted(touched), deletes, m.get("schema"), m.get("eq_deletes")
+            spark,
+            sorted(touched),
+            deletes,
+            m.get("schema"),
+            m.get("eq_deletes"),
+            m.get("_added_era"),
+            m.get("schema_log"),
         ).join(F.broadcast(keys_df), key_cols, "left_anti")
         rewritten = survivors.unionByName(source)
     else:
@@ -1522,7 +1972,7 @@ def read_changes(
         op = m.get("operation") or (
             "append" if parent_files <= set(m["files"]) else "replace"
         )
-        if op in ("set_check", "rewrite_manifests"):
+        if op in ("set_check", "rewrite_manifests", "evolve_schema"):
             op = "append"  # metadata-only: file set provably unchanged
         if op != "append":
             raise ValueError(
