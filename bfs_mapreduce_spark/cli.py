@@ -252,6 +252,38 @@ def _snapshot_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def _snapshot_alter(args: argparse.Namespace) -> int:
+    """ALTER TABLE verbs for a snapshot table root — metadata-only
+    schema evolution (round 13): --rename OLD NEW, --drop COL,
+    --widen COL TYPE. Manifests only, no Spark session, no data file
+    touched."""
+    import json
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    chosen = [
+        bool(args.rename), bool(args.drop), bool(args.widen)
+    ].count(True)
+    if chosen != 1:
+        print(
+            "snapshot-alter: pass exactly one of --rename OLD NEW / "
+            "--drop COL / --widen COL TYPE",
+            file=sys.stderr,
+        )
+        return 2
+    if args.rename:
+        v = ts.rename_column(args.root, args.rename[0], args.rename[1])
+        op = {"op": "rename", "from": args.rename[0], "to": args.rename[1]}
+    elif args.drop:
+        v = ts.drop_column(args.root, args.drop)
+        op = {"op": "drop", "column": args.drop}
+    else:
+        v = ts.alter_column_type(args.root, args.widen[0], args.widen[1])
+        op = {"op": "widen", "column": args.widen[0], "type": args.widen[1]}
+    print(json.dumps({**op, "version": v}))
+    return 0
+
+
 def _snapshot_optimize(args: argparse.Namespace) -> int:
     """OPTIMIZE ZORDER BY / rewrite_manifests / compact for a snapshot
     table root — the maintenance verbs behind the bench-snapshot
@@ -500,6 +532,18 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--retain-hours", type=float)
     sv.add_argument("--retain-from", type=int)
     sv.set_defaults(fn=_snapshot_vacuum)
+
+    sa = sub.add_parser(
+        "snapshot-alter",
+        help="metadata-only schema evolution for a snapshot table "
+        "root: --rename OLD NEW, --drop COL, or --widen COL TYPE "
+        "(safe promotions only)",
+    )
+    sa.add_argument("root")
+    sa.add_argument("--rename", nargs=2, metavar=("OLD", "NEW"))
+    sa.add_argument("--drop", metavar="COL")
+    sa.add_argument("--widen", nargs=2, metavar=("COL", "TYPE"))
+    sa.set_defaults(fn=_snapshot_alter)
 
     sh = sub.add_parser(
         "snapshot-history",

@@ -322,6 +322,54 @@ def drop_column(root: str, name: str) -> int:
     )
 
 
+def alter_column_type(root: str, name: str, new_type: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE (round 13): explicit safe
+    type WIDENING as a metadata-only commit — Iceberg's promotion
+    rules (byte/short/int -> long chain, float -> double). Old files
+    keep their narrow bytes; Spark's parquet reader upcasts natively
+    (verified in this environment), and era projections cast widened
+    files up on every read path. Narrowing refuses."""
+    latest = current_version(root)
+    m = read_manifest(root, latest)
+    sch = m.get("schema")
+    if sch is None:
+        raise ValueError(
+            "alter_column_type requires a pinned schema — commit with "
+            "schema=df.schema.json() first"
+        )
+    stamped, mx = _ensure_field_ids(sch, int(m.get("max_field_id") or 0))
+    s = json.loads(stamped)
+    hit = [f for f in s["fields"] if f["name"] == name]
+    if not hit:
+        raise ValueError(
+            f"no column {name!r} (have: {[f['name'] for f in s['fields']]})"
+        )
+    f = hit[0]
+    if f["type"] == new_type:
+        return latest  # no-op
+    if not _widens(f["type"], new_type):
+        raise SchemaConflict(
+            f"column {name!r}: {f['type']} -> {new_type} is not a safe "
+            "widening (allowed: byte/short/integer -> long chain, "
+            "float -> double)"
+        )
+    f["type"] = new_type
+    new_sj = json.dumps(s)
+    version = latest + 1
+    log = list(m.get("schema_log") or [])
+    if not log:
+        log.append([latest, stamped])
+    log.append([version, new_sj])
+    return _commit_meta(
+        root,
+        latest,
+        operation="evolve_schema",
+        schema=new_sj,
+        schema_log=log,
+        max_field_id=mx,
+    )
+
+
 def _merge_schema_json(
     base_json: str | None, new_json: str | None, max_id: int = 0
 ) -> tuple[str | None, int]:
@@ -357,11 +405,41 @@ def _merge_schema_json(
             f["metadata"] = md
             base["fields"].append(f)
         elif prev["type"] != f["type"]:
-            raise SchemaConflict(
-                f"column {f['name']!r}: committed as {prev['type']}, "
-                f"new data says {f['type']}"
-            )
+            # Safe type WIDENING (round 13, Iceberg's promotion rules):
+            # the schema adopts the wider type and old files keep their
+            # narrow bytes — the era read path already reads each file
+            # under its write-era type and casts up in the projection
+            # (wider-vs-era type flips the identity check, so widened
+            # files can never hit the plain fast path and trip parquet's
+            # conversion error). New data narrower than the schema just
+            # keeps the schema (the upcast happens at write... the
+            # staged file stores the offered type; reads cast up).
+            if _widens(prev["type"], f["type"]):
+                prev["type"] = f["type"]
+            elif not _widens(f["type"], prev["type"]):
+                raise SchemaConflict(
+                    f"column {f['name']!r}: committed as {prev['type']}, "
+                    f"new data says {f['type']}"
+                )
     return json.dumps(base), mx
+
+
+# Safe promotions (narrow -> wider): value-preserving, so reading a
+# narrow file under the wide type is exact. Transitive pairs included.
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def _widens(narrow: object, wide: object) -> bool:
+    return (
+        isinstance(narrow, str)
+        and isinstance(wide, str)
+        and (narrow, wide) in _WIDENINGS
+    )
 
 
 def _manifest_path(root: str, version: int) -> str:

@@ -2255,3 +2255,87 @@ def test_delete_through_renamed_history(spark, tmp_path):
     _v, n_deleted, _dv = ts.delete_where(spark, root, "c >= 20")
     assert n_deleted == 2
     assert sorted(r["c"] for r in ts.read(spark, root).collect()) == [0, 10]
+
+
+def test_type_widening_and_cli_alter(spark, tmp_path, capsys):
+    """Round-13: safe type WIDENING (Iceberg's promotion rules) — a
+    commit offering a wider type adopts it (old narrow files upcast on
+    read), a NARROWER append under a wide schema is accepted as-is
+    (reads upcast), unsafe changes still refuse; plus the
+    snapshot-alter CLI verb covering rename/drop/widen, and widening
+    composing with rename (both resolve through the same field id)."""
+    import json
+    import os
+
+    import pytest
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(3).selectExpr(
+        "cast(id as int) as k", "cast(id * 2 as float) as x"
+    )
+    v = ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    # widening via commit: long k, double x
+    d2 = spark.range(3, 5).selectExpr(
+        "cast(id as long) as k", "cast(id * 2 as double) as x"
+    )
+    v = ts.commit(
+        root, ts.stage_files(d2, root), base_version=v, schema=d2.schema.json()
+    )
+    cur = ts.read(spark, root)
+    assert dict(cur.dtypes) == {"k": "bigint", "x": "double"}
+    assert sorted((r["k"], r["x"]) for r in cur.collect()) == [
+        (i, float(i * 2)) for i in range(5)
+    ]
+    # narrower append under the wide schema: accepted, upcast on read
+    d3 = spark.range(5, 6).selectExpr(
+        "cast(id as int) as k", "cast(id * 2 as float) as x"
+    )
+    v = ts.commit(
+        root, ts.stage_files(d3, root), base_version=v, schema=d3.schema.json()
+    )
+    assert ts.read(spark, root).count() == 6
+    # unsafe change still refuses
+    bad = spark.range(1).selectExpr("cast(id as string) as k", "cast(id as double) as x")
+    with pytest.raises(ts.SchemaConflict):
+        ts.commit(
+            root,
+            ts.stage_files(bad, root),
+            base_version=v,
+            schema=bad.schema.json(),
+        )
+
+    # CLI: widen (no-op here, k already long), rename, drop
+    rc = main(["snapshot-alter", root, "--rename", "x", "value"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["op"] == "rename"
+    got = ts.read(spark, root)
+    assert "value" in got.columns and "x" not in got.columns
+    assert sorted(r["value"] for r in got.collect()) == [
+        float(i * 2) for i in range(6)
+    ]
+    # explicit widen verb on a fresh narrow column via the API
+    d4 = spark.range(6, 7).selectExpr(
+        "cast(id as long) as k",
+        "cast(id * 2 as double) as value",
+        "cast(7 as int) as extra",
+    )
+    v = ts.commit(
+        root, ts.stage_files(d4, root), base_version=ts.current_version(root),
+        schema=d4.schema.json(),
+    )
+    rc = main(["snapshot-alter", root, "--widen", "extra", "long"])
+    assert rc == 0
+    assert dict(ts.read(spark, root).dtypes)["extra"] == "bigint"
+    # unsafe widen refuses from the API
+    with pytest.raises(ts.SchemaConflict):
+        ts.alter_column_type(root, "extra", "integer")  # narrowing
+    rc = main(["snapshot-alter", root, "--drop", "extra"])
+    assert rc == 0
+    assert "extra" not in ts.read(spark, root).columns
