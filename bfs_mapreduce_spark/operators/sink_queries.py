@@ -549,6 +549,49 @@ def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_snapshot_bloom",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_id - (SELECT MIN(event_id) FROM events)
+          IN (0, 11, 23, 37, 53)
+    """,
+    doc="Bloom-filter file skipping for POINT lookups (round 13): the "
+    "events rows are committed to a snapshot table as 8 "
+    "hash-distributed files — every file's [min,max] event_id spans "
+    "the whole domain, the exact shape where min/max stats skip "
+    "NOTHING (uuid/hash keys at 100 TB) — with per-file bloom filters "
+    "riding the manifest next to the stats (collect_blooms; Iceberg "
+    "keeps these in puffin files). read_point_pruned plans a 5-needle "
+    "IN lookup from the manifest alone: files whose blooms say every "
+    "probe is absent are never listed. The IN predicate still applies "
+    "in-plan, so a false skip would drop a row and break this hash; "
+    "skip EFFECTIVENESS (most files pruned, zero false negatives over "
+    "a 50-probe sweep) is pinned by tests/test_sources.py, since "
+    "bloom bit counts are not SQL-derivable.",
+)
+def q_sink_snapshot_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_bloom"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    files = ts.stage_files(ev.repartition(8, "event_id"), root)
+    stats = ts.collect_stats(files, ["event_id"])
+    blooms = ts.collect_blooms(files, ["event_id"])
+    merged = {f: {**stats.get(f, {}), **blooms.get(f, {})} for f in files}
+    ts.commit(root, files, base_version=0, stats=merged)
+    mn = ev.agg(F.min("event_id")).first()[0]
+    probes = [mn + d for d in (0, 11, 23, 37, 53)]
+    df, _kept, _skipped = ts.read_point_pruned(spark, root, "event_id", probes)
+    return df.select("event_id", "user_id", "event_type")
+
+
+@register(
     "q_sink_schema_rename",
     oracle="""
     SELECT CAST(o_orderkey % 3 AS BIGINT) AS grp,

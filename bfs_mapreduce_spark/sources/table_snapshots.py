@@ -1944,6 +1944,153 @@ def read_pruned(
     return df, kept, skipped
 
 
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Standard bloom sizing: bits m = ceil(-n ln p / ln2^2), hash
+    count k = max(1, round(m/n ln2))."""
+    import math
+
+    n = max(1, n)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Two independent 64-bit hashes per value (double hashing gives
+    the k probe positions: h1 + i*h2 mod m). Values are hashed from
+    their canonical STRING bytes, so int64 5 and the re-read of the
+    same parquet cell always agree; deterministic across processes
+    (md5, not Python's salted hash)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode()).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+
+def collect_blooms(
+    paths: list[str], cols: list[str], fpp: float = 0.01
+) -> dict[str, dict]:
+    """Per-file BLOOM FILTERS for point-lookup skipping (round 13 —
+    Iceberg stores these in puffin files, Parquet optionally in the
+    footer; here they ride the manifest next to min/max stats): for
+    each data file and column, one bitset sized for the file's
+    distinct values at ``fpp``. Returns ``{path: {"bloom": {col:
+    {"m", "k", "bits": base64}}}}`` — merge into the ``stats=``
+    mapping passed to :func:`commit` (stats entries are dicts; the
+    bloom key rides alongside ``rows``/``cols`` and is carried
+    forward / dropped by exactly the same per-file rules).
+
+    Why min/max is not enough at 100 TB: on a hash-distributed or
+    uuid key EVERY file's [min,max] spans the whole domain, so range
+    stats skip nothing and a point lookup lists every file; the bloom
+    answers "definitely absent" per file, cutting a needle query to
+    O(matching files + fpp x files). One column costs ~1.2 bytes/row
+    at 1% fpp — metadata, not data."""
+    import base64
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for path in paths:
+        tbl = pq.read_table(path, columns=[c for c in cols])
+        per_col: dict[str, dict] = {}
+        for c in cols:
+            if c not in tbl.column_names:
+                continue
+            vals = {v for v in tbl.column(c).to_pylist() if v is not None}
+            m, k = _bloom_params(len(vals), fpp)
+            bits = np.zeros(m, dtype=bool)
+            for v in vals:
+                h1, h2 = _bloom_hashes(v)
+                for i in range(k):
+                    bits[(h1 + i * h2) % m] = True
+            per_col[c] = {
+                "m": m,
+                "k": k,
+                "bits": base64.b64encode(np.packbits(bits).tobytes()).decode(),
+            }
+        if per_col:
+            out[path] = {"bloom": per_col}
+    return out
+
+
+def _bloom_might_contain(b: dict, value) -> bool:
+    import base64
+
+    import numpy as np
+
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(b["bits"]), dtype=np.uint8)
+    )
+    m, k = b["m"], b["k"]
+    h1, h2 = _bloom_hashes(value)
+    return all(bits[(h1 + i * h2) % m] for i in range(k))
+
+
+def prune_files_point(
+    manifest: dict, col: str, values: list
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) split for the point predicate ``col IN
+    (values)``: a file is skipped when EVERY probe value is provably
+    absent — its bloom says no for all of them, or its [min,max]
+    range excludes them. Files with neither stat are conservatively
+    kept. Skipping is deterministic (fixed hash functions), so a kept
+    set is reproducible run to run."""
+    stats = manifest.get("stats", {})
+    kept, skipped = [], []
+    for f in manifest["files"]:
+        st = stats.get(f, {})
+        rng = st.get("cols", {}).get(col)
+        bloom = st.get("bloom", {}).get(col)
+        possible = []
+        for v in values:
+            if rng is not None and (v < rng[0] or v > rng[1]):
+                continue
+            if bloom is not None and not _bloom_might_contain(bloom, v):
+                continue
+            possible.append(v)
+        if possible:
+            kept.append(f)
+        else:
+            skipped.append(f)
+    return kept, skipped
+
+
+def read_point_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Point-lookup read planned against the manifest's BLOOM filters
+    (+ min/max when present): returns ``(df, kept, skipped)`` with
+    ``df`` scanning only files that might contain one of ``values``
+    (the IN predicate is still applied in-plan, so pruning is pure
+    I/O — a false skip would change results and break the certifying
+    oracle hash). The needle-in-100TB query: skipped files are never
+    listed."""
+    m = read_manifest(root, version)
+    kept, skipped = prune_files_point(m, col, values)
+    if not kept:
+        raise ValueError(
+            f"point predicate {col} IN {values!r} prunes every file of "
+            f"{root!r} v{m['version']} — empty-scan fast path is "
+            "the caller's concern"
+        )
+    df = _scan(
+        spark,
+        kept,
+        m.get("deletes") or {},
+        m.get("schema"),
+        m.get("eq_deletes"),
+        m.get("_added_era"),
+        m.get("schema_log"),
+    ).filter(F.col(col).isin(values))
+    return df, kept, skipped
+
+
 def merge_into(
     spark: SparkSession,
     root: str,

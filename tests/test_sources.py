@@ -2339,3 +2339,63 @@ def test_type_widening_and_cli_alter(spark, tmp_path, capsys):
     rc = main(["snapshot-alter", root, "--drop", "extra"])
     assert rc == 0
     assert "extra" not in ts.read(spark, root).columns
+
+
+def test_bloom_point_skipping(spark, tmp_path):
+    """Round-13 bloom file skipping: on hash-distributed keys where
+    every file's [min,max] spans the domain (min/max skips nothing),
+    per-file blooms prune most files for point lookups; ZERO false
+    negatives over a 50-probe sweep (a false skip would lose rows);
+    deterministic kept-sets; absent probes prune everything (loud)."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(4000).select(
+        (F.col("id") * 7919 + 13).alias("k"), (F.col("id") % 97).alias("v")
+    )
+    files = ts.stage_files(df.repartition(8, "k"), root)
+    assert len(files) == 8
+    stats = ts.collect_stats(files, ["k"])
+    blooms = ts.collect_blooms(files, ["k"])
+    merged = {f: {**stats.get(f, {}), **blooms.get(f, {})} for f in files}
+    ts.commit(root, files, base_version=0, stats=merged)
+    m = ts.read_manifest(root)
+
+    keys = [13 + 7919 * i for i in (5, 777, 2222, 3999)]
+    for k in keys:
+        # min/max is near-useless on hash-distributed keys (files span
+        # the domain; only domain-edge probes catch a file or two)...
+        _kept_rng, skipped_rng = ts.prune_files(m, "k", k, k)
+        # ...while blooms prune almost everything: 1-2 files read, not 8
+        got, kept, skipped = ts.read_point_pruned(spark, root, "k", [k])
+        rows = got.collect()
+        assert [r["k"] for r in rows] == [k]  # found, exactly once
+        assert len(kept) <= 2 and len(skipped) >= 6
+        assert len(skipped) >= len(skipped_rng)  # never worse than range
+    # mid-domain probe: range stats are useless (files span the domain),
+    # blooms still cut the lookup to <=2 files — the 100 TB needle case
+    _kept_rng_mid, skipped_rng_mid = ts.prune_files(m, "k", keys[1], keys[1])
+    assert len(skipped_rng_mid) <= 1
+    _got_mid, kept_mid, _ = ts.read_point_pruned(spark, root, "k", [keys[1]])
+    assert len(kept_mid) <= 2
+    # determinism: same probe, same kept set
+    _, kept1, _ = ts.read_point_pruned(spark, root, "k", [keys[0]])
+    _, kept2, _ = ts.read_point_pruned(spark, root, "k", [keys[0]])
+    assert kept1 == kept2
+
+    # zero false negatives across a 50-probe sweep
+    for i in range(0, 4000, 80):
+        k = 13 + 7919 * i
+        got, kept, _ = ts.read_point_pruned(spark, root, "k", [k])
+        assert got.count() == 1, f"false negative for {k}"
+
+    # a probe that exists nowhere prunes every file (loud refusal)
+    with pytest.raises(ValueError, match="prunes every file"):
+        ts.read_point_pruned(spark, root, "k", [12])
