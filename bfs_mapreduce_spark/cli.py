@@ -252,6 +252,29 @@ def _snapshot_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def _snapshot_ref(args: argparse.Namespace) -> int:
+    """Named refs (tags) for a snapshot table root: --set NAME
+    [--version V], --delete NAME, or --list. A tagged version is
+    pinned against vacuum until its tag is deleted."""
+    import json
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    if args.list:
+        print(json.dumps(ts.read_refs(args.root), sort_keys=True))
+        return 0
+    if args.set:
+        v = ts.set_ref(args.root, args.set, args.version)
+        print(json.dumps({"op": "set", "ref": args.set, "version": v}))
+        return 0
+    if args.delete:
+        v = ts.delete_ref(args.root, args.delete)
+        print(json.dumps({"op": "delete", "ref": args.delete, "version": v}))
+        return 0
+    print("snapshot-ref: pass one of --set/--delete/--list", file=sys.stderr)
+    return 2
+
+
 def _snapshot_alter(args: argparse.Namespace) -> int:
     """ALTER TABLE verbs for a snapshot table root — metadata-only
     schema evolution (round 13): --rename OLD NEW, --drop COL,
@@ -532,6 +555,19 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--retain-hours", type=float)
     sv.add_argument("--retain-from", type=int)
     sv.set_defaults(fn=_snapshot_vacuum)
+
+    sf_ = sub.add_parser(
+        "snapshot-ref",
+        help="named refs (tags) for a snapshot table root: --set NAME "
+        "[--version V] / --delete NAME / --list; tagged versions are "
+        "pinned against vacuum",
+    )
+    sf_.add_argument("root")
+    sf_.add_argument("--set", metavar="NAME")
+    sf_.add_argument("--version", type=int)
+    sf_.add_argument("--delete", metavar="NAME")
+    sf_.add_argument("--list", action="store_true")
+    sf_.set_defaults(fn=_snapshot_ref)
 
     sa = sub.add_parser(
         "snapshot-alter",

@@ -157,6 +157,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         # latestOffset()).
         self._last_end: dict = {"v": self._start_v}
         self._adds_cache: dict[int, list[str]] = {}
+        self._bytes_cache: dict[str, int] = {}  # manifest-recorded sizes
         m = ts.read_manifest(self._root)
         newest = m["files"][-1] if m["files"] else None
         self._arrow_schema = _arrow_schema_for(m.get("schema"), newest)
@@ -203,7 +204,12 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     if sp in psegs:
                         continue  # carried from the parent: not new
                     with open(sp) as sf:
-                        seg_files = json.load(sf)["files"]
+                        seg = json.load(sf)
+                    seg_files = seg["files"]
+                    for f, st in (seg.get("stats") or {}).items():
+                        b = (st or {}).get("bytes")
+                        if b:  # manifest-recorded size: no stat() call
+                            self._bytes_cache[f] = int(b)
                     # the one-time inline-spill segment re-homes the
                     # parent's inline list — those files are not new
                     adds.extend(f for f in seg_files if f not in pinline)
@@ -256,10 +262,13 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 if files_left is not None:
                     files_left -= 1
                 if bytes_left is not None:
-                    try:
-                        bytes_left -= os.path.getsize(adds[j])
-                    except OSError:
-                        pass
+                    b = self._bytes_cache.get(adds[j])
+                    if b is None:  # legacy commits without recorded bytes
+                        try:
+                            b = os.path.getsize(adds[j])
+                        except OSError:
+                            b = 0
+                    bytes_left -= b
                 admitted += 1
                 j += 1
             if j < len(adds):

@@ -1277,9 +1277,12 @@ def _scan_files(
     return out
 
 
-def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession, root: str, version: int | str | None = None
+) -> DataFrame:
     """DataFrame over exactly the files of ``version`` (default:
-    current). Empty table -> empty DataFrame is the caller's concern:
+    current; a string resolves through the named refs — Iceberg's
+    tags: ``read(spark, root, "prod")``). Empty table -> empty DataFrame is the caller's concern:
     reading version 0 raises, matching an empty catalog table.
 
     When the manifest pins a schema (any commit passed ``schema=``),
@@ -1294,7 +1297,7 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     versions BEFORE a delete commit still see the original rows
     (delete vectors live in the manifest, so they time-travel like
     everything else)."""
-    m = read_manifest(root, version)
+    m = read_manifest(root, resolve_version(root, version))
     if not m["files"]:
         raise ValueError(f"snapshot table {root!r} has no committed data")
     return _scan(
@@ -1318,6 +1321,62 @@ def compact(spark: SparkSession, root: str, n_files: int = 1) -> int:
     return commit(root, files, base_version=base, replace=True)
 
 
+def _refs_path(root: str) -> str:
+    return os.path.join(os.path.abspath(root), "_manifests", "refs.json")
+
+
+def read_refs(root: str) -> dict[str, int]:
+    """Named refs (Iceberg's tags/branches): ``{name: version}``."""
+    try:
+        with open(_refs_path(root)) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def set_ref(root: str, name: str, version: int | None = None) -> int:
+    """Tag a version with a NAME (Iceberg's refs — ``prod``,
+    ``audit-2026q3``): reads accept the name wherever they accept a
+    version (``read(spark, root, "prod")``), and :func:`vacuum`'s
+    keep-set UNIONS ref'd versions, so a tagged snapshot never expires
+    while its tag lives — the property that makes tags an audit
+    mechanism rather than a bookmark. Default version = current.
+    The refs file is atomically replaced; last writer wins (on a real
+    deployment this write goes through the catalog CAS like the
+    manifest pointer)."""
+    latest = current_version(root)
+    v = latest if version is None else int(version)
+    if not 1 <= v <= latest:
+        raise ValueError(f"cannot tag v{v} (table at v{latest})")
+    read_manifest(root, v)  # fails loudly if already vacuumed
+    refs = read_refs(root)
+    refs[name] = v
+    _atomic_write(_refs_path(root), json.dumps(refs, sort_keys=True))
+    return v
+
+
+def delete_ref(root: str, name: str) -> int:
+    """Drop a named ref; its version becomes vacuumable again under
+    the normal retention rules. Returns the version it pointed at."""
+    refs = read_refs(root)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} (have: {sorted(refs)})")
+    v = refs.pop(name)
+    _atomic_write(_refs_path(root), json.dumps(refs, sort_keys=True))
+    return v
+
+
+def resolve_version(root: str, version) -> int | None:
+    """Version selector -> version number: ints pass through, strings
+    resolve through the refs file, None stays None (= current)."""
+    if version is None or isinstance(version, int):
+        return version
+    refs = read_refs(root)
+    if version not in refs:
+        raise ValueError(f"no ref {version!r} (have: {sorted(refs)})")
+    return refs[version]
+
+
 def restore(root: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF (Delta's verb): roll the
     table's CURRENT state back to ``version``'s — as a NEW commit, so
@@ -1335,6 +1394,7 @@ def restore(root: str, version: int) -> int:
     Delta). CDC refuses to file-diff across a restore (rows would
     double-count), like any other non-append commit."""
     latest = current_version(root)
+    version = resolve_version(root, version)
     if not 1 <= version <= latest:
         raise ValueError(f"cannot restore {root!r} to v{version} (at v{latest})")
     try:
@@ -1741,8 +1801,10 @@ def history(root: str) -> list[dict]:
     first — version, parent, operation, file/segment/delete counts,
     txn watermarks — all from manifests, no data file touched. The
     operational view a table owner reads before choosing vacuum /
-    compact / rewrite_manifests cadences."""
+    compact / rewrite_manifests cadences. Versions carrying a named
+    ref list its names under ``refs``."""
     out = []
+    refs = read_refs(root)
     for v in range(current_version(root), 0, -1):
         m = read_manifest(root, v)
         out.append(
@@ -1758,6 +1820,9 @@ def history(root: str) -> list[dict]:
                 "n_eq_delete_entries": len(m.get("eq_deletes") or []),
                 "txn": dict(m.get("txn") or {}),
                 "checks": sorted((m.get("checks") or {}).keys()),
+                "refs": sorted(
+                    n for n, rv in refs.items() if rv == m["version"]
+                ),
             }
         )
     return out
@@ -1814,7 +1879,11 @@ def vacuum(root: str, retain_from: int = 1) -> list[str]:
     latest = current_version(root)
     keep: set[str] = set()
     seg_keep: set[str] = set()
-    for v in range(max(retain_from, 1), latest + 1):
+    retained = set(range(max(retain_from, 1), latest + 1))
+    # named refs PIN their versions (Iceberg's contract): a tagged
+    # snapshot survives any retention policy until its tag is deleted
+    retained |= {v for v in read_refs(root).values() if 1 <= v <= latest}
+    for v in sorted(retained):
         mv = read_manifest(root, v)
         keep.update(mv["files"])
         seg_keep.update(mv.get("_segments") or [])
@@ -1853,8 +1922,11 @@ def _json_safe(v):
 
 
 def collect_stats(paths: list[str], cols: list[str]) -> dict[str, dict]:
-    """Per-file ``{"rows": n, "cols": {c: [min, max]}}`` read off the
-    parquet FOOTERS (row-group statistics — no data pages touched).
+    """Per-file ``{"rows": n, "bytes": b, "cols": {c: [min, max]}}``
+    read off the parquet FOOTERS (row-group statistics — no data pages
+    touched) plus the file size (round 13: the CDC stream's
+    maxBytesPerTrigger budgets from manifest bytes instead of
+    stat()-ing every appended file per trigger).
     This is the commit-time half of Iceberg-style data skipping: pay
     one footer read per file at write time, and every later query
     plans against the manifest instead of re-opening N footers.
@@ -1885,7 +1957,11 @@ def collect_stats(paths: list[str], cols: list[str]) -> dict[str, dict]:
                 hi = mx if hi is None or mx > hi else hi
             if ok and lo is not None:
                 col_stats[c] = [lo, hi]
-        out[path] = {"rows": meta.num_rows, "cols": col_stats}
+        out[path] = {
+            "rows": meta.num_rows,
+            "bytes": os.path.getsize(path),
+            "cols": col_stats,
+        }
     return out
 
 

@@ -2399,3 +2399,59 @@ def test_bloom_point_skipping(spark, tmp_path):
     # a probe that exists nowhere prunes every file (loud refusal)
     with pytest.raises(ValueError, match="prunes every file"):
         ts.read_point_pruned(spark, root, "k", [12])
+
+
+def test_named_refs_pin_versions(spark, tmp_path, capsys):
+    """Round-13 named refs (Iceberg's tags): reads resolve a ref name
+    wherever they accept a version; a tagged version SURVIVES a vacuum
+    whose retention policy would expire it, and becomes vacuumable
+    again once the tag is deleted; restore accepts the name; history
+    annotates tagged versions; the snapshot-ref CLI covers
+    set/list/delete."""
+    import json
+    import os
+
+    import pytest
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = 0
+    for i in range(3):  # replace each time: old versions hold exclusive files
+        files = ts.stage_files(spark.range(i * 10, i * 10 + 10).toDF("k"), root)
+        v = ts.commit(root, files, base_version=v, replace=i > 0)
+
+    rc = main(["snapshot-ref", root, "--set", "audit", "--version", "1"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == 1
+    # reads accept the name
+    assert sorted(r.k for r in ts.read(spark, root, "audit").collect()) == list(
+        range(10)
+    )
+    # the tag pins v1 against a keep-only-latest vacuum
+    ts.vacuum(root, retain_from=3)
+    assert sorted(r.k for r in ts.read(spark, root, "audit").collect()) == list(
+        range(10)
+    )
+    # v2 had no tag: expired
+    with pytest.raises(Exception):
+        ts.read(spark, root, 2).count()
+    # restore by name works (v1's files survived)
+    ts.restore(root, "audit")
+    assert sorted(r.k for r in ts.read(spark, root).collect()) == list(range(10))
+    # history shows the tag on v1
+    h = {rec["version"]: rec["refs"] for rec in ts.history(root)}
+    assert h[1] == ["audit"]
+    # CLI list + delete; untagged v1 then expires under the same policy
+    rc = main(["snapshot-ref", root, "--list"])
+    assert json.loads(capsys.readouterr().out.strip()) == {"audit": 1}
+    rc = main(["snapshot-ref", root, "--delete", "audit"])
+    assert rc == 0
+    capsys.readouterr()
+    ts.vacuum(root, retain_from=4)
+    with pytest.raises(Exception):
+        ts.read(spark, root, 1).count()
+    # current (the restore commit) still reads
+    assert ts.read(spark, root).count() == 10
