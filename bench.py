@@ -47,8 +47,10 @@ the headline suite (the ANN tier gets canary-tracked), and the
 normalization divisor is now each group's canary MEDIAN (min-of-3 is
 itself a noisy order statistic; r12's 0.25-0.43 s per-group spread put
 +-15% noise on per-query norms). The JSON's ``canary`` block reports
-``basis``, the run-wide ``spread`` (max/min over every canary sample),
-and ``norm_err_pct`` — a round-over-round per-query delta inside that
+``basis``, ``spread`` (max/min over the GROUP MEDIANS — the actual
+normalization divisors, so one outlier sample cannot dominate it),
+``sample_spread`` (raw max/min over every sample, diagnostic), and
+``norm_err_pct`` — a round-over-round per-query delta inside that
 bar is host noise, not code.
 """
 
@@ -303,7 +305,14 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     all_samples = [c for cs in canary_samples.values() for c in cs]
     canary_min = min(canary_group.values()) if canary_group else None
-    spread = (
+    # spread = max/min over the GROUP MEDIANS — the actual divisors —
+    # so it measures the between-group host drift the normalization is
+    # exposed to; a single outlier sample (GC pause, foreign burst)
+    # cannot dominate it the way a raw max/min over all samples would.
+    # The raw-sample spread still ships as a diagnostic.
+    gm = list(canary_group.values())
+    spread = round(max(gm) / min(gm), 4) if gm else None
+    sample_spread = (
         round(max(all_samples) / min(all_samples), 4) if all_samples else None
     )
     norm_queries = {
@@ -326,6 +335,7 @@ def main() -> None:
                     "per_group": canary_group,
                     "basis": "group_median",
                     "spread": spread,
+                    "sample_spread": sample_spread,
                     "norm_err_pct": (
                         round((spread - 1) * 100 / 2, 1) if spread else None
                     ),
