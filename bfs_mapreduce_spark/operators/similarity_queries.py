@@ -721,6 +721,77 @@ def _l2sq(a: str | F.Column, b: str | F.Column) -> F.Column:
     )
 
 
+def _pq_scores_np(base: DataFrame, book: DataFrame, argmin: bool) -> DataFrame:
+    """Arrow-batched subspace-distance scoring for the PQ build (round
+    13 — the _cell_scores_np treatment applied to _pq_encode's other
+    super-linear shape: codebook size grows with the corpus's label
+    count, and the (vector-subspace) x codewords join evaluated the
+    8-dim L2 fold per pair as interpreted expressions). ``argmin=True``
+    yields the corpus CODES ``(vec_id, s, code)`` — tie-break
+    min(d2, j), reproduced by argmin-first-occurrence over
+    ascending-j columns; ``argmin=False`` yields every ``(vec_id, s,
+    j, d2)`` (the ADC LUT, callers pre-filter to query vectors).
+    Distances are computed in the SAME algebraic form as the JVM fold
+    — elementwise (x-c)^2 then an 8-element sum — so the 1e-6 round
+    agrees (strict-sweep verified); the codebook (m x k x sub doubles)
+    collects to the driver and ships in the closure."""
+    import numpy as np
+    import pandas as pd
+
+    rows = book.collect()
+    by_s: dict[int, list] = {}
+    for r in rows:
+        by_s.setdefault(r["s"], []).append((r["j"], r["cv"]))
+    S = sorted(by_s)
+    J = {s: np.array([j for j, _ in sorted(by_s[s])], dtype=np.int64) for s in S}
+    B = {
+        s: np.array([cv for _, cv in sorted(by_s[s])], dtype=np.float64)
+        for s in S
+    }
+    if argmin:
+        schema = "vec_id bigint, s int, code bigint"
+    else:
+        schema = "vec_id bigint, s int, j bigint, d2 double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_frames = []
+            for s in S:
+                Vs = V[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+                # same form as the JVM fold: (x - c)^2 elementwise,
+                # summed over the subspace — no ||a||^2 - 2ab + ||b||^2
+                # rearrangement (different rounding), then the 1e-6 snap
+                d2 = np.round(
+                    ((Vs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2), 6
+                )
+                if argmin:
+                    k = d2.argmin(axis=1)  # first min = min(d2, j asc)
+                    out_frames.append(
+                        pd.DataFrame(
+                            {"vec_id": ids, "s": s, "code": J[s][k]}
+                        )
+                    )
+                else:
+                    n, kk = d2.shape
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": np.repeat(ids, kk),
+                                "s": s,
+                                "j": np.tile(J[s], n),
+                                "d2": d2.ravel(),
+                            }
+                        )
+                    )
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return base.select("vec_id", "v").mapInPandas(score, schema)
+
+
 def _pq_encode(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Product-quantization build shared by the IVF-PQ queries:
     per-subspace codebooks (``10*_PQ_KG`` label×(vec_id%_PQ_KG)-seeded
@@ -755,16 +826,15 @@ def _pq_encode(base: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("s", "j", F.transform("pa", lambda t: t["avg"]).alias("cv"))
         .transform(_cache_point)  # m*k rows; broadcast into encode AND the LUT
     )
-    d2 = F.round(_l2sq("sv", "cv"), 6)
-    enc = subs.join(F.broadcast(book), "s").select(
-        "vec_id", "s", "j", d2.alias("d2")
-    )
-    # corpus codes: min_by aggregate (partial agg map-side, same
-    # argument as _nearest_cell's max_by)
-    codes = enc.groupBy("vec_id", "s").agg(
-        F.min_by(F.col("j"), F.struct("d2", "j")).alias("code")
-    )
-    lut = enc.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    # Arrow-batched scoring (round 13): codes and the query LUT run as
+    # numpy subspace distances per batch instead of an expression-
+    # evaluated (vector-subspace) x codewords join — the codebook
+    # grows with the corpus's label count, and the join was 116 s of
+    # the 10x stress point's 127 (BASELINE.md round-13 table).
+    codes = _pq_scores_np(base, book, argmin=True)
+    lut = _pq_scores_np(
+        base.filter(F.col("vec_id") % _QUERY_MOD == 0), book, argmin=False
+    ).select(
         F.col("vec_id").alias("lq"), "s", F.col("j").alias("lj"),
         F.col("d2").alias("ld"),
     )
