@@ -296,6 +296,15 @@ def _cell_scores_np(base: DataFrame, cent: DataFrame, argmax: bool) -> DataFrame
     import pandas as pd
 
     cells, C, cn, cell_t = _cent_matrix(cent)
+    # Zero-norm guard (round 14, ADVICE): the Catalyst twin of this
+    # scoring divides by n*cn under ANSI mode, which RAISES on a zero
+    # denominator — np silently yielding inf/nan here would be a
+    # semantic divergence on degenerate corpora. Same loud failure.
+    if np.any(cn == 0):
+        raise ValueError(
+            "zero-norm centroid: cosine scoring is undefined for it "
+            "(the SQL twin raises DIVIDE_BY_ZERO under ANSI mode)"
+        )
     CT = C.T  # (d, k)
     if argmax:
         schema = f"vec_id bigint, cell {cell_t}, cosine double"
@@ -308,7 +317,19 @@ def _cell_scores_np(base: DataFrame, cent: DataFrame, argmax: bool) -> DataFrame
                 continue
             V = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
             vn = pdf["n"].to_numpy(dtype=np.float64)[:, None]
-            cc = np.round(V @ CT / (vn * cn[None, :]), 6)
+            if np.any(vn == 0):
+                raise ValueError(
+                    "zero-norm vector: cosine scoring is undefined for "
+                    "it (the SQL twin raises DIVIDE_BY_ZERO under ANSI)"
+                )
+            # HALF_UP like Spark's F.round (np.round is half-to-even —
+            # an exact .5e-6 tie would silently flip the tie-break vs
+            # the certified Catalyst fold). Caveat: F.round converts
+            # the double via its shortest decimal repr before rounding;
+            # a value within 1 ulp of an exact tie can still differ —
+            # no such tie exists in any certified corpus (0/80k pairs).
+            raw = V @ CT / (vn * cn[None, :])
+            cc = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
             if argmax:
                 # first max along ascending-cell columns == max cosine,
                 # min cell — _nearest_cell's exact tie-break
@@ -765,8 +786,15 @@ def _pq_scores_np(base: DataFrame, book: DataFrame, argmin: bool) -> DataFrame:
                 # same form as the JVM fold: (x - c)^2 elementwise,
                 # summed over the subspace — no ||a||^2 - 2ab + ||b||^2
                 # rearrangement (different rounding), then the 1e-6 snap
-                d2 = np.round(
-                    ((Vs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2), 6
+                # as HALF_UP like F.round (d2 >= 0, so floor(+0.5) is
+                # exact; np.round's half-to-even could flip a .5e-6 tie)
+                d2 = (
+                    np.floor(
+                        ((Vs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
                 )
                 if argmin:
                     k = d2.argmin(axis=1)  # first min = min(d2, j asc)

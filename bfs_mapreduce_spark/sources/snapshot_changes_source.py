@@ -178,7 +178,9 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             return hit
         m = _raw_manifest(self._root, v)
         op = m.get("operation") or "append"
-        if op in ("set_check", "rewrite_manifests", "evolve_schema"):
+        if op in (
+            "set_check", "rewrite_manifests", "evolve_schema", "evolve_spec"
+        ):
             # metadata-only: the data file set is unchanged by
             # definition (rewrite_manifests repackages segments,
             # evolve_schema renames/drops columns without touching data)
@@ -282,6 +284,17 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         return end
 
     def commit(self, end: dict) -> None:
+        # Clamp the admission cursor against the committed end too
+        # (round 14, ADVICE): the partitions() replay teaching below is
+        # an OBSERVED call order, not a documented one — if a restarted
+        # stream ever asked latestOffset() first, _last_end would still
+        # sit at startingVersion and the reader would re-admit (and
+        # re-deliver) versions the checkpoint already committed. Spark
+        # passes the committed end here, so after this no call order
+        # can move the cursor backwards past committed data.
+        le = self._last_end
+        if (end["v"], end.get("i", 1 << 60)) >= (le["v"], le.get("i", 1 << 60)):
+            self._last_end = dict(end)
         # versions are durable; just bound the additions cache
         self._adds_cache = {
             v: a for v, a in self._adds_cache.items() if v >= end["v"]

@@ -93,7 +93,13 @@ class SnapshotBatchReader(DataSourceReader):
         out = []
         for f in files:
             applicable = [
-                {"files": e["files"], "cols": e["cols"]}
+                {
+                    "files": e["files"],
+                    "cols": e["cols"],
+                    # physical names in the immutable delete files when
+                    # a key column was renamed after the delete
+                    "file_cols": e.get("file_cols") or e["cols"],
+                }
                 for e in eq
                 if f in e["applies"]
             ]
@@ -146,8 +152,12 @@ class SnapshotBatchReader(DataSourceReader):
         # equality deletes: anti-filter on the entry's key columns
         for e in partition.eq_entries:
             cols = e["cols"]
+            file_cols = e.get("file_cols") or cols
             keys = pa.concat_tables(
-                [pq.read_table(kf, columns=cols) for kf in e["files"]]
+                [
+                    pq.read_table(kf, columns=file_cols).rename_columns(cols)
+                    for kf in e["files"]
+                ]
             )
             if keys.num_rows == 0 or tbl.num_rows == 0:
                 continue

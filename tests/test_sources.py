@@ -2455,3 +2455,724 @@ def test_named_refs_pin_versions(spark, tmp_path, capsys):
         ts.read(spark, root, 1).count()
     # current (the restore commit) still reads
     assert ts.read(spark, root).count() == 10
+
+
+# ---------------------------------------------------------------- round 14
+# ADVICE fixes: era-aware batch CDC, rename/drop dependent-metadata
+# remapping/guards, bloom type restriction, CDC cursor clamp.
+
+
+def test_read_changes_era_aware_across_rename(spark, tmp_path):
+    """Batch read_changes spanning an evolve_schema (rename) commit
+    must resolve pre-rename files under their write-era names — the
+    round-13 code NULL-filled the renamed column for them (ADVICE)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+    )
+    v1 = ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    v2 = ts.rename_column(root, "b", "c")
+    d3 = spark.range(3, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("c")
+    )
+    v3 = ts.commit(
+        root, ts.stage_files(d3, root), base_version=v2, schema=d3.schema.json()
+    )
+    got = sorted(
+        (r["k"], r["c"]) for r in ts.read_changes(spark, root, 0, v3).collect()
+    )
+    # old-era rows carry their values under the NEW name — no NULLs
+    assert got == [(0, 0), (1, 10), (2, 20), (3, 30), (4, 40)]
+    # a range that starts after the rename still works (new era only)
+    assert sorted(
+        r["k"] for r in ts.read_changes(spark, root, v2, v3).collect()
+    ) == [3, 4]
+
+
+def test_rename_remaps_eq_delete_keys(spark, tmp_path):
+    """Renaming an equality-delete KEY column remaps the entry's cols
+    and records file_cols (the physical names in the immutable delete
+    files) — reads keep masking; pre-fix every read raised (ADVICE)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+    )
+    v = ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    keys = spark.createDataFrame([(20,), (40,)], "b bigint")
+    v, _files = ts.delete_eq(spark, root, keys)
+    v = ts.rename_column(root, "b", "c")
+    m = ts.read_manifest(root)
+    e = m["eq_deletes"][0]
+    assert e["cols"] == ["c"] and e["file_cols"] == ["b"]
+    got = sorted(r["c"] for r in ts.read(spark, root).collect())
+    assert got == [0, 10, 30, 50]  # 20 and 40 still masked
+    # the Arrow DataSource path resolves identically
+    register_snapshot_source(spark)
+    ds = spark.read.format("snapshot").option("path", root).load()
+    assert sorted(r["c"] for r in ds.collect()) == got
+    # carry-forward across a later append preserves file_cols
+    d2 = spark.range(6, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("c")
+    )
+    v = ts.commit(root, ts.stage_files(d2, root), base_version=v)
+    e2 = ts.read_manifest(root)["eq_deletes"][0]
+    assert e2["file_cols"] == ["b"] and e2["cols"] == ["c"]
+    assert sorted(r["c"] for r in ts.read(spark, root).collect()) == [
+        0, 10, 30, 50, 60, 70,
+    ]
+    # a SECOND rename keeps the original physical names
+    ts.rename_column(root, "c", "cc")
+    e3 = ts.read_manifest(root)["eq_deletes"][0]
+    assert e3["file_cols"] == ["b"] and e3["cols"] == ["cc"]
+    assert sorted(r["cc"] for r in ts.read(spark, root).collect()) == [
+        0, 10, 30, 50, 60, 70,
+    ]
+
+
+def test_rename_remaps_partition_spec(spark, tmp_path):
+    """Renaming a partition-spec source column rewrites the spec so
+    later partitioned stages use the new name (ADVICE)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    spec = [("identity", "g")]
+    files, parts = ts.stage_files_partitioned(d1, root, spec)
+    v = ts.commit(
+        root,
+        files,
+        base_version=0,
+        schema=d1.schema.json(),
+        partition_spec=spec,
+        partitions=parts,
+    )
+    ts.rename_column(root, "g", "grp")
+    m = ts.read_manifest(root)
+    assert [list(t) for t in m["partition_spec"]] == [["identity", "grp"]]
+    # staging under the remapped spec works with new-name data
+    d2 = spark.range(8, 12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("grp")
+    )
+    new_spec = [tuple(t) for t in m["partition_spec"]]
+    files2, parts2 = ts.stage_files_partitioned(d2, root, new_spec)
+    ts.commit(
+        root,
+        files2,
+        base_version=ts.current_version(root),
+        partitions=parts2,
+    )
+    assert ts.read(spark, root).count() == 12
+
+
+def test_rename_refuses_on_check_reference(spark, tmp_path):
+    """A CHECK constraint referencing the column refuses the rename —
+    its SQL string would silently stop matching (ADVICE)."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+    )
+    ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    ts.add_check(spark, root, "b_nonneg", "b >= 0")
+    with pytest.raises(ValueError, match="b_nonneg"):
+        ts.rename_column(root, "b", "c")
+    # unrelated rename still fine
+    ts.rename_column(root, "k", "kk")
+    assert sorted(ts.read(spark, root).columns) == ["b", "kk"]
+
+
+def test_drop_refuses_dependent_metadata(spark, tmp_path):
+    """drop_column refuses when an active eq-delete keys on the column,
+    a CHECK references it, or the partition spec transforms it."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(6).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("b"),
+        (F.col("id") % 2).alias("g"),
+    )
+    spec = [("identity", "g")]
+    files, parts = ts.stage_files_partitioned(d1, root, spec)
+    ts.commit(
+        root,
+        files,
+        base_version=0,
+        schema=d1.schema.json(),
+        partition_spec=spec,
+        partitions=parts,
+    )
+    ts.add_check(spark, root, "b_nonneg", "b >= 0")
+    ts.delete_eq(spark, root, spark.createDataFrame([(2,)], "k bigint"))
+    with pytest.raises(ValueError, match="equality-delete"):
+        ts.drop_column(root, "k")
+    with pytest.raises(ValueError, match="CHECK"):
+        ts.drop_column(root, "b")
+    with pytest.raises(ValueError, match="partition spec"):
+        ts.drop_column(root, "g")
+    # after compaction materializes the eq-delete, k drops fine
+    ts.compact(spark, root, n_files=1)
+    ts.drop_column(root, "k")
+    assert "k" not in ts.read(spark, root).columns
+
+
+def test_bloom_type_restriction(spark, tmp_path):
+    """Blooms accept int/str only (ADVICE): a float column refuses at
+    build, a float probe refuses at prune — a type-mismatched probe
+    would hash differently and silently skip a file that has the row."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    files = ts.stage_files(d1, root)
+    # build side: float column refused, int + string fine
+    with pytest.raises(TypeError, match="float"):
+        ts.collect_blooms(files, ["x"])
+    blooms = ts.collect_blooms(files, ["k", "s"])
+    stats = ts.collect_stats(files, ["k"])
+    merged = {f: {**stats.get(f, {}), **blooms.get(f, {})} for f in files}
+    ts.commit(root, files, base_version=0, stats=merged)
+    m = ts.read_manifest(root)
+    # probe side: float probe refused (even though 5.0 == 5)
+    with pytest.raises(TypeError, match="float"):
+        ts.prune_files_point(m, "k", [5.0])
+    with pytest.raises(TypeError, match="bool"):
+        ts.prune_files_point(m, "k", [True])
+    # int and string probes work
+    kept, _ = ts.prune_files_point(m, "k", [5])
+    assert kept
+    got, _k, _s = ts.read_point_pruned(spark, root, "s", ["s7"])
+    assert [r["s"] for r in got.collect()] == ["s7"]
+
+
+def test_cdc_commit_clamps_admission_cursor(tmp_path, spark):
+    """commit(end) advances the rate-limit cursor (ADVICE): a restart
+    where latestOffset() fires before any partitions() replay must not
+    re-admit versions the checkpoint already committed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        SnapshotChangesStreamReader,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = 0
+    for i in range(3):
+        d = spark.range(i * 4, (i + 1) * 4).select(
+            F.col("id").alias("k")
+        )
+        v = ts.commit(
+            root,
+            ts.stage_files(d.repartition(2), root),
+            base_version=v,
+            schema=d.schema.json(),
+        )
+    # fresh reader as a restart would build it: cursor at startingVersion
+    r = SnapshotChangesStreamReader(
+        {"path": root, "startingVersion": "1", "maxFilesPerTrigger": "2"}
+    )
+    assert r._last_end == {"v": 0}
+    # Spark replays commit(end) for the restored batch; cursor must move
+    committed_end = {"v": 2}
+    r.commit(committed_end)
+    assert r._last_end == {"v": 2}
+    # latestOffset (called with NO partitions() replay) admits past the
+    # committed end, never behind it
+    off = r.latestOffset()
+    assert (off["v"], off.get("i", 1 << 60)) > (2, 0)
+    # a stale commit (lower than the cursor) never moves it backwards
+    r.commit({"v": 1})
+    assert r._last_end["v"] >= 2
+
+
+# ---------------------------------------------------------------- round 14
+# Multi-writer conflict classes (verdict ask #1): rebase vs refuse.
+
+
+def _interpose_once(monkeypatch, once_fn):
+    """Arm _publish_manifest so the NEXT publish first lets ``once_fn``
+    commit concurrently (deterministic CAS race: the interposed writer
+    loses version N to the concurrent one, then retries)."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    real = ts._publish_manifest
+    state = {"armed": True}
+
+    def pub(root_, version, payload):
+        if state["armed"]:
+            state["armed"] = False
+            once_fn()
+        return real(root_, version, payload)
+
+    monkeypatch.setattr(ts, "_publish_manifest", pub)
+
+
+def test_conflict_append_append_race(spark, tmp_path):
+    """append∥append: three writers, NO caller retry loops —
+    append_checked rebases internally. Linear history, every batch's
+    rows present exactly once, file-diff CDC exact across the race."""
+    import os
+    import threading
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    ts.commit(root, ts.stage_files(spark.range(0, 10).toDF("k"), root), base_version=0)
+    n_threads, per_thread = 3, 3
+    errors = []
+    barrier = threading.Barrier(n_threads)
+
+    def writer(tid):
+        try:
+            barrier.wait()
+            for i in range(per_thread):
+                lo = 1_000_000 * (tid + 1) + 1000 * i
+                ts.append_checked(
+                    spark, root, spark.range(lo, lo + 10).toDF("k")
+                )
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errors.append((tid, repr(ex)))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    final = ts.current_version(root)
+    assert final == 1 + n_threads * per_thread  # linear: one version per commit
+    rows = [r["k"] for r in ts.read(spark, root).collect()]
+    assert len(rows) == len(set(rows)) == 10 + n_threads * per_thread * 10
+    # CDC over the raced range is exact
+    cdc = [r["k"] for r in ts.read_changes(spark, root, 1, final).collect()]
+    assert sorted(cdc) == sorted(set(rows) - set(range(10)))
+
+
+def test_conflict_upsert_upsert_disjoint_keys(spark, tmp_path):
+    """upsert∥upsert on disjoint keys: internal rebase only (no caller
+    loop), linear history, last round's values win per thread, no lost
+    rows."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    seed = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.lit(0).cast("bigint").alias("val")
+    )
+    ts.commit(root, ts.stage_files(seed, root), base_version=0)
+    n_threads, per_thread = 2, 3
+    errors = []
+    barrier = threading.Barrier(n_threads)
+
+    def writer(tid):
+        try:
+            barrier.wait()
+            for i in range(1, per_thread + 1):
+                src = spark.range(20 * tid, 20 * (tid + 1)).select(
+                    F.col("id").alias("k"),
+                    F.lit(tid * 100 + i).cast("bigint").alias("val"),
+                )
+                ts.upsert_eq(spark, root, src, ["k"])
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errors.append((tid, repr(ex)))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert ts.current_version(root) == 1 + n_threads * per_thread
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert len(got) == 40
+    assert all(got[k] == per_thread for k in range(0, 20))
+    assert all(got[k] == 100 + per_thread for k in range(20, 40))
+
+
+def test_conflict_merge_vs_compact_refuses(spark, tmp_path, monkeypatch):
+    """merge∥compact: the loser's read set was rewritten — it must
+    REFUSE (ConcurrentWriteConflict), leaving the winner's state; a
+    redo from the new state then succeeds."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+    )
+    ts.commit(root, ts.stage_files(d.repartition(2), root), base_version=0)
+    src = spark.createDataFrame([(3, 99), (11, 99)], "k bigint, val bigint")
+
+    _interpose_once(monkeypatch, lambda: ts.compact(spark, root, n_files=1))
+    with pytest.raises(ts.ConcurrentWriteConflict, match="merge_into"):
+        ts.merge_into(spark, root, src, ["k"])
+    # winner's state intact: compacted, un-merged
+    m = ts.read_manifest(root)
+    assert m["operation"] == "replace" and len(m["files"]) == 1
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert got[3] == 1 and 11 not in got
+    # redo from the new state succeeds
+    ts.merge_into(spark, root, src, ["k"])
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert got[3] == 99 and got[11] == 99 and len(got) == 11
+
+
+def test_conflict_merge_rebases_over_append(spark, tmp_path, monkeypatch):
+    """merge∥append: the append's files are outside the merge's read
+    set — the merge rebases, carrying them by reference (serialized
+    merge-before-append). Both effects land, one retry, no rescan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+    )
+    ts.commit(root, ts.stage_files(d.repartition(2), root), base_version=0)
+    appended = spark.createDataFrame([(100, 7)], "k bigint, val bigint")
+
+    _interpose_once(
+        monkeypatch,
+        lambda: ts.commit(
+            root,
+            ts.stage_files(appended, root),
+            base_version=ts.current_version(root),
+        ),
+    )
+    src = spark.createDataFrame([(3, 99)], "k bigint, val bigint")
+    v, staged, untouched = ts.merge_into(spark, root, src, ["k"])
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert got[3] == 99      # merge applied
+    assert got[100] == 7     # concurrent append survived the REPLACE
+    assert len(got) == 11
+    # the appended file was carried by REFERENCE (in untouched)
+    append_files = set(ts.read_manifest(root, v - 1)["files"]) - set(
+        ts.read_manifest(root, v - 2)["files"]
+    )
+    assert append_files <= set(untouched)
+
+
+def test_conflict_delete_rebases_over_append(spark, tmp_path, monkeypatch):
+    """delete_where∥append rebases: the delete vectors re-commit
+    against the moved base; appended rows survive even when they match
+    the predicate (WriteSerializable: delete serialized first)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d = spark.range(10).select(F.col("id").alias("k"))
+    ts.commit(root, ts.stage_files(d.repartition(2), root), base_version=0)
+    appended = spark.createDataFrame([(8,), (20,)], "k bigint")
+
+    _interpose_once(
+        monkeypatch,
+        lambda: ts.commit(
+            root,
+            ts.stage_files(appended, root),
+            base_version=ts.current_version(root),
+        ),
+    )
+    v, n_deleted, _files = ts.delete_where(spark, root, "k >= 8")
+    assert n_deleted == 2  # k=8,9 from the scanned base only
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    # base 8,9 masked; appended 8 and 20 survive (arrived after)
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7, 8, 20]
+
+
+def test_conflict_compact_rebases_over_append(spark, tmp_path, monkeypatch):
+    """compact∥append rebases: appended files carried by reference."""
+    import os
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    ts.commit(
+        root,
+        ts.stage_files(spark.range(10).toDF("k").repartition(4), root),
+        base_version=0,
+    )
+    _interpose_once(
+        monkeypatch,
+        lambda: ts.commit(
+            root,
+            ts.stage_files(spark.range(100, 105).toDF("k"), root),
+            base_version=ts.current_version(root),
+        ),
+    )
+    v = ts.compact(spark, root, n_files=1)
+    rows = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert rows == list(range(10)) + list(range(100, 105))
+    # layout: 1 rewritten file + the appended files by reference
+    m = ts.read_manifest(root, v)
+    assert len(m["files"]) >= 2
+
+
+def test_conflict_append_refuses_evolve_and_revalidates_checks(
+    spark, tmp_path, monkeypatch
+):
+    """append∥evolve_schema refuses (staged files would carry the wrong
+    era); append∥set_check re-validates the staged rows against the
+    NEW constraint before rebasing."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("b"))
+    ts.commit(
+        root, ts.stage_files(d, root), base_version=0, schema=d.schema.json()
+    )
+    # race 1: rename lands mid-append -> refuse
+    _interpose_once(monkeypatch, lambda: ts.rename_column(root, "b", "c"))
+    more = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+    )
+    with pytest.raises(ts.ConcurrentWriteConflict, match="evolve_schema"):
+        ts.append_checked(spark, root, more)
+    # race 2: a set_check lands mid-append; offered rows violate it
+    monkeypatch.undo()
+    _interpose_once(
+        monkeypatch,
+        lambda: ts.add_check(spark, root, "small_k", "k < 6"),
+    )
+    bad = spark.range(6, 9).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("c")
+    )
+    with pytest.raises(ts.ConstraintViolation, match="small_k"):
+        ts.append_checked(spark, root, bad)
+    # ...and rows satisfying the new check rebase fine
+    monkeypatch.undo()
+    _interpose_once(
+        monkeypatch,
+        lambda: ts.commit(
+            root,
+            ts.stage_files(
+                spark.createDataFrame([(5, 50)], "k bigint, c bigint"), root
+            ),
+            base_version=ts.current_version(root),
+        ),
+    )
+    ok = spark.createDataFrame([(4, 40)], "k bigint, c bigint")
+    ts.append_checked(spark, root, ok)
+    ks = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert ks == [0, 1, 2, 3, 4, 4, 5]
+
+
+def test_partition_spec_evolution_prunes_per_era(spark, tmp_path):
+    """Round-14 verdict ask #2: identity(day) -> bucket(4,key) spec
+    evolution. Old files prune under their write-era spec, new files
+    under the new one; the executed scan lists ONLY kept files; the
+    OPTIMIZE rewrite re-clusters history under the current spec."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(24).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("day"),
+        (F.col("id") * 7).alias("key"),
+    )
+    spec1 = [("identity", "day")]
+    files1, parts1 = ts.stage_files_partitioned(d1, root, spec1)
+    v1 = ts.commit(
+        root,
+        files1,
+        base_version=0,
+        schema=d1.schema.json(),
+        partition_spec=spec1,
+        partitions=parts1,
+    )
+    assert len(files1) == 3  # one file per day value
+    v2 = ts.evolve_partition_spec(root, [("bucket", "key", 4)])
+    d2 = spark.range(24, 48).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("day"),
+        (F.col("id") * 7).alias("key"),
+    )
+    spec2 = [tuple(t) for t in ts.read_manifest(root)["partition_spec"]]
+    files2, parts2 = ts.stage_files_partitioned(d2, root, spec2)
+    v3 = ts.commit(root, files2, base_version=v2, partitions=parts2)
+    m = ts.read_manifest(root)
+    # new files are stamped with the new spec era, old ones are not
+    assert all(m["partitions"][f].get("__spec") == v2 for f in files2)
+    assert all("__spec" not in m["partitions"][f] for f in files1)
+
+    # day predicate: prunes OLD files exactly, keeps all new (their
+    # write spec does not transform day)
+    kept, skipped = ts.prune_partitions_source(m, {"day": 1})
+    assert set(skipped) == {f for f in files1 if parts1[f]["day"] != 1}
+    assert set(kept) >= set(files2)
+    # key predicate: prunes NEW files to one bucket, keeps all old
+    probe_key = 24 * 7  # bucket 24*7 % 4 = 0
+    kept_k, skipped_k = ts.prune_partitions_source(m, {"key": probe_key})
+    assert set(kept_k) >= set(files1)
+    assert set(skipped_k) == {
+        f for f in files2 if parts2[f]["key_bucket_4"] != probe_key % 4
+    }
+    # conjunction prunes both eras at once
+    kept_b, _ = ts.prune_partitions_source(m, {"day": 1, "key": probe_key})
+    assert len(kept_b) < len(kept) and len(kept_b) < len(kept_k)
+
+    # executed-scan proof: the pruned read lists ONLY kept files
+    df, kept_r, _ = ts.read_partition_pruned_src(spark, root, {"day": 1})
+    scanned = {p.replace("file:", "").replace("///", "/") for p in df.inputFiles()}
+    assert scanned == set(kept_r)
+    got = sorted(
+        r["k"] for r in df.filter(F.col("day") == 1).collect()
+    )
+    assert got == [k for k in range(48) if k % 3 == 1]
+
+    # CDC crosses the evolve_spec commit (metadata-only)
+    assert ts.read_changes(spark, root, v1, v3).count() == 24
+
+    # OPTIMIZE: rewrite everything under the current (bucket) spec
+    v4 = ts.rewrite_partitioned(spark, root)
+    m4 = ts.read_manifest(root)
+    kept4, skipped4 = ts.prune_partitions_source(m4, {"key": probe_key})
+    assert skipped4  # bucket pruning now bites on the whole table
+    assert all(
+        m4["partitions"][f].get("__spec") == v2 for f in m4["files"]
+    )
+    df4, kept_r4, _ = ts.read_partition_pruned_src(
+        spark, root, {"key": probe_key}
+    )
+    got4 = sorted(
+        r["k"] for r in df4.filter(F.col("key") == probe_key).collect()
+    )
+    assert got4 == [24]
+    # values survived the rewrite
+    assert sorted(r["k"] for r in ts.read(spark, root).collect()) == list(
+        range(48)
+    )
+
+
+def test_restore_preserves_schema_eras(spark, tmp_path):
+    """Round-14 fix: RESTORE re-publishes the file list inline — it
+    must carry the schema log and per-file eras, or a restored
+    post-rename version reads pre-rename files by name (NULL-fill)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+    )
+    ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    ts.rename_column(root, "b", "c")
+    d3 = spark.range(3, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("c")
+    )
+    v3 = ts.commit(
+        root,
+        ts.stage_files(d3, root),
+        base_version=ts.current_version(root),
+        schema=d3.schema.json(),
+    )
+    expect = {0: 0, 1: 10, 2: 20, 3: 30, 4: 40}
+    # a later delete, then restore back to v3 (post-rename, pre-delete)
+    ts.delete_where(spark, root, "c >= 30")
+    ts.restore(root, v3)
+    got = {r["k"]: r["c"] for r in ts.read(spark, root).collect()}
+    assert got == expect  # pre-rename files resolve by field id, not name
+    # a restore to the PRE-rename version returns the old column name
+    ts.restore(root, 1)
+    assert sorted(ts.read(spark, root).columns) == ["b", "k"]
+    assert {r["k"]: r["b"] for r in ts.read(spark, root).collect()} == {
+        0: 0, 1: 10, 2: 20,
+    }
