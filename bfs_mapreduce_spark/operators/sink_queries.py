@@ -2020,3 +2020,91 @@ def q_sink_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe("user_id", "user_id", uid))
         .orderBy("probe")
     )
+
+
+@register(
+    "q_sink_iceberg_roundtrip",
+    oracle="""
+    WITH v1 AS (SELECT COUNT(*) AS n,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+                FROM orders WHERE o_orderkey % 3 <> 0),
+    vall AS (SELECT COUNT(*) AS n,
+                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+             FROM orders)
+    SELECT 'current' AS snap, CAST(n AS BIGINT) AS n_rows,
+           CAST(tp AS DOUBLE) AS price_sum,
+           CAST(3 AS BIGINT) AS n_files, CAST(3 AS BIGINT) AS n_snapshots
+    FROM vall
+    UNION ALL
+    SELECT 'v1', CAST(n AS BIGINT), CAST(tp AS DOUBLE),
+           CAST(2 AS BIGINT), CAST(3 AS BIGINT)
+    FROM v1
+    ORDER BY snap
+    """,
+    doc="Iceberg-spec metadata interop (round 14, verdict ask #3): a "
+    "snapshot table lives through append (2 files) -> RENAME "
+    "o_totalprice->price -> append (1 file), then "
+    "export_iceberg_metadata writes format-version-2 metadata for it "
+    "— metadata.json, per-snapshot manifest lists and manifests as "
+    "from-spec Avro (sources/avro_py.py, nested manifest_entry/"
+    "data_file records), field ids mapped 1:1 from the table's "
+    "field_id stamps, and the spec's schema.name-mapping.default "
+    "property carrying every name each id ever had. The table is then "
+    "read BACK through the generic Iceberg path (read_iceberg_table): "
+    "the current snapshot resolves pre-rename files to 'price' via "
+    "the name mapping, snapshot 1 time-travels to the original "
+    "schema, and the per-snapshot file counts come from the Avro "
+    "manifests — so a broken manifest encoding, id mapping, or "
+    "name-mapping lookup breaks this hash. Values decimal-exact.",
+)
+def q_sink_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(proc_dir("bfs_mapreduce_spark_iceberg"), tag)
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "tbl")
+    out = os.path.join(base, "ice")
+    os.makedirs(root)
+    d1 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v = ts.commit(
+        root,
+        ts.stage_files(d1.repartition(2), root),
+        base_version=0,
+        schema=d1.schema.json(),
+    )
+    v = ts.rename_column(root, "o_totalprice", "price")
+    d3 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    ts.commit(
+        root,
+        ts.stage_files(d3.coalesce(1), root),
+        base_version=v,
+        schema=d3.schema.json(),
+    )
+    summary = im.export_iceberg_metadata(root, out)
+    n_snapshots = len(summary["exported"])
+
+    def snap_agg(label: str, snapshot_id, price_col: str) -> DataFrame:
+        files, _info = im.iceberg_snapshot_files(out, snapshot_id)
+        df = im.read_iceberg_table(spark, out, snapshot_id)
+        return df.agg(
+            F.lit(label).alias("snap"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col(price_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+            F.lit(len(files)).cast("bigint").alias("n_files"),
+            F.lit(n_snapshots).cast("bigint").alias("n_snapshots"),
+        )
+
+    return (
+        snap_agg("current", None, "price")
+        .unionByName(snap_agg("v1", 1, "o_totalprice"))
+        .orderBy("snap")
+    )

@@ -184,6 +184,15 @@ def _parse_type(t):
             return ("enum", symbols)
         if kind == "fixed":
             return ("fixed", int(t["size"]))
+        if kind == "record":
+            # NESTED record (round 14 — Iceberg manifest files are
+            # records of records): encoded per spec 'Complex Types —
+            # records' as the concatenation of its fields' encodings,
+            # field order from the schema. → Spark struct<...>.
+            return (
+                "record",
+                tuple((f["name"], _parse_type(f["type"])) for f in t["fields"]),
+            )
         if isinstance(kind, str) and kind in _PRIMITIVES:
             return ("prim", kind)  # {"type": "long"} wrapper form is legal
         raise NotImplementedError(f"complex avro type {t!r} not supported")
@@ -213,6 +222,9 @@ def _ddl_type(desc: tuple) -> str:
         return "string"
     if kind == "fixed":
         return "binary"
+    if kind == "record":
+        inner = ",".join(f"{n}:{_ddl_type(d)}" for n, d in desc[1])
+        return f"struct<{inner}>"
     if kind == "date":
         return "date"
     if kind == "ts":
@@ -300,6 +312,8 @@ def _decode_value(buf: io.BytesIO, desc: tuple):
         if not 0 <= i < len(symbols):
             raise ValueError(f"enum index {i} out of range (|symbols|={len(symbols)})")
         return symbols[i]
+    if kind == "record":
+        return {name: _decode_value(buf, d) for name, d in desc[1]}
     if kind == "fixed":
         return _read_exact(buf, desc[1])
     if kind == "date":
@@ -364,6 +378,12 @@ def _encode_value(out: bytearray, value, desc: tuple) -> None:
             out += _write_long(desc[1].index(value))
         except ValueError:
             raise ValueError(f"enum value {value!r} not in symbols {desc[1]}")
+        return
+    if kind == "record":
+        # accepts a dict or a Spark Row (asDict-able)
+        get = value.get if isinstance(value, dict) else value.asDict().get
+        for name, d in desc[1]:
+            _encode_value(out, get(name), d)
         return
     if kind == "fixed":
         b = bytes(value)
@@ -468,9 +488,13 @@ def write_avro(
     rows: list[dict],
     codec: str = "null",
     rows_per_block: int = 1000,
+    extra_meta: dict[str, bytes] | None = None,
 ) -> None:
     """Write a container file (spec-conformant; sync marker derived
-    deterministically from the path so staging is reproducible)."""
+    deterministically from the path so staging is reproducible).
+    ``extra_meta`` adds application metadata entries to the header map
+    (spec: names not starting with 'avro.' are free for applications —
+    Iceberg manifests store their table schema/spec there)."""
     import hashlib
 
     fields = _record_fields(schema)
@@ -482,6 +506,7 @@ def write_avro(
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
+        **{k: v for k, v in (extra_meta or {}).items()},
     }
     out += _write_long(len(meta))
     for k, v in meta.items():

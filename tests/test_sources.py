@@ -153,13 +153,13 @@ def test_avro_py_roundtrip_and_goldens(tmp_path):
         assert got_schema == schema and got == rows
     assert spark_ddl(schema) == "a bigint, b string, c double, d boolean, e binary"
 
-    with _pytest.raises(NotImplementedError, match="complex avro type"):
+    # nested records are SUPPORTED since round 14 (Iceberg manifests);
+    # a non-null 3-branch union is still an honest refusal
+    with _pytest.raises(NotImplementedError, match="union"):
         write_avro(
             str(tmp_path / "x.avro"),
             {"type": "record", "name": "x",
-             "fields": [{"name": "m", "type": {
-                 "type": "record", "name": "inner",
-                 "fields": [{"name": "a", "type": "long"}]}}]},
+             "fields": [{"name": "m", "type": ["null", "long", "string"]}]},
             [],
         )
     # union branch indices address the union AS DECLARED: a reversed
@@ -3176,3 +3176,130 @@ def test_restore_preserves_schema_eras(spark, tmp_path):
     assert {r["k"]: r["b"] for r in ts.read(spark, root).collect()} == {
         0: 0, 1: 10, 2: 20,
     }
+
+
+# ---------------------------------------------------------------- round 14
+# Iceberg metadata interop (verdict ask #3) + nested Avro records.
+
+
+def test_avro_nested_record_roundtrip(tmp_path):
+    """Round-14 avro_py extension: nested record types (Iceberg
+    manifests are records of records) encode/decode exactly."""
+    from bfs_mapreduce_spark.sources.avro_py import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {
+                "name": "inner",
+                "type": {
+                    "type": "record",
+                    "name": "mid",
+                    "fields": [
+                        {"name": "s", "type": "string"},
+                        {"name": "opt", "type": ["null", "long"]},
+                        {
+                            "name": "leaf",
+                            "type": {
+                                "type": "record",
+                                "name": "empty_rec",
+                                "fields": [],
+                            },
+                        },
+                        {"name": "arr", "type": {"type": "array", "items": "int"}},
+                    ],
+                },
+            },
+        ],
+    }
+    rows = [
+        {"k": 1, "inner": {"s": "a", "opt": None, "leaf": {}, "arr": [1, 2]}},
+        {"k": 2, "inner": {"s": "b", "opt": 7, "leaf": {}, "arr": []}},
+    ]
+    p = str(tmp_path / "nested.avro")
+    write_avro(p, schema, rows, codec="deflate")
+    got_schema, got = read_avro(p)
+    assert got == rows
+    assert got_schema["fields"][1]["type"]["name"] == "mid"
+
+
+def test_iceberg_export_read_roundtrip(spark, tmp_path):
+    """Export a renamed-history snapshot table as Iceberg v2 metadata;
+    read back current + time travel; delete-carrying versions skip."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "ice")
+    os.makedirs(root)
+    d1 = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+    )
+    v = ts.commit(
+        root,
+        ts.stage_files(d1.repartition(2), root),
+        base_version=0,
+        schema=d1.schema.json(),
+    )
+    v = ts.rename_column(root, "b", "price")
+    d3 = spark.range(6, 9).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("price")
+    )
+    v = ts.commit(
+        root,
+        ts.stage_files(d3.coalesce(1), root),
+        base_version=v,
+        schema=d3.schema.json(),
+    )
+    # a version with live deletes is skipped with a reason, not exported
+    ts.delete_where(spark, root, "k = 0")
+    summary = im.export_iceberg_metadata(root, out)
+    assert sorted(summary["exported"]) == [1, 2, 3]
+    assert 4 in summary["skipped"] and "delete" in summary["skipped"][4]
+    # current (exported) snapshot: old files surface under 'price'
+    cur = im.read_iceberg_table(spark, out)
+    assert sorted(cur.columns) == ["k", "price"]
+    assert sorted((r["k"], r["price"]) for r in cur.collect()) == [
+        (i, i * 10) for i in range(9)
+    ]
+    # time travel to snapshot 1: the ORIGINAL schema and rows
+    old = im.read_iceberg_table(spark, out, snapshot_id=1)
+    assert sorted(old.columns) == ["b", "k"]
+    assert old.count() == 6
+    # history: newest first, current flagged
+    h = im.iceberg_history(out)
+    assert [x["snapshot_id"] for x in h] == [3, 2, 1]
+    assert h[0]["is_current"] and h[0]["schema_id"] == 1
+    assert h[2]["schema_id"] == 0
+    # every metadata layer parses with the from-spec Avro reader and
+    # carries the spec's field-id / header-metadata shape
+    import json
+
+    from bfs_mapreduce_spark.sources.avro_py import (
+        read_avro,
+        read_avro_header,
+    )
+
+    md = json.load(open(summary["metadata_file"]))
+    assert md["format-version"] == 2
+    assert md["current-schema-id"] == 1
+    nm = json.loads(md["properties"]["schema.name-mapping.default"])
+    by_id = {e["field-id"]: e["names"] for e in nm}
+    price_id = next(
+        f["id"] for f in md["schemas"][1]["fields"] if f["name"] == "price"
+    )
+    assert set(by_id[price_id]) == {"price", "b"}
+    snap = md["snapshots"][-1]
+    _s, mrows = read_avro(snap["manifest-list"])
+    assert mrows[0]["added_files_count"] == 1
+    assert mrows[0]["existing_files_count"] == 2
+    hdr, _codec, _sync, _off = read_avro_header(mrows[0]["manifest_path"])
+    assert hdr["name"] == "manifest_entry"
+    fid_of = {f["name"]: f.get("field-id") for f in hdr["fields"]}
+    assert fid_of["status"] == 0 and fid_of["data_file"] == 2
