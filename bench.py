@@ -160,7 +160,106 @@ def _minhash_phase_rep(spark, sf_dir: str) -> list[dict]:
     return out
 
 
+def _sign_test_p(wins: int, n: int) -> float:
+    """Two-sided exact sign test: P(|X - n/2| >= |wins - n/2|) for
+    X ~ Binomial(n, 0.5). Ties are dropped by the caller."""
+    from math import comb
+
+    if n == 0:
+        return 1.0
+    k = max(wins, n - wins)
+    p = sum(comb(n, i) for i in range(k, n + 1)) / 2**n * 2
+    return min(1.0, round(p, 6))
+
+
+def ab_main(old_name: str, new_name: str) -> None:
+    """Interleaved in-process A/B (round 14, verdict ask #4 — the
+    standard instrument for perf claims under the ~16% canary error
+    bar): run OLD and NEW back-to-back ``reps`` times in ONE session,
+    alternating the order each pair so neither side systematically
+    inherits a warmer cache, and report PAIRED deltas with an exact
+    sign test. Same-pair samples share the host's load window, so the
+    pairing cancels the drift that makes round-over-round normalized
+    deltas unreadable below ~1.5x. Claims in BENCH notes should cite
+    this JSON (pairs + p-value), not normalized deltas, for anything
+    under 1.5x.
+
+        SPARK_GRAFT_AB_REPS=9 python bench.py --ab q_old q_new
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_AB_REPS", "7")))
+
+    from bfs_mapreduce_spark.registry import all_queries
+    from bfs_mapreduce_spark.session import get_session
+
+    spark = get_session(app_name="bench_ab")
+    catalog = all_queries()
+    missing = [n for n in (old_name, new_name) if n not in catalog]
+    if missing:
+        raise SystemExit(f"unknown quer{'y' if len(missing)==1 else 'ies'}: {missing}")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        catalog[name].build(spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 4)
+
+    # untimed warmup of both plans (codegen, page cache)
+    for n in (old_name, new_name):
+        print(f"# warmup {n}", file=sys.stderr)
+        run(n)
+    pairs: list[dict] = []
+    for i in range(reps):
+        order = (old_name, new_name) if i % 2 == 0 else (new_name, old_name)
+        sample = {}
+        for n in order:
+            sample[n] = run(n)
+        pairs.append(
+            {
+                "old": sample[old_name],
+                "new": sample[new_name],
+                "delta": round(sample[new_name] - sample[old_name], 4),
+            }
+        )
+        print(
+            f"# pair {i + 1}/{reps}: old={sample[old_name]:.3f}s "
+            f"new={sample[new_name]:.3f}s",
+            file=sys.stderr,
+        )
+    deltas = sorted(p["delta"] for p in pairs)
+    n_eff = sum(1 for d in deltas if d != 0)
+    wins = sum(1 for d in deltas if d < 0)  # NEW faster
+    med = deltas[len(deltas) // 2] if len(deltas) % 2 else (
+        deltas[len(deltas) // 2 - 1] + deltas[len(deltas) // 2]
+    ) / 2
+    ratios = sorted(p["new"] / p["old"] for p in pairs)
+    med_ratio = ratios[len(ratios) // 2] if len(ratios) % 2 else (
+        ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]
+    ) / 2
+    print(
+        json.dumps(
+            {
+                "metric": "ab_paired",
+                "old": old_name,
+                "new": new_name,
+                "pairs": pairs,
+                "median_delta_sec": round(med, 4),
+                "median_ratio_new_over_old": round(med_ratio, 4),
+                "new_wins": wins,
+                "n_pairs": len(pairs),
+                "sign_test_p": _sign_test_p(wins, n_eff),
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--ab":
+        if len(sys.argv) != 4:
+            raise SystemExit("usage: bench.py --ab OLD_QUERY NEW_QUERY")
+        ab_main(sys.argv[2], sys.argv[3])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

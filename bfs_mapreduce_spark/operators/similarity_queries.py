@@ -46,6 +46,15 @@ _LSH_TABLES = 16
 _LSH_SEED = 42
 _DIM = 64
 
+# Cap on driver-collected centroid/codebook rows (round 14, verdict
+# ask #8): both derive from the corpus's LABEL cardinality (cells =
+# 10*groups labels, codewords = m x k), bounded by design today — but
+# a 100 TB corpus with high label cardinality would silently grow the
+# driver collect and the per-task UDF closure until the driver OOMs.
+# 65 536 rows x (64 dims x 8 B) ≈ 34 MB of closure — the loud-refusal
+# line; past it the codebook belongs in a broadcast variable.
+_MAX_DRIVER_CODEBOOK = 65_536
+
 
 def _vecd(col: str = "embedding") -> F.Column:
     """float32 parquet array → double, so both engines do f64 math."""
@@ -267,7 +276,15 @@ def _cent_matrix(cent: DataFrame):
     ``(cells int64[], C float64[k,d], cn float64[], cell_type_str)``."""
     import numpy as np
 
-    rows = cent.select("cell", "cv", "cn").collect()
+    rows = cent.select("cell", "cv", "cn").limit(_MAX_DRIVER_CODEBOOK + 1).collect()
+    if len(rows) > _MAX_DRIVER_CODEBOOK:
+        raise ValueError(
+            f"centroid frame exceeds {_MAX_DRIVER_CODEBOOK} rows — the "
+            "driver collect + UDF closure would grow with it (cells "
+            "derive from the corpus's label cardinality). Re-seed with "
+            "fewer groups, or replace the closure with a broadcast "
+            "variable before raising this cap."
+        )
     rows.sort(key=lambda r: r["cell"])
     cells = np.array([r["cell"] for r in rows], dtype=np.int64)
     C = np.array([r["cv"] for r in rows], dtype=np.float64)
@@ -759,7 +776,15 @@ def _pq_scores_np(base: DataFrame, book: DataFrame, argmin: bool) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = book.collect()
+    rows = book.limit(_MAX_DRIVER_CODEBOOK + 1).collect()
+    if len(rows) > _MAX_DRIVER_CODEBOOK:
+        raise ValueError(
+            f"PQ codebook exceeds {_MAX_DRIVER_CODEBOOK} (s, j) rows — "
+            "the driver collect + UDF closure would grow with it "
+            "(codewords derive from label cardinality). Reduce _PQ_KG "
+            "or move the codebook to a broadcast variable before "
+            "raising this cap."
+        )
     by_s: dict[int, list] = {}
     for r in rows:
         by_s.setdefault(r["s"], []).append((r["j"], r["cv"]))

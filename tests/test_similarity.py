@@ -220,3 +220,28 @@ def test_ivfpq_spill_recall_and_shape(spark, sf_oracle_dir):
         assert -1.0 <= r["cosine"] <= 1.0
         by_q.setdefault(r["query_id"], []).append(r["cosine"])
     assert by_q and all(len(v) == 5 for v in by_q.values())
+
+
+def test_driver_codebook_cap_refuses(spark):
+    """Round-14 verdict ask #8: the centroid/codebook driver collects
+    are capped — a high-label-cardinality corpus fails loudly with
+    guidance instead of growing the closure until the driver OOMs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators import similarity_queries as sq
+
+    big = spark.range(70000).select(
+        F.col("id").alias("cell"),
+        F.array(*[F.lit(1.0)] * 4).alias("cv"),
+        F.lit(2.0).alias("cn"),
+    )
+    with pytest.raises(ValueError, match="centroid frame exceeds"):
+        sq._cent_matrix(big)
+    book = spark.range(70000).select(
+        (F.col("id") % 8).cast("int").alias("s"),
+        F.col("id").alias("j"),
+        F.array(*[F.lit(1.0)] * 8).alias("cv"),
+    )
+    with pytest.raises(ValueError, match="PQ codebook exceeds"):
+        sq._pq_scores_np(big.limit(1), book, argmin=True)
