@@ -1480,22 +1480,25 @@ def _bpe_oracle() -> str:
     "q_text_bpe_word_train (round 10) is the word-count-table "
     "production form, orders cheaper, certified equivalent to this "
     "exact-stream form on word-bounded input by tests/test_text.py. "
-    "The token stream lives as (doc, pos, tok) ROWS, not arrays: an "
-    "array-fold rewrite is O(len^2) per document (the accumulator "
-    "copies on every element — measured 13 s/round at sf0.1), while "
-    "the row form is lead/lag windows + run-parity row_numbers "
-    "partitioned by doc, linear per round and the same construction "
-    "the oracle replays. Scale: each round is one pair-count shuffle "
-    "(vocabulary-bounded output) + doc-partitioned windows; K rounds "
-    "= K such passes, the honest cost of exact BPE at 100 TB.",
+    "Round-14 replan: the token stream lives as one ARRAY per "
+    "document (split(text)), each round = pair explode + the one "
+    "tiny shuffle + a per-row slice-concat rewrite over the sparse "
+    "match positions (_bpe_apply_merge) — NOT the naive O(len^2) "
+    "accumulator fold (measured 13 s/round and rejected in round 9), "
+    "and no longer the doc-partitioned window form either, which "
+    "re-exchanged and re-sorted the whole corpus stream every round "
+    "(28.2 s -> 10.3 s for the 10x build; rules and streams "
+    "byte-identical, same strict hashes). Scale: K rounds = K "
+    "pair-count shuffles whose map-side combine emits only the "
+    "distinct-pair table; the corpus itself never shuffles after the "
+    "initial repartition.",
 )
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    rows = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.posexplode(F.split("text", "")).alias("p0", "tok"),
-    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
-    rules = _bpe_merge_rounds(rows, "doc", _BPE_ROUNDS)
+    arrs = docs.select(
+        F.col("doc_id").alias("doc"), F.split("text", "").alias("a")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    rules, _arrs = _bpe_merge_arrays(arrs, _BPE_ROUNDS)
     return spark.createDataFrame(
         rules, "round int, left string, right string, pair_count bigint"
     )
@@ -1547,21 +1550,16 @@ def _bpe_encode_oracle() -> str:
 )
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    rows = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.posexplode(F.split("text", "")).alias("p0", "tok"),
-    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
-    _rules, enc = _bpe_merge_rounds(rows, "doc", _BPE_ROUNDS, return_rows=True)
-    stream = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-            lambda s: s["tok"],
-        ),
-        "\x01",
-    )
-    agg = enc.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.md5(stream).alias("stream_md5"),
+    arrs = docs.select(
+        F.col("doc_id").alias("doc"), F.split("text", "").alias("a")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    _rules, enc = _bpe_merge_arrays(arrs, _BPE_ROUNDS)
+    # the encoded stream IS the per-doc array: token count and stream
+    # fingerprint come straight off it — no explode, no re-sort
+    agg = enc.select(
+        "doc",
+        F.size("a").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("a", "\x01")).alias("stream_md5"),
     )
     return (
         docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
@@ -1640,18 +1638,22 @@ def _bpe_pack_oracle() -> str:
 )
 def q_text_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    rows = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.posexplode(F.split("text", "")).alias("p0", "tok"),
+    arrs = docs.select(
+        F.col("doc_id").alias("doc"), F.split("text", "").alias("a")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    _rules, enc_arr = _bpe_merge_arrays(arrs, _BPE_ROUNDS)
+    enc_arr = enc_arr.persist()  # consumed by vocab, id stream, AND counts
+    enc = enc_arr.select(
+        "doc", F.posexplode("a").alias("p0", "tok")
     ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
-    _rules, enc = _bpe_merge_rounds(rows, "doc", _BPE_ROUNDS, return_rows=True)
-    enc = enc.persist()  # consumed by the vocabulary AND the id stream
     wv = Window.orderBy("tok")  # vocabulary-sized: chars + merges
     vocab = (
         enc.select("tok").distinct().withColumn("tid", F.row_number().over(wv))
     )
     seq = enc.join(F.broadcast(vocab), "tok").select("doc", "pos", "tid")
-    cnt = seq.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # per-doc token counts straight off the arrays — no re-aggregation
+    # of the exploded stream
+    cnt = enc_arr.select("doc", F.size("a").cast("bigint").alias("n"))
     # Per-source running token offset via the two-level prefix
     # decomposition (the q_window_distribution_scalable pattern) —
     # a plain Window.partitionBy("source") running sum serializes an
@@ -1815,13 +1817,152 @@ def q_text_bpe_word_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
     )
     toks = F.concat(F.split("word", ""), F.array(F.lit("</w>")))
-    rows = words.select(
-        "word", "wc", F.posexplode(toks).alias("p0", "tok")
-    ).select("word", "wc", (F.col("p0") + 1).alias("pos"), "tok")
-    rules = _bpe_merge_rounds(rows, "word", _BPE_WORD_ROUNDS, weight="wc")
+    arrs = words.select("word", "wc", toks.alias("a"))
+    rules, _arrs = _bpe_merge_arrays(arrs, _BPE_WORD_ROUNDS, weight="wc")
     return spark.createDataFrame(
         rules, "round int, left string, right string, pair_count bigint"
     )
+
+
+def _bpe_pair_structs(a: F.Column) -> F.Column:
+    """Adjacent-pair structs of a token array — the pair-count input.
+    Guarded sequence: Spark's ``sequence(0, n-2)`` DESCENDS for n<2."""
+    n = F.size(a)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(a, i + 1).alias("l"), F.element_at(a, i + 2).alias("r")
+        ),
+    )
+
+
+def _bpe_apply_merge(a: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping application of merge
+    ``(left, right)`` to a token array, as ONE per-row expression —
+    no shuffle, no sort, no window. A match merges iff its rank in
+    its maximal run of consecutive matches is odd ('aaaa' + (a,a):
+    positions 1 and 3 merge, 2 doesn't — same semantics as the
+    certified window form and both oracles).
+
+    Evaluation-cost discipline (the round-13 expression-fold lesson):
+    every computed array appears only in ARGUMENT position of a
+    higher-order function — evaluated once per row — while lambda
+    bodies touch only plain attributes and their own element, so the
+    per-row cost is O(len + matches·len), never the O(len²) of the
+    naive accumulator-append fold (which the pre-round-14 docstring
+    measured at 13 s/round and correctly rejected)."""
+    n = F.size(a)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # match positions — sparse: lambda reads only the attribute `a`
+    mpos = F.filter(
+        idx,
+        lambda i: (F.element_at(a, i + 1) == left)
+        & (F.element_at(a, i + 2) == right),
+    )
+    # run-parity fold over the match positions: consecutive positions
+    # form a run; keep every other match from the run start
+    kept = F.aggregate(
+        mpos,
+        F.struct(
+            F.lit(-10).alias("prev"),
+            F.lit(-10).alias("ls"),
+            F.array().cast("array<int>").alias("out"),
+        ),
+        lambda acc, p: F.struct(
+            p.alias("prev"),
+            F.when(p == acc["prev"] + 1, acc["ls"]).otherwise(p).alias("ls"),
+            F.when(
+                (
+                    (p - F.when(p == acc["prev"] + 1, acc["ls"]).otherwise(p))
+                    % 2
+                )
+                == 0,
+                F.concat(acc["out"], F.array(p)),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    # rebuild by slice-concat over the kept positions (argument
+    # position: `kept` evaluates once per row)
+    return F.aggregate(
+        kept,
+        F.struct(
+            F.lit(0).alias("p0"), F.array().cast("array<string>").alias("out")
+        ),
+        lambda acc, p: F.struct(
+            (p + 2).alias("p0"),
+            F.concat(
+                acc["out"],
+                F.when(
+                    p - acc["p0"] > 0, F.slice(a, acc["p0"] + 1, p - acc["p0"])
+                ).otherwise(F.array().cast("array<string>")),
+                F.array(F.lit(left + right)),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.when(
+                n - acc["p0"] > 0, F.slice(a, acc["p0"] + 1, n - acc["p0"])
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+
+
+def _bpe_merge_arrays(
+    arrs: DataFrame,
+    n_rounds: int,
+    weight: str | None = None,
+):
+    """The shared BPE round machinery over per-sequence token ARRAYS
+    (round 14 replan — was doc-partitioned windows over (part, pos,
+    tok) rows): ``arrs`` carries one row per sequence with its token
+    array in column ``a`` (plus any carry columns, e.g. the word
+    table's weight). Per round: explode adjacent pairs, ONE pair-count
+    shuffle (map-side combine collapses it to the distinct-pair table,
+    weighted by ``weight`` when given), global argmax (count desc,
+    pair lexicographic), then the merge applied per row by
+    :func:`_bpe_apply_merge` — no corpus-sized exchange, no sort, no
+    window anywhere in the round. vs the window form at 10x sf0.1:
+    28.2 s -> 10.3 s for the 3-round build, identical rules and
+    streams (the pre-replan form re-sorted the whole stream every
+    round; here rounds touch only cached per-row arrays).
+
+    Returns ``(rules, arrs_after)`` where ``arrs_after`` holds the
+    corpus tokenized under the trained merge table."""
+    arrs = arrs.transform(_cache_point)
+    agg = (
+        (F.sum(weight) if weight else F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("c")
+    )
+    rules = []
+    for rnd in range(1, n_rounds + 1):
+        pair_cols = [F.col("p.l").alias("l"), F.col("p.r").alias("r")]
+        exploded = arrs.select(
+            F.explode(_bpe_pair_structs(F.col("a"))).alias("p"),
+            *([F.col(weight)] if weight else []),
+        )
+        best = (
+            exploded.groupBy(*pair_cols)
+            .agg(agg)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .first()
+        )
+        left, right, cnt = best["l"], best["r"], best["c"]
+        rules.append((rnd, left, right, int(cnt)))
+        others = [c for c in arrs.columns if c != "a"]
+        arrs = arrs.select(
+            *others, _bpe_apply_merge(F.col("a"), left, right).alias("a")
+        ).transform(_cache_point)
+    return rules, arrs
 
 
 def _bpe_merge_rounds(
@@ -1831,74 +1972,26 @@ def _bpe_merge_rounds(
     weight: str | None = None,
     return_rows: bool = False,
 ):
-    """The shared BPE round machinery over token rows ``(part, pos,
-    tok[, weight])``: per round, one pair-count shuffle (weighted by
-    ``weight`` when given — the word-count-table formulation counts
-    each unique word once, weighted by its corpus frequency), global
-    argmax (count desc, pair lexicographic), then greedy left-to-right
-    non-overlapping application as ONE window pass per sequence.
-
-    Greedy non-overlap without joins: a match merges iff its rank
-    inside its maximal run of consecutive matches is odd ('aaaa' +
-    (a,a): positions 1 and 3 merge, 2 doesn't — both oracles replay
-    the identical construction). rank-in-run = running-match-count
-    minus its value at the run start, both over the same (part, pos)
-    sort — one exchange per round.
-
-    ``return_rows=True`` also returns the post-merge token stream —
-    the ENCODE half: after the last round, ``rows`` is the corpus
-    tokenized under the trained merge table."""
-    rows = rows.transform(_cache_point)
-    keep = [part, "pos"] + ([weight] if weight else [])
-    wdoc = Window.partitionBy(part).orderBy("pos")
-    wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    agg = (F.sum(weight) if weight else F.count(F.lit(1))).cast("bigint").alias("c")
-    rules = []
-    for rnd in range(1, n_rounds + 1):
-        paired = rows.withColumn("nxt", F.lead("tok").over(wdoc))
-        best = (
-            paired.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
-            .agg(agg)
-            .orderBy(F.desc("c"), "l", "r")
-            .limit(1)
-            .first()
-        )
-        left, right, cnt = best["l"], best["r"], best["c"]
-        rules.append((rnd, left, right, int(cnt)))
-        match = (F.col("tok") == left) & (F.col("nxt") == right)
-        step = (
-            paired.withColumn("m", match)
-            .withColumn("mrank", F.sum(F.when(F.col("m"), 1).otherwise(0)).over(wrun))
-            .withColumn(
-                "run_start",
-                F.col("m") & ~F.coalesce(F.lag("m").over(wdoc), F.lit(False)),
-            )
-            .withColumn(
-                "run_mrank",
-                F.max(F.when(F.col("run_start"), F.col("mrank"))).over(wrun),
-            )
-            .withColumn(
-                "is_start",
-                F.col("m") & ((F.col("mrank") - F.col("run_mrank")) % 2 == 0),
-            )
-            .withColumn(
-                "consumed",
-                F.coalesce(F.lag("is_start").over(wdoc), F.lit(False)),
-            )
-        )
-        rows = (
-            step.filter(~F.col("consumed"))
-            .select(
-                *keep,
-                F.when(F.col("is_start"), F.lit(left + right))
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-            .withColumn("pos", F.row_number().over(wdoc))
-            .transform(_cache_point)
-        )
-    return (rules, rows) if return_rows else rules
+    """Rows-interface wrapper over :func:`_bpe_merge_arrays` (kept for
+    callers/tests that hold the token stream as ``(part, pos, tok[,
+    weight])`` rows): one entry groupBy assembles per-sequence arrays
+    in pos order, the rounds run array-form, and ``return_rows=True``
+    re-explodes the final arrays with contiguous 1-based positions —
+    byte-identical to the pre-round-14 window form's output."""
+    keep = [part] + ([weight] if weight else [])
+    arrs = rows.groupBy(*keep).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ).alias("a")
+    )
+    rules, arrs = _bpe_merge_arrays(arrs, n_rounds, weight=weight)
+    if not return_rows:
+        return rules
+    out = arrs.select(
+        *keep, F.posexplode("a").alias("p0", "tok")
+    ).select(*keep, (F.col("p0") + 1).alias("pos"), "tok")
+    return rules, out
 
 
 # ------------------------------------------- quality-classifier training
