@@ -83,6 +83,11 @@ HEADLINE = [
     # end-to-end LLM-training-data prep (quality -> dedup -> sample in
     # one shuffle) — the composite number a 100 TB pipeline cares about
     "q_pipeline_prepare",
+    # lakehouse headliner (round 14, verdict ask #7): the snapshot
+    # format's full write->delete(MoR both kinds)->Arrow-read lifecycle
+    # — manifest planning + executor-side delete application get
+    # canary-tracked instead of moving only in parity artifacts
+    "q_scan_snapshot_source",
 ]
 
 

@@ -621,6 +621,189 @@ def _progress_records(query) -> list[dict]:
     return out
 
 
+def run_cdc_scale(
+    spark,
+    sf_dir: str = "/root/testdata/sf0.1",
+    factors=(1, 10),
+    out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+    cap_mb: float = 0.5,
+    n_commits: int = 4,
+    files_per_commit: int = 8,
+    timeout_s: float = 300.0,
+) -> Iterator[dict]:
+    """Rate-limited CDC over a factor-staged MULTI-FILE commit history
+    (round 14, verdict ask #6 — the streaming half of the 10x stress):
+    the factor-N documents corpus lands in a snapshot table as
+    ``n_commits`` commits x ``files_per_commit`` files (with manifest
+    byte stats, so admission budgets without stat() calls), then two
+    measurements:
+
+    1. **Admission walk** — drive the stream reader's offset protocol
+       directly (latestOffset/partitions/commit) under
+       ``maxBytesPerTrigger = cap_mb`` and record every batch's file
+       count and manifest bytes. The per-batch invariant: bytes <=
+       cap + one file's overshoot (the reader always admits at least
+       one file); batch COUNT must scale ~linearly with corpus bytes
+       at a fixed cap — a super-linear batch count would mean the
+       planner re-reads history per trigger.
+    2. **Stateful consumption** — a real rate-limited stream with a
+       ``groupBy(source).count()`` aggregate: per-batch input rows and
+       state-store rows from query progress. State rows must stay
+       bounded by |sources| (constant across factors), never grow
+       with corpus rows or batch count — the state ~ keys claim under
+       admission control.
+    """
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.readers import load_table
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        SnapshotChangesStreamReader,
+        register_snapshot_changes_source,
+    )
+
+    register_snapshot_changes_source(spark)
+    cap = int(cap_mb * 1024 * 1024)
+    for factor in factors:
+        corpus = synthesize_corpus(sf_dir, factor, out_dir)
+        # the FULL text rides in the commits: admitted bytes must be
+        # real data volume, not a 3-column skeleton
+        docs = load_table(spark, corpus, "documents").select(
+            "doc_id", "source", "text"
+        )
+        total_rows = docs.count()
+        n_sources = docs.select("source").distinct().count()
+        root = _tempfile.mkdtemp(prefix="bfs_mr_cdc_scale_")
+        t0 = _time.perf_counter()
+        v = 0
+        for i in range(n_commits):
+            part = docs.filter(
+                F.col("doc_id") % n_commits == i
+            ).repartition(files_per_commit)
+            files = ts.stage_files(part, root)
+            v = ts.commit(
+                root,
+                files,
+                base_version=v,
+                stats=ts.collect_stats(files, []),
+                schema=part.schema.json(),
+            )
+        commit_wall = round(_time.perf_counter() - t0, 3)
+
+        # 1) admission walk: per-batch files/bytes straight off the
+        # reader protocol — deterministic, no Spark query machinery
+        m = ts.read_manifest(root)
+        bytes_of = {
+            p: int((s or {}).get("bytes") or 0)
+            for p, s in (m.get("stats") or {}).items()
+        }
+        rdr = SnapshotChangesStreamReader(
+            {
+                "path": root,
+                "startingVersion": "0",
+                "maxBytesPerTrigger": str(cap),
+            }
+        )
+        t1 = _time.perf_counter()
+        off = rdr.initialOffset()
+        batches = []
+        while True:
+            nxt = rdr.latestOffset()
+            if nxt == off:
+                break
+            parts = rdr.partitions(off, nxt)
+            batches.append(
+                {
+                    "files": len(parts),
+                    "bytes": sum(bytes_of.get(p.path, 0) for p in parts),
+                }
+            )
+            rdr.commit(nxt)
+            off = nxt
+        walk_wall = round(_time.perf_counter() - t1, 3)
+        max_file = max(bytes_of.values()) if bytes_of else 0
+        over_cap = [
+            i
+            for i, b in enumerate(batches)
+            if b["bytes"] > cap + max_file
+        ]
+
+        # 2) real stream: capped source -> stateful count by source
+        ck = _tempfile.mkdtemp(prefix="bfs_mr_cdc_ck_")
+        agg = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .option("startingVersion", 0)
+            .option("maxBytesPerTrigger", cap)
+            .load()
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        qname = f"cdc_scale_{factor}"
+        t2 = _time.perf_counter()
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        consumed = 0
+        state_rows = 0
+        per_batch_rows: list[int] = []
+        deadline = _time.time() + timeout_s
+        seen_batch = set()
+        while consumed < total_rows and _time.time() < deadline:
+            _time.sleep(0.3)
+            for pr in q.recentProgress:
+                bid = pr["batchId"]
+                if bid in seen_batch:
+                    continue
+                seen_batch.add(bid)
+                rows = int(pr["numInputRows"])
+                if rows:
+                    per_batch_rows.append(rows)
+                consumed += rows
+                for so in pr.get("stateOperators") or []:
+                    state_rows = max(state_rows, int(so["numRowsTotal"]))
+        q.stop()
+        stream_wall = round(_time.perf_counter() - t2, 3)
+        final = {
+            r["source"]: r["n"]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+        yield {
+            "factor": factor,
+            "corpus": corpus,
+            "cap_bytes": cap,
+            "n_commits": n_commits,
+            "files_per_commit": files_per_commit,
+            "total_rows": total_rows,
+            "total_bytes": sum(bytes_of.values()),
+            "commit_wall_sec": commit_wall,
+            "walk": {
+                "n_batches": len(batches),
+                "max_batch_bytes": max(b["bytes"] for b in batches),
+                "min_batch_bytes": min(b["bytes"] for b in batches),
+                "over_cap_batches": over_cap,
+                "wall_sec": walk_wall,
+            },
+            "stream": {
+                "rows_consumed": consumed,
+                "n_batches": len(per_batch_rows),
+                "max_batch_rows": max(per_batch_rows, default=0),
+                "state_rows": state_rows,
+                "n_sources": n_sources,
+                "sum_final_counts": sum(final.values()),
+                "wall_sec": stream_wall,
+            },
+        }
+
+
 STATE_STORE_PROVIDERS = {
     "hdfs": "org.apache.spark.sql.execution.streaming.state."
     "HDFSBackedStateStoreProvider",

@@ -200,6 +200,30 @@ def _bench_llm(args: argparse.Namespace) -> int:
     return 0
 
 
+def _bench_cdc(args: argparse.Namespace) -> int:
+    """Rate-limited CDC admission + stateful consumption vs corpus
+    factor (BASELINE.md round-14 table)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import run_cdc_scale
+
+    spark, owned = _owned_session(app_name="bench_cdc_scale")
+    try:
+        for rec in run_cdc_scale(
+            spark,
+            sf_dir=args.sf_dir,
+            factors=args.factor or (1, 10),
+            out_dir=args.out_dir,
+            cap_mb=args.cap_mb,
+        ):
+            print(json.dumps(rec))
+            sys.stdout.flush()
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def _bench_stream(args: argparse.Namespace) -> int:
     """Streaming state-store pressure: rows/s + state rows/bytes per
     micro-batch under a key-cardinality ramp (BASELINE.md table)."""
@@ -491,6 +515,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     bl.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
     bl.set_defaults(fn=_bench_llm)
+
+    bc = sub.add_parser(
+        "bench-cdc",
+        help="rate-limited CDC over a factor-staged multi-file commit "
+        "history: per-batch admitted bytes vs cap + state rows "
+        "(JSON line per factor)",
+    )
+    bc.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    bc.add_argument(
+        "--factor",
+        type=int,
+        action="append",
+        help="corpus multiplier (repeatable; default 1 and 10)",
+    )
+    bc.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
+    bc.add_argument(
+        "--cap-mb",
+        type=float,
+        default=0.5,
+        help="maxBytesPerTrigger for the stream, in MiB",
+    )
+    bc.set_defaults(fn=_bench_cdc)
 
     bs = sub.add_parser(
         "bench-stream",

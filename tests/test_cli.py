@@ -271,3 +271,44 @@ def test_retention_keep_last_zero_cannot_destroy_table(spark, tmp_path, capsys):
     assert sorted(r.k for r in ts.read(spark, root).collect()) == list(
         range(20)
     )
+
+
+def test_cli_bench_cdc_admission(capsys, tmp_path):
+    """bench-cdc (round 14): rate-limited CDC over a factor-staged
+    multi-file commit history — per-batch admitted bytes never exceed
+    cap + one file's overshoot, every staged row is delivered exactly
+    once, and the stateful count's state rows stay |sources|-bounded
+    (never corpus- or batch-scaled)."""
+    import json
+
+    from bfs_mapreduce_spark.cli import main
+
+    rc = main(
+        [
+            "bench-cdc",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--factor",
+            "1",
+            "--factor",
+            "2",
+            "--cap-mb",
+            "0.02",
+            "--out-dir",
+            str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    recs = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert [r["factor"] for r in recs] == [1, 2]
+    for r in recs:
+        assert r["walk"]["over_cap_batches"] == []  # cap held per batch
+        assert r["stream"]["rows_consumed"] == r["total_rows"]  # exactly once
+        assert r["stream"]["sum_final_counts"] == r["total_rows"]
+        assert r["stream"]["state_rows"] == r["stream"]["n_sources"]
+    # batch count grows with corpus bytes at a fixed cap — and never
+    # super-linearly (a super-linear count would mean per-trigger
+    # planning re-reads history)
+    b1, b2 = (r["walk"]["n_batches"] for r in recs)
+    assert b2 >= b1
+    assert b2 <= 2 * b1 + 2
