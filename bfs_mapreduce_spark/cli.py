@@ -348,6 +348,9 @@ def _snapshot_optimize(args: argparse.Namespace) -> int:
         elif args.rewrite_manifests:
             v = ts.rewrite_manifests(args.root)
             op = "rewrite_manifests"
+        elif args.repartition:
+            v = ts.rewrite_partitioned(spark, args.root)
+            op = "rewrite_partitioned"
         else:
             v = ts.compact(spark, args.root, n_files=args.n_files)
             op = "compact"
@@ -578,6 +581,12 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("root")
     so.add_argument("--zorder", nargs=2, metavar=("COLA", "COLB"))
     so.add_argument("--rewrite-manifests", action="store_true")
+    so.add_argument(
+        "--repartition",
+        action="store_true",
+        help="rewrite live rows clustered under the CURRENT partition "
+        "spec (the OPTIMIZE half of spec evolution, round 14)",
+    )
     so.add_argument("--n-files", type=int, default=8)
     so.set_defaults(fn=_snapshot_optimize)
 

@@ -28,13 +28,20 @@ Data files are REFERENCED in place (Iceberg metadata points at
 absolute paths; no data is copied or rewritten) — the export is
 O(versions × files) metadata, zero data bytes.
 
+Partition specs export faithfully for identity and truncate
+transforms (round 14: one Iceberg partition spec per spec_log era,
+one manifest per (snapshot, spec) as the spec requires, per-file
+tuples in ``data_file.partition``) — our truncate is floor(v/W)*W
+toward -inf, exactly Iceberg's int truncate[W].
+
 Honest boundaries: snapshot versions carrying live position/equality
 deletes are SKIPPED (exporting them as plain data manifests would
-resurrect deleted rows; compact() first to materialize), and the
-export maps the table as unpartitioned (spec-id 0 — partition tuples
-are an I/O hint our reader re-derives; a future round can emit real
-specs from the spec_log). Both are reported in the export summary,
-never silent.
+resurrect deleted rows; compact() first to materialize), and BUCKET
+spec eras fall back to the unpartitioned spec 0 — engine buckets are
+pmod by design (so the SQL oracle can reproduce bucket ids), Iceberg's
+are murmur3, and exporting a different hash under the same transform
+name would make a real reader prune WRONG files. Both are reported in
+the export summary (``skipped`` / ``spec_skipped``), never silent.
 
 Reference provenance: the reference repo has no lakehouse at all
 (233-LoC Ray BFS — Graph.py:2-16); this module is part of the
@@ -78,12 +85,25 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 # Iceberg spec "Manifests": record manifest_entry with the nested
-# data_file record (r2). The unpartitioned partition tuple is an empty
-# struct (r102). Optional column-stats maps are omitted (optional in
-# the spec).
+# data_file record (r2). The partition tuple record (r102) is typed
+# per the manifest's partition spec — empty for unpartitioned, one
+# nullable field per partition field otherwise (round 14: identity
+# and truncate specs export faithfully; see export docstring for the
+# bucket boundary). Optional column-stats maps are omitted (optional
+# in the spec).
 
 
-def _manifest_entry_schema() -> dict:
+def _manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+    pf = []
+    for f in partition_fields or []:
+        pf.append(
+            {
+                "name": f["name"],
+                "type": ["null", f["avro_type"]],
+                "default": None,
+                "field-id": f["field-id"],
+            }
+        )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -123,7 +143,7 @@ def _manifest_entry_schema() -> dict:
                             "type": {
                                 "type": "record",
                                 "name": "r102",
-                                "fields": [],
+                                "fields": pf,
                             },
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
@@ -169,6 +189,19 @@ def _iceberg_type(spark_type) -> str:
         f"Spark type {spark_type!r} has no Iceberg primitive mapping here "
         "(nested/struct columns are out of this exporter's scope)"
     )
+
+
+# Iceberg primitive -> Avro primitive, for partition-tuple records in
+# manifests (spec "Avro" appendix; only the types a partition field of
+# this exporter can take)
+_AVRO_OF_ICE = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+}
 
 
 # Iceberg primitive -> Spark cast target (for NULL-filled columns on
@@ -233,9 +266,10 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
     place), manifest lists + manifests as from-spec Avro, and
     ``v1.metadata.json``. Returns a summary dict: ``location``,
     ``metadata_file``, ``exported`` (version -> snapshot-id),
-    ``skipped`` (version -> reason). See the module docstring for the
-    two honest boundaries (delete-carrying versions skip; export is
-    unpartitioned)."""
+    ``skipped`` (version -> reason), ``spec_skipped`` (spec era ->
+    reason). See the module docstring for the honest boundaries
+    (delete-carrying versions skip; bucket spec eras export under the
+    unpartitioned spec 0)."""
     latest = ts.current_version(root)
     if latest < 1:
         raise ValueError(f"snapshot table {root!r} has no commits")
@@ -271,6 +305,103 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
         {"field-id": fid, "names": names} for fid, names in sorted(names_by_id.items())
     ]
 
+    # partition specs (round 14, boundary closed for identity/truncate):
+    # every spec_log era maps to an Iceberg partition spec — identity
+    # exports as-is; our truncate (floor(v/W)*W, toward -inf) matches
+    # Iceberg's int truncate[W] exactly; BUCKET stays a recorded
+    # fallback to spec 0 (ours is pmod by design so the SQL oracle can
+    # reproduce bucket ids — Iceberg's is murmur3, and exporting a
+    # different hash under the same transform name would make a real
+    # reader prune WRONG files: a lie, not a boundary). Per-file
+    # tuples ride in data_file.partition, one manifest per
+    # (snapshot, spec) as the spec requires.
+    ice_type_of = {}
+    for s in schemas:
+        for f in s["fields"]:
+            ice_type_of.setdefault(f["id"], f["type"])
+    fid_of_name = {
+        n: fid for fid, names in names_by_id.items() for n in names
+    }
+    slog = [list(e) for e in (cur.get("spec_log") or [])]
+    if not slog and cur.get("partition_spec"):
+        slog = [[0, [list(t) for t in cur["partition_spec"]]]]
+    spec_entries = [{"spec-id": 0, "fields": []}]  # 0 = unpartitioned
+    specid_of_era: dict[int, int] = {}
+    pfields_of_spec: dict[int, list[dict]] = {0: []}
+    spec_skipped: dict[int, str] = {}
+    pfid = 1000
+    for ver, sp in slog:
+        fields = []
+        reason = None
+        for t in sp:
+            t = tuple(t)
+            kind, col = t[0], t[1]
+            sid = fid_of_name.get(col)
+            if sid is None:
+                reason = f"spec source column {col!r} has no field id"
+                break
+            ice = ice_type_of.get(sid, "long")
+            if kind == "identity":
+                transform, ftype = "identity", ice
+            elif kind == "truncate":
+                transform, ftype = f"truncate[{int(t[2])}]", "long"
+            else:  # bucket: pmod, not murmur3 — never export a lie
+                reason = (
+                    f"transform {kind!r} on {col!r}: engine buckets are "
+                    "pmod (oracle-reproducible), not Iceberg murmur3 — "
+                    "files of this era export under spec 0"
+                )
+                break
+            if ftype not in _AVRO_OF_ICE:
+                reason = f"partition type {ftype!r} not avro-primitive"
+                break
+            fields.append(
+                {
+                    "name": ts.partition_field_name(t),
+                    "transform": transform,
+                    "source-id": sid,
+                    "field-id": pfid,
+                    "avro_type": _AVRO_OF_ICE[ftype],
+                    "ice_type": ftype,
+                }
+            )
+            pfid += 1
+        if reason is None and fields:
+            spec_id = len(spec_entries)
+            spec_entries.append(
+                {
+                    "spec-id": spec_id,
+                    "fields": [
+                        {k: f[k] for k in ("name", "transform", "source-id", "field-id")}
+                        for f in fields
+                    ],
+                }
+            )
+            pfields_of_spec[spec_id] = fields
+            specid_of_era[ver] = spec_id
+        else:
+            specid_of_era[ver] = 0
+            if reason:
+                spec_skipped[ver] = reason
+
+    def file_spec_id(parts: dict, f: str) -> tuple[int, dict]:
+        tup = (parts or {}).get(f)
+        if tup is None or not slog:
+            return 0, {}
+        sv = tup.get("__spec", slog[0][0])
+        chosen = slog[0][0]
+        for ver, _sp in slog:
+            if ver <= sv:
+                chosen = ver
+            else:
+                break
+        spec_id = specid_of_era.get(chosen, 0)
+        vals = {
+            pf["name"]: tup.get(pf["name"])
+            for pf in pfields_of_spec.get(spec_id, [])
+        }
+        return spec_id, vals
+
     exported: dict[int, int] = {}
     skipped: dict[int, str] = {}
     snapshots = []
@@ -294,18 +425,23 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
             else set()
         )
         stats = m.get("stats") or {}
-        entries = []
-        added_files = added_rows = existing_files = existing_rows = 0
+        parts_map = m.get("partitions") or {}
+        # one manifest per partition spec present in this snapshot
+        # (the spec's rule: a manifest's entries share ONE spec)
+        by_spec: dict[int, list[dict]] = {}
+        counts: dict[int, list[int]] = {}  # spec -> [af, ar, ef, er]
         for f in m["files"]:
             rows = _file_rows(f, stats)
             is_new = f not in parent_files
+            spec_id, pvals = file_spec_id(parts_map, f)
+            c = counts.setdefault(spec_id, [0, 0, 0, 0])
             if is_new:
-                added_files += 1
-                added_rows += rows
+                c[0] += 1
+                c[1] += rows
             else:
-                existing_files += 1
-                existing_rows += rows
-            entries.append(
+                c[2] += 1
+                c[3] += rows
+            by_spec.setdefault(spec_id, []).append(
                 {
                     "status": 1 if is_new else 0,  # 1=ADDED, 0=EXISTING
                     "snapshot_id": snap_id,
@@ -315,7 +451,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                         "content": 0,  # 0=DATA
                         "file_path": f,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": pvals,
                         "record_count": rows,
                         "file_size_in_bytes": int(
                             (stats.get(f) or {}).get("bytes")
@@ -335,44 +471,50 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
             era_sid = sid_of_json[chosen]
         elif era_jsons:
             era_sid = current_schema_id
-        manifest_path = os.path.join(meta_dir, f"manifest-{snap_id}.avro")
-        write_avro(
-            manifest_path,
-            _manifest_entry_schema(),
-            entries,
-            extra_meta={
-                "schema": json.dumps(
-                    schemas[era_sid], separators=(",", ":")
-                ).encode(),
-                "schema-id": str(era_sid).encode(),
-                "partition-spec": b"[]",
-                "partition-spec-id": b"0",
-                "format-version": b"2",
-                "content": b"data",
-            },
-        )
-        list_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-        write_avro(
-            list_path,
-            _MANIFEST_LIST_SCHEMA,
-            [
+        list_rows = []
+        for spec_id in sorted(by_spec):
+            pfields = pfields_of_spec.get(spec_id, [])
+            manifest_path = os.path.join(
+                meta_dir, f"manifest-{snap_id}-{spec_id}.avro"
+            )
+            write_avro(
+                manifest_path,
+                _manifest_entry_schema(pfields),
+                by_spec[spec_id],
+                extra_meta={
+                    "schema": json.dumps(
+                        schemas[era_sid], separators=(",", ":")
+                    ).encode(),
+                    "schema-id": str(era_sid).encode(),
+                    "partition-spec": json.dumps(
+                        spec_entries[spec_id]["fields"],
+                        separators=(",", ":"),
+                    ).encode(),
+                    "partition-spec-id": str(spec_id).encode(),
+                    "format-version": b"2",
+                    "content": b"data",
+                },
+            )
+            af, ar, ef, er = counts[spec_id]
+            list_rows.append(
                 {
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": spec_id,
                     "content": 0,  # 0=data manifests
                     "sequence_number": v,
                     "min_sequence_number": 1,
                     "added_snapshot_id": snap_id,
-                    "added_files_count": added_files,
-                    "existing_files_count": existing_files,
+                    "added_files_count": af,
+                    "existing_files_count": ef,
                     "deleted_files_count": 0,
-                    "added_rows_count": added_rows,
-                    "existing_rows_count": existing_rows,
+                    "added_rows_count": ar,
+                    "existing_rows_count": er,
                     "deleted_rows_count": 0,
                 }
-            ],
-        )
+            )
+        list_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        write_avro(list_path, _MANIFEST_LIST_SCHEMA, list_rows)
         ts_ms = int(os.path.getmtime(ts._manifest_path(root, v)) * 1000)
         op = m.get("operation") or "append"
         snapshots.append(
@@ -405,9 +547,11 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
         "last-column-id": max_fid,
         "schemas": schemas,
         "current-schema-id": current_schema_id,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-spec-id": 0,
-        "last-partition-id": 999,  # partition field ids start at 1000
+        "partition-specs": spec_entries,
+        "default-spec-id": (
+            specid_of_era[slog[-1][0]] if slog else 0
+        ),
+        "last-partition-id": pfid - 1,  # partition field ids start at 1000
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {
@@ -430,6 +574,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
         "metadata_file": metadata_file,
         "exported": exported,
         "skipped": skipped,
+        "spec_skipped": spec_skipped,
     }
 
 

@@ -78,6 +78,12 @@ class SnapshotBatchReader(DataSourceReader):
         # all — the earliest possible cut, upstream of footer stats
         pe = options.get("partitionEq")
         self._part_eq = json.loads(pe) if pe else None
+        # SOURCE-column pruning across spec evolution (round 14): a
+        # JSON dict of source column -> required value; each file
+        # prunes under the spec it was WRITTEN with (spec_log eras) —
+        # the DataSource twin of read_partition_pruned_src
+        pse = options.get("partitionSrcEq")
+        self._part_src_eq = json.loads(pse) if pse else None
         newest = self._m["files"][-1] if self._m["files"] else None
         self._arrow_schema = _arrow_schema_for(self._m.get("schema"), newest)
 
@@ -88,6 +94,10 @@ class SnapshotBatchReader(DataSourceReader):
         files = m["files"]
         if self._part_eq:
             files, _ = ts.prune_partitions(m, self._part_eq)
+        if self._part_src_eq:
+            kept, _ = ts.prune_partitions_source(m, self._part_src_eq)
+            keep = set(kept)
+            files = [f for f in files if f in keep]
         added_era = m.get("_added_era") or {}
         cmap_by_era: dict[int, dict | None] = {}
         out = []

@@ -3303,3 +3303,153 @@ def test_iceberg_export_read_roundtrip(spark, tmp_path):
     assert hdr["name"] == "manifest_entry"
     fid_of = {f["name"]: f.get("field-id") for f in hdr["fields"]}
     assert fid_of["status"] == 0 and fid_of["data_file"] == 2
+
+
+def test_snapshot_source_partition_src_eq(spark, tmp_path, capsys):
+    """The snapshot DataSource's partitionSrcEq option prunes by
+    SOURCE column across spec evolution (DataFrame-path parity), and
+    the CLI's snapshot-optimize --repartition rewrites under the
+    current spec."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("day")
+    )
+    spec1 = [("identity", "day")]
+    f1, p1 = ts.stage_files_partitioned(d1, root, spec1)
+    v = ts.commit(
+        root, f1, base_version=0, schema=d1.schema.json(),
+        partition_spec=spec1, partitions=p1,
+    )
+    v = ts.evolve_partition_spec(root, [("bucket", "k", 4)])
+    d2 = spark.range(12, 24).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("day")
+    )
+    f2, p2 = ts.stage_files_partitioned(d2, root, [("bucket", "k", 4)])
+    ts.commit(root, f2, base_version=v, partitions=p2)
+    register_snapshot_source(spark)
+    ds = (
+        spark.read.format("snapshot")
+        .option("path", root)
+        .option("partitionSrcEq", json.dumps({"day": 1}))
+        .load()
+    )
+    kept, skipped = ts.prune_partitions_source(
+        ts.read_manifest(root), {"day": 1}
+    )
+    # the pruned scan plans exactly the kept files (python DataSources
+    # expose no inputFiles; row-count identity is the executed proof)
+    assert skipped
+    assert ds.count() == spark.read.parquet(*kept).count()
+    got = sorted(r["k"] for r in ds.filter("day = 1").collect())
+    assert got == [k for k in range(24) if k % 3 == 1]
+    # OPTIMIZE --repartition from the shell: whole table under bucket(4,k)
+    rc = main(["snapshot-optimize", root, "--repartition"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["op"] == "rewrite_partitioned"
+    m = ts.read_manifest(root)
+    kept_k, skipped_k = ts.prune_partitions_source(m, {"k": 5})
+    assert skipped_k and len(kept_k) < len(m["files"])
+    assert sorted(r["k"] for r in ts.read(spark, root).collect()) == list(
+        range(24)
+    )
+
+
+def test_iceberg_export_partition_specs(spark, tmp_path):
+    """Round-14 boundary closed: identity/truncate spec eras export as
+    real Iceberg partition specs (one manifest per (snapshot, spec),
+    per-file tuples in data_file.partition); bucket eras fall back to
+    spec 0 with a recorded reason (pmod != murmur3 — never a lie)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.avro_py import read_avro, read_avro_header
+
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "ice")
+    os.makedirs(root)
+    d1 = spark.range(9).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("day")
+    )
+    spec1 = [("identity", "day")]
+    f1, p1 = ts.stage_files_partitioned(d1, root, spec1)
+    v = ts.commit(
+        root, f1, base_version=0, schema=d1.schema.json(),
+        partition_spec=spec1, partitions=p1,
+    )
+    v = ts.evolve_partition_spec(root, [("truncate", "k", 4)])
+    d2 = spark.range(9, 17).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("day")
+    )
+    f2, p2 = ts.stage_files_partitioned(d2, root, [("truncate", "k", 4)])
+    v = ts.commit(root, f2, base_version=v, partitions=p2)
+    v_bucket = ts.evolve_partition_spec(root, [("bucket", "k", 4)])
+    d3 = spark.range(17, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("day")
+    )
+    f3, p3 = ts.stage_files_partitioned(d3, root, [("bucket", "k", 4)])
+    ts.commit(root, f3, base_version=v_bucket, partitions=p3)
+
+    summary = im.export_iceberg_metadata(root, out)
+    assert v_bucket in summary["spec_skipped"]
+    assert "murmur3" in summary["spec_skipped"][v_bucket]
+    md = json.load(open(summary["metadata_file"]))
+    specs = {s["spec-id"]: s for s in md["partition-specs"]}
+    assert specs[0]["fields"] == []
+    by_tf = {
+        f["transform"]: f
+        for s in md["partition-specs"]
+        for f in s["fields"]
+    }
+    assert "identity" in by_tf and "truncate[4]" in by_tf
+    assert by_tf["identity"]["field-id"] >= 1000
+    assert md["last-partition-id"] == max(
+        f["field-id"] for s in md["partition-specs"] for f in s["fields"]
+    )
+    # the current snapshot's manifest list: one manifest per spec
+    snap = md["snapshots"][-1]
+    _s, mrows = read_avro(snap["manifest-list"])
+    spec_ids = sorted(r["partition_spec_id"] for r in mrows)
+    assert 0 in spec_ids and len(spec_ids) == len(set(spec_ids)) >= 3
+    # a partitioned manifest carries typed per-file tuples + header spec
+    for r in mrows:
+        hdr, _c, _sy, _o = read_avro_header(r["manifest_path"])
+        assert hdr["name"] == "manifest_entry"
+        psid = r["partition_spec_id"]
+        _schema, entries = read_avro(r["manifest_path"])
+        for e in entries:
+            pv = e["data_file"]["partition"]
+            if psid == 0:
+                assert pv == {}
+            else:
+                want = {f["name"] for f in specs[psid]["fields"]}
+                assert set(pv) == want and all(
+                    pv[k] is not None for k in pv
+                )
+    # identity-era file tuples hold the actual day values
+    ident_manifest = next(
+        r for r in mrows
+        if specs[r["partition_spec_id"]]["fields"]
+        and specs[r["partition_spec_id"]]["fields"][0]["transform"] == "identity"
+    )
+    _s2, ident_entries = read_avro(ident_manifest["manifest_path"])
+    assert sorted(e["data_file"]["partition"]["day"] for e in ident_entries) == [0, 1, 2]
+    # values still round-trip through the generic read
+    cur = im.read_iceberg_table(spark, out)
+    assert sorted(r["k"] for r in cur.collect()) == list(range(20))
