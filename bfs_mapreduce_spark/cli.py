@@ -361,6 +361,22 @@ def _snapshot_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def _snapshot_export_iceberg(args: argparse.Namespace) -> int:
+    """Export a snapshot table as Iceberg v2 metadata (round 14) and
+    print the summary + the exported table's snapshot history."""
+    import json
+
+    from bfs_mapreduce_spark.sources.iceberg_meta import (
+        export_iceberg_metadata,
+        iceberg_history,
+    )
+
+    summary = export_iceberg_metadata(args.root, args.out)
+    summary["history"] = iceberg_history(args.out)
+    print(json.dumps(summary))
+    return 0
+
+
 def _snapshot_restore(args: argparse.Namespace) -> int:
     """RESTORE TABLE ... TO VERSION AS OF: republish an old version's
     state as a new commit (audit-preserving rollback). Manifests only."""
@@ -610,6 +626,16 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--retain-hours", type=float)
     sv.add_argument("--retain-from", type=int)
     sv.set_defaults(fn=_snapshot_vacuum)
+
+    se = sub.add_parser(
+        "snapshot-export-iceberg",
+        help="export a snapshot table as Iceberg v2 metadata "
+        "(metadata.json + Avro manifest lists/manifests, data files "
+        "referenced in place); prints the export summary + history",
+    )
+    se.add_argument("root")
+    se.add_argument("out", help="Iceberg table directory to write metadata/ under")
+    se.set_defaults(fn=_snapshot_export_iceberg)
 
     sf_ = sub.add_parser(
         "snapshot-ref",

@@ -104,6 +104,8 @@ _HEADLINERS: tuple[str, ...] = (
     "q_graph_bfs_histogram",
     "q_similarity_ivfpq_spill",
     "q_pipeline_prepare",
+    # lakehouse headliner (round 14, verdict ask #7)
+    "q_scan_snapshot_source",
 )
 
 # The driver's per-round verification budget (first WINDOW entries of

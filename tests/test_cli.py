@@ -312,3 +312,32 @@ def test_cli_bench_cdc_admission(capsys, tmp_path):
     b1, b2 = (r["walk"]["n_batches"] for r in recs)
     assert b2 >= b1
     assert b2 <= 2 * b1 + 2
+
+
+def test_cli_snapshot_export_iceberg(spark, tmp_path, capsys):
+    """snapshot-export-iceberg writes v2 metadata and prints the
+    summary + history; the exported layout reads back."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.iceberg_meta import read_iceberg_table
+
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "ice")
+    os.makedirs(root)
+    d = spark.range(8).select(F.col("id").alias("k"))
+    ts.commit(
+        root, ts.stage_files(d, root), base_version=0, schema=d.schema.json()
+    )
+    rc = main(["snapshot-export-iceberg", root, out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["exported"] == {"1": 1} or summary["exported"] == {1: 1}
+    assert summary["history"][0]["is_current"]
+    assert sorted(
+        r["k"] for r in read_iceberg_table(spark, out).collect()
+    ) == list(range(8))
