@@ -621,14 +621,25 @@ def iceberg_snapshot_files(
     files: list[str] = []
     for mrow in manifest_rows:
         if mrow.get("content", 0) != 0:
-            continue  # delete manifests: not data
+            # a DELETE manifest: skipping it would silently resurrect
+            # deleted rows — refuse until the reader applies v2
+            # position/equality delete files
+            raise NotImplementedError(
+                f"snapshot {sid} carries a delete manifest "
+                f"({mrow['manifest_path']}): this reader does not apply "
+                "Iceberg v2 delete files yet, and ignoring them would "
+                "return deleted rows"
+            )
         _es, entries = read_avro(mrow["manifest_path"])
         for e in entries:
-            if e["status"] == 2:  # DELETED
+            if e["status"] == 2:  # DELETED entry: file left the table
                 continue
             df_ = e["data_file"]
             if df_.get("content", 0) != 0:
-                continue
+                raise NotImplementedError(
+                    f"delete file {df_['file_path']!r} listed in a data "
+                    "manifest: v2 delete files are not applied here"
+                )
             if df_["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"data file format {df_['file_format']!r}"
