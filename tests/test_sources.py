@@ -3453,3 +3453,36 @@ def test_iceberg_export_partition_specs(spark, tmp_path):
     # values still round-trip through the generic read
     cur = im.read_iceberg_table(spark, out)
     assert sorted(r["k"] for r in cur.collect()) == list(range(20))
+
+
+def test_iceberg_reader_refuses_delete_manifests(spark, tmp_path):
+    """A foreign Iceberg table with v2 delete manifests must REFUSE,
+    not silently return resurrected rows (round 14)."""
+    import json
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.avro_py import read_avro, write_avro
+
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "ice")
+    os.makedirs(root)
+    d = spark.range(4).select(F.col("id").alias("k"))
+    ts.commit(
+        root, ts.stage_files(d, root), base_version=0, schema=d.schema.json()
+    )
+    summary = im.export_iceberg_metadata(root, out)
+    md = json.load(open(summary["metadata_file"]))
+    # forge a delete manifest into the current snapshot's manifest list
+    lp = md["snapshots"][-1]["manifest-list"]
+    sch, rows = read_avro(lp)
+    fake = dict(rows[0])
+    fake["content"] = 1  # DELETES manifest
+    write_avro(lp, sch, rows + [fake])
+    with pytest.raises(NotImplementedError, match="delete manifest"):
+        im.read_iceberg_table(spark, out)
