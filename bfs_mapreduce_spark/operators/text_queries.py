@@ -1850,69 +1850,93 @@ def _bpe_apply_merge(a: F.Column, left: str, right: str) -> F.Column:
     Evaluation-cost discipline (the round-13 expression-fold lesson):
     every computed array appears only in ARGUMENT position of a
     higher-order function — evaluated once per row — while lambda
-    bodies touch only plain attributes and their own element, so the
-    per-row cost is O(len + matches·len), never the O(len²) of the
-    naive accumulator-append fold (which the pre-round-14 docstring
-    measured at 13 s/round and correctly rejected)."""
+    bodies touch only plain attributes and their own element. The
+    shape is LINEAR in the array length: consecutive match positions
+    form RUNS (gaps-and-islands on the sorted match list — zip with
+    its own shift), the greedy picks ``sequence(run_start, run_end,
+    2)`` per run, and the output is a flatten of per-merge slice
+    pieces — no accumulator-append fold anywhere. Both the naive
+    per-element fold (O(len²) copies, rejected in round 9 at 13
+    s/round) AND the first round-14 cut (a fold over match positions —
+    fine at ~3 matches/doc, O(matches²) on a pathological
+    run-of-one-char doc: one 80 KB separator run cost 54 s/round,
+    measured) are superseded by this formulation, which handles that
+    same doc in milliseconds."""
     n = F.size(a)
     idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
         F.array().cast("array<int>")
     )
-    # match positions — sparse: lambda reads only the attribute `a`
-    mpos = F.filter(
+    empty_i = F.array().cast("array<int>")
+    empty_s = F.array().cast("array<string>")
+
+    # let-binding via a one-element transform: the binding is the
+    # lambda's ARGUMENT (evaluated exactly once per row); every
+    # reference inside the body reads the bound VALUE — without it,
+    # each syntactic reference to a computed array is a fresh
+    # evaluation of its whole chain (mpos below is referenced 5x)
+    def _let(binding: F.Column, body) -> F.Column:
+        return F.element_at(F.transform(F.array(binding), body), 1)
+
+    # match positions — lambda reads only the attribute `a`
+    mpos_expr = F.filter(
         idx,
         lambda i: (F.element_at(a, i + 1) == left)
         & (F.element_at(a, i + 2) == right),
     )
-    # run-parity fold over the match positions: consecutive positions
-    # form a run; keep every other match from the run start
-    kept = F.aggregate(
-        mpos,
-        F.struct(
-            F.lit(-10).alias("prev"),
-            F.lit(-10).alias("ls"),
-            F.array().cast("array<int>").alias("out"),
-        ),
-        lambda acc, p: F.struct(
-            p.alias("prev"),
-            F.when(p == acc["prev"] + 1, acc["ls"]).otherwise(p).alias("ls"),
-            F.when(
-                (
-                    (p - F.when(p == acc["prev"] + 1, acc["ls"]).otherwise(p))
-                    % 2
-                )
-                == 0,
-                F.concat(acc["out"], F.array(p)),
-            )
-            .otherwise(acc["out"])
-            .alias("out"),
-        ),
-        lambda acc: acc["out"],
-    )
-    # rebuild by slice-concat over the kept positions (argument
-    # position: `kept` evaluates once per row)
-    return F.aggregate(
-        kept,
-        F.struct(
-            F.lit(0).alias("p0"), F.array().cast("array<string>").alias("out")
-        ),
-        lambda acc, p: F.struct(
-            (p + 2).alias("p0"),
-            F.concat(
-                acc["out"],
-                F.when(
-                    p - acc["p0"] > 0, F.slice(a, acc["p0"] + 1, p - acc["p0"])
-                ).otherwise(F.array().cast("array<string>")),
+
+    def with_mpos(mpos: F.Column) -> F.Column:
+        k = F.size(mpos)
+        shift_prev = F.concat(
+            F.array(F.lit(-10)), F.slice(mpos, 1, F.greatest(k - 1, F.lit(0)))
+        )
+        shift_next = F.concat(
+            F.when(k >= 2, F.slice(mpos, 2, k - 1)).otherwise(empty_i),
+            F.array(F.lit(-10)),
+        )
+        # run starts / ends: a match starts a run iff its predecessor
+        # is not the previous position; ends one iff its successor is
+        # not the next. starts[j] / ends[j] bound the SAME run.
+        starts = F.filter(
+            F.zip_with(mpos, shift_prev, lambda p, q: F.when(p != q + 1, p)),
+            lambda x: x.isNotNull(),
+        )
+        ends = F.filter(
+            F.zip_with(mpos, shift_next, lambda p, q: F.when(q != p + 1, p)),
+            lambda x: x.isNotNull(),
+        )
+        # greedy-kept merge positions: every other match from each run
+        # start — sequence(s, e, 2) per run, O(kept) total
+        kept_expr = F.flatten(
+            F.zip_with(starts, ends, lambda s, e: F.sequence(s, e, F.lit(2)))
+        )
+        return F.when(k == 0, a).otherwise(_let(kept_expr, with_kept))
+
+    def with_kept(kept: F.Column) -> F.Column:
+        # rebuild: for merge j at position p (predecessor q), the
+        # untouched tokens strictly between the previous merge's two
+        # consumed slots and p, then the merged token; one tail slice
+        # after the last merge. flatten copies each token once: O(len).
+        kprev = F.concat(
+            F.array(F.lit(-2)),
+            F.slice(kept, 1, F.greatest(F.size(kept) - 1, F.lit(0))),
+        )
+        pieces = F.zip_with(
+            kprev,
+            kept,
+            lambda q, p: F.concat(
+                F.when(p - q - 2 > 0, F.slice(a, q + 3, p - q - 2)).otherwise(
+                    empty_s
+                ),
                 F.array(F.lit(left + right)),
-            ).alias("out"),
-        ),
-        lambda acc: F.concat(
-            acc["out"],
-            F.when(
-                n - acc["p0"] > 0, F.slice(a, acc["p0"] + 1, n - acc["p0"])
-            ).otherwise(F.array().cast("array<string>")),
-        ),
-    )
+            ),
+        )
+        last = F.element_at(kept, -1)
+        tail = F.when(
+            n - last - 2 > 0, F.slice(a, last + 3, n - last - 2)
+        ).otherwise(empty_s)
+        return F.concat(F.flatten(pieces), tail)
+
+    return _let(mpos_expr, with_mpos)
 
 
 def _bpe_merge_arrays(

@@ -225,3 +225,57 @@ def test_unigram_prune_invariants(spark, sf_oracle_dir):
     assert all(r["est_count"] >= 0 for r in rows)
     # the top survivor is actually used by the E-step
     assert rows[0]["est_count"] > 0 and rows[0]["loss"] > 0
+
+
+def test_bpe_apply_merge_greedy_and_linear(spark):
+    """Round-14: _bpe_apply_merge reproduces the reference greedy
+    (leftmost non-overlapping; 'aaaa'+(a,a) merges twice) on random
+    and edge-case inputs, and stays LINEAR on the pathological
+    run-of-one-char doc (the first array cut was O(matches^2): one
+    80 KB separator run cost 54 s/round)."""
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.text_queries import _bpe_apply_merge
+
+    def ref_merge(toks, l, r):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    random.seed(7)
+    cases = [
+        [random.choice("ab x") for _ in range(random.randint(0, 25))]
+        for _ in range(120)
+    ]
+    cases += [list("aaaa"), list("aaaaa"), [], ["a"], list("ababab"),
+              list("a" * 17)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc bigint, a array<string>"
+    )
+    for l, r in (("a", "a"), ("a", "b"), (" ", "a")):
+        got = {
+            row["doc"]: row["m"]
+            for row in df.select(
+                "doc", _bpe_apply_merge(F.col("a"), l, r).alias("m")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            assert got[i] == ref_merge(t, l, r), (l, r, t)
+    # pathological run: 80k same-char tokens must apply in seconds
+    big = spark.createDataFrame([(1, ["a"] * 80_000)], "doc bigint, a array<string>")
+    t0 = time.perf_counter()
+    out_len = big.select(
+        F.size(_bpe_apply_merge(F.col("a"), "a", "a")).alias("n")
+    ).first()["n"]
+    took = time.perf_counter() - t0
+    assert out_len == 40_000
+    assert took < 20, f"pathological merge took {took:.1f}s (quadratic?)"
