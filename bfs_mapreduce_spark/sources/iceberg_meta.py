@@ -701,6 +701,65 @@ def read_iceberg_table(
     return out
 
 
+def import_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    root: str,
+    snapshot_id: int | None = None,
+) -> int:
+    """Adopt an Iceberg table INTO the snapshot-manifest format (the
+    inverse of :func:`export_iceberg_metadata`, round 14): plan the
+    snapshot's live data files from the Iceberg metadata, then commit
+    them BY REFERENCE into a snapshot table at ``root`` — zero data
+    copied or rewritten, exactly how Iceberg itself adopts external
+    files. The snapshot's schema maps back to a pinned Spark schema
+    with the field ids preserved 1:1, so later renames/drops on the
+    adopted table keep resolving the original parquet by id via the
+    imported name mapping's current names. Footer stats are collected
+    for every column with an Iceberg primitive type, so manifest-level
+    skipping works from the first read. Returns the committed
+    version; ``root`` must be empty (adoption is a create, not an
+    append — append afterwards through the normal verbs)."""
+    if ts.current_version(root) != 0:
+        raise ValueError(
+            f"import target {root!r} already has commits — adopt into "
+            "an empty root"
+        )
+    files, info = iceberg_snapshot_files(location, snapshot_id)
+    if not files:
+        raise ValueError(f"snapshot has no live data files in {location!r}")
+    schema = info["schema"]
+    fields = []
+    for f in schema["fields"]:
+        fields.append(
+            {
+                "name": f["name"],
+                "type": _spark_type_json(f["type"]),
+                "nullable": True,
+                "metadata": {ts._FID: int(f["id"])},
+            }
+        )
+    schema_json = json.dumps({"type": "struct", "fields": fields})
+    stat_cols = [f["name"] for f in schema["fields"]]
+    stats = ts.collect_stats(files, stat_cols)
+    return ts.commit(
+        root,
+        list(files),
+        base_version=0,
+        schema=schema_json,
+        stats=stats,
+        operation="append",
+    )
+
+
+def _spark_type_json(iceberg_type: str):
+    """Iceberg primitive -> Spark schema-json type value (string form
+    works for every primitive this module round-trips)."""
+    mapped = _spark_type(iceberg_type)
+    # schema json spells integer types out ("integer", not "int")
+    return {"int": "integer", "bigint": "long"}.get(mapped, mapped)
+
+
 def iceberg_history(location: str) -> list[dict]:
     """The table's snapshot history from metadata.json, newest first:
     snapshot id, sequence number, operation, schema id, timestamp."""

@@ -3486,3 +3486,65 @@ def test_iceberg_reader_refuses_delete_manifests(spark, tmp_path):
     write_avro(lp, sch, rows + [fake])
     with pytest.raises(NotImplementedError, match="delete manifest"):
         im.read_iceberg_table(spark, out)
+
+
+def test_iceberg_import_roundtrip(spark, tmp_path):
+    """import_iceberg_table adopts an Iceberg layout by reference
+    (zero copies): snapshot-table export -> import into a fresh root
+    -> identical rows, field ids preserved 1:1, stats-based skipping
+    live from the first read, and the adopted table keeps evolving
+    (rename resolves the ORIGINAL parquet by id)."""
+    import json
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    src_root = str(tmp_path / "src")
+    out = str(tmp_path / "ice")
+    dst_root = str(tmp_path / "dst")
+    os.makedirs(src_root)
+    os.makedirs(dst_root)
+    d = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ts.commit(
+        src_root,
+        ts.stage_files(d.repartitionByRange(4, "k"), src_root),
+        base_version=0,
+        schema=d.schema.json(),
+    )
+    im.export_iceberg_metadata(src_root, out)
+    v = im.import_iceberg_table(spark, out, dst_root)
+    assert v == 1
+    got = sorted((r["k"], r["v"]) for r in ts.read(spark, dst_root).collect())
+    assert got == [(i, 2 * i) for i in range(100)]
+    # zero copies: the adopted manifest references the SOURCE files
+    m = ts.read_manifest(dst_root)
+    assert all(p.startswith(os.path.abspath(src_root)) for p in m["files"])
+    # field ids preserved 1:1
+    ids = {
+        f["name"]: f["metadata"][ts._FID]
+        for f in json.loads(m["schema"])["fields"]
+    }
+    src_ids = {
+        f["name"]: f["metadata"][ts._FID]
+        for f in json.loads(ts.read_manifest(src_root)["schema"])["fields"]
+    }
+    assert ids == src_ids
+    # stats live from the first read: a tight k-range skips files
+    # (source staged range-partitioned, so per-file [min,max] are tight)
+    prdf, kept, skipped = ts.read_pruned(spark, dst_root, "k", 0, 10)
+    assert skipped and len(kept) < len(m["files"])
+    assert sorted(r["k"] for r in prdf.collect()) == list(range(11))
+    # evolution on the ADOPTED table resolves original parquet by id
+    ts.rename_column(dst_root, "v", "value")
+    got2 = {r["k"]: r["value"] for r in ts.read(spark, dst_root).collect()}
+    assert got2[7] == 14 and len(got2) == 100
+    # adoption is a create: non-empty target refuses
+    with pytest.raises(ValueError, match="empty root"):
+        im.import_iceberg_table(spark, out, dst_root)
