@@ -380,3 +380,65 @@ class SnapshotChangesDataSource(DataSource):
 
 def register_snapshot_changes_source(spark) -> None:
     spark.dataSource.register(SnapshotChangesDataSource)
+
+
+def drain_snapshot_changes(
+    spark,
+    root: str,
+    checkpoint: str,
+    for_each_batch,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+    starting_version: int | None = 0,
+    max_runs: int = 10_000,
+) -> int:
+    """Rate-limited CATCH-UP over a snapshot table's history as a loop
+    of ``availableNow`` runs (round 14 — the supported recipe for the
+    documented API boundary: Trigger.AvailableNow snapshots ONE
+    ``latestOffset()`` as its end target, and the Python DataSource
+    API exposes no admission-control hook, so a capped source under a
+    single availableNow run delivers exactly one batch). Each loop
+    iteration starts the stream from the SAME checkpoint, admits the
+    next capped slice, commits it, and stops; the checkpoint carries
+    the cursor, so the loop is exactly-once end to end and safe to
+    kill/restart anywhere (re-running continues from the last
+    committed offset). Terminates when a run admits nothing new.
+
+    ``for_each_batch(df, batch_id)`` is the user's foreachBatch sink.
+    Returns the number of non-empty runs. For a LIVE tail, use a plain
+    ``trigger(processingTime=...)`` query instead — the caps apply
+    per micro-batch there with no loop needed."""
+    reader = (
+        spark.readStream.format("snapshot_changes").option("path", root)
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", starting_version)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    runs = 0
+    for _ in range(max_runs):
+        seen = {"rows": 0}
+
+        def batch(df, bid, _seen=seen):
+            n = df.count()
+            _seen["rows"] += n
+            if n:
+                for_each_batch(df, bid)
+
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if seen["rows"] == 0:
+            return runs
+        runs += 1
+    raise RuntimeError(
+        f"drain did not converge in {max_runs} availableNow runs — "
+        "is a writer outpacing the cap?"
+    )

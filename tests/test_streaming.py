@@ -658,3 +658,62 @@ def test_snapshot_changes_rate_limited_stream_and_midcommit_resume(
         r["k"] for r in ts.read_changes(spark, root, 0, 1).collect()
     )
     assert got == want == list(range(50))
+
+
+def test_drain_snapshot_changes_capped_catchup(spark, tmp_path):
+    """Round-14: drain_snapshot_changes loops capped availableNow runs
+    from ONE checkpoint — the supported recipe for the documented
+    availableNow/admission-control API boundary. Exactly-once across
+    the whole drain, one capped slice per run, resumable mid-drain."""
+    import os
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        drain_snapshot_changes,
+        register_snapshot_changes_source,
+    )
+
+    register_snapshot_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = 0
+    for i in range(3):
+        v = ts.commit(
+            root,
+            ts.stage_files(
+                spark.range(i * 10, (i + 1) * 10).toDF("k").repartition(2),
+                root,
+            ),
+            base_version=v,
+        )
+    got = []
+    ck = str(tmp_path / "ck")
+    runs = drain_snapshot_changes(
+        spark,
+        root,
+        ck,
+        lambda df, bid: got.extend(r["k"] for r in df.collect()),
+        max_files_per_trigger=2,
+    )
+    # 6 files / cap 2 -> 3 non-empty runs; every row exactly once
+    assert runs == 3
+    assert sorted(got) == list(range(30))
+    # resumable: new commits drain from the SAME checkpoint, old rows
+    # never redelivered
+    ts.commit(
+        root,
+        ts.stage_files(spark.range(30, 35).toDF("k"), root),
+        base_version=v,
+    )
+    more = []
+    runs2 = drain_snapshot_changes(
+        root=root,
+        spark=spark,
+        checkpoint=ck,
+        for_each_batch=lambda df, bid: more.extend(
+            r["k"] for r in df.collect()
+        ),
+        max_files_per_trigger=2,
+    )
+    assert runs2 >= 1
+    assert sorted(more) == list(range(30, 35))
