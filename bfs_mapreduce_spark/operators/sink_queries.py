@@ -2108,3 +2108,88 @@ def q_sink_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(snap_agg("v1", 1, "o_totalprice"))
         .orderBy("snap")
     )
+
+
+@register(
+    "q_sink_snapshot_row_changes",
+    oracle="""
+    WITH base AS (SELECT o_orderkey AS k,
+                         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                  FROM orders),
+    ins1 AS (SELECT k, p FROM base WHERE k % 3 = 0),
+    del2 AS (SELECT k, p FROM ins1 WHERE k % 6 = 0),
+    src AS (SELECT k, p + 1 AS p FROM base WHERE k % 5 = 0),
+    pre3 AS (SELECT k, p FROM ins1 WHERE k % 15 = 0 AND k % 6 <> 0),
+    post3 AS (SELECT s.k, s.p FROM src s JOIN pre3 ON s.k = pre3.k),
+    ins3 AS (SELECT s.k, s.p FROM src s
+             WHERE s.k NOT IN (SELECT k FROM pre3)),
+    live4_old AS (SELECT k, p FROM ins1
+                  WHERE k % 6 <> 0 AND k % 5 <> 0),
+    del4 AS (SELECT k, p FROM live4_old WHERE k % 9 = 0
+             UNION ALL
+             SELECT k, p FROM src WHERE k % 9 = 0),
+    g AS (
+      SELECT 1 AS _commit_version, 'insert' AS _change_type,
+             COUNT(*) AS n, SUM(p) AS s FROM ins1
+      UNION ALL SELECT 2, 'delete', COUNT(*), SUM(p) FROM del2
+      UNION ALL SELECT 3, 'update_preimage', COUNT(*), SUM(p) FROM pre3
+      UNION ALL SELECT 3, 'update_postimage', COUNT(*), SUM(p) FROM post3
+      UNION ALL SELECT 3, 'insert', COUNT(*), SUM(p) FROM ins3
+      UNION ALL SELECT 4, 'delete', COUNT(*), SUM(p) FROM del4)
+    SELECT CAST(_commit_version AS BIGINT) AS _commit_version,
+           _change_type,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(s AS DOUBLE) AS price_sum
+    FROM g WHERE n > 0
+    ORDER BY _commit_version, _change_type
+    """,
+    doc="ROW-LEVEL change feed (round 14 — Delta CDF semantics derived "
+    "Iceberg-style, read_row_changes): a snapshot table lives through "
+    "append (orders with o_orderkey%3=0) -> merge-on-read DELETE "
+    "(%6=0, position vectors) -> UPSERT (source %5=0 at price+1: "
+    "matched live keys emit update_preimage/update_postimage, keys "
+    "that were already deleted or never existed emit insert) -> "
+    "equality DELETE (%9=0 keys, victims read through the PRIOR "
+    "delete state so dead rows never re-emit) -> compaction (row-"
+    "preserving: contributes NOTHING by proof, via the round-14 "
+    "operation tags). The feed is derived LAZILY from metadata the "
+    "format already retains — position vectors and key files are "
+    "immutable — with zero commit-time cost, where Delta writes CDF "
+    "files per commit. One row per (version, change_type) with "
+    "decimal-exact price sums; the oracle reproduces every image "
+    "from modular arithmetic on raw orders, so a wrong victim set, "
+    "a re-emitted dead row, or a mis-split pre/post image breaks "
+    "the hash.",
+)
+def q_sink_snapshot_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_rowcdc"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    k = F.col("o_orderkey")
+    d1 = orders.filter(k % 3 == 0).select("o_orderkey", "o_totalprice")
+    ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    ts.delete_where(spark, root, "o_orderkey % 6 = 0")
+    src = orders.filter(k % 5 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+    )
+    ts.upsert_eq(spark, root, src, ["o_orderkey"])
+    keys = orders.filter(k % 9 == 0).select("o_orderkey").distinct()
+    ts.delete_eq(spark, root, keys)
+    v = ts.compact(spark, root)
+    ch = ts.read_row_changes(spark, root, 0, v)
+    return (
+        ch.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )

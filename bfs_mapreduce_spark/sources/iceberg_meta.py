@@ -523,7 +523,11 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                 "sequence-number": v,
                 "timestamp-ms": ts_ms,
                 "summary": {
-                    "operation": "overwrite" if op == "replace" else "append"
+                    "operation": (
+                        "overwrite"
+                        if op in ("replace", "compact", "optimize", "repartition")
+                        else "append"
+                    )
                 },
                 "manifest-list": list_path,
                 "schema-id": era_sid,

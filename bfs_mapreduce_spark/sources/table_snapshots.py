@@ -1017,6 +1017,7 @@ def rewrite_partitioned(
                 replace=True,
                 stats=stats,
                 partitions=parts,
+                operation="repartition",  # row-preserving: see compact()
             )
         except SnapshotConflict:
             if _attempt >= max_retries:
@@ -1717,7 +1718,14 @@ def compact(
     files = stage_files(df.coalesce(n_files), root)
     for _attempt in range(max(0, max_retries) + 1):
         try:
-            return commit(root, files, base_version=base, replace=True)
+            # operation 'compact' (round 14): row-PRESERVING rewrites
+            # carry their own name so read_row_changes can prove they
+            # contribute no row changes (a bare 'replace' — merge — is
+            # indistinguishable from a rewrite and must refuse)
+            return commit(
+                root, files, base_version=base, replace=True,
+                operation="compact",
+            )
         except SnapshotConflict:
             if _attempt >= max_retries:
                 raise
@@ -1959,7 +1967,8 @@ def optimize_zorder(
     for _attempt in range(max(0, max_retries) + 1):
         try:
             return commit(
-                root, files, base_version=base, replace=True, stats=stats
+                root, files, base_version=base, replace=True, stats=stats,
+                operation="optimize",  # row-preserving: see compact()
             )
         except SnapshotConflict:
             if _attempt >= max_retries:
@@ -2877,3 +2886,216 @@ def read_changes(
         mt.get("_added_era"),
         mt.get("schema_log"),
     )
+
+
+# Commit operations that provably change NO rows: safe to skip in a
+# row-level change scan. A bare 'replace' (merge_into) is NOT here —
+# it rewrites rows and is indistinguishable from its effect set
+# without change files, so it refuses.
+_ROW_PRESERVING_OPS = (
+    "set_check",
+    "rewrite_manifests",
+    "evolve_schema",
+    "evolve_spec",
+    "compact",
+    "optimize",
+    "repartition",
+)
+
+
+def _eq_keys_frame(spark: SparkSession, e: dict) -> DataFrame:
+    """An equality-delete entry's distinct key rows under CURRENT
+    column names (file_cols aliasing after a rename)."""
+    file_cols = e.get("file_cols") or e["cols"]
+    return (
+        spark.read.parquet(*e["files"])
+        .select(
+            *[F.col(fc).alias(c) for fc, c in zip(file_cols, e["cols"])]
+        )
+        .dropDuplicates()
+    )
+
+
+def read_row_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """ROW-LEVEL change feed for ``(from_version, to_version]`` (round
+    14 — Delta CDF semantics derived Iceberg-style): every appended
+    row as ``insert``, every merge-on-read-deleted row as ``delete``,
+    every upserted row as ``update_preimage``/``update_postimage``
+    (``insert`` for keys the upsert introduced), each stamped with its
+    ``_commit_version``. Where :func:`read_changes` (file-diff CDC)
+    must refuse any non-append commit, THIS reader derives the changed
+    rows lazily from metadata the format already retains — position
+    vectors and equality-delete key files are immutable, so the
+    victims of a delete/upsert commit are exactly reconstructible at
+    read time, with zero commit-time cost (Delta pays CDF file writes
+    per commit; Iceberg v2 derives its changelog the same lazy way).
+
+    Per version: APPENDs contribute their new files' rows as inserts;
+    DELETE commits contribute the rows masked by their NEW position
+    vectors (a (file, pos) is masked at most once ever) and their new
+    equality entries' key-matching rows — read through the PRIOR
+    version's delete state, so a row already dead before the commit is
+    never re-emitted; UPSERTs contribute the prior-state rows their
+    keys matched (preimage), the new rows for matched keys
+    (postimage), and the rest as inserts. Row-preserving rewrites
+    (compaction / OPTIMIZE / metadata-only commits) contribute
+    nothing by proof; a bare REPLACE (merge) or RESTORE refuses —
+    reconstructing their effect sets needs change files this format
+    does not keep.
+
+    All rows project onto ``to_version``'s schema through the era
+    machinery (a range crossing a RENAME emits one column set).
+    Scale: each contributing commit costs O(its changed rows) — the
+    victim reads are scoped to the files its delete entries touch,
+    never the table."""
+    mt = read_manifest(root, to_version)
+    sch, log, era = mt.get("schema"), mt.get("schema_log"), mt.get("_added_era")
+    cols = (
+        [f["name"] for f in json.loads(sch)["fields"]] if sch else None
+    )
+
+    def tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+        out_cols = cols if cols is not None else [
+            c for c in df.columns if c not in (_FP, _POS)
+        ]
+        return df.select(
+            *out_cols,
+            F.lit(kind).alias("_change_type"),
+            F.lit(v).cast("bigint").alias("_commit_version"),
+        )
+
+    def scan_keep_pos(files: list[str]) -> DataFrame:
+        """Era-projected read of ``files`` keeping physical (_FP, _POS)
+        — no delete application (positions are physical)."""
+        groups = _era_groups(files, sch, log, era)
+        parts = []
+        for read_sj, plan, gfiles in groups:
+            reader = spark.read
+            if read_sj:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(read_sj))
+                )
+            df = (
+                reader.parquet(*gfiles)
+                .withColumn(_FP, _norm_file_col(F.input_file_name()))
+                .withColumn(_POS, F.col("_metadata.row_index"))
+            )
+            if plan is not None:
+                df = _apply_era_plan(df, plan, keep=(_FP, _POS))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    parts: list[DataFrame] = []
+    for v in range(from_version + 1, to_version + 1):
+        m = read_manifest(root, v)
+        mp = (
+            read_manifest(root, m["parent"])
+            if m.get("parent")
+            else {"version": 0, "files": []}
+        )
+        pfiles = set(mp["files"])
+        op = m.get("operation") or (
+            "append" if pfiles <= set(m["files"]) else "replace"
+        )
+        if op in _ROW_PRESERVING_OPS:
+            continue
+        new_files = [f for f in m["files"] if f not in pfiles]
+        old_eq_ids = {
+            tuple(sorted(e["files"])) for e in mp.get("eq_deletes") or []
+        }
+        fresh_eq = [
+            e
+            for e in m.get("eq_deletes") or []
+            if tuple(sorted(e["files"])) not in old_eq_ids
+        ]
+        if op == "append":
+            if new_files:
+                parts.append(
+                    tag(_scan(spark, new_files, {}, sch, None, era, log), "insert", v)
+                )
+        elif op == "delete":
+            old_dv = mp.get("deletes") or {}
+            fresh_dv: dict[str, list[str]] = {}
+            for f, vecs in (m.get("deletes") or {}).items():
+                prior = set(old_dv.get(f, []))
+                new_vecs = [d for d in vecs if d not in prior]
+                if new_vecs:
+                    fresh_dv[f] = new_vecs
+            if fresh_dv:
+                dv_files = sorted({d for lst in fresh_dv.values() for d in lst})
+                dv = spark.read.parquet(*dv_files).select(
+                    F.col("file_path").alias(_FP), F.col("pos").alias(_POS)
+                )
+                victims = scan_keep_pos(sorted(fresh_dv)).join(
+                    F.broadcast(dv), [_FP, _POS], "left_semi"
+                )
+                parts.append(tag(victims, "delete", v))
+            for e in fresh_eq:
+                keys = _eq_keys_frame(spark, e)
+                victims = _scan_for_delete(
+                    spark,
+                    list(e["applies"]),
+                    mp.get("deletes") or {},
+                    sch,
+                    mp.get("eq_deletes"),
+                    era,
+                    log,
+                ).join(F.broadcast(keys), list(e["cols"]), "left_semi")
+                parts.append(tag(victims, "delete", v))
+        elif op == "upsert":
+            post = (
+                _scan(spark, new_files, {}, sch, None, era, log)
+                if new_files
+                else None
+            )
+            if fresh_eq:
+                e = fresh_eq[0]
+                key_cols = list(e["cols"])
+                keys = _eq_keys_frame(spark, e)
+                pre = _scan_for_delete(
+                    spark,
+                    list(e["applies"]),
+                    mp.get("deletes") or {},
+                    sch,
+                    mp.get("eq_deletes"),
+                    era,
+                    log,
+                ).join(F.broadcast(keys), key_cols, "left_semi")
+                pre = pre.persist()  # split post rows by matched keys
+                parts.append(tag(pre, "update_preimage", v))
+                if post is not None:
+                    matched = pre.select(*key_cols).distinct()
+                    hit = "__ts_cdf_hit"
+                    post2 = post.join(
+                        F.broadcast(matched.withColumn(hit, F.lit(True))),
+                        key_cols,
+                        "left",
+                    )
+                    parts.append(
+                        tag(post2.filter(F.col(hit).isNotNull()), "update_postimage", v)
+                    )
+                    parts.append(tag(post2.filter(F.col(hit).isNull()), "insert", v))
+            elif post is not None:
+                parts.append(tag(post, "insert", v))
+        else:
+            raise ValueError(
+                f"v{v} is a {op} commit — row-level change derivation "
+                "covers append/delete/upsert (and skips row-preserving "
+                "rewrites); a merge/restore effect set needs change "
+                "files this format does not keep"
+            )
+    if not parts:
+        raise ValueError(
+            f"no row changes between v{from_version} and v{to_version}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1564,7 +1564,7 @@ def test_snapshot_optimize_zorder(spark, tmp_path):
 
     v4 = ts.optimize_zorder(spark, root, "a", "b", n_files=16)
     m4 = ts.read_manifest(root, v4)
-    assert m4["operation"] == "replace"
+    assert m4["operation"] == "optimize"
     assert m4.get("deletes") in (None, {}) and m4.get("eq_deletes") in (None, [])
     assert sorted(tuple(r) for r in ts.read(spark, root).collect()) == live
     assert ts.read(spark, root, v1).count() == 4096  # history intact
@@ -1765,7 +1765,7 @@ def test_snapshot_history(spark, tmp_path):
     h = ts.history(root)
     assert [r["version"] for r in h] == [4, 3, 2, 1]
     assert [r["operation"] for r in h] == [
-        "replace", "delete", "append", "append",
+        "compact", "delete", "append", "append",
     ]
     assert h[1]["n_pos_delete_files"] == 1 and h[0]["n_pos_delete_files"] == 0
     assert h[1]["txn"] == {"app": 4}
@@ -2880,7 +2880,7 @@ def test_conflict_merge_vs_compact_refuses(spark, tmp_path, monkeypatch):
         ts.merge_into(spark, root, src, ["k"])
     # winner's state intact: compacted, un-merged
     m = ts.read_manifest(root)
-    assert m["operation"] == "replace" and len(m["files"]) == 1
+    assert m["operation"] == "compact" and len(m["files"]) == 1
     got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
     assert got[3] == 1 and 11 not in got
     # redo from the new state succeeds
@@ -3548,3 +3548,91 @@ def test_iceberg_import_roundtrip(spark, tmp_path):
     # adoption is a create: non-empty target refuses
     with pytest.raises(ValueError, match="empty root"):
         im.import_iceberg_table(spark, out, dst_root)
+
+
+def test_read_row_changes_lifecycle(spark, tmp_path):
+    """Round-14 row-level change feed (Delta CDF semantics derived
+    lazily from retained delete metadata): inserts / deletes (both
+    MoR kinds) / update pre+post images, version-stamped; already-dead
+    rows never re-emit; row-preserving rewrites contribute nothing;
+    rename-crossing ranges emit ONE column set; merge refuses."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    v1 = ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    v2, _n, _ = ts.delete_where(spark, root, "k >= 4")
+    src = spark.createDataFrame([(1, 111), (9, 999)], "k bigint, v bigint")
+    v3 = ts.upsert_eq(spark, root, src, ["k"])
+    v4, _ = ts.delete_eq(spark, root, spark.createDataFrame([(2,)], "k bigint"))
+    v5 = ts.compact(spark, root)
+    ch = ts.read_row_changes(spark, root, 0, v5)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, "insert", 0, 0), (1, "insert", 1, 10), (1, "insert", 2, 20),
+        (1, "insert", 3, 30), (1, "insert", 4, 40), (1, "insert", 5, 50),
+        (2, "delete", 4, 40), (2, "delete", 5, 50),
+        (3, "insert", 9, 999),
+        (3, "update_postimage", 1, 111), (3, "update_preimage", 1, 10),
+        (4, "delete", 2, 20),
+    ]
+    # already-dead rows never re-emit: delete the same key range again
+    # via eq-delete targeting ALL rows; only live ones (0, 3) emit
+    v6, _ = ts.delete_eq(
+        spark, root, spark.createDataFrame([(0,), (3,), (4,)], "k bigint")
+    )
+    tail = sorted(
+        (r["_change_type"], r["k"])
+        for r in ts.read_row_changes(spark, root, v5, v6).collect()
+    )
+    assert tail == [("delete", 0), ("delete", 3)]  # 4 died at v2
+    # sub-ranges work (mid-history cursor)
+    mid = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in ts.read_row_changes(spark, root, v2, v4).collect()
+    )
+    assert mid == [
+        (3, "insert", 9), (3, "update_postimage", 1),
+        (3, "update_preimage", 1), (4, "delete", 2),
+    ]
+    # a RENAME inside the range: one column set, old rows under the
+    # new name
+    ts.rename_column(root, "v", "val")
+    d7 = spark.range(20, 22).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    v7 = ts.commit(
+        root,
+        ts.stage_files(d7, root),
+        base_version=ts.current_version(root),
+        schema=d7.schema.json(),
+    )
+    all_ch = ts.read_row_changes(spark, root, 0, v7)
+    assert sorted(all_ch.columns) == [
+        "_change_type", "_commit_version", "k", "val",
+    ]
+    ins1 = {
+        (r["k"], r["val"])
+        for r in all_ch.filter("_commit_version = 1").collect()
+    }
+    assert ins1 == {(i, i * 10) for i in range(6)}
+    # merge refuses: its effect set needs change files
+    ts.merge_into(
+        spark, root, spark.createDataFrame([(9, 1)], "k bigint, val bigint"), ["k"]
+    )
+    with pytest.raises(ValueError, match="replace commit"):
+        ts.read_row_changes(spark, root, v7, ts.current_version(root))
