@@ -1090,3 +1090,115 @@ def q_stream_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "q_stream_snapshot_row_changes",
+    oracle="""
+    WITH base AS (SELECT o_orderkey AS k,
+                         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                  FROM orders),
+    ins1 AS (SELECT k, p FROM base WHERE k % 3 = 0),
+    del2 AS (SELECT k, p FROM ins1 WHERE k % 6 = 0),
+    src AS (SELECT k, p + 1 AS p FROM base WHERE k % 5 = 0),
+    pre3 AS (SELECT k, p FROM ins1 WHERE k % 15 = 0 AND k % 6 <> 0),
+    live4_old AS (SELECT k, p FROM ins1
+                  WHERE k % 6 <> 0 AND k % 5 <> 0),
+    del4 AS (SELECT k, p FROM live4_old WHERE k % 9 = 0
+             UNION ALL
+             SELECT k, p FROM src WHERE k % 9 = 0),
+    g AS (
+      SELECT 1 AS _commit_version, 'insert' AS _change_type,
+             COUNT(*) AS n, SUM(p) AS s FROM ins1
+      UNION ALL SELECT 2, 'delete', COUNT(*), SUM(p) FROM del2
+      UNION ALL SELECT 3, 'delete', COUNT(*), SUM(p) FROM pre3
+      UNION ALL SELECT 3, 'insert', COUNT(*), SUM(p) FROM src
+      UNION ALL SELECT 4, 'delete', COUNT(*), SUM(p) FROM del4)
+    SELECT CAST(_commit_version AS BIGINT) AS _commit_version,
+           _change_type,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(s AS DOUBLE) AS price_sum
+    FROM g WHERE n > 0
+    ORDER BY _commit_version, _change_type
+    """,
+    doc="STREAMING row-level change feed (round 14 — the readStream "
+    "twin of read_row_changes, Delta readChangeFeed's shape): the "
+    "same append -> MoR position-delete -> upsert -> equality-delete "
+    "lifecycle as q_sink_snapshot_row_changes, TAILED by "
+    "format('snapshot_row_changes') in TWO availableNow phases from "
+    "one checkpoint (versions 1-3 stream first; the eq-delete and a "
+    "row-preserving compaction land; the resumed stream delivers "
+    "exactly the delete victims and nothing for the compaction). "
+    "Executor tasks read one data file + the vector/key files that "
+    "concern it and apply the masks in Arrow — victims replay the "
+    "commit's NEW keys against the PRIOR delete state, so dead rows "
+    "never re-emit. The stream encodes an upsert as delete+insert "
+    "(the classic changelog encoding — the pre/post split needs the "
+    "global matched-key set, which a per-file task cannot know); the "
+    "oracle reproduces that encoding from modular arithmetic on raw "
+    "orders.",
+)
+def q_stream_snapshot_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_row_changes_source import (
+        register_snapshot_row_changes_source,
+    )
+    from bfs_mapreduce_spark.tmputil import proc_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(proc_dir("bfs_mapreduce_spark_rowcdcstream"), tag)
+    table = os.path.join(base, "table")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(table, exist_ok=True)
+        register_snapshot_row_changes_source(spark)
+        orders = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        d1 = orders.filter(k % 3 == 0).select("o_orderkey", "o_totalprice")
+        ts.commit(
+            root=table,
+            files=ts.stage_files(d1, table),
+            base_version=0,
+            schema=d1.schema.json(),
+        )
+        ts.delete_where(spark, table, "o_orderkey % 6 = 0")
+        src = orders.filter(k % 5 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+        )
+        ts.upsert_eq(spark, table, src, ["o_orderkey"])
+
+        def _run_tail() -> None:
+            q = (
+                spark.readStream.format("snapshot_row_changes")
+                .option("path", table)
+                .option("startingVersion", 0)
+                .load()
+                .writeStream.foreachBatch(
+                    lambda b, _bid: b.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _run_tail()  # phase 1: versions 1..3
+        keys = orders.filter(k % 9 == 0).select("o_orderkey").distinct()
+        ts.delete_eq(spark, table, keys)
+        ts.compact(spark, table)  # row-preserving: must stream NOTHING
+        _run_tail()  # phase 2: resume — exactly the v4 victims
+        open(marker, "w").close()
+    ch = spark.read.parquet(sink)
+    return (
+        ch.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )

@@ -717,3 +717,76 @@ def test_drain_snapshot_changes_capped_catchup(spark, tmp_path):
     )
     assert runs2 >= 1
     assert sorted(more) == list(range(30, 35))
+
+
+def test_snapshot_row_changes_stream(spark, tmp_path):
+    """Round-14 streaming row-level change feed: the readStream twin
+    of read_row_changes (upserts encoded delete+insert). Lifecycle
+    deltas exact, dead rows never re-emit, checkpoint RESUME picks up
+    exactly the new commits, row-preserving rewrites contribute
+    nothing, merge fails the stream loudly."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_row_changes_source import (
+        register_snapshot_row_changes_source,
+    )
+
+    register_snapshot_row_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    os.makedirs(root)
+
+    def run():
+        got = []
+        q = (
+            spark.readStream.format("snapshot_row_changes")
+            .option("path", root)
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, _i: got.extend(
+                    (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    d1 = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    ts.delete_where(spark, root, "k >= 4")
+    src = spark.createDataFrame([(1, 111), (9, 999)], "k bigint, v bigint")
+    ts.upsert_eq(spark, root, src, ["k"])
+    assert run() == [
+        (1, "insert", 0, 0), (1, "insert", 1, 10), (1, "insert", 2, 20),
+        (1, "insert", 3, 30), (1, "insert", 4, 40), (1, "insert", 5, 50),
+        (2, "delete", 4, 40), (2, "delete", 5, 50),
+        (3, "delete", 1, 10),
+        (3, "insert", 1, 111), (3, "insert", 9, 999),
+    ]
+    # resume from the SAME checkpoint: only the NEW commits stream —
+    # an eq-delete targeting live AND dead keys emits live victims only
+    ts.delete_eq(
+        spark, root, spark.createDataFrame([(2,), (4,)], "k bigint")
+    )
+    ts.compact(spark, root)  # row-preserving: contributes nothing
+    assert run() == [(4, "delete", 2, 20)]
+    # a merge fails the stream loudly (effect set needs change files)
+    ts.merge_into(
+        spark, root, spark.createDataFrame([(9, 1)], "k bigint, v bigint"), ["k"]
+    )
+    with pytest.raises(Exception, match="replace commit"):
+        run()
