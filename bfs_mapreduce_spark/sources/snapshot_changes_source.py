@@ -163,6 +163,14 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         self._arrow_schema = _arrow_schema_for(m.get("schema"), newest)
         self._schema_json = m.get("schema")
         self._schema_log = m.get("schema_log")
+        # Whether the PINNED schema carries field ids — a schema change
+        # committed after the stream starts is only resolvable by
+        # field id (pinned names → newer physical names); without ids
+        # the stream must fail loudly instead of NULL-filling.
+        self._has_fids = bool(self._schema_json) and all(
+            f.get("metadata", {}).get(ts._FID) is not None
+            for f in json.loads(self._schema_json)["fields"]
+        )
 
     # -- per-commit additions --------------------------------------
     def _additions(self, v: int) -> list[str]:
@@ -328,9 +336,26 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         out = []
         for f, v in new_files:
             if v not in cmap_by_v:
-                cmap_by_v[v] = ts.era_col_map(
-                    self._schema_json, self._schema_log, v
+                # Resolve through the VERSION's own schema log, not the
+                # init-time snapshot: a rename committed after the
+                # stream started is absent from the pinned log, and
+                # resolving post-rename appends through the stale log
+                # would NULL-fill the renamed column silently. With
+                # field ids the pinned names map onto the newer era's
+                # physical names; without them, fail loudly.
+                vlog = (
+                    _raw_manifest(self._root, v).get("schema_log")
+                    or self._schema_log
                 )
+                if vlog != self._schema_log and not self._has_fids:
+                    raise ValueError(
+                        f"snapshot_changes: v{v} carries a schema change "
+                        "committed after the stream started, and the "
+                        "stream's pinned schema has no field ids to "
+                        "resolve it — restart the stream to pick up the "
+                        "new schema"
+                    )
+                cmap_by_v[v] = ts.era_col_map(self._schema_json, vlog, v)
             out.append(
                 _SnapshotFilePartition(f, self._arrow_schema, cmap_by_v[v])
             )

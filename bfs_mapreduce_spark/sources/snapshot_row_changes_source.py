@@ -127,7 +127,15 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
         newest = m["files"][-1] if m["files"] else None
         self._schema_json = m.get("schema")
         self._schema_log = m.get("schema_log")
-        self._added_era = m.get("_added_era") or {}
+        # Whether the PINNED schema carries field ids: a stream's
+        # output schema is fixed at start, so a schema change committed
+        # mid-stream is only resolvable by field id (pinned names →
+        # the newer era's physical names). Without ids the stream must
+        # fail loudly on such a commit instead of NULL-filling.
+        self._has_fids = bool(self._schema_json) and all(
+            f.get("metadata", {}).get(ts._FID) is not None
+            for f in json.loads(self._schema_json)["fields"]
+        )
         base = _arrow_schema_for(self._schema_json, newest)
         import pyarrow as pa
 
@@ -150,13 +158,25 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass
 
-    def _cmap(self, v: int) -> dict | None:
-        return ts.era_col_map(self._schema_json, self._schema_log, v)
-
     def partitions(self, start: dict, end: dict):
         out: list[_RowChangePartition] = []
         for v in range(start["v"] + 1, end["v"] + 1):
             m = ts.read_manifest(self._root, v)
+            # Era resolution uses THIS version's manifest state, never
+            # the init-time snapshot: files committed after the stream
+            # started are absent from the start manifest's _added_era
+            # and would default to era 0 — on a renamed table that maps
+            # pinned names onto the OLDEST era's physical names, which
+            # post-rename parquet does not have (silent NULL-fill).
+            vlog = m.get("schema_log") or self._schema_log
+            vera = m.get("_added_era") or {}
+            if vlog != self._schema_log and not self._has_fids:
+                raise ValueError(
+                    f"snapshot_row_changes: v{v} carries a schema change "
+                    "committed after the stream started, and the "
+                    "stream's pinned schema has no field ids to resolve "
+                    "it — restart the stream to pick up the new schema"
+                )
             mp = (
                 ts.read_manifest(self._root, m["parent"])
                 if m.get("parent")
@@ -188,8 +208,10 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
             prior_dv = mp.get("deletes") or {}
             prior_eq_all = mp.get("eq_deletes") or []
 
-            def era_of(f: str) -> dict | None:
-                return self._cmap(self._added_era.get(f, 0))
+            def era_of(f: str, vlog=vlog, vera=vera) -> dict | None:
+                return ts.era_col_map(
+                    self._schema_json, vlog, vera.get(f, 0)
+                )
 
             for f in new_files:  # appends AND the upsert's insert half
                 out.append(

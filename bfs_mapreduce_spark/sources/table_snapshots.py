@@ -88,6 +88,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bfs_mapreduce_spark.plans.reliable import (
+    spill_truncate as _spill_truncate,
+)
+
 
 class SnapshotConflict(RuntimeError):
     """Another writer committed since the version this commit is
@@ -168,7 +172,11 @@ def append_checked(
     CHECK constraint against the offered rows first. The validation
     runs on the incoming DataFrame (one aggregate — new data only,
     never a table rescan), and a violation raises before anything is
-    staged, so the failed write leaves no orphan files at all.
+    staged. The rebase path re-validates AFTER staging (a concurrent
+    ``set_check`` may have tightened the constraints); when that
+    re-validation — or the evolve_schema refusal below — rejects the
+    already-staged files, they are best-effort deleted before the
+    raise, so a failed write still leaves no orphans behind.
 
     On a CAS loss the append REBASES (round 14): the files are staged
     once, and the retry re-commits them against the moved base —
@@ -184,6 +192,17 @@ def append_checked(
     checks = read_manifest(root, base).get("checks", {})
     _validate_checks(df, checks)
     files = stage_files(df, root)
+
+    def _sweep_staged() -> None:
+        # The raise below abandons files no manifest references —
+        # best-effort delete so the refusal leaves no orphans (they
+        # would otherwise sit until a vacuum sweep).
+        for p in files:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
     for _attempt in range(max(0, max_retries) + 1):
         try:
             return commit(root, files, base_version=base, **commit_kw)
@@ -195,6 +214,7 @@ def append_checked(
             # (the staged files would be stamped with the wrong era)
             for v in range(base + 1, latest + 1):
                 if _op_of(root, v) == "evolve_schema":
+                    _sweep_staged()
                     raise ConcurrentWriteConflict(
                         f"append_checked cannot rebase past concurrent "
                         f"v{v} (evolve_schema): the staged files carry "
@@ -203,7 +223,11 @@ def append_checked(
                     )
             new_checks = read_manifest(root, latest).get("checks", {})
             if new_checks != checks:  # a set_check landed concurrently
-                _validate_checks(spark.read.parquet(*files), new_checks)
+                try:
+                    _validate_checks(spark.read.parquet(*files), new_checks)
+                except ConstraintViolation:
+                    _sweep_staged()
+                    raise
                 checks = new_checks
             base = latest
     raise AssertionError("unreachable")  # pragma: no cover
@@ -3068,7 +3092,14 @@ def read_row_changes(
                     era,
                     log,
                 ).join(F.broadcast(keys), key_cols, "left_semi")
-                pre = pre.persist()  # split post rows by matched keys
+                # The preimage is consumed twice (emitted as-is AND
+                # reduced to the matched-key set that splits the post
+                # rows); a session persist() here would never be
+                # unpersisted by the lazily-returned plan and leak
+                # cached partitions on every upsert-crossing call, so
+                # spill to the process-local tmp dir (swept at exit;
+                # durable dir under reliable_checkpoints) instead.
+                pre = _spill_truncate(pre, name="cdf-preimage")
                 parts.append(tag(pre, "update_preimage", v))
                 if post is not None:
                     matched = pre.select(*key_cols).distinct()

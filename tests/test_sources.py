@@ -3008,13 +3008,27 @@ def test_conflict_append_refuses_evolve_and_revalidates_checks(
     ts.commit(
         root, ts.stage_files(d, root), base_version=0, schema=d.schema.json()
     )
+
+    def data_files():
+        out = set()
+        for dirpath, _dirs, names in os.walk(os.path.join(root, "data")):
+            out |= {
+                os.path.join(dirpath, f)
+                for f in names
+                if f.endswith(".parquet")
+            }
+        return out
+
     # race 1: rename lands mid-append -> refuse
+    pre_files = data_files()
     _interpose_once(monkeypatch, lambda: ts.rename_column(root, "b", "c"))
     more = spark.range(5, 8).select(
         F.col("id").alias("k"), (F.col("id") * 10).alias("b")
     )
     with pytest.raises(ts.ConcurrentWriteConflict, match="evolve_schema"):
         ts.append_checked(spark, root, more)
+    # the refusal sweeps its staged files: no orphans (round 15 ADVICE)
+    assert data_files() == pre_files
     # race 2: a set_check lands mid-append; offered rows violate it
     monkeypatch.undo()
     _interpose_once(
@@ -3026,6 +3040,8 @@ def test_conflict_append_refuses_evolve_and_revalidates_checks(
     )
     with pytest.raises(ts.ConstraintViolation, match="small_k"):
         ts.append_checked(spark, root, bad)
+    # the post-staging re-validation refusal sweeps its staged files too
+    assert data_files() == pre_files
     # ...and rows satisfying the new check rebase fine
     monkeypatch.undo()
     _interpose_once(
@@ -3577,11 +3593,15 @@ def test_read_row_changes_lifecycle(spark, tmp_path):
     v3 = ts.upsert_eq(spark, root, src, ["k"])
     v4, _ = ts.delete_eq(spark, root, spark.createDataFrame([(2,)], "k bigint"))
     v5 = ts.compact(spark, root)
+    n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
     ch = ts.read_row_changes(spark, root, 0, v5)
     got = sorted(
         (r["_commit_version"], r["_change_type"], r["k"], r["v"])
         for r in ch.collect()
     )
+    # the upsert preimage is spilled, not session-persist()ed: a call
+    # crossing an upsert must not leak cached partitions (round 15)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_cached
     assert got == [
         (1, "insert", 0, 0), (1, "insert", 1, 10), (1, "insert", 2, 20),
         (1, "insert", 3, 30), (1, "insert", 4, 40), (1, "insert", 5, 50),

@@ -790,3 +790,132 @@ def test_snapshot_row_changes_stream(spark, tmp_path):
     )
     with pytest.raises(Exception, match="replace commit"):
         run()
+
+
+def test_snapshot_changes_midstream_rename_resolves_new_files(
+    spark, tmp_path
+):
+    """Round-15 (ADVICE): a RENAME committed AFTER the stream reader
+    starts must not NULL-fill. The reader pins its output schema at
+    init; files appended post-rename carry the new physical name, and
+    era resolution must go through the VERSION's own schema log (the
+    init-time log lacks the rename entry entirely). Unit-level: one
+    reader instance lives across the rename, exactly the mid-stream
+    window a real query occupies between init and latestOffset."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import snapshot_changes_source as scs
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    r = scs.SnapshotChangesStreamReader({"path": root, "startingVersion": "0"})
+    assert [f.name for f in r._arrow_schema] == ["k", "v"]
+    # the rename and a post-rename append land AFTER the reader started
+    ts.rename_column(root, "v", "val")
+    d2 = spark.range(10, 13).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    ts.commit(
+        root,
+        ts.stage_files(d2, root),
+        base_version=ts.current_version(root),
+        schema=d2.schema.json(),
+    )
+    rows = []
+    for p in r.partitions({"v": 0}, {"v": ts.current_version(root)}):
+        for b in r.read(p):
+            rows.extend(b.to_pylist())
+    # output stays under the PINNED names; post-rename rows resolve by
+    # field id to the new physical name — no silent NULL-fill
+    got = sorted((x["k"], x["v"]) for x in rows)
+    assert got == [(i, i * 10) for i in (0, 1, 2, 10, 11, 12)]
+    # without field ids the same situation must fail loudly, never
+    # NULL-fill (a stream cannot re-pin its schema mid-run)
+    r2 = scs.SnapshotChangesStreamReader(
+        {"path": root, "startingVersion": "0"}
+    )
+    ts.rename_column(root, "val", "w")
+    r2._has_fids = False  # simulate a legacy pinned schema without ids
+    d3 = spark.range(20, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    ts.commit(
+        root,
+        ts.stage_files(d3, root),
+        base_version=ts.current_version(root),
+        schema=d3.schema.json(),
+    )
+    with pytest.raises(ValueError, match="schema change"):
+        r2.partitions({"v": 0}, {"v": ts.current_version(root)})
+
+
+def test_snapshot_row_changes_midstream_rename_and_deletes(spark, tmp_path):
+    """Round-15 (ADVICE, high): the row-level change feed's era
+    resolution must come from each version's OWN manifest — a file
+    committed after the stream started is absent from the init-time
+    _added_era and used to default to era 0, NULL-filling the renamed
+    column for every post-rename insert/delete. Covers all three
+    partition kinds (insert, position delete, eq-delete victims)
+    against post-rename files."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import snapshot_row_changes_source as srcs
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d1 = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    ts.commit(
+        root, ts.stage_files(d1, root), base_version=0, schema=d1.schema.json()
+    )
+    r = srcs.SnapshotRowChangesStreamReader(
+        {"path": root, "startingVersion": "0"}
+    )
+    assert [f.name for f in r._arrow_schema][:2] == ["k", "v"]
+    # rename + post-rename commits land while the reader lives
+    ts.rename_column(root, "v", "val")
+    d2 = spark.range(10, 14).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    ts.commit(
+        root,
+        ts.stage_files(d2, root),
+        base_version=ts.current_version(root),
+        schema=d2.schema.json(),
+    )
+    ts.delete_where(spark, root, "k = 10")  # position delete, new file
+    ts.delete_eq(
+        spark, root, spark.createDataFrame([(11,)], "k bigint")
+    )  # eq-delete victims read from the post-rename file
+    rows = []
+    for p in r.partitions({"v": 0}, {"v": ts.current_version(root)}):
+        for b in r.read(p):
+            rows.extend(b.to_pylist())
+    got = sorted(
+        (x["_commit_version"], x["_change_type"], x["k"], x["v"])
+        for x in rows
+    )
+    assert got == [
+        (1, "insert", 0, 0), (1, "insert", 1, 10), (1, "insert", 2, 20),
+        (3, "insert", 10, 100), (3, "insert", 11, 110),
+        (3, "insert", 12, 120), (3, "insert", 13, 130),
+        (4, "delete", 10, 100),
+        (5, "delete", 11, 110),
+    ]
