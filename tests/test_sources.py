@@ -3656,3 +3656,119 @@ def test_read_row_changes_lifecycle(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="replace commit"):
         ts.read_row_changes(spark, root, v7, ts.current_version(root))
+
+
+def test_conflict_file_granular_disjoint_commutes(spark, tmp_path, monkeypatch):
+    """Round-15 (verdict ask #1): Delta-style read-set/write-set
+    conflict granularity. A retrying merge/delete intersects the files
+    it scanned (merge: pruned candidates) or masks (delete: affected
+    files) with each concurrent commit's touched set — DISJOINT
+    operations commute (both commit, linear history), overlapping ones
+    still refuse, and the row-level CDC over a raced disjoint
+    delete∥delete range is exact."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    lo = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+    )
+    hi = spark.range(100, 105).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+    )
+    f_lo = ts.stage_files(lo.coalesce(1), root)
+    f_hi = ts.stage_files(hi.coalesce(1), root)
+    ts.commit(
+        root,
+        f_lo + f_hi,
+        base_version=0,
+        schema=lo.schema.json(),
+        stats=ts.collect_stats(f_lo + f_hi, ["k"]),
+    )
+
+    # 1) merge ∥ delete on DISJOINT files: the merge's candidates (k=3
+    # prunes to the low file) never saw the deleted file — REBASE, both
+    # effects land, linear history
+    _interpose_once(
+        monkeypatch, lambda: ts.delete_where(spark, root, "k = 101")
+    )
+    src = spark.createDataFrame([(3, 99)], "k bigint, val bigint")
+    v_merge, _staged, untouched = ts.merge_into(
+        spark, root, src, ["k"], target_files=1
+    )
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert got[3] == 99 and 101 not in got and len(got) == 9
+    assert ts._op_of(root, v_merge - 1) == "delete"
+    assert ts._op_of(root, v_merge) == "replace"
+    assert set(f_hi) <= set(untouched)  # masked file carried by ref
+
+    # 2) delete ∥ merge on DISJOINT files: the delete's affected file
+    # holds k=2 (the round-1 rewrite output); the concurrent merge
+    # rewrote only the high file — the delete REBASES
+    monkeypatch.undo()
+    _interpose_once(
+        monkeypatch,
+        lambda: ts.merge_into(
+            spark,
+            root,
+            spark.createDataFrame([(102, 77)], "k bigint, val bigint"),
+            ["k"],
+            target_files=1,
+        ),
+    )
+    v_del, n_deleted, affected = ts.delete_where(spark, root, "k = 2")
+    assert n_deleted == 1
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert 2 not in got and got[102] == 77 and len(got) == 8
+    assert ts._op_of(root, v_del - 1) == "replace"
+    assert ts._op_of(root, v_del) == "delete"
+
+    # 3) merge ∥ delete on the SAME file: overlap -> refuse
+    monkeypatch.undo()
+    _interpose_once(
+        monkeypatch, lambda: ts.delete_where(spark, root, "k = 0")
+    )
+    with pytest.raises(ts.ConcurrentWriteConflict, match="read set"):
+        ts.merge_into(
+            spark,
+            root,
+            spark.createDataFrame([(4, 55)], "k bigint, val bigint"),
+            ["k"],
+            target_files=1,
+        )
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert 0 not in got and got[4] == 1  # winner intact, loser refused
+
+    # 4) delete ∥ delete on DISJOINT files: both commit; row-level CDC
+    # across the raced range emits each victim exactly once
+    monkeypatch.undo()
+    v_before = ts.current_version(root)
+    _interpose_once(
+        monkeypatch, lambda: ts.delete_where(spark, root, "k = 103")
+    )
+    v_last, n2, _ = ts.delete_where(spark, root, "k = 4")
+    assert n2 == 1
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert 4 not in got and 103 not in got
+    ch = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in ts.read_row_changes(spark, root, v_before, v_last).collect()
+    )
+    assert ch == [(v_last - 1, "delete", 103), (v_last, "delete", 4)]
+
+    # 5) delete ∥ delete on the SAME file: refuse (double-masking the
+    # same file would double-emit its victims in the change feed)
+    monkeypatch.undo()
+    _interpose_once(
+        monkeypatch, lambda: ts.delete_where(spark, root, "k = 1")
+    )
+    with pytest.raises(ts.ConcurrentWriteConflict, match="read set"):
+        ts.delete_where(spark, root, "k = 3")
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert 1 not in got and 3 in got
