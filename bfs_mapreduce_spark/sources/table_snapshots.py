@@ -795,7 +795,87 @@ def partition_field_name(t: tuple) -> str:
         return f"{t[1]}_trunc_{t[2]}"
     if kind == "bucket":
         return f"{t[1]}_bucket_{t[2]}"
+    if kind == "ibucket":
+        return f"{t[1]}_ibucket_{t[2]}"
     raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """murmur3 (x86, 32-bit variant, public domain reference by Austin
+    Appleby) — the hash the Apache Iceberg spec's ``bucket[N]``
+    transform requires (spec, Appendix B: seed 0 over the value's
+    single-value binary serialization)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n4:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int) -> int:
+    """Iceberg's ``bucket[N]`` transform, exactly per the public spec
+    (Appendix B): ``(murmur3_x86_32(serialize(v), seed=0) &
+    Integer.MAX_VALUE) % N`` where int/long serialize as 8-byte
+    little-endian two's complement and strings as UTF-8 bytes. Spec
+    test vectors (pinned in tests): hash(34) = 2017239379,
+    hash('iceberg') = 1210000089. The engine's default ``bucket``
+    transform is pmod (SQL-oracle-reproducible by design); THIS one
+    exists so a table can opt into Iceberg-compatible bucketing
+    (transform kind ``ibucket``) and export its spec eras as REAL
+    ``bucket[N]`` Iceberg partition specs instead of spec 0."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"ibucket value {value!r} has type {type(value).__name__}: "
+            "the Iceberg bucket transform is implemented for int/long "
+            "and string source columns here"
+        )
+    if isinstance(value, int):
+        b = (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    else:
+        b = value.encode("utf-8")
+    return (_murmur3_x86_32(b) & 0x7FFFFFFF) % int(n)
+
+
+def _ibucket_expr(col: str, n: int) -> F.Column:
+    """Arrow-batched murmur3 bucket column (staging-time only — reads
+    prune from the recorded tuples, never recompute)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _ib(s):
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return iceberg_bucket(v if isinstance(v, str) else int(v), n)
+
+        return s.map(one)
+
+    return _ib(F.col(col))
 
 
 def _transform_expr(t: tuple) -> F.Column:
@@ -807,6 +887,8 @@ def _transform_expr(t: tuple) -> F.Column:
         return (F.floor(F.col(t[1]) / width) * width).cast("bigint")
     if kind == "bucket":
         return F.pmod(F.col(t[1]).cast("bigint"), int(t[2]))
+    if kind == "ibucket":
+        return _ibucket_expr(t[1], int(t[2]))
     raise ValueError(f"unknown partition transform {t!r}")
 
 
@@ -824,6 +906,10 @@ def transform_literal(t: tuple, value):
         return int(math.floor(value / width) * width)
     if kind == "bucket":
         return int(value) % int(t[2])  # pmod: non-negative for n > 0
+    if kind == "ibucket":
+        return iceberg_bucket(
+            value if isinstance(value, str) else int(value), int(t[2])
+        )
     raise ValueError(f"unknown partition transform {t!r}")
 
 
@@ -2581,7 +2667,13 @@ def collect_stats(paths: list[str], cols: list[str]) -> dict[str, dict]:
                 if st is None or not st.has_min_max:
                     ok = False
                     break
-                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                try:
+                    mn, mx = _json_safe(st.min), _json_safe(st.max)
+                except NotImplementedError:
+                    # pyarrow cannot extract min/max for some physical
+                    # types (e.g. certain decimals): no stat, keep file
+                    ok = False
+                    break
                 if mn is None or mx is None:
                     ok = False
                     break

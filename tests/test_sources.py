@@ -3772,3 +3772,293 @@ def test_conflict_file_granular_disjoint_commutes(spark, tmp_path, monkeypatch):
         ts.delete_where(spark, root, "k = 3")
     got = sorted(r["k"] for r in ts.read(spark, root).collect())
     assert 1 not in got and 3 in got
+
+
+def test_ibucket_murmur3_transform_and_export(spark, tmp_path):
+    """Round-15 (verdict ask #2, bucket half): the 'ibucket' transform
+    IS Iceberg's bucket[N] — murmur3_x86_32 seed 0 over the spec's
+    single-value binary form, pinned against the PUBLIC spec's own
+    test vectors — so ibucket spec eras export as REAL bucket[N]
+    Iceberg partition specs with their recorded per-file tuples,
+    instead of the pmod era's spec-0 fallback."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.avro_py import read_avro
+
+    # the Iceberg spec's published murmur3 test vectors (Appendix B)
+    assert ts._murmur3_x86_32((34).to_bytes(8, "little")) == 2017239379
+    assert ts._murmur3_x86_32("iceberg".encode()) == 1210000089
+    assert ts.iceberg_bucket(34, 16) == 2017239379 % 16
+    assert ts.iceberg_bucket("iceberg", 16) == 1210000089 % 16
+    assert 0 <= ts.iceberg_bucket(-7, 8) < 8  # negatives: two's complement
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d = spark.range(64).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    spec = [("ibucket", "k", 8)]
+    files, parts = ts.stage_files_partitioned(d, root, spec)
+    v1 = ts.commit(
+        root,
+        files,
+        base_version=0,
+        schema=d.schema.json(),
+        partition_spec=spec,
+        partitions=parts,
+    )
+    # every recorded tuple is the real murmur3 bucket of its file's rows
+    got = {r["k"]: r for r in ts.read(spark, root).collect()}
+    assert len(got) == 64
+    for f, tup in ts.read_manifest(root)["partitions"].items():
+        want = {ts.iceberg_bucket(r["k"], 8) for r in
+                spark.read.parquet(f).collect()}
+        assert want == {tup["k_ibucket_8"]}
+    # pruning by source value keeps only the matching bucket's files
+    m = ts.read_manifest(root)
+    kept, skipped = ts.prune_partitions_source(m, {"k": 13})
+    assert skipped and len(kept) < len(m["files"])
+    assert 13 in {r["k"] for r in ts._scan(
+        spark, kept, {}, m.get("schema"), None,
+        m.get("_added_era"), m.get("schema_log")).collect()}
+    # export: the era becomes a REAL bucket[8] spec, nothing skipped
+    out = str(tmp_path / "ice")
+    summary = im.export_iceberg_metadata(root, out)
+    assert summary["spec_skipped"] == {}
+    md = json.load(open(summary["metadata_file"]))
+    specs = {s["spec-id"]: s for s in md["partition-specs"]}
+    bucket_specs = [
+        s for s in specs.values()
+        if any(f["transform"] == "bucket[8]" for f in s["fields"])
+    ]
+    assert len(bucket_specs) == 1
+    assert md["default-spec-id"] == bucket_specs[0]["spec-id"]
+    # per-file partition tuples in the manifest avro carry the buckets
+    lp = md["snapshots"][-1]["manifest-list"]
+    _s, mrows = read_avro(lp)
+    entries = []
+    for mr in mrows:
+        if mr["partition_spec_id"] == bucket_specs[0]["spec-id"]:
+            _es, es = read_avro(mr["manifest_path"])
+            entries.extend(es)
+    assert entries
+    for e in entries:
+        f = e["data_file"]["file_path"]
+        assert (
+            e["data_file"]["partition"]["k_ibucket_8"]
+            == ts.read_manifest(root)["partitions"][f]["k_ibucket_8"]
+        )
+    # round-trip: the exported layout reads back with identical rows
+    back = {r["k"]: r["v"] for r in im.read_iceberg_table(spark, out).collect()}
+    assert back == {k: k * 3 for k in range(64)}
+
+
+def _forge_iceberg_delete_table(spark, base_dir):
+    """A 'foreign' Iceberg v2 table with delete manifests, built from
+    the public spec alone: data file A (seq 1: k 0-4), data file B
+    (seq 3: k 5-9), a position-delete file (seq 2) masking A's row 1,
+    and an equality-delete file (seq 2, equality_ids=[1] = column k,
+    keys {0, 5}) — which by the spec's strictly-older rule applies to
+    A only, so k=5 in the NEWER file B must survive."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources.avro_py import write_avro
+
+    loc = os.path.join(base_dir, "foreign")
+    data_dir = os.path.join(loc, "data")
+    meta_dir = os.path.join(loc, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    fa = os.path.join(data_dir, "a.parquet")
+    fb = os.path.join(data_dir, "b.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(5)), "val": [i * 10 for i in range(5)]}),
+        fa,
+    )
+    pq.write_table(
+        pa.table({"k": list(range(5, 10)), "val": [i * 10 for i in range(5, 10)]}),
+        fb,
+    )
+    fpos = os.path.join(data_dir, "pos-del.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([fa], type=pa.string()),
+                "pos": pa.array([1], type=pa.int64()),
+            }
+        ),
+        fpos,
+    )
+    feq = os.path.join(data_dir, "eq-del.parquet")
+    pq.write_table(pa.table({"k": pa.array([0, 5], type=pa.int64())}), feq)
+
+    entry_schema = im._manifest_entry_schema()
+    entry_schema["fields"][-1]["type"]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "default": None,
+            "field-id": 135,
+        }
+    )
+
+    def entry(path, content, seq, eq_ids=None):
+        return {
+            "status": 1,
+            "snapshot_id": 3,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 5,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    m_data = os.path.join(meta_dir, "manifest-data.avro")
+    write_avro(
+        m_data, entry_schema, [entry(fa, 0, 1), entry(fb, 0, 3)]
+    )
+    m_del = os.path.join(meta_dir, "manifest-del.avro")
+    write_avro(
+        m_del,
+        entry_schema,
+        [entry(fpos, 1, 2), entry(feq, 2, 2, eq_ids=[1])],
+    )
+
+    def list_row(path, content, seq):
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 3,
+            "added_files_count": 2,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 10,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    lp = os.path.join(meta_dir, "snap-3.avro")
+    write_avro(
+        lp,
+        im._MANIFEST_LIST_SCHEMA,
+        [list_row(m_data, 0, 3), list_row(m_del, 1, 2)],
+    )
+    md = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": loc,
+        "last-sequence-number": 3,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "val", "required": False, "type": "long"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {
+                "snapshot-id": 3,
+                "sequence-number": 3,
+                "timestamp-ms": 0,
+                "summary": {"operation": "overwrite"},
+                "manifest-list": lp,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return loc, fa, fb, feq
+
+
+def test_iceberg_import_delete_manifests(spark, tmp_path):
+    """Round-15 (verdict ask #2): a delete-carrying Iceberg v2 table
+    IMPORTS — position-delete files map onto delete vectors, equality
+    deletes onto delete_eq entries with the sequence-number rule
+    translated to file-granular applies-scopes. The files-only reader
+    keeps refusing; unmappable delete kinds refuse at import."""
+    import os
+
+    import pytest
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.avro_py import read_avro, write_avro
+
+    loc, fa, fb, feq = _forge_iceberg_delete_table(spark, str(tmp_path))
+    # the files-only reader still refuses (it cannot apply deletes)
+    with pytest.raises(NotImplementedError, match="delete manifest"):
+        im.read_iceberg_table(spark, loc)
+    # import: MoR state preserved — k=1 dead (position), k=0 dead
+    # (equality, A is seq 1 < 2), k=5 ALIVE (B is seq 3, not older)
+    dst = str(tmp_path / "adopted")
+    os.makedirs(dst)
+    v = im.import_iceberg_table(spark, loc, dst)
+    got = {r["k"]: r["val"] for r in ts.read(spark, dst).collect()}
+    assert got == {k: k * 10 for k in (2, 3, 4, 5, 6, 7, 8, 9)}
+    m = ts.read_manifest(dst)
+    assert m["operation"] == "upsert"
+    assert sorted(m["files"]) == sorted([fa, fb])  # data by reference
+    assert list(m["deletes"].keys()) == [fa]
+    assert len(m["eq_deletes"]) == 1
+    e = m["eq_deletes"][0]
+    assert e["applies"] == [fa] and e["cols"] == ["k"] and e["files"] == [feq]
+    # the adopted table lives on: compact materializes both kinds
+    ts.compact(spark, dst)
+    got2 = {r["k"]: r["val"] for r in ts.read(spark, dst).collect()}
+    assert got2 == got
+    mm = ts.read_manifest(dst)
+    assert not mm.get("deletes") and not mm.get("eq_deletes")
+    # time travel to the adoption version still reads the MoR state
+    got1 = {r["k"]: r["val"] for r in ts.read(spark, dst, v).collect()}
+    assert got1 == got
+    # unmappable kind refuses: strip the equality_ids
+    loc2, _fa, _fb, _feq = _forge_iceberg_delete_table(
+        spark, str(tmp_path / "second")
+    )
+    mdel = os.path.join(loc2, "metadata", "manifest-del.avro")
+    sch, rows = read_avro(mdel)
+    for r in rows:
+        r["data_file"]["equality_ids"] = None
+    write_avro(mdel, sch, rows)
+    dst2 = str(tmp_path / "adopted2")
+    os.makedirs(dst2)
+    with pytest.raises(NotImplementedError, match="equality_ids"):
+        im.import_iceberg_table(spark, loc2, dst2)
