@@ -1040,17 +1040,17 @@ def _binary_files_bound(n_docs: int) -> int:
     "doc_id and format are recovered from the file name; features are "
     "oracle-recomputed from the source table per format. binaryFile "
     "partitions by file, so blobs still never hash-shuffle. NOTE: build() "
-    "performs side-effecting driver work — it stages the files "
-    "eagerly (one toPandas + local writes) into a per-(process, "
-    "sf-tag) directory that is cleared first, so a re-build with a "
-    "different corpus or bound under the same tag can never leave "
-    "stale files for the returned lazy plan's glob to pick up.",
+    "performs side-effecting staging work — executor tasks write the "
+    "files (round 15: no driver funnel) into a per-(process, sf-tag) "
+    "directory that is cleared first, so a re-build with a different "
+    "corpus or bound under the same tag can never leave stale files "
+    "for the returned lazy plan's glob to pick up.",
 )
 def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from bfs_mapreduce_spark.sources.png_py import decode_png, encode_png
+    from bfs_mapreduce_spark.sources.png_py import decode_png
     from bfs_mapreduce_spark.tmputil import proc_dir
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -1059,24 +1059,31 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents")
     n_files = _binary_files_bound(docs.count())
-    staged = (
+
+    def write_rows(pdf) -> None:  # executor-side staging (round 15)
+        from bfs_mapreduce_spark.sources.png_py import encode_png as _enc
+
+        for r in pdf.itertuples():
+            blob = bytes(r.blob)
+            with open(os.path.join(root, f"doc_{r.doc_id}.ppm"), "wb") as f:
+                f.write(blob)
+            pixels = blob[len(_PPM_HEADER) :]
+            with open(os.path.join(root, f"doc_{r.doc_id}.png"), "wb") as f:
+                f.write(
+                    _enc(
+                        _PPM_W, _PPM_H, pixels, color_type=2,
+                        filter_choice=lambda row: row % 5,
+                    )
+                )
+
+    from bfs_mapreduce_spark.tmputil import stage_rows_executor
+
+    stage_rows_executor(
         _with_ppm_blob(spark, sf_dir)
         .filter(F.col("doc_id") < n_files)
-        .select("doc_id", "blob")
-        .toPandas()
+        .select("doc_id", "blob"),
+        write_rows,
     )
-    for r in staged.itertuples():
-        blob = bytes(r.blob)
-        with open(os.path.join(root, f"doc_{r.doc_id}.ppm"), "wb") as f:
-            f.write(blob)
-        pixels = blob[len(_PPM_HEADER) :]
-        with open(os.path.join(root, f"doc_{r.doc_id}.png"), "wb") as f:
-            f.write(
-                encode_png(
-                    _PPM_W, _PPM_H, pixels, color_type=2,
-                    filter_choice=lambda row: row % 5,
-                )
-            )
 
     def _decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1574,68 +1581,83 @@ _IMG_BUILTIN_DOCS = 24  # staged files = 4 per doc (.png, .gif, .jpg, p.jpg)
     "mutual validation of png_py, jpeg_py, gif_py (round 10: one "
     ".gif per doc — lossless palette encode, interlaced on odd ids, "
     "so ImageIO independently certifies the LZW layer and both row "
-    "orders), and the builtin source's channel layout. Staging is "
-    "driver-side fixture construction (~100 small files), same "
-    "hygiene as q_scan_avro.",
+    "orders), and the builtin source's channel layout. Round 15: "
+    "staging runs on executor tasks (stage_rows_executor) — the "
+    "driver never holds the encoded bytes.",
 )
 def q_scan_image_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    import numpy as np
-
-    from bfs_mapreduce_spark.sources.gif_py import encode_gif
-    from bfs_mapreduce_spark.sources.jpeg_py import QUANT_LUMA, encode_jpeg
-    from bfs_mapreduce_spark.sources.png_py import encode_png
+    from bfs_mapreduce_spark.sources.jpeg_py import QUANT_LUMA
     from bfs_mapreduce_spark.tmputil import proc_dir
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     root = os.path.join(proc_dir("bfs_mapreduce_spark_imgsrc"), tag)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter((F.length("text") > 0) & (F.col("doc_id") <= _IMG_BUILTIN_DOCS))
-        .select("doc_id", "text")
-        .collect()
-    )
     ql = QUANT_LUMA.copy()
     ql[0, 0] = 8
-    for r in docs:
-        reps = -(-_PPM_PIXEL_BYTES // len(r.text))
-        pix = (r.text * reps)[:_PPM_PIXEL_BYTES].encode("ascii")
-        with open(os.path.join(root, f"doc{r.doc_id}.png"), "wb") as f:
-            f.write(
-                encode_png(
-                    _PPM_W, _PPM_H, pix, color_type=2, filter_choice=lambda i: i % 5
-                )
-            )
-        # doc{N}.gif (round 10): the same plane through the from-spec
-        # GIF89a encoder — lossless palette format, so ImageIO must
-        # hand back the identical BGR plane as the .png row (interlace
-        # on odd ids exercises both row orders through the
-        # independent decoder)
-        with open(os.path.join(root, f"doc{r.doc_id}.gif"), "wb") as f:
-            f.write(encode_gif(_PPM_W, _PPM_H, pix, interlace=bool(r.doc_id % 2)))
-        blk = np.frombuffer(pix[:8], dtype=np.uint8).reshape(2, 4)
-        plane = np.repeat(np.repeat(blk, 8, axis=0), 8, axis=1)
-        rgb = np.repeat(plane[:, :, None], 3, axis=2)
-        # doc{N}.jpg sequential, doc{N}p.jpg PROGRESSIVE (round 10):
-        # same decoded plane, so ImageIO — an independent industry
-        # decoder — certifies the progressive entropy layer too.
-        for ext, prog in ((".jpg", False), ("p.jpg", True)):
-            with open(os.path.join(root, f"doc{r.doc_id}{ext}"), "wb") as f:
+
+    def write_rows(pdf) -> None:  # executor-side staging (round 15)
+        import numpy as _np
+
+        from bfs_mapreduce_spark.sources.gif_py import encode_gif as _egif
+        from bfs_mapreduce_spark.sources.jpeg_py import encode_jpeg as _ejpg
+        from bfs_mapreduce_spark.sources.png_py import encode_png as _epng
+
+        for r in pdf.itertuples():
+            reps = -(-_PPM_PIXEL_BYTES // len(r.text))
+            pix = (r.text * reps)[:_PPM_PIXEL_BYTES].encode("ascii")
+            with open(os.path.join(root, f"doc{r.doc_id}.png"), "wb") as f:
                 f.write(
-                    encode_jpeg(
-                        _JPG_W,
-                        _JPG_H,
-                        rgb.tobytes(),
-                        subsample="420",
-                        quant_luma=ql,
-                        restart_interval=1,
-                        progressive=prog,
+                    _epng(
+                        _PPM_W, _PPM_H, pix, color_type=2,
+                        filter_choice=lambda i: i % 5,
                     )
                 )
+            # doc{N}.gif (round 10): the same plane through the
+            # from-spec GIF89a encoder — lossless palette format, so
+            # ImageIO must hand back the identical BGR plane as the
+            # .png row (interlace on odd ids exercises both row orders
+            # through the independent decoder)
+            with open(os.path.join(root, f"doc{r.doc_id}.gif"), "wb") as f:
+                f.write(
+                    _egif(_PPM_W, _PPM_H, pix, interlace=bool(r.doc_id % 2))
+                )
+            blk = _np.frombuffer(pix[:8], dtype=_np.uint8).reshape(2, 4)
+            plane = _np.repeat(_np.repeat(blk, 8, axis=0), 8, axis=1)
+            rgb = _np.repeat(plane[:, :, None], 3, axis=2)
+            # doc{N}.jpg sequential, doc{N}p.jpg PROGRESSIVE (round
+            # 10): same decoded plane, so ImageIO — an independent
+            # industry decoder — certifies the progressive entropy
+            # layer too.
+            for ext, prog in ((".jpg", False), ("p.jpg", True)):
+                with open(
+                    os.path.join(root, f"doc{r.doc_id}{ext}"), "wb"
+                ) as f:
+                    f.write(
+                        _ejpg(
+                            _JPG_W,
+                            _JPG_H,
+                            rgb.tobytes(),
+                            subsample="420",
+                            quant_luma=ql,
+                            restart_interval=1,
+                            progressive=prog,
+                        )
+                    )
+
+    from bfs_mapreduce_spark.tmputil import stage_rows_executor
+
+    stage_rows_executor(
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.length("text") > 0) & (F.col("doc_id") <= _IMG_BUILTIN_DOCS)
+        )
+        .select("doc_id", "text"),
+        write_rows,
+    )
     img = spark.read.format("image").load(root)
     return img.select(
         F.element_at(F.split(F.col("image.origin"), "/"), -1).alias("file"),

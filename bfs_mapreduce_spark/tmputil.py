@@ -73,3 +73,27 @@ def _sweep_stale(root: str) -> None:
 def _cleanup() -> None:
     for d in _OWNED:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def stage_rows_executor(df, write_rows) -> int:
+    """Run a side-effecting fixture writer on EXECUTOR tasks (round
+    15, verdict ask #4 — no driver funnels): ``write_rows(pdf)`` is
+    called inside ``mapInPandas`` with each Arrow batch of the task's
+    rows and performs its own writes (files, Avro containers, ...).
+    The driver never holds the staged bytes; the only thing collected
+    is one row-count per task. In local mode tasks share the driver's
+    filesystem; on a cluster the target directory must be a shared
+    filesystem — the same assumption every staging fixture (and the
+    snapshot format) already makes. Returns the total rows staged."""
+
+    def _run(batches):
+        import pandas as pd
+
+        n = 0
+        for pdf in batches:
+            write_rows(pdf)
+            n += len(pdf)
+        yield pd.DataFrame({"n": [n]})
+
+    out = df.mapInPandas(_run, "n bigint").collect()  # one tiny row/task
+    return int(sum(r["n"] for r in out))
