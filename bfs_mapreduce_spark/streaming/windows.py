@@ -34,6 +34,12 @@ so the engine keeps ``applyInPandasWithState`` — identical semantics
 for the running-counts operator here — and a transformWithState
 variant is a mechanical swap (groupBy().transformWithStateInPandas
 with a 3-method StatefulProcessor) once the dependency exists.
+Round 15: the refusal is pinned by a canary
+(tests/test_streaming.py::test_transform_with_state_refusal_is_still_genuine)
+that FAILS the moment google.protobuf becomes importable, so the
+boundary cannot silently outlive its cause; a live probe on this
+build still dies in the streaming runner with ``ImportError: cannot
+import name 'descriptor' from 'google.protobuf'``.
 """
 
 from __future__ import annotations
