@@ -412,7 +412,16 @@ def _snapshot_vacuum(args: argparse.Namespace) -> int:
                 else None
             ),
         )
-    deleted = ts.vacuum(args.root, retain_from=cutoff)
+    deleted = ts.vacuum(
+        args.root,
+        retain_from=cutoff,
+        # Delta's retentionDurationCheck shape: refuse when the newest
+        # expired version was superseded less than the window ago (an
+        # in-flight reader may still hold plans to its files)
+        min_retention_s=(
+            None if args.force else args.min_retention_hours * 3600.0
+        ),
+    )
     print(
         json.dumps(
             {
@@ -625,6 +634,19 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--retain-last", type=int)
     sv.add_argument("--retain-hours", type=float)
     sv.add_argument("--retain-from", type=int)
+    sv.add_argument(
+        "--min-retention-hours",
+        type=float,
+        default=168.0,
+        help="refuse to expire a version superseded less than this "
+        "long ago (in-flight reader guard, Delta's "
+        "retentionDurationCheck; default 168h)",
+    )
+    sv.add_argument(
+        "--force",
+        action="store_true",
+        help="skip the min-retention reader guard",
+    )
     sv.set_defaults(fn=_snapshot_vacuum)
 
     se = sub.add_parser(

@@ -681,8 +681,18 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         stats: dict = {}
         partitions: dict = {}
         for sp in segs:
-            with open(sp) as sf:
-                s = json.load(sf)
+            try:
+                with open(sp) as sf:
+                    s = json.load(sf)
+            except FileNotFoundError:
+                # the segment was swept by vacuum: this version's
+                # retention expired — fail with the reason, not a bare
+                # missing-path (round 15, reader-race contract)
+                raise ValueError(
+                    f"version {v} of {root!r} has expired: its manifest "
+                    f"segment {sp!r} was vacuumed — time travel reaches "
+                    "only retained versions"
+                ) from None
             files.extend(s["files"])
             stats.update(s.get("stats") or {})
             partitions.update(s.get("partitions") or {})
@@ -2581,20 +2591,58 @@ def retention_cutoff(
     return min(cutoffs) if cutoffs else 1
 
 
-def vacuum(root: str, retain_from: int = 1) -> list[str]:
+def vacuum(
+    root: str,
+    retain_from: int = 1,
+    *,
+    min_retention_s: float | None = None,
+    now: float | None = None,
+) -> list[str]:
     """Delete data files referenced by NO manifest >= ``retain_from``
-    (expired time travel). Returns the deleted paths. Refuses nothing:
-    the referenced-set computation IS the safety check. Position-
-    delete files referenced by a retained manifest are protected
-    exactly like data files. Manifest SEGMENTS are swept by the same
-    rule: a segment referenced only by expired versions (retired by
-    ``rewrite_manifests``, or orphaned by a commit that lost the CAS
-    race before round 12's loser-cleanup) is metadata garbage and is
-    removed too. Like every table-format vacuum, this must not race an
-    in-flight commit (staged-but-uncommitted data files and segments
-    look identical to garbage) — run it from the maintenance cadence,
-    not concurrently with writers."""
+    (expired time travel). Returns the deleted paths. Refuses nothing
+    by default: the referenced-set computation IS the safety check.
+    Position-delete files referenced by a retained manifest are
+    protected exactly like data files. Manifest SEGMENTS are swept by
+    the same rule: a segment referenced only by expired versions
+    (retired by ``rewrite_manifests``, or orphaned by a commit that
+    lost the CAS race before round 12's loser-cleanup) is metadata
+    garbage and is removed too. Like every table-format vacuum, this
+    must not race an in-flight commit (staged-but-uncommitted data
+    files and segments look identical to garbage) — run it from the
+    maintenance cadence, not concurrently with writers.
+
+    READER RACE CONTRACT (round 15, verdict ask #7): vacuum cannot see
+    in-flight readers, so a query (or a CDC drain mid-catch-up) whose
+    plan holds files of an expired version loses them under its feet.
+    The failure mode is LOUD, never wrong rows: manifests are never
+    deleted, every read path plans its exact file list from the
+    manifest, and a planned file that vanished fails the scan with
+    FileNotFoundError (pinned by test) — a file survives deletion only
+    if some retained version still references it, in which case the
+    expired read of it is byte-identical anyway. The guard against the
+    race is Delta's retentionDurationCheck translated to versions:
+    pass ``min_retention_s`` and the vacuum REFUSES when the newest
+    expired version was superseded less than that long ago (its
+    successor's manifest mtime is the supersession clock) — any reader
+    that started within the window planned a retained version. The CLI
+    maintenance entry point enables it by default (168h, Delta's
+    floor); the library primitive keeps it opt-in so tests and
+    deliberate callers stay explicit."""
     latest = current_version(root)
+    if min_retention_s is not None and retain_from > 1:
+        import time as _time
+
+        cutoff_v = min(retain_from, latest)
+        superseded_at = os.path.getmtime(_manifest_path(root, cutoff_v))
+        age = (now if now is not None else _time.time()) - superseded_at
+        if age < float(min_retention_s):
+            raise ValueError(
+                f"vacuum(retain_from={retain_from}) refused: v{cutoff_v - 1} "
+                f"was superseded only {age:.0f}s ago (< min_retention_s="
+                f"{float(min_retention_s):.0f}) — an in-flight reader may "
+                "still hold plans to its files. Wait out the window, or "
+                "pass min_retention_s=None to force."
+            )
     keep: set[str] = set()
     seg_keep: set[str] = set()
     retained = set(range(max(retain_from, 1), latest + 1))

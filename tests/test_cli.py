@@ -213,8 +213,12 @@ def test_cli_snapshot_vacuum_retention(spark, tmp_path, capsys):
     assert out1["n_deleted"] == 0
     assert ts.read(spark, root, 1).count() == 10  # full history intact
 
-    # keep only the last 2 versions
-    rc = main(["snapshot-vacuum", root, "--retain-last", "2"])
+    # keep only the last 2 versions: without --force the round-15
+    # min-retention reader guard refuses (just-superseded versions)
+    with pytest.raises(ValueError, match="superseded only"):
+        main(["snapshot-vacuum", root, "--retain-last", "2"])
+    capsys.readouterr()
+    rc = main(["snapshot-vacuum", root, "--retain-last", "2", "--force"])
     assert rc == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["retain_from"] == 3 and out2["n_deleted"] > 0
@@ -263,7 +267,7 @@ def test_retention_keep_last_zero_cannot_destroy_table(spark, tmp_path, capsys):
     )
     assert ts.retention_cutoff(root, keep_last=0) == v
     assert ts.retention_cutoff(root, keep_last=-3) == v
-    rc = main(["snapshot-vacuum", root, "--retain-last", "0"])
+    rc = main(["snapshot-vacuum", root, "--retain-last", "0", "--force"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["retain_from"] == v
