@@ -1150,3 +1150,242 @@ def run_media_scale(sf_dir: str = "/root/testdata/sf0.1") -> Iterator[dict]:
         "decode_sec": round(d, 5),
         "docs_per_sec_per_core": round(1.0 / (e + c + d), 1),
     }
+
+
+def run_meta_scale(
+    n_commits: int = 400,
+    files_per_commit: int = 16,
+    rows_per_file: int = 64,
+    sample: int = 10,
+) -> Iterator[dict]:
+    """Lakehouse METADATA stress (round 15, verdict ask #3 — the tier
+    bench-llm/bench-cdc don't cover): drive the snapshot format to
+    ``n_commits`` commits x ``files_per_commit`` tiny files (thousands
+    of live files; data bytes are irrelevant, the manifest machinery
+    is the thing under test) and measure every driver-side metadata
+    phase:
+
+    - **commit latency head vs tail** — the O(new files) append
+      contract: a tail commit into a table with thousands of
+      accumulated files/segments must not cost more than a head
+      commit into an empty one (ratio ~1; superlinear growth here is
+      the classic manifest-rewrite trap).
+    - **read_manifest full resolution** — the O(table files) driver
+      JSON parse every reader pays once per plan.
+    - **CDC planning** — SnapshotChangesStreamReader init +
+      per-commit additions (must stay O(appended files): raw
+      manifests + fresh segments, never a full resolution).
+    - **CAS rebase walk** — _check_rebase_safe over K intervening
+      appends (op-class: O(K) raw reads) and the file-granular
+      _touched_files path (O(K) full resolutions — retry-path only).
+    - **rewrite_manifests** — segment collapse, and the resolution
+      cost after it.
+    - **vacuum** — reference-set sweep expiring the first half.
+
+    Pure driver-side: no SparkSession (files are staged with pyarrow
+    directly — commit() is the unit under test, not the writer)."""
+    import tempfile as _tempfile
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        SnapshotChangesStreamReader,
+    )
+
+    root = _tempfile.mkdtemp(prefix="bfs_mr_meta_scale_")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+
+    def stage(ci: int) -> list[str]:
+        d = os.path.join(data, f"c{ci:05d}_{_uuid.uuid4().hex[:8]}")
+        os.makedirs(d)
+        out = []
+        for fi in range(files_per_commit):
+            p = os.path.join(d, f"part-{fi:04d}.parquet")
+            base_k = (ci * files_per_commit + fi) * rows_per_file
+            _pq.write_table(
+                _pa.table({"k": list(range(base_k, base_k + rows_per_file))}),
+                p,
+            )
+            out.append(p)
+        return out
+
+    commit_secs: list[float] = []
+    v = 0
+    t_all = _time.monotonic()
+    for ci in range(n_commits):
+        files = stage(ci)
+        t0 = _time.monotonic()
+        v = ts.commit(root, files, base_version=v)
+        commit_secs.append(_time.monotonic() - t0)
+    head = sum(commit_secs[:sample]) / sample
+    tail = sum(commit_secs[-sample:]) / sample
+    yield {
+        "step": "commits",
+        "n_commits": n_commits,
+        "files_per_commit": files_per_commit,
+        "total_files": n_commits * files_per_commit,
+        "sec_total": round(_time.monotonic() - t_all, 3),
+        "commit_head_ms": round(head * 1000, 2),
+        "commit_tail_ms": round(tail * 1000, 2),
+        "tail_over_head": round(tail / head, 2) if head else None,
+    }
+
+    t0 = _time.monotonic()
+    m = ts.read_manifest(root)
+    yield {
+        "step": "read_manifest_full",
+        "sec": round(_time.monotonic() - t0, 4),
+        "n_files": len(m["files"]),
+        "n_segments": len(m.get("_segments") or []),
+    }
+
+    t0 = _time.monotonic()
+    r = SnapshotChangesStreamReader({"path": root, "startingVersion": str(v)})
+    t_init = _time.monotonic() - t0
+    t0 = _time.monotonic()
+    adds = r._additions(v)
+    yield {
+        "step": "cdc_plan_one_commit",
+        "reader_init_sec": round(t_init, 4),
+        "additions_sec": round(_time.monotonic() - t0, 5),
+        "n_added": len(adds),
+    }
+
+    k_back = min(50, n_commits - 1)
+    t0 = _time.monotonic()
+    ts._check_rebase_safe(root, v - k_back, v, "append_bench")
+    t_class = _time.monotonic() - t0
+    t0 = _time.monotonic()
+    touched = set()
+    for vv in range(v - k_back + 1, v + 1):
+        touched |= ts._touched_files(root, vv)
+    yield {
+        "step": "cas_rebase_walk",
+        "k_intervening": k_back,
+        "op_class_sec": round(t_class, 4),
+        "file_granular_sec": round(_time.monotonic() - t0, 3),
+        "n_touched": len(touched),
+    }
+
+    t0 = _time.monotonic()
+    v = ts.rewrite_manifests(root)
+    t_rw = _time.monotonic() - t0
+    t0 = _time.monotonic()
+    m2 = ts.read_manifest(root)
+    yield {
+        "step": "rewrite_manifests",
+        "sec": round(t_rw, 3),
+        "read_manifest_after_sec": round(_time.monotonic() - t0, 4),
+        "n_segments_after": len(m2.get("_segments") or []),
+    }
+
+    # one replace so the first half's files become exclusive garbage
+    half_files = [
+        f for f in m2["files"]
+        if int(os.path.basename(os.path.dirname(f))[1:6]) >= n_commits // 2
+    ]
+    v = ts.commit(root, half_files, base_version=v, replace=True)
+    t0 = _time.monotonic()
+    deleted = ts.vacuum(root, retain_from=v)
+    yield {
+        "step": "vacuum",
+        "sec": round(_time.monotonic() - t0, 3),
+        "n_deleted": len(deleted),
+        "n_live": len(ts.read_manifest(root)["files"]),
+    }
+
+
+def run_rowcdc_scale(
+    spark,
+    sf_dir: str = "/root/testdata/sf0.1",
+    factors=(1, 10),
+    out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+    n_files: int = 8,
+) -> Iterator[dict]:
+    """ROW-LEVEL change feed x10 stress (round 15, verdict ask #6 —
+    bench-cdc measures file-level CDC only): a factor-staged corpus
+    lives through append -> position delete -> upsert -> equality
+    delete -> a LATE one-file append + one-file delete, then the
+    snapshot_row_changes reader derives each commit's changed rows
+    (partitions() planning + the Arrow victim derivation in read(),
+    driven in-process — the executor work without sink noise).
+
+    The scale claims measured: per-commit derivation cost tracks the
+    COMMIT's touched files/rows (insert ~ new files; position-delete ~
+    masked files; eq-delete/upsert ~ their applies-scope — the
+    semantic cost of 'mask anywhere', exactly Iceberg's), and the
+    LATE one-file delete stays ~constant across factors even though
+    the table is 10x bigger — the prior-delete-state replay is scoped
+    to the commit's files, never the table."""
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.readers import load_table
+    from bfs_mapreduce_spark.sources.snapshot_row_changes_source import (
+        SnapshotRowChangesStreamReader,
+    )
+
+    for factor in factors:
+        corpus = synthesize_corpus(sf_dir, factor, out_dir)
+        docs = load_table(spark, corpus, "documents").select(
+            "doc_id", "source", "text"
+        )
+        root = _tempfile.mkdtemp(prefix="bfs_mr_rowcdc_scale_")
+        v = ts.commit(
+            root,
+            ts.stage_files(docs.repartition(n_files), root),
+            base_version=0,
+            schema=docs.schema.json(),
+        )
+        ts.delete_where(spark, root, "doc_id % 7 = 0")
+        src = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "source", F.lit("upserted")
+        )
+        ts.upsert_eq(spark, root, src, ["doc_id"])
+        ts.delete_eq(
+            spark, root,
+            docs.filter(F.col("doc_id") % 13 == 0).select("doc_id").distinct(),
+        )
+        late = spark.range(10**9, 10**9 + 200).select(
+            F.col("id").alias("doc_id"),
+            F.lit("late").alias("source"),
+            F.lit("late-doc").alias("text"),
+        )
+        ts.commit(
+            root,
+            ts.stage_files(late.coalesce(1), root),
+            base_version=ts.current_version(root),
+        )
+        v_last, n_late_del, _ = ts.delete_where(
+            spark, root, "doc_id >= 1000000000 AND doc_id % 2 = 0"
+        )
+        r = SnapshotRowChangesStreamReader(
+            {"path": root, "startingVersion": "0"}
+        )
+        for vv in range(1, v_last + 1):
+            op = ts._op_of(root, vv)
+            t0 = _time.monotonic()
+            parts = r.partitions({"v": vv - 1}, {"v": vv})
+            t_plan = _time.monotonic() - t0
+            t0 = _time.monotonic()
+            rows = 0
+            for p in parts:
+                for b in r.read(p):
+                    rows += b.num_rows
+            yield {
+                "factor": factor,
+                "version": vv,
+                "op": op,
+                "n_partitions": len(parts),
+                "rows_emitted": rows,
+                "plan_sec": round(t_plan, 4),
+                "derive_sec": round(_time.monotonic() - t0, 3),
+            }

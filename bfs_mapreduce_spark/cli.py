@@ -224,6 +224,43 @@ def _bench_cdc(args: argparse.Namespace) -> int:
     return 0
 
 
+def _bench_meta(args: argparse.Namespace) -> int:
+    """Lakehouse metadata stress: commit latency vs accumulated
+    segments, manifest planning, CAS rebase walk, rewrite_manifests,
+    vacuum (BASELINE.md round-15 table). Pure driver-side metadata —
+    no Spark session."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import run_meta_scale
+
+    for rec in run_meta_scale(
+        n_commits=args.commits, files_per_commit=args.files_per_commit
+    ):
+        print(json.dumps(rec))
+        sys.stdout.flush()
+    return 0
+
+
+def _bench_rowcdc(args: argparse.Namespace) -> int:
+    """Row-level change feed derivation cost vs corpus factor
+    (BASELINE.md round-15 table)."""
+    import json
+
+    from bfs_mapreduce_spark.benchmarks import run_rowcdc_scale
+
+    spark, owned = _owned_session(app_name="bench_rowcdc_scale")
+    try:
+        for rec in run_rowcdc_scale(
+            spark, sf_dir=args.sf_dir, factors=args.factor or (1, 10)
+        ):
+            print(json.dumps(rec))
+            sys.stdout.flush()
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def _bench_stream(args: argparse.Namespace) -> int:
     """Streaming state-store pressure: rows/s + state rows/bytes per
     micro-batch under a key-cardinality ramp (BASELINE.md table)."""
@@ -623,6 +660,27 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("root")
     sr.add_argument("version", type=int)
     sr.set_defaults(fn=_snapshot_restore)
+
+    bm = sub.add_parser(
+        "bench-meta",
+        help="lakehouse metadata stress: hundreds of commits x "
+        "thousands of files — commit latency head vs tail, manifest "
+        "resolution, CDC planning, CAS rebase walk, rewrite_manifests, "
+        "vacuum (round 15)",
+    )
+    bm.add_argument("--commits", type=int, default=400)
+    bm.add_argument("--files-per-commit", type=int, default=16)
+    bm.set_defaults(fn=_bench_meta)
+
+    brc = sub.add_parser(
+        "bench-rowcdc",
+        help="row-level change feed derivation cost vs corpus factor "
+        "(snapshot_row_changes planning + Arrow victim derivation, "
+        "round 15)",
+    )
+    brc.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    brc.add_argument("--factor", type=int, action="append")
+    brc.set_defaults(fn=_bench_rowcdc)
 
     sv = sub.add_parser(
         "snapshot-vacuum",

@@ -1286,14 +1286,41 @@ def commit(
         raise SnapshotConflict(
             f"table at v{latest}, commit based on v{base_version}"
         )
-    base = read_manifest(root, latest)
-    new_files = list(files) if replace else base["files"] + list(files)
-    nf = set(new_files)  # hoisted: the comprehensions below are O(F) each
-    new_stats = {
-        p: s
-        for p, s in {**base.get("stats", {}), **(stats or {})}.items()
-        if p in nf
-    }
+    # APPEND METADATA fast path (round 15, verdict ask #3 — found by
+    # bench-meta: per-append latency grew linearly with accumulated
+    # table size, 11x head->tail at 400 commits, because every commit
+    # resolved the base's segments just to rebuild filters that are
+    # IDENTITY for an append). A pure append drops nothing, so every
+    # carried key (deletes, eq applies, stats, partitions) rides
+    # verbatim and the base needs only its RAW manifest: O(new files +
+    # n_segments) per commit, never O(table files). Anything that can
+    # drop or re-scope files — replace, offered delete entries, stats/
+    # partitions naming files outside this commit — takes the resolved
+    # path below.
+    fast_append = (
+        not replace
+        and not deletes
+        and not eq_deletes
+        and set(stats or {}) <= set(files)
+        and set(partitions or {}) <= set(files)
+    )
+    if fast_append:
+        if latest == 0:
+            base = {"version": 0, "parent": None, "files": []}
+        else:
+            with open(_manifest_path(root, latest)) as _bf:
+                base = json.load(_bf)
+        nf = None  # never materialized on this path
+        new_stats = dict(stats or {})  # the new segment's stats only
+    else:
+        base = read_manifest(root, latest)
+        new_files = list(files) if replace else base["files"] + list(files)
+        nf = set(new_files)  # hoisted: comprehensions below are O(F) each
+        new_stats = {
+            p: s
+            for p, s in {**base.get("stats", {}), **(stats or {})}.items()
+            if p in nf
+        }
     new_txn = dict(base.get("txn", {}))
     if txn is not None:
         new_txn[txn[0]] = max(int(txn[1]), new_txn.get(txn[0], -1))
@@ -1312,11 +1339,16 @@ def commit(
             p: (t if "__spec" in t else {**t, "__spec": sv})
             for p, t in partitions.items()
         }
-    new_parts = {
-        p: t
-        for p, t in {**(base.get("partitions") or {}), **(partitions or {})}.items()
-        if p in nf
-    }
+    if fast_append:
+        new_parts = dict(partitions or {})  # the new segment's tuples only
+    else:
+        new_parts = {
+            p: t
+            for p, t in {
+                **(base.get("partitions") or {}), **(partitions or {})
+            }.items()
+            if p in nf
+        }
     new_spec = partition_spec or base.get("partition_spec")
     new_schema, new_max_id = _merge_schema_json(
         base.get("schema"), schema, int(base.get("max_field_id") or 0)
@@ -1339,31 +1371,43 @@ def commit(
         schema_log.append([version, new_schema])
     # era of THIS commit's new files = the newest schema-log version
     era_now = schema_log[-1][0] if schema_log else 0
-    base_era = base.get("_added_era") or {}
-    # Base-version delete entries for files a REPLACE drops are
-    # filtered by design (the rewrite read through them). But a key in
-    # THIS commit's deletes that matches no file in the new list is a
-    # caller bug (classically: a relative root recorded relative
-    # manifest paths while input_file_name() yielded absolute ones) —
-    # silently dropping it would publish a delete that masks nothing.
-    dangling = [p for p in (deletes or {}) if p not in nf]
-    if dangling:
-        raise ValueError(
-            "deletes reference data file(s) absent from the committed "
-            f"file list: {dangling[:3]}{'...' if len(dangling) > 3 else ''}"
-        )
-    new_deletes = {
-        p: d
-        for p, d in {**base.get("deletes", {}), **(deletes or {})}.items()
-        if p in nf
-    }
-    new_eq = []
-    for e in base.get("eq_deletes", []) + list(eq_deletes or []):
-        applies = [p for p in e["applies"] if p in nf]
-        if applies:  # a rewrite that dropped every applied file
-            # materialized this entry — carry nothing; otherwise carry
-            # ALL entry keys (file_cols rides along after a rename)
-            new_eq.append({**e, "applies": applies})
+    if fast_append:
+        # an append drops nothing: every carried delete entry and
+        # applies-scope stays valid verbatim (new files are NOT added
+        # to any applies list — the Iceberg sequence rule)
+        new_deletes = base.get("deletes", {})
+        new_eq = base.get("eq_deletes", [])
+        base_era = base.get("eras") or {}
+        if not base_era and base.get("era"):
+            base_era = {p: int(base["era"]) for p in base.get("files") or []}
+    else:
+        base_era = base.get("_added_era") or {}
+        # Base-version delete entries for files a REPLACE drops are
+        # filtered by design (the rewrite read through them). But a key
+        # in THIS commit's deletes that matches no file in the new list
+        # is a caller bug (classically: a relative root recorded
+        # relative manifest paths while input_file_name() yielded
+        # absolute ones) — silently dropping it would publish a delete
+        # that masks nothing.
+        dangling = [p for p in (deletes or {}) if p not in nf]
+        if dangling:
+            raise ValueError(
+                "deletes reference data file(s) absent from the committed "
+                f"file list: {dangling[:3]}{'...' if len(dangling) > 3 else ''}"
+            )
+        new_deletes = {
+            p: d
+            for p, d in {**base.get("deletes", {}), **(deletes or {})}.items()
+            if p in nf
+        }
+        new_eq = []
+        for e in base.get("eq_deletes", []) + list(eq_deletes or []):
+            applies = [p for p in e["applies"] if p in nf]
+            if applies:  # a rewrite that dropped every applied file
+                # materialized this entry — carry nothing; otherwise
+                # carry ALL entry keys (file_cols rides along after a
+                # rename)
+                new_eq.append({**e, "applies": applies})
     fresh_segs: list[str] = []
     payload = {
         "version": version,
@@ -1406,17 +1450,25 @@ def commit(
         # manifest), and add one segment for this commit's files — the
         # manifest written per append is O(new files + n_segments),
         # never O(total files).
-        segs = list(base.get("_segments") or [])
-        base_inline = (
-            base.get("_inline_files", []) if segs else base["files"]
-        )
+        if fast_append:
+            segs = list(base.get("segments") or [])
+            base_inline = list(base.get("files") or [])
+            inline_stats = base.get("stats") or {}
+            inline_parts = base.get("partitions") or {}
+        else:
+            segs = list(base.get("_segments") or [])
+            base_inline = (
+                base.get("_inline_files", []) if segs else base["files"]
+            )
+            inline_stats = new_stats
+            inline_parts = new_parts
         if base_inline:
             fresh_segs.append(
                 _write_segment(
                     root,
                     list(base_inline),
-                    {p: new_stats[p] for p in base_inline if p in new_stats},
-                    {p: new_parts[p] for p in base_inline if p in new_parts},
+                    {p: inline_stats[p] for p in base_inline if p in inline_stats},
+                    {p: inline_parts[p] for p in base_inline if p in inline_parts},
                     era={
                         p: base_era[p] for p in base_inline if base_era.get(p)
                     },
@@ -1503,11 +1555,41 @@ def _touched_files(root: str, v: int) -> set[str]:
     gained new position-delete vectors, and the applies-scope of its
     new equality-delete entries. Files the commit APPENDED are not
     touched — they did not exist at any concurrent writer's base, so
-    they cannot be in its read set. Cost: two manifest resolutions,
-    paid only on the CAS-retry path (Delta's conflict checker walks
-    the concurrent commits' action logs the same way)."""
+    they cannot be in its read set.
+
+    Cost (retry-path only — Delta's conflict checker walks concurrent
+    commits' action logs the same way): delete/upsert/append commits
+    never remove a file, so their touched set diffs the INLINE delete
+    metadata of two RAW manifests — O(the commit's entries), no
+    segment resolution (bench-meta measured the resolved version at
+    ~16 ms/version on a 6,400-file table; this path is ~constant).
+    Replace-class commits name their full file list inline but the
+    parent needs one resolution for the removed-set diff."""
+
+    def raw(vv: int) -> dict:
+        if vv == 0:
+            return {"files": []}
+        with open(_manifest_path(root, vv)) as f:
+            return json.load(f)
+
+    m_raw = raw(v)
+    op = m_raw.get("operation") or "append"
+    parent = m_raw.get("parent") or 0
+    if op in ("append", "delete", "upsert"):
+        mp_raw = raw(parent)
+        touched: set[str] = set()
+        pdel = mp_raw.get("deletes") or {}
+        for f, vecs in (m_raw.get("deletes") or {}).items():
+            if set(vecs) - set(pdel.get(f, ())):
+                touched.add(f)
+        pold = {
+            tuple(sorted(e["files"])) for e in mp_raw.get("eq_deletes") or []
+        }
+        for e in m_raw.get("eq_deletes") or []:
+            if tuple(sorted(e["files"])) not in pold:
+                touched.update(e["applies"])
+        return touched
     m = read_manifest(root, v)
-    parent = m.get("parent") or 0
     mp = read_manifest(root, parent) if parent else {"files": []}
     pfiles = set(mp.get("files") or [])
     touched = pfiles - set(m["files"])

