@@ -414,6 +414,40 @@ def _snapshot_export_iceberg(args: argparse.Namespace) -> int:
     return 0
 
 
+def _snapshot_import_iceberg(args: argparse.Namespace) -> int:
+    """Adopt an Iceberg table into the snapshot format by reference
+    (round 15): data files stay in place; v2 position/equality delete
+    files map onto the format's merge-on-read state."""
+    import json
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.iceberg_meta import import_iceberg_table
+
+    spark, owned = _owned_session(app_name="snapshot_import_iceberg")
+    try:
+        v = import_iceberg_table(
+            spark, args.location, args.root, snapshot_id=args.snapshot_id
+        )
+        m = ts.read_manifest(args.root, v)
+        print(
+            json.dumps(
+                {
+                    "version": v,
+                    "operation": m.get("operation"),
+                    "n_files": len(m["files"]),
+                    "n_pos_delete_files": sum(
+                        len(d) for d in (m.get("deletes") or {}).values()
+                    ),
+                    "n_eq_entries": len(m.get("eq_deletes") or []),
+                }
+            )
+        )
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def _snapshot_restore(args: argparse.Namespace) -> int:
     """RESTORE TABLE ... TO VERSION AS OF: republish an old version's
     state as a new commit (audit-preserving rollback). Manifests only."""
@@ -716,6 +750,17 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("root")
     se.add_argument("out", help="Iceberg table directory to write metadata/ under")
     se.set_defaults(fn=_snapshot_export_iceberg)
+
+    si = sub.add_parser(
+        "snapshot-import-iceberg",
+        help="adopt an Iceberg table layout into a fresh snapshot "
+        "root by reference (v2 delete manifests map onto merge-on-"
+        "read state; round 15)",
+    )
+    si.add_argument("location", help="Iceberg table directory (metadata/ inside)")
+    si.add_argument("root", help="empty snapshot table root to create")
+    si.add_argument("--snapshot-id", type=int)
+    si.set_defaults(fn=_snapshot_import_iceberg)
 
     sf_ = sub.add_parser(
         "snapshot-ref",

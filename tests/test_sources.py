@@ -3243,8 +3243,12 @@ def test_avro_nested_record_roundtrip(tmp_path):
 
 def test_iceberg_export_read_roundtrip(spark, tmp_path):
     """Export a renamed-history snapshot table as Iceberg v2 metadata;
-    read back current + time travel; delete-carrying versions skip."""
+    read back current + time travel; delete-carrying versions export
+    real delete manifests (round 15) that the files-only reader
+    refuses."""
     import os
+
+    import pytest as _pytest
 
     from pyspark.sql import functions as F
 
@@ -3273,13 +3277,16 @@ def test_iceberg_export_read_roundtrip(spark, tmp_path):
         base_version=v,
         schema=d3.schema.json(),
     )
-    # a version with live deletes is skipped with a reason, not exported
+    # round 15: a version with live deletes exports a real v2 DELETE
+    # manifest (the files-only reader refuses it; import applies it)
     ts.delete_where(spark, root, "k = 0")
     summary = im.export_iceberg_metadata(root, out)
-    assert sorted(summary["exported"]) == [1, 2, 3]
-    assert 4 in summary["skipped"] and "delete" in summary["skipped"][4]
-    # current (exported) snapshot: old files surface under 'price'
-    cur = im.read_iceberg_table(spark, out)
+    assert sorted(summary["exported"]) == [1, 2, 3, 4]
+    assert summary["exported_with_deletes"] == [4]
+    with _pytest.raises(NotImplementedError, match="delete manifest"):
+        im.read_iceberg_table(spark, out)  # current snapshot carries deletes
+    # snapshot 3 (delete-free): old files surface under 'price'
+    cur = im.read_iceberg_table(spark, out, snapshot_id=3)
     assert sorted(cur.columns) == ["k", "price"]
     assert sorted((r["k"], r["price"]) for r in cur.collect()) == [
         (i, i * 10) for i in range(9)
@@ -3290,9 +3297,9 @@ def test_iceberg_export_read_roundtrip(spark, tmp_path):
     assert old.count() == 6
     # history: newest first, current flagged
     h = im.iceberg_history(out)
-    assert [x["snapshot_id"] for x in h] == [3, 2, 1]
+    assert [x["snapshot_id"] for x in h] == [4, 3, 2, 1]
     assert h[0]["is_current"] and h[0]["schema_id"] == 1
-    assert h[2]["schema_id"] == 0
+    assert h[3]["schema_id"] == 0
     # every metadata layer parses with the from-spec Avro reader and
     # carries the spec's field-id / header-metadata shape
     import json
@@ -3311,7 +3318,7 @@ def test_iceberg_export_read_roundtrip(spark, tmp_path):
         f["id"] for f in md["schemas"][1]["fields"] if f["name"] == "price"
     )
     assert set(by_id[price_id]) == {"price", "b"}
-    snap = md["snapshots"][-1]
+    snap = next(x for x in md["snapshots"] if x["snapshot-id"] == 3)
     _s, mrows = read_avro(snap["manifest-list"])
     assert mrows[0]["added_files_count"] == 1
     assert mrows[0]["existing_files_count"] == 2
@@ -3319,6 +3326,15 @@ def test_iceberg_export_read_roundtrip(spark, tmp_path):
     assert hdr["name"] == "manifest_entry"
     fid_of = {f["name"]: f.get("field-id") for f in hdr["fields"]}
     assert fid_of["status"] == 0 and fid_of["data_file"] == 2
+    # round 15: the delete-carrying snapshot's list adds a content=1
+    # delete manifest naming the position-delete file with its seq
+    snap4 = next(x for x in md["snapshots"] if x["snapshot-id"] == 4)
+    _s4, mrows4 = read_avro(snap4["manifest-list"])
+    dels = [r for r in mrows4 if r["content"] == 1]
+    assert len(dels) == 1 and dels[0]["added_files_count"] == 1
+    _es, dentries = read_avro(dels[0]["manifest_path"])
+    assert [e["data_file"]["content"] for e in dentries] == [1]
+    assert dentries[0]["sequence_number"] == 4
 
 
 def test_snapshot_source_partition_src_eq(spark, tmp_path, capsys):
@@ -4113,3 +4129,71 @@ def test_vacuum_reader_race_contract(spark, tmp_path):
             list(r.read(p))
     # retained reads stay exact
     assert sorted(x["k"] for x in ts.read(spark, root).collect()) == list(range(10))
+
+
+def test_iceberg_mor_roundtrip_with_delete_manifests(spark, tmp_path, capsys):
+    """Round-15: export a DELETE-CARRYING snapshot table as real
+    Iceberg v2 delete manifests, adopt it back through
+    import_iceberg_table, and the merge-on-read state round-trips
+    exactly — position vectors, equality entries, and the sequence-
+    number scoping (rows appended AFTER the eq-delete survive even
+    with matching keys). Renamed-after-delete histories still refuse
+    at export."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "ice")
+    os.makedirs(root)
+    d = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    v = ts.commit(
+        root, ts.stage_files(d.repartition(2), root),
+        base_version=0, schema=d.schema.json(),
+    )
+    ts.delete_where(spark, root, "k = 1")               # position delete
+    ts.delete_eq(spark, root, spark.createDataFrame([(4,), (20,)], "k bigint"))
+    late = spark.createDataFrame([(20, 777)], "k bigint, val bigint")
+    ts.commit(
+        root, ts.stage_files(late, root),
+        base_version=ts.current_version(root),
+    )  # k=20 arrives AFTER the eq-delete: must survive adoption
+    expect = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert 1 not in expect and 4 not in expect and expect[20] == 777
+
+    summary = im.export_iceberg_metadata(root, out)
+    assert summary["skipped"] == {}  # delete versions now export
+    assert summary["exported_with_deletes"]  # and carry delete manifests
+    assert "field ids" in summary["delete_files_note"]
+    # the files-only reader still refuses the delete-carrying snapshot
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="delete manifest"):
+        im.read_iceberg_table(spark, out)
+    # adoption reproduces the MoR state exactly (CLI verb, round 15)
+    dst = str(tmp_path / "adopted")
+    os.makedirs(dst)
+    rc = main(["snapshot-import-iceberg", out, dst])
+    assert rc == 0
+    got = {r["k"]: r["val"] for r in ts.read(spark, dst).collect()}
+    assert got == expect
+    m = ts.read_manifest(dst)
+    assert m["operation"] == "upsert"
+    assert m.get("deletes") and m.get("eq_deletes")
+    # time travel to a PRE-delete snapshot of the export also works
+    got1 = {
+        r["k"]: r["val"]
+        for r in im.read_iceberg_table(spark, out, snapshot_id=v).collect()
+    }
+    assert got1 == {k: k * 10 for k in range(10)}
+    # rename-after-delete refuses at export with the recorded reason
+    ts.rename_column(root, "k", "kk")
+    out2 = str(tmp_path / "ice2")
+    s2 = im.export_iceberg_metadata(root, out2)
+    assert any("renamed after the delete" in r for r in s2["skipped"].values())
