@@ -1515,19 +1515,21 @@ def commit(
 # over — WriteSerializable, Delta's default) or must REFUSE because a
 # concurrent commit touched its read set:
 #
-#   retrying op \ concurrent   append  rewrite_manifests  upsert  delete/replace/evolve/set_check
-#   append (append_checked)    rebase  rebase             rebase  rebase*  (*evolve_schema refuses:
-#                                                                   staged files carry old-era names)
-#   delete_where               rebase  rebase             refuse  refuse
-#   upsert_eq                  rebase  rebase             rebase  refuse
-#   merge / compact / zorder   rebase  rebase             refuse  refuse
+#   retrying op \ concurrent   append  rewrite_manifests  upsert  delete/replace       evolve/set_check
+#   append (append_checked)    rebase  rebase             rebase  rebase               refuse*/re-validate
+#   delete_where               rebase  rebase             disjoint-files: rebase; overlap: refuse   refuse
+#   upsert_eq                  rebase  rebase             rebase  rebase (empty read set, round 15)  refuse
+#   merge / compact / zorder   rebase  rebase             disjoint-files: rebase; overlap: refuse   refuse
+#   (*evolve_schema refuses appends: staged files carry old-era names)
 #
-# Rebase legality is about READ SETS: an append read nothing, so it
-# rebases over anything that leaves its staged files meaningful; a
-# merge/compact scanned the base's files, so any concurrent commit
-# that masked/rewrote those rows (delete, another replace) invalidates
-# what it staged — redoing the work is the only honest retry, which is
-# exactly what ConcurrentWriteConflict tells the caller.
+# Rebase legality is about READ SETS (round 15: intersected at FILE
+# granularity — _check_rebase_safe(read_set=...) vs _touched_files):
+# an append or upsert read nothing, so it rebases over anything that
+# leaves its staged files meaningful; a merge/delete scanned or masks
+# specific files, so a concurrent commit touching THOSE files
+# invalidates what it staged (redo — ConcurrentWriteConflict) while
+# one confined to other files commutes; schema/constraint commits are
+# never file-bounded and always refuse.
 
 
 _REBASE_SAFE = ("append", "rewrite_manifests", "evolve_spec")
@@ -2515,14 +2517,18 @@ def upsert_eq(
                 }
             )
     new_files = stage_files(source, root)
-    # CAS retry (round 14, verdict ask #1): an upsert's read set is
-    # just the key columns' presence — on a loss to a concurrent
-    # APPEND or another UPSERT it rebases by re-targeting its equality
-    # delete at the moved base's files (serialized LAST: concurrent
-    # rows with matching keys are masked, so upsert∥upsert overlapping
-    # keys is last-writer-wins and disjoint keys commute — both with a
-    # linear history). A concurrent delete/replace/evolve/set_check
-    # refuses: masked-row state or constraints changed under us.
+    # CAS retry (round 14, verdict ask #1; widened round 15): an
+    # upsert's read set is EMPTY — it scans nothing, it just masks its
+    # keys and appends — so under the file-granular rule it rebases
+    # past ANY file-scoped concurrent commit by re-targeting its
+    # equality delete at the moved base's files (serialized LAST:
+    # a concurrent delete's masks stay masked, a concurrent rewrite's
+    # output is re-targeted, concurrent rows with matching keys are
+    # masked — upsert∥upsert overlapping keys is last-writer-wins and
+    # disjoint keys commute, all with a linear history). Only commits
+    # a file set cannot bound refuse: evolve_schema (the staged source
+    # files carry old-era names) and set_check (constraints validated
+    # at plan time changed under us).
     for _attempt in range(max(0, max_retries) + 1):
         try:
             return commit(
@@ -2538,7 +2544,10 @@ def upsert_eq(
                 raise
             latest = current_version(root)
             _check_rebase_safe(
-                root, base, latest, "upsert_eq", extra_safe=("upsert",)
+                root, base, latest, "upsert_eq",
+                extra_safe=("upsert",),
+                read_set=frozenset(),  # reads nothing: every
+                # file-scoped concurrent is disjoint by definition
             )
             m2 = read_manifest(root, latest)
             if m2["files"]:

@@ -4197,3 +4197,68 @@ def test_iceberg_mor_roundtrip_with_delete_manifests(spark, tmp_path, capsys):
     out2 = str(tmp_path / "ice2")
     s2 = im.export_iceberg_metadata(root, out2)
     assert any("renamed after the delete" in r for r in s2["skipped"].values())
+
+
+def test_conflict_upsert_rebases_over_delete_and_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15: an upsert's read set is EMPTY (it masks keys and
+    appends — scans nothing), so it rebases past concurrent
+    delete_where AND a concurrent rewrite, serialized LAST: the
+    concurrent delete's masks stay, the rewrite's output is
+    re-targeted, and the upsert's keys win. set_check still refuses
+    (plan-time validation went stale)."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+    )
+    ts.commit(
+        root, ts.stage_files(d.repartition(2), root),
+        base_version=0, schema=d.schema.json(),
+    )
+    # upsert ∥ delete: both land; delete's victims stay dead, the
+    # upsert's key (already dead or not) carries the NEW value
+    _interpose_once(
+        monkeypatch, lambda: ts.delete_where(spark, root, "k >= 8")
+    )
+    ts.upsert_eq(
+        spark, root,
+        spark.createDataFrame([(8, 99), (3, 33)], "k bigint, val bigint"),
+        ["k"],
+    )
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert 9 not in got            # the delete held
+    assert got[8] == 99            # the upsert re-introduced k=8 (last)
+    assert got[3] == 33 and len(got) == 9
+    # upsert ∥ compact: the rewrite wins the race, the upsert rebases
+    # onto its output
+    monkeypatch.undo()
+    _interpose_once(monkeypatch, lambda: ts.compact(spark, root, n_files=1))
+    ts.upsert_eq(
+        spark, root,
+        spark.createDataFrame([(5, 55)], "k bigint, val bigint"),
+        ["k"],
+    )
+    got = {r["k"]: r["val"] for r in ts.read(spark, root).collect()}
+    assert got[5] == 55 and got[8] == 99 and len(got) == 9
+    # upsert ∥ set_check still refuses: the constraint moved under the
+    # plan-time validation
+    monkeypatch.undo()
+    _interpose_once(
+        monkeypatch, lambda: ts.add_check(spark, root, "pos_val", "val > 0")
+    )
+    with pytest.raises(ts.ConcurrentWriteConflict, match="set_check"):
+        ts.upsert_eq(
+            spark, root,
+            spark.createDataFrame([(6, -1)], "k bigint, val bigint"),
+            ["k"],
+        )
