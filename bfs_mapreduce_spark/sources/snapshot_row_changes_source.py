@@ -123,6 +123,19 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
                     f"(currently v{cur})"
                 )
             self._start_v = max(0, int(sv) - 1)
+        # Admission control (round 15): maxFilesPerTrigger caps the
+        # number of per-file change partitions admitted per batch,
+        # VERSION-atomically — a commit's changes are one unit (an
+        # upsert's delete+insert halves must never land in different
+        # batches), so the cap admits whole versions until spent and
+        # always admits at least one. Same drain recipe as the sibling
+        # source for capped catch-up under availableNow.
+        mf = options.get("maxFilesPerTrigger")
+        self._max_files = int(mf) if mf is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        self._last_end: dict = {"v": self._start_v}
+        self._parts_cache: dict[int, list] = {}
         m = ts.read_manifest(self._root)
         newest = m["files"][-1] if m["files"] else None
         self._schema_json = m.get("schema")
@@ -153,107 +166,150 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
         return {"v": self._start_v}
 
     def latestOffset(self) -> dict:
-        return {"v": ts.current_version(self._root)}
+        cur = ts.current_version(self._root)
+        if self._max_files is None:
+            return {"v": cur}
+        # capped admission, version-atomic: admit whole commits until
+        # the file budget is spent (at least one). A merge/restore
+        # ahead plans uncapped so partitions() raises the informative
+        # refusal instead of this walk.
+        end = self._last_end["v"]
+        budget = self._max_files
+        v = end + 1
+        while v <= cur:
+            try:
+                n = len(self._plan_version(v))
+            except ValueError:
+                return {"v": cur}
+            if n > budget and end > self._last_end["v"]:
+                break  # budget spent and at least one version admitted
+            end = v
+            budget -= n
+            v += 1
+            if budget <= 0:
+                break
+        return {"v": max(end, self._last_end["v"])}
 
     def commit(self, end: dict) -> None:
-        pass
+        # clamp the admission cursor (same rule as the sibling source:
+        # after this no call order can re-admit committed versions)
+        if end["v"] >= self._last_end["v"]:
+            self._last_end = dict(end)
+        self._parts_cache = {
+            v: p for v, p in self._parts_cache.items() if v > end["v"]
+        }
 
     def partitions(self, start: dict, end: dict):
+        if end["v"] >= self._last_end["v"]:
+            self._last_end = dict(end)  # restart replay teaches position
         out: list[_RowChangePartition] = []
         for v in range(start["v"] + 1, end["v"] + 1):
-            m = ts.read_manifest(self._root, v)
-            # Era resolution uses THIS version's manifest state, never
-            # the init-time snapshot: files committed after the stream
-            # started are absent from the start manifest's _added_era
-            # and would default to era 0 — on a renamed table that maps
-            # pinned names onto the OLDEST era's physical names, which
-            # post-rename parquet does not have (silent NULL-fill).
-            vlog = m.get("schema_log") or self._schema_log
-            vera = m.get("_added_era") or {}
-            if vlog != self._schema_log and not self._has_fids:
-                raise ValueError(
-                    f"snapshot_row_changes: v{v} carries a schema change "
-                    "committed after the stream started, and the "
-                    "stream's pinned schema has no field ids to resolve "
-                    "it — restart the stream to pick up the new schema"
-                )
-            mp = (
-                ts.read_manifest(self._root, m["parent"])
-                if m.get("parent")
-                else {"version": 0, "files": []}
-            )
-            pfiles = set(mp["files"])
-            op = m.get("operation") or (
-                "append" if pfiles <= set(m["files"]) else "replace"
-            )
-            if op in _ROW_PRESERVING:
-                continue
-            if op not in ("append", "delete", "upsert"):
-                raise ValueError(
-                    f"snapshot_row_changes: v{v} is a {op} commit — "
-                    "row-level change derivation covers append/delete/"
-                    "upsert; a merge/restore effect set needs change "
-                    "files this format does not keep"
-                )
-            new_files = [f for f in m["files"] if f not in pfiles]
-            old_eq_ids = {
-                tuple(sorted(e["files"]))
-                for e in mp.get("eq_deletes") or []
-            }
-            fresh_eq = [
-                e
-                for e in m.get("eq_deletes") or []
-                if tuple(sorted(e["files"])) not in old_eq_ids
-            ]
-            prior_dv = mp.get("deletes") or {}
-            prior_eq_all = mp.get("eq_deletes") or []
+            out.extend(self._plan_version(v))
+        return out
 
-            def era_of(f: str, vlog=vlog, vera=vera) -> dict | None:
-                return ts.era_col_map(
-                    self._schema_json, vlog, vera.get(f, 0)
-                )
+    def _plan_version(self, v: int) -> list:
+        """Per-version change partitions, cached (planning is
+        O(the commit's changed files); the admission walk and the
+        batch that follows it share one plan)."""
+        hit = self._parts_cache.get(v)
+        if hit is not None:
+            return hit
+        out: list[_RowChangePartition] = []
+        m = ts.read_manifest(self._root, v)
+        # Era resolution uses THIS version's manifest state, never
+        # the init-time snapshot: files committed after the stream
+        # started are absent from the start manifest's _added_era
+        # and would default to era 0 — on a renamed table that maps
+        # pinned names onto the OLDEST era's physical names, which
+        # post-rename parquet does not have (silent NULL-fill).
+        vlog = m.get("schema_log") or self._schema_log
+        vera = m.get("_added_era") or {}
+        if vlog != self._schema_log and not self._has_fids:
+            raise ValueError(
+                f"snapshot_row_changes: v{v} carries a schema change "
+                "committed after the stream started, and the "
+                "stream's pinned schema has no field ids to resolve "
+                "it — restart the stream to pick up the new schema"
+            )
+        mp = (
+            ts.read_manifest(self._root, m["parent"])
+            if m.get("parent")
+            else {"version": 0, "files": []}
+        )
+        pfiles = set(mp["files"])
+        op = m.get("operation") or (
+            "append" if pfiles <= set(m["files"]) else "replace"
+        )
+        if op in _ROW_PRESERVING:
+            self._parts_cache[v] = out
+            return out
+        if op not in ("append", "delete", "upsert"):
+            raise ValueError(
+                f"snapshot_row_changes: v{v} is a {op} commit — "
+                "row-level change derivation covers append/delete/"
+                "upsert; a merge/restore effect set needs change "
+                "files this format does not keep"
+            )
+        new_files = [f for f in m["files"] if f not in pfiles]
+        old_eq_ids = {
+            tuple(sorted(e["files"]))
+            for e in mp.get("eq_deletes") or []
+        }
+        fresh_eq = [
+            e
+            for e in m.get("eq_deletes") or []
+            if tuple(sorted(e["files"])) not in old_eq_ids
+        ]
+        prior_dv = mp.get("deletes") or {}
+        prior_eq_all = mp.get("eq_deletes") or []
 
-            for f in new_files:  # appends AND the upsert's insert half
+        def era_of(f: str, vlog=vlog, vera=vera) -> dict | None:
+            return ts.era_col_map(
+                self._schema_json, vlog, vera.get(f, 0)
+            )
+
+        for f in new_files:  # appends AND the upsert's insert half
+            out.append(
+                _RowChangePartition(
+                    "insert", f, v, "insert", self._arrow_schema, era_of(f)
+                )
+            )
+        old_dv = prior_dv
+        for f, vecs in (m.get("deletes") or {}).items():
+            fresh = [d for d in vecs if d not in set(old_dv.get(f, []))]
+            if fresh:
                 out.append(
                     _RowChangePartition(
-                        "insert", f, v, "insert", self._arrow_schema, era_of(f)
+                        "delete_pos", f, v, "delete",
+                        self._arrow_schema, era_of(f),
+                        vector_files=fresh,
                     )
                 )
-            old_dv = prior_dv
-            for f, vecs in (m.get("deletes") or {}).items():
-                fresh = [d for d in vecs if d not in set(old_dv.get(f, []))]
-                if fresh:
-                    out.append(
-                        _RowChangePartition(
-                            "delete_pos", f, v, "delete",
-                            self._arrow_schema, era_of(f),
-                            vector_files=fresh,
-                        )
+        for e in fresh_eq:
+            for f in e["applies"]:
+                out.append(
+                    _RowChangePartition(
+                        "victims", f, v, "delete",
+                        self._arrow_schema, era_of(f),
+                        key_files=list(e["files"]),
+                        cols=list(e["cols"]),
+                        file_cols=list(
+                            e.get("file_cols") or e["cols"]
+                        ),
+                        prior_vectors=list(prior_dv.get(f, [])),
+                        prior_eq=[
+                            {
+                                "files": pe["files"],
+                                "cols": pe["cols"],
+                                "file_cols": pe.get("file_cols")
+                                or pe["cols"],
+                            }
+                            for pe in prior_eq_all
+                            if f in pe["applies"]
+                        ],
                     )
-            for e in fresh_eq:
-                for f in e["applies"]:
-                    out.append(
-                        _RowChangePartition(
-                            "victims", f, v, "delete",
-                            self._arrow_schema, era_of(f),
-                            key_files=list(e["files"]),
-                            cols=list(e["cols"]),
-                            file_cols=list(
-                                e.get("file_cols") or e["cols"]
-                            ),
-                            prior_vectors=list(prior_dv.get(f, [])),
-                            prior_eq=[
-                                {
-                                    "files": pe["files"],
-                                    "cols": pe["cols"],
-                                    "file_cols": pe.get("file_cols")
-                                    or pe["cols"],
-                                }
-                                for pe in prior_eq_all
-                                if f in pe["applies"]
-                            ],
-                        )
-                    )
+                )
+        self._parts_cache[v] = out
         return out
 
     def read(self, partition: _RowChangePartition):
@@ -389,3 +445,56 @@ class SnapshotRowChangesDataSource(DataSource):
 
 def register_snapshot_row_changes_source(spark) -> None:
     spark.dataSource.register(SnapshotRowChangesDataSource)
+
+
+def drain_snapshot_row_changes(
+    spark,
+    root: str,
+    checkpoint: str,
+    for_each_batch,
+    max_files_per_trigger: int | None = None,
+    starting_version: int | None = 0,
+    max_runs: int = 10_000,
+) -> int:
+    """Rate-limited catch-up over the ROW-LEVEL change feed as a loop
+    of ``availableNow`` runs (round 15 — the same recipe as
+    ``drain_snapshot_changes``, for the same documented API boundary:
+    a capped Python DataSource under one availableNow run delivers
+    exactly one batch). The cap is VERSION-ATOMIC: each admitted batch
+    holds whole commits (an upsert's delete+insert halves never
+    split), at least one per run. The checkpoint carries the version
+    cursor, so the loop is exactly-once and kill/restart-safe.
+    Returns the number of non-empty runs."""
+    reader = (
+        spark.readStream.format("snapshot_row_changes").option("path", root)
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", starting_version)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    runs = 0
+    for _ in range(max_runs):
+        seen = {"rows": 0, "batches": 0}
+
+        def batch(df, bid, _seen=seen):
+            n = df.count()
+            _seen["rows"] += n
+            _seen["batches"] += 1
+            if n:
+                for_each_batch(df, bid)
+
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if seen["rows"] == 0:
+            return runs
+        runs += 1
+    raise RuntimeError(
+        f"drain did not converge in {max_runs} availableNow runs — "
+        "is a writer outpacing the cap?"
+    )

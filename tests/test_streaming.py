@@ -952,3 +952,74 @@ def test_transform_with_state_refusal_is_still_genuine():
         "API-generation note in bfs_mapreduce_spark/streaming/"
         "windows.py) and certify it like q_stream_stateful_counts"
     )
+
+
+def test_snapshot_row_changes_rate_limited_drain(spark, tmp_path):
+    """Round-15: the row-level change feed takes maxFilesPerTrigger —
+    version-ATOMIC admission (an upsert's delete+insert never split
+    across batches), at least one commit per batch — and
+    drain_snapshot_row_changes loops capped availableNow runs from ONE
+    checkpoint, exactly-once, resumable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_row_changes_source import (
+        drain_snapshot_row_changes,
+        register_snapshot_row_changes_source,
+    )
+
+    register_snapshot_row_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    os.makedirs(root)
+    d1 = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    ts.commit(
+        root, ts.stage_files(d1.repartition(2), root),
+        base_version=0, schema=d1.schema.json(),
+    )
+    ts.delete_where(spark, root, "k >= 4")
+    ts.upsert_eq(
+        spark, root,
+        spark.createDataFrame([(1, 111), (9, 999)], "k bigint, v bigint"),
+        ["k"],
+    )
+    batches: list[list] = []
+    runs = drain_snapshot_row_changes(
+        spark, root, ck,
+        lambda df, bid: batches.append(
+            sorted(
+                (r["_commit_version"], r["_change_type"], r["k"])
+                for r in df.collect()
+            )
+        ),
+        max_files_per_trigger=1,
+    )
+    # cap 1 + version atomicity -> one commit per run, three runs
+    assert runs == 3
+    versions_per_batch = [{t[0] for t in b} for b in batches]
+    assert all(len(vs) == 1 for vs in versions_per_batch)
+    flat = sorted(t for b in batches for t in b)
+    assert flat == [
+        (1, "insert", 0), (1, "insert", 1), (1, "insert", 2),
+        (1, "insert", 3), (1, "insert", 4), (1, "insert", 5),
+        (2, "delete", 4), (2, "delete", 5),
+        (3, "delete", 1), (3, "insert", 1), (3, "insert", 9),
+    ]
+    # the upsert's delete+insert halves landed in ONE batch
+    b3 = next(b for b, vs in zip(batches, versions_per_batch) if vs == {3})
+    assert {t[1] for t in b3} == {"delete", "insert"}
+    # resume from the same checkpoint: only new commits drain
+    ts.delete_eq(spark, root, spark.createDataFrame([(2,)], "k bigint"))
+    more: list[tuple] = []
+    runs2 = drain_snapshot_row_changes(
+        spark, root, ck,
+        lambda df, bid: more.extend(
+            (r["_change_type"], r["k"]) for r in df.collect()
+        ),
+        max_files_per_trigger=1,
+    )
+    assert runs2 == 1 and sorted(more) == [("delete", 2)]
