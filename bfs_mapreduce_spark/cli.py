@@ -389,7 +389,12 @@ def _snapshot_optimize(args: argparse.Namespace) -> int:
             v = ts.rewrite_partitioned(spark, args.root)
             op = "rewrite_partitioned"
         else:
-            v = ts.compact(spark, args.root, n_files=args.n_files)
+            v = ts.compact(
+                spark,
+                args.root,
+                n_files=args.n_files,
+                small_below_bytes=args.small_below_bytes,
+            )
             op = "compact"
         print(json.dumps({"op": op, "version": v, "n_files": args.n_files}))
     finally:
@@ -684,6 +689,13 @@ def main(argv: list[str] | None = None) -> int:
         "spec (the OPTIMIZE half of spec evolution, round 14)",
     )
     so.add_argument("--n-files", type=int, default=8)
+    so.add_argument(
+        "--small-below-bytes",
+        type=int,
+        help="PARTIAL compaction (round 15): rewrite only files whose "
+        "manifest-recorded size is below this threshold, carrying the "
+        "rest by reference",
+    )
     so.set_defaults(fn=_snapshot_optimize)
 
     sr = sub.add_parser(

@@ -1962,22 +1962,80 @@ def read(
 
 
 def compact(
-    spark: SparkSession, root: str, n_files: int = 1, max_retries: int = 5
+    spark: SparkSession,
+    root: str,
+    n_files: int = 1,
+    max_retries: int = 5,
+    *,
+    small_below_bytes: int | None = None,
+    only_files: list[str] | None = None,
 ) -> int:
-    """Rewrite the current version's data into ``n_files`` files and
-    commit them as a REPLACE manifest. Old versions keep reading their
-    original files — compaction changes layout, never history.
+    """Rewrite data into ``n_files`` files and commit a REPLACE
+    manifest. Old versions keep reading their original files —
+    compaction changes layout, never history.
 
-    On a CAS loss to concurrent APPENDs the compaction REBASES (round
-    14, verdict ask #1): the appended files are carried by reference
-    next to the rewrite (they were not part of what was compacted —
-    serialized compact-before-append, their stats/eras ride forward
-    through the commit's carry rules). A concurrent delete/replace/
-    upsert/evolve invalidates the rewrite: refuse, re-run."""
+    PARTIAL compaction (round 15 — Iceberg's ``rewrite_data_files``
+    with a size threshold): ``small_below_bytes`` selects only files
+    whose manifest-recorded size falls below the threshold;
+    ``only_files`` names the input set explicitly. Unselected files
+    are carried BY REFERENCE — zero bytes rewritten for them, their
+    stats/eras/delete entries ride forward — so at 100 TB the
+    maintenance cadence compacts the small-file tail without ever
+    touching the settled bulk. The selected files are read through
+    their delete entries (materializing them); entries still applying
+    to carried files survive. Returns the CURRENT version unchanged
+    when the selection compacts nothing (one clean file or fewer).
+
+    On a CAS loss the compaction REBASES (round 14, verdict ask #1;
+    file-granular round 15): its read set is the SELECTED files, so a
+    concurrent append — or any delete/rewrite confined to CARRIED
+    files — commutes (the rebase recomputes the carried list from the
+    moved base, picking up appended files and rewritten carried files
+    alike); a concurrent commit touching a selected file invalidates
+    the staged rewrite and refuses. A full compact selects everything,
+    so any file-scoped concurrent overlaps — the round-14 behavior."""
     base = current_version(root)
-    base_files = set(read_manifest(root, base)["files"])
-    df = read(spark, root, base)
-    files = stage_files(df.coalesce(n_files), root)
+    m = read_manifest(root, base)
+    base_files = set(m["files"])
+    if only_files is not None:
+        sel_set = set(only_files)
+        missing = sel_set - base_files
+        if missing:
+            raise ValueError(
+                f"only_files not in the current version: {sorted(missing)[:3]}"
+            )
+        selected = [f for f in m["files"] if f in sel_set]
+    elif small_below_bytes is not None:
+        stats = m.get("stats") or {}
+
+        def _bytes(f: str) -> int:
+            b = (stats.get(f) or {}).get("bytes")
+            return int(b) if b else os.path.getsize(f)
+
+        selected = [f for f in m["files"] if _bytes(f) < small_below_bytes]
+    else:
+        selected = list(m["files"])
+    sel_set = set(selected)
+    partial = only_files is not None or small_below_bytes is not None
+    dirty = set(m.get("deletes") or {}) | {
+        f for e in m.get("eq_deletes") or [] for f in e["applies"]
+    }
+    if partial and (
+        not selected or (len(selected) < 2 and not (sel_set & dirty))
+    ):
+        return base  # nothing worth rewriting: not an event
+    df = _scan(
+        spark,
+        selected,
+        m.get("deletes") or {},
+        m.get("schema"),
+        m.get("eq_deletes"),
+        m.get("_added_era"),
+        m.get("schema_log"),
+    )
+    staged = stage_files(df.coalesce(n_files), root)
+    carried = [f for f in m["files"] if f not in sel_set]
+    files = carried + staged
     for _attempt in range(max(0, max_retries) + 1):
         try:
             # operation 'compact' (round 14): row-PRESERVING rewrites
@@ -1992,19 +2050,18 @@ def compact(
             if _attempt >= max_retries:
                 raise
             latest = current_version(root)
-            # read set = every base file (the rewrite read the whole
-            # table), so any file-scoped concurrent necessarily
-            # overlaps — the granular check degrades to the op-class
-            # refusal for full-table rewrites, as it should
             _check_rebase_safe(
-                root, base, latest, "compact", read_set=base_files
+                root, base, latest, "compact", read_set=sel_set
             )
-            appended = [
+            # recompute the carried list from the moved base: appended
+            # files join it, and a carried file a concurrent disjoint
+            # rewrite replaced is picked up in its new form
+            staged_set = set(staged)
+            files = [
                 f
                 for f in read_manifest(root, latest)["files"]
-                if f not in base_files
-            ]
-            files = files + [f for f in appended if f not in files]
+                if f not in sel_set and f not in staged_set
+            ] + staged
             base = latest
     raise AssertionError("unreachable")  # pragma: no cover
 

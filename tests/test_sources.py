@@ -4262,3 +4262,90 @@ def test_conflict_upsert_rebases_over_delete_and_rewrite(
             spark.createDataFrame([(6, -1)], "k bigint, val bigint"),
             ["k"],
         )
+
+
+def test_partial_compaction_small_files(spark, tmp_path, monkeypatch):
+    """Round-15 partial compaction (Iceberg's rewrite_data_files with
+    a size threshold): only the small-file tail is rewritten — big
+    files are carried by reference with their stats and delete
+    entries intact — deletes on SELECTED files materialize, a
+    selection that compacts nothing is a no-op (no commit), and a
+    raced concurrent delete on a CARRIED file commutes (the rebase
+    recomputes the carried list) while one on a SELECTED file
+    refuses."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    big = spark.range(5000).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+    )
+    f_big = ts.stage_files(big.coalesce(1), root)
+    smalls = spark.range(5000, 5012).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+    )
+    f_small = ts.stage_files(smalls.repartition(6), root)
+    ts.commit(
+        root,
+        f_big + f_small,
+        base_version=0,
+        schema=big.schema.json(),
+        stats=ts.collect_stats(f_big + f_small, ["k"]),
+    )
+    thr = os.path.getsize(f_big[0])  # big file sits above the cutoff
+    # a delete on a SMALL file materializes through the rewrite
+    ts.delete_where(spark, root, "k = 5001")
+    v = ts.compact(spark, root, n_files=2, small_below_bytes=thr)
+    m = ts.read_manifest(root, v)
+    assert set(f_big) <= set(m["files"])            # carried by reference
+    assert not (set(f_small) & set(m["files"]))     # tail rewritten
+    assert len(m["files"]) == 1 + 2
+    assert not m.get("deletes")                     # materialized
+    assert m["stats"].get(f_big[0], {}).get("cols")  # stats carried
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert got == [k for k in range(5012) if k != 5001]
+    # nothing small left: the same call is a NO-OP (no commit)
+    assert ts.compact(spark, root, small_below_bytes=100) == v
+    # raced: a concurrent delete on the CARRIED big file commutes
+    ts.commit(
+        root,
+        ts.stage_files(
+            spark.range(9000, 9012).select(
+                F.col("id").alias("k"),
+                F.lit(1).cast("bigint").alias("val"),
+            ).repartition(6),
+            root,
+        ),
+        base_version=v,
+    )
+    _interpose_once(
+        monkeypatch, lambda: ts.delete_where(spark, root, "k = 2")
+    )
+    v2 = ts.compact(spark, root, n_files=1, small_below_bytes=thr)
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert 2 not in got and 9000 in got and len(got) == 5010 + 12
+    m2 = ts.read_manifest(root, v2)
+    assert f_big[0] in m2["deletes"]  # the racing delete's vector rides
+    # raced: a concurrent delete on a SELECTED small file refuses
+    monkeypatch.undo()
+    ts.commit(
+        root,
+        ts.stage_files(
+            spark.range(9500, 9506).select(
+                F.col("id").alias("k"), F.lit(1).cast("bigint").alias("val")
+            ).repartition(3),
+            root,
+        ),
+        base_version=ts.current_version(root),
+    )
+    _interpose_once(
+        monkeypatch, lambda: ts.delete_where(spark, root, "k = 9502")
+    )
+    with pytest.raises(ts.ConcurrentWriteConflict, match="read set"):
+        ts.compact(spark, root, n_files=1, small_below_bytes=thr)
