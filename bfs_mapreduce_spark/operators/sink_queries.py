@@ -2422,3 +2422,68 @@ def q_sink_iceberg_import_deletes(
     adopted = agg("adopted")
     ts.compact(spark, root)
     return adopted.unionByName(agg("compacted")).orderBy("stage")
+
+
+@register(
+    "q_sink_partial_compaction",
+    oracle="""
+    WITH src AS (SELECT o_orderkey AS k,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                 FROM orders),
+    live AS (SELECT k, p FROM src WHERE k % 11 <> 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(p) AS DOUBLE) AS price_sum,
+           CAST(1 AS BIGINT) AS big_carried,
+           CAST(2 AS BIGINT) AS n_files_after
+    FROM live
+    """,
+    doc="PARTIAL compaction over the snapshot format (round 15 — "
+    "Iceberg's rewrite_data_files with a size threshold): orders land "
+    "as one BIG file plus a fragmented 8-file small tail, a "
+    "merge-on-read DELETE masks k%11=0 rows across all of them, and "
+    "compact(small_below_bytes=...) rewrites ONLY the tail into one "
+    "file — the big file is carried by reference (its delete vectors "
+    "ride forward and keep masking), zero of its bytes rewritten, "
+    "which is the property that makes compaction affordable at 100 TB "
+    "(the settled bulk is never touched). The aggregate runs through "
+    "the post-compact merge-on-read state, and the big_carried / "
+    "n_files_after booleans sit inside the certified hash — a "
+    "compaction that rewrote the big file, dropped its vectors, or "
+    "lost tail rows breaks the match.",
+)
+def q_sink_partial_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_pcompact"), tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    f_big = ts.stage_files(src.filter(F.col("k") % 3 != 0).coalesce(1), root)
+    f_small = ts.stage_files(
+        src.filter(F.col("k") % 3 == 0).repartition(8), root
+    )
+    ts.commit(
+        root,
+        f_big + f_small,
+        base_version=0,
+        schema=src.schema.json(),
+        stats=ts.collect_stats(f_big + f_small, ["k"]),
+    )
+    ts.delete_where(spark, root, "k % 11 = 0")
+    thr = os.path.getsize(f_big[0])  # the big file sits above the cut
+    v = ts.compact(spark, root, n_files=1, small_below_bytes=thr)
+    m = ts.read_manifest(root, v)
+    big_carried = int(set(f_big) <= set(m["files"]))
+    return ts.read(spark, root).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.sum("p").cast("double").alias("price_sum"),
+        F.lit(big_carried).cast("bigint").alias("big_carried"),
+        F.lit(len(m["files"])).cast("bigint").alias("n_files_after"),
+    )
