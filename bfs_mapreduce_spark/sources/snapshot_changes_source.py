@@ -114,13 +114,41 @@ class _SnapshotFilePartition(InputPartition):
         self.col_map = col_map
 
 
+def _resolve_starting_version(options: dict, root: str) -> str | None:
+    """Delta-parity option handling shared by both CDC sources:
+    ``startingTimestamp`` (epoch seconds or an ISO-8601 local
+    timestamp) resolves to the first version committed at or after it
+    — mutually exclusive with ``startingVersion``. Returns the
+    effective startingVersion option value (a string) or None."""
+    sv = options.get("startingVersion")
+    st = options.get("startingTimestamp")
+    if st is None:
+        return sv
+    if sv is not None:
+        raise ValueError(
+            "startingVersion and startingTimestamp are mutually "
+            "exclusive (same contract as Delta)"
+        )
+    try:
+        t = float(st)
+    except ValueError:
+        import datetime as _dt
+
+        t = _dt.datetime.fromisoformat(str(st)).timestamp()
+    v = ts.version_at_or_after(root, t)
+    if v > ts.current_version(root):
+        return None  # every commit predates the timestamp: start at
+        # the head with nothing to replay (same as no option)
+    return str(v)
+
+
 class SnapshotChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("snapshot_changes source requires a path")
         cur = ts.current_version(self._root)
-        sv = options.get("startingVersion")
+        sv = _resolve_starting_version(options, self._root)
         # Delta's startingVersion contract is INCLUSIVE: absent ->
         # changes after the version current at stream start; N ->
         # replay from commit N's OWN changes onward (0 = full history,

@@ -113,7 +113,11 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
         if not self._root:
             raise ValueError("snapshot_row_changes source requires a path")
         cur = ts.current_version(self._root)
-        sv = options.get("startingVersion")
+        from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+            _resolve_starting_version,
+        )
+
+        sv = _resolve_starting_version(options, self._root)
         if sv is None:
             self._start_v = cur
         else:

@@ -2672,6 +2672,20 @@ def _scan_for_delete(
     return _apply_eq_deletes(spark, df, eq_deletes or [], set(files))
 
 
+def version_at_or_after(root: str, ts_s: float) -> int:
+    """The FIRST version committed at or after wall-clock ``ts_s``
+    (epoch seconds; commit time = the manifest's mtime, written once
+    at the CAS publish) — Delta's ``startingTimestamp`` resolution.
+    Returns ``latest + 1`` when every commit predates the timestamp
+    (nothing to replay: the caller starts at the head). A timestamp
+    BEFORE the first commit resolves to version 1 (full history)."""
+    latest = current_version(root)
+    for v in range(1, latest + 1):
+        if os.path.getmtime(_manifest_path(root, v)) >= ts_s:
+            return v
+    return latest + 1
+
+
 def history(root: str) -> list[dict]:
     """DESCRIBE HISTORY (Delta's verb): one dict per version, newest
     first — version, parent, operation, file/segment/delete counts,

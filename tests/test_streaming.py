@@ -1023,3 +1023,71 @@ def test_snapshot_row_changes_rate_limited_drain(spark, tmp_path):
         max_files_per_trigger=1,
     )
     assert runs2 == 1 and sorted(more) == [("delete", 2)]
+
+
+def test_cdc_sources_starting_timestamp(spark, tmp_path):
+    """Round-15 Delta parity: both CDC sources take startingTimestamp
+    (epoch seconds or ISO-8601), resolved to the first version
+    committed at or after it; mutually exclusive with startingVersion;
+    a future timestamp starts at the head with nothing to replay."""
+    import os
+    import time
+
+    import pytest
+
+    from bfs_mapreduce_spark.sources import snapshot_changes_source as scs
+    from bfs_mapreduce_spark.sources import snapshot_row_changes_source as srcs
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = ts.commit(
+        root, ts.stage_files(spark.range(3).toDF("k"), root), base_version=0
+    )
+    t_mid = time.time()
+    # ensure the next commit's mtime lands strictly after t_mid
+    time.sleep(0.05)
+    ts.commit(
+        root,
+        ts.stage_files(spark.range(3, 6).toDF("k"), root),
+        base_version=v,
+    )
+    assert ts.version_at_or_after(root, 0.0) == 1
+    assert ts.version_at_or_after(root, t_mid) == 2
+    assert ts.version_at_or_after(root, time.time() + 60) == 3  # head+1
+    # file-level source: replay starts at the resolved version
+    r = scs.SnapshotChangesStreamReader(
+        {"path": root, "startingTimestamp": str(t_mid)}
+    )
+    rows = []
+    for p in r.partitions(r.initialOffset(), r.latestOffset()):
+        for b in r.read(p):
+            rows.extend(x["k"] for x in b.to_pylist())
+    assert sorted(rows) == [3, 4, 5]
+    # row-level source: same resolution
+    rr = srcs.SnapshotRowChangesStreamReader(
+        {"path": root, "startingTimestamp": str(t_mid)}
+    )
+    rows2 = []
+    for p in rr.partitions(rr.initialOffset(), rr.latestOffset()):
+        for b in rr.read(p):
+            rows2.extend(x["k"] for x in b.to_pylist())
+    assert sorted(rows2) == [3, 4, 5]
+    # a FUTURE timestamp starts at the head: nothing to replay
+    rf = scs.SnapshotChangesStreamReader(
+        {"path": root, "startingTimestamp": str(time.time() + 60)}
+    )
+    assert rf.initialOffset() == rf.latestOffset()
+    # mutual exclusion, same contract as Delta
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        scs.SnapshotChangesStreamReader(
+            {"path": root, "startingVersion": "1", "startingTimestamp": "0"}
+        )
+    # ISO-8601 form parses too
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(t_mid).isoformat()
+    r_iso = srcs.SnapshotRowChangesStreamReader(
+        {"path": root, "startingTimestamp": iso}
+    )
+    assert r_iso.initialOffset() == {"v": 1}
