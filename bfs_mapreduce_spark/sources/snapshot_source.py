@@ -64,13 +64,32 @@ class _SnapshotScanPartition(InputPartition):
         self.col_map = col_map
 
 
+def _resolve_as_of(options: dict, root: str) -> int:
+    """versionAsOf / timestampAsOf (round 15, Delta parity) -> version
+    number; mutually exclusive; default = current."""
+    v = options.get("versionAsOf")
+    t = options.get("timestampAsOf")
+    if t is not None:
+        if v is not None:
+            raise ValueError(
+                "versionAsOf and timestampAsOf are mutually exclusive"
+            )
+        try:
+            ts_s = float(t)
+        except ValueError:
+            import datetime as _dt
+
+            ts_s = _dt.datetime.fromisoformat(str(t)).timestamp()
+        return ts.version_as_of(root, ts_s)
+    return int(v) if v is not None else ts.current_version(root)
+
+
 class SnapshotBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("snapshot source requires a path")
-        v = options.get("versionAsOf")
-        self._version = int(v) if v is not None else ts.current_version(self._root)
+        self._version = _resolve_as_of(options, self._root)
         self._m = ts.read_manifest(self._root, self._version)
         # optional manifest-side partition pruning (round 12): a JSON
         # dict of partition-field -> required value; files whose
@@ -193,9 +212,9 @@ class SnapshotBatchReader(DataSourceReader):
 
 class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot").option("path", root).load()`` —
-    batch reads of a snapshot table, with optional ``versionAsOf``
-    time travel; both delete kinds and schema evolution are applied
-    executor-side per file."""
+    batch reads of a snapshot table, with optional ``versionAsOf`` /
+    ``timestampAsOf`` time travel (round 15); both delete kinds and
+    schema evolution are applied executor-side per file."""
 
     @classmethod
     def name(cls) -> str:
@@ -207,9 +226,7 @@ class SnapshotDataSource(DataSource):
             raise ValueError("snapshot source requires a path")
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        v = self.options.get("versionAsOf")
-        version = int(v) if v is not None else ts.current_version(root)
-        m = ts.read_manifest(root, version)
+        m = ts.read_manifest(root, _resolve_as_of(self.options, root))
         newest = m["files"][-1] if m["files"] else None
         return from_arrow_schema(_arrow_schema_for(m.get("schema"), newest))
 

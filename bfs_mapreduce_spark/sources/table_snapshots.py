@@ -1928,11 +1928,18 @@ def _scan_files(
 
 
 def read(
-    spark: SparkSession, root: str, version: int | str | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | str | None = None,
+    *,
+    timestamp_as_of: float | None = None,
 ) -> DataFrame:
     """DataFrame over exactly the files of ``version`` (default:
     current; a string resolves through the named refs — Iceberg's
-    tags: ``read(spark, root, "prod")``). Empty table -> empty DataFrame is the caller's concern:
+    tags: ``read(spark, root, "prod")``; ``timestamp_as_of`` — epoch
+    seconds, Delta's timestampAsOf, round 15 — resolves to the version
+    current at that wall clock and is mutually exclusive with
+    ``version``). Empty table -> empty DataFrame is the caller's concern:
     reading version 0 raises, matching an empty catalog table.
 
     When the manifest pins a schema (any commit passed ``schema=``),
@@ -1947,6 +1954,12 @@ def read(
     versions BEFORE a delete commit still see the original rows
     (delete vectors live in the manifest, so they time-travel like
     everything else)."""
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "version and timestamp_as_of are mutually exclusive"
+            )
+        version = version_as_of(root, float(timestamp_as_of))
     m = read_manifest(root, resolve_version(root, version))
     if not m["files"]:
         raise ValueError(f"snapshot table {root!r} has no committed data")
@@ -2670,6 +2683,27 @@ def _scan_for_delete(
         )
         df = df.join(F.broadcast(dv), [_FP, _POS], "left_anti")
     return _apply_eq_deletes(spark, df, eq_deletes or [], set(files))
+
+
+def version_as_of(root: str, ts_s: float) -> int:
+    """The version CURRENT at wall-clock ``ts_s`` (epoch seconds) —
+    Delta's ``timestampAsOf`` resolution: the newest version whose
+    manifest publish time is at or before the timestamp. A timestamp
+    before the first commit raises (there was no table state to read);
+    one after the newest commit resolves to the current version."""
+    latest = current_version(root)
+    chosen = 0
+    for v in range(1, latest + 1):
+        if os.path.getmtime(_manifest_path(root, v)) <= ts_s:
+            chosen = v
+        else:
+            break
+    if chosen == 0:
+        raise ValueError(
+            f"timestamp {ts_s} predates the first commit of {root!r} — "
+            "no table state existed to read"
+        )
+    return chosen
 
 
 def version_at_or_after(root: str, ts_s: float) -> int:

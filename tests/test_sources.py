@@ -4349,3 +4349,54 @@ def test_partial_compaction_small_files(spark, tmp_path, monkeypatch):
     )
     with pytest.raises(ts.ConcurrentWriteConflict, match="read set"):
         ts.compact(spark, root, n_files=1, small_below_bytes=thr)
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Round-15 Delta parity: timestampAsOf resolves to the version
+    CURRENT at that wall clock — the library read(), and the snapshot
+    DataSource option; pre-first-commit timestamps raise; mutual
+    exclusion with versionAsOf holds."""
+    import os
+    import time
+
+    import pytest
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    t_pre = time.time() - 1
+    v = ts.commit(
+        root, ts.stage_files(spark.range(3).toDF("k"), root), base_version=0
+    )
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    ts.commit(
+        root,
+        ts.stage_files(spark.range(3, 7).toDF("k"), root),
+        base_version=v,
+    )
+    assert ts.version_as_of(root, t_mid) == 1
+    assert ts.version_as_of(root, time.time() + 60) == 2
+    with pytest.raises(ValueError, match="predates the first commit"):
+        ts.version_as_of(root, t_pre)
+    got = sorted(
+        r["k"] for r in ts.read(spark, root, timestamp_as_of=t_mid).collect()
+    )
+    assert got == [0, 1, 2]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ts.read(spark, root, 2, timestamp_as_of=t_mid)
+    register_snapshot_source(spark)
+    df = (
+        spark.read.format("snapshot")
+        .option("path", root)
+        .option("timestampAsOf", str(t_mid))
+        .load()
+    )
+    assert sorted(r["k"] for r in df.collect()) == [0, 1, 2]
+    cur = spark.read.format("snapshot").option("path", root).load()
+    assert cur.count() == 7
