@@ -497,6 +497,7 @@ def _snapshot_vacuum(args: argparse.Namespace) -> int:
         min_retention_s=(
             None if args.force else args.min_retention_hours * 3600.0
         ),
+        dry_run=args.dry_run,
     )
     print(
         json.dumps(
@@ -750,6 +751,11 @@ def main(argv: list[str] | None = None) -> int:
         "--force",
         action="store_true",
         help="skip the min-retention reader guard",
+    )
+    sv.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="list what would be deleted without deleting (round 15)",
     )
     sv.set_defaults(fn=_snapshot_vacuum)
 

@@ -2793,6 +2793,7 @@ def vacuum(
     *,
     min_retention_s: float | None = None,
     now: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files referenced by NO manifest >= ``retain_from``
     (expired time travel). Returns the deleted paths. Refuses nothing
@@ -2823,7 +2824,10 @@ def vacuum(
     that started within the window planned a retained version. The CLI
     maintenance entry point enables it by default (168h, Delta's
     floor); the library primitive keeps it opt-in so tests and
-    deliberate callers stay explicit."""
+    deliberate callers stay explicit. ``dry_run=True`` (round 15,
+    Delta's VACUUM DRY RUN) returns the would-be-deleted paths without
+    touching anything — the min-retention guard still fires, so a dry
+    run previews exactly what the real call would do."""
     latest = current_version(root)
     if min_retention_s is not None and retain_from > 1:
         import time as _time
@@ -2859,7 +2863,8 @@ def vacuum(
         for name in names:
             p = os.path.join(dirpath, name)
             if name.endswith(".parquet") and p not in keep:
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 deleted.append(p)
     seg_dir = os.path.join(os.path.abspath(root), "_manifests", "segments")
     if os.path.isdir(seg_dir):
@@ -2867,7 +2872,8 @@ def vacuum(
         for name in os.listdir(seg_dir):
             p = os.path.join(seg_dir, name)
             if name.endswith(".json") and p not in seg_keep:
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 deleted.append(p)
     return sorted(deleted)
 

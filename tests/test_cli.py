@@ -399,3 +399,36 @@ def test_cli_bench_rowcdc_late_commit_is_o_commit(capsys):
     assert by_v[6]["rows_emitted"] == 100
     # bulk deletes touch their masked files only (the staged 8)
     assert by_v[2]["n_partitions"] <= 8
+
+
+def test_cli_snapshot_vacuum_dry_run(spark, tmp_path, capsys):
+    """Round-15: --dry-run lists exactly what the real vacuum would
+    delete, deletes nothing, and the real call then deletes exactly
+    that list."""
+    import json
+    import os
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    v = ts.commit(
+        root, ts.stage_files(spark.range(6).toDF("k"), root), base_version=0
+    )
+    ts.commit(
+        root,
+        ts.stage_files(spark.range(6, 9).toDF("k"), root),
+        base_version=v,
+        replace=True,
+    )
+    rc = main(["snapshot-vacuum", root, "--retain-last", "1",
+               "--force", "--dry-run"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    would = ts.vacuum(root, retain_from=2, dry_run=True)
+    assert out["n_deleted"] == len(would) > 0
+    assert all(os.path.exists(p) for p in would)  # nothing deleted
+    real = ts.vacuum(root, retain_from=2)
+    assert real == would
+    assert not any(os.path.exists(p) for p in real)
