@@ -1222,8 +1222,14 @@ def run_meta_scale(
         t0 = _time.monotonic()
         v = ts.commit(root, files, base_version=v)
         commit_secs.append(_time.monotonic() - t0)
-    head = sum(commit_secs[:sample]) / sample
-    tail = sum(commit_secs[-sample:]) / sample
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        return ys[len(ys) // 2]
+
+    # medians, not means: a single GC pause in a 10-commit window must
+    # not fake a superlinear tail (the broken-path signal was 10x)
+    head = _median(commit_secs[:sample])
+    tail = _median(commit_secs[-sample:])
     yield {
         "step": "commits",
         "n_commits": n_commits,
