@@ -783,7 +783,8 @@ def iceberg_snapshot_plan(
     a consumer needs to reconstruct the snapshot's merge-on-read
     state::
 
-        {"data":        [(path, data_sequence_number), ...],
+        {"data":        [(path, data_sequence_number,
+                           partition_values_dict, spec_id), ...],
          "pos_deletes": [(path, sequence_number), ...],
          "eq_deletes":  [(path, sequence_number, [field_id, ...]), ...],
          "schema": ..., "metadata": ...}
@@ -806,7 +807,7 @@ def iceberg_snapshot_plan(
     schema_id = snap.get("schema-id", md["current-schema-id"])
     schema = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
     _schema, manifest_rows = read_avro(snap["manifest-list"])
-    data: list[tuple[str, int]] = []
+    data: list[tuple[str, int, dict, int]] = []
     pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, list[int]]] = []
     for mrow in manifest_rows:
@@ -842,7 +843,14 @@ def iceberg_snapshot_plan(
                         f"delete file {df_['file_path']!r} listed in a "
                         "data manifest"
                     )
-                data.append((df_["file_path"], int(seq)))
+                data.append(
+                    (
+                        df_["file_path"],
+                        int(seq),
+                        dict(df_.get("partition") or {}),
+                        int(mrow.get("partition_spec_id", 0)),
+                    )
+                )
             elif fcontent == 1:  # position deletes
                 pos_deletes.append((df_["file_path"], int(seq)))
             elif fcontent == 2:  # equality deletes
@@ -1018,10 +1026,10 @@ def import_iceberg_table(
             "an empty root"
         )
     plan = iceberg_snapshot_plan(location, snapshot_id)
-    files = [p for p, _s in plan["data"]]
+    files = [p for p, _s, _pt, _sid in plan["data"]]
     if not files:
         raise ValueError(f"snapshot has no live data files in {location!r}")
-    seq_of = {p: s for p, s in plan["data"]}
+    seq_of = {p: s for p, s, _pt, _sid in plan["data"]}
     schema = plan["schema"]
     md = plan["metadata"]
     fields = []
@@ -1126,6 +1134,51 @@ def import_iceberg_table(
             }
         )
 
+    # Partition-spec adoption (round 15): the DEFAULT spec's
+    # transforms map onto the engine's — identity as-is, truncate[W]
+    # for int/long sources (same floor-toward--inf math), bucket[N]
+    # onto 'ibucket' (the engine's murmur3 IS Iceberg's bucket hash) —
+    # so per-file partition tuples ride into the adoption commit and
+    # manifest pruning works from the first read. Unmappable specs
+    # (string truncate = substring semantics, year/month/day/hour) or
+    # files written under a non-default spec simply carry no tuple:
+    # pruning is I/O-only, a missing tuple is conservative, never
+    # wrong.
+    type_of_id = {int(f["id"]): f["type"] for f in schema["fields"]}
+    specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
+    default_sid = md.get("default-spec-id", 0)
+    mapped_spec: list[tuple] | None = []
+    rename: dict[str, str] = {}  # iceberg field name -> engine name
+    for f in (specs.get(default_sid) or {}).get("fields", []):
+        col = name_of_id.get(int(f["source-id"]))
+        ice = type_of_id.get(int(f["source-id"]))
+        tr = f["transform"]
+        if col is None:
+            mapped_spec = None
+            break
+        if tr == "identity":
+            t = ("identity", col)
+        elif tr.startswith("truncate[") and ice in ("int", "long"):
+            t = ("truncate", col, int(tr[len("truncate["):-1]))
+        elif tr.startswith("bucket[") and ice in ("int", "long", "string"):
+            t = ("ibucket", col, int(tr[len("bucket["):-1]))
+        else:
+            mapped_spec = None
+            break
+        mapped_spec.append(t)
+        rename[f["name"]] = ts.partition_field_name(t)
+    partitions: dict[str, dict] = {}
+    if mapped_spec:
+        for p, _s, ptup, sid in plan["data"]:
+            if sid != default_sid or not ptup:
+                continue
+            vals = {
+                rename[k]: v for k, v in ptup.items() if k in rename
+            }
+            if len(vals) == len(mapped_spec) and all(
+                v is not None for v in vals.values()
+            ):
+                partitions[p] = vals
     return ts.commit(
         root,
         list(files),
@@ -1135,6 +1188,8 @@ def import_iceberg_table(
         deletes=deletes,
         eq_deletes=eq_entries,
         operation="upsert" if (deletes or eq_entries) else "append",
+        partition_spec=mapped_spec if mapped_spec else None,
+        partitions=partitions or None,
     )
 
 

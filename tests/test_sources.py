@@ -3872,6 +3872,18 @@ def test_ibucket_murmur3_transform_and_export(spark, tmp_path):
     # round-trip: the exported layout reads back with identical rows
     back = {r["k"]: r["v"] for r in im.read_iceberg_table(spark, out).collect()}
     assert back == {k: k * 3 for k in range(64)}
+    # round 15: ADOPTING the exported layout maps bucket[8] back onto
+    # ibucket with per-file tuples — manifest pruning works from the
+    # first read of the imported table
+    dst = str(tmp_path / "adopted")
+    os.makedirs(dst)
+    im.import_iceberg_table(spark, out, dst)
+    m2 = ts.read_manifest(dst)
+    assert [tuple(t) for t in m2["partition_spec"]] == [("ibucket", "k", 8)]
+    kept2, skipped2 = ts.prune_partitions_source(m2, {"k": 13})
+    assert skipped2 and len(kept2) < len(m2["files"])
+    got2 = {r["k"]: r["v"] for r in ts.read(spark, dst).collect()}
+    assert got2 == {k: k * 3 for k in range(64)}
 
 
 def _forge_iceberg_delete_table(spark, base_dir):
