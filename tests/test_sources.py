@@ -4412,3 +4412,43 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert sorted(r["k"] for r in df.collect()) == [0, 1, 2]
     cur = spark.read.format("snapshot").option("path", root).load()
     assert cur.count() == 7
+
+
+def test_append_commit_never_resolves_base_segments(spark, tmp_path, monkeypatch):
+    """Round-15 structural pin for the append fast path (bench-meta's
+    latency test is the canary; this is the deterministic proof): a
+    pure append must not call read_manifest at all — O(new files +
+    n_segments) from the raw base manifest — and _touched_files for
+    delete/upsert concurrents must diff raw manifests only. Anything
+    that can drop or re-scope files (replace, offered delete entries)
+    keeps the resolved path."""
+    import os
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d = spark.range(4).toDF("k")
+    v = ts.commit(root, ts.stage_files(d, root), base_version=0, schema=d.schema.json())
+    v = ts.commit(root, ts.stage_files(spark.range(4, 8).toDF("k"), root), base_version=v)
+    v_del, _n, _ = ts.delete_where(spark, root, "k = 1")
+    files = ts.stage_files(spark.range(8, 10).toDF("k"), root)
+    calls = {"n": 0}
+    real = ts.read_manifest
+
+    def counting(root_, version=None):
+        calls["n"] += 1
+        return real(root_, version)
+
+    monkeypatch.setattr(ts, "read_manifest", counting)
+    v = ts.commit(root, files, base_version=v_del)  # pure append
+    assert calls["n"] == 0  # raw base only: no segment resolution
+    # the raw-diff conflict path: delete/upsert touched sets need no
+    # resolution either
+    touched = ts._touched_files(root, v_del)
+    assert calls["n"] == 0
+    monkeypatch.undo()
+    assert touched  # the delete's masked file is reported
+    # correctness didn't change: the append landed with carried deletes
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9]
