@@ -1373,6 +1373,33 @@ def run_rowcdc_scale(
         v_last, n_late_del, _ = ts.delete_where(
             spark, root, "doc_id >= 1000000000 AND doc_id % 2 = 0"
         )
+        # stream half (capped drain): the whole history through
+        # drain_snapshot_row_changes under a small cap — wall clock +
+        # number of capped runs at each factor
+        from bfs_mapreduce_spark.sources.snapshot_row_changes_source import (
+            drain_snapshot_row_changes,
+            register_snapshot_row_changes_source,
+        )
+
+        register_snapshot_row_changes_source(spark)
+        ck = _tempfile.mkdtemp(prefix="bfs_mr_rowcdc_ck_")
+        seen = {"rows": 0}
+        t0 = _time.monotonic()
+        runs = drain_snapshot_row_changes(
+            spark, root, ck,
+            lambda df, bid: seen.__setitem__(
+                "rows", seen["rows"] + df.count()
+            ),
+            max_files_per_trigger=4,
+        )
+        yield {
+            "factor": factor,
+            "step": "capped_drain",
+            "max_files_per_trigger": 4,
+            "runs": runs,
+            "rows_delivered": seen["rows"],
+            "wall_sec": round(_time.monotonic() - t0, 2),
+        }
         r = SnapshotRowChangesStreamReader(
             {"path": root, "startingVersion": "0"}
         )

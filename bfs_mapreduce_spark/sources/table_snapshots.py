@@ -2736,6 +2736,9 @@ def history(root: str) -> list[dict]:
                 "version": v,
                 "parent": m.get("parent"),
                 "operation": m.get("operation") or "append",
+                # publish wall clock (round 15): what timestampAsOf /
+                # startingTimestamp resolve against
+                "timestamp": os.path.getmtime(_manifest_path(root, v)),
                 "n_files": len(m["files"]),
                 "n_segments": len(m.get("_segments") or []),
                 "n_pos_delete_files": len(

@@ -391,7 +391,9 @@ def test_cli_bench_rowcdc_late_commit_is_o_commit(capsys):
     recs = [
         json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()
     ]
-    by_v = {r["version"]: r for r in recs}
+    drains = [r for r in recs if r.get("step") == "capped_drain"]
+    assert len(drains) == 1 and drains[0]["runs"] >= 2  # cap split the history
+    by_v = {r["version"]: r for r in recs if "version" in r}
     assert by_v[1]["op"] == "append" and by_v[1]["rows_emitted"] > 0
     assert by_v[5]["op"] == "append" and by_v[5]["n_partitions"] == 1
     assert by_v[5]["rows_emitted"] == 200
