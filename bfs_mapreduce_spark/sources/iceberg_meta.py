@@ -430,6 +430,14 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
     first_seen: dict[str, int] = {}
     dv_seen: dict[str, int] = {}
     eq_seen: dict[tuple, int] = {}
+    rows_cache: dict[str, int] = {}  # delete files are immutable: one
+    # footer read each, however many versions carry them
+
+    def _rows_of(path: str) -> int:
+        hit = rows_cache.get(path)
+        if hit is None:
+            hit = rows_cache[path] = _file_rows(path, {})
+        return hit
     del_entry_schema = _manifest_entry_schema()
     del_entry_schema["fields"][-1]["type"]["fields"].append(
         {
@@ -471,7 +479,9 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
             del_entries.append(
                 {
                     "status": 1 if dseq == v else 0,
-                    "snapshot_id": v,
+                    # spec rule: EXISTING entries keep the snapshot
+                    # that ADDED the file (round-15 review)
+                    "snapshot_id": dseq,
                     "sequence_number": dseq,
                     "file_sequence_number": dseq,
                     "data_file": {
@@ -479,7 +489,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                         "file_path": dvf,
                         "file_format": "PARQUET",
                         "partition": {},
-                        "record_count": _file_rows(dvf, {}),
+                        "record_count": _rows_of(dvf),
                         "file_size_in_bytes": os.path.getsize(dvf),
                         "equality_ids": None,
                     },
@@ -517,7 +527,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                 del_entries.append(
                     {
                         "status": 1 if dseq == v else 0,
-                        "snapshot_id": v,
+                        "snapshot_id": dseq,  # the adding snapshot
                         "sequence_number": dseq,
                         "file_sequence_number": dseq,
                         "data_file": {
@@ -525,7 +535,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                             "file_path": kf,
                             "file_format": "PARQUET",
                             "partition": {},
-                            "record_count": _file_rows(kf, {}),
+                            "record_count": _rows_of(kf),
                             "file_size_in_bytes": os.path.getsize(kf),
                             "equality_ids": [int(i) for i in fids],
                         },
@@ -560,7 +570,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
             by_spec.setdefault(spec_id, []).append(
                 {
                     "status": 1 if is_new else 0,  # 1=ADDED, 0=EXISTING
-                    "snapshot_id": snap_id,
+                    "snapshot_id": first_seen.get(f, snap_id),
                     # explicit data sequence number (first-seen
                     # version) on EVERY entry: the spec's null
                     # inheritance covers ADDED rows only, and delete
@@ -824,12 +834,18 @@ def iceberg_snapshot_plan(
             df_ = e["data_file"]
             seq = e.get("sequence_number")
             if seq is None:
-                seq = (
-                    mrow["sequence_number"]
-                    if e["status"] == 1
-                    else mrow.get("min_sequence_number")
-                    or mrow["sequence_number"]
-                )
+                if e["status"] != 1:
+                    # the spec's inheritance covers ADDED entries only;
+                    # guessing a seq for an EXISTING entry could pull a
+                    # newer file into an older delete's scope — rows
+                    # wrongly deleted. Refuse loudly.
+                    raise NotImplementedError(
+                        f"manifest entry for {e['data_file']['file_path']!r} "
+                        "is EXISTING with a null sequence number — "
+                        "spec-invalid, and inventing one could mis-scope "
+                        "deletes"
+                    )
+                seq = mrow["sequence_number"]
             if df_["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"file format {df_['file_format']!r} for "
@@ -1025,11 +1041,24 @@ def import_iceberg_table(
             f"import target {root!r} already has commits — adopt into "
             "an empty root"
         )
+    import re as _re
+
+    def _norm(p: str) -> str:
+        # foreign metadata may spell paths as file:/ URIs (HadoopTables'
+        # common form); the engine's read paths compare plain paths, so
+        # a URI-keyed delete scope would silently mask NOTHING —
+        # normalize every path on entry (round 15, review finding)
+        return _re.sub(r"^file:/+", "/", p)
+
     plan = iceberg_snapshot_plan(location, snapshot_id)
-    files = [p for p, _s, _pt, _sid in plan["data"]]
+    data = [
+        (_norm(p), s, pt, sid) for p, s, pt, sid in plan["data"]
+    ]
+    plan = {**plan, "data": data}
+    files = [p for p, _s, _pt, _sid in data]
     if not files:
         raise ValueError(f"snapshot has no live data files in {location!r}")
-    seq_of = {p: s for p, s, _pt, _sid in plan["data"]}
+    seq_of = {p: s for p, s, _pt, _sid in data}
     schema = plan["schema"]
     md = plan["metadata"]
     fields = []
@@ -1062,7 +1091,7 @@ def import_iceberg_table(
     deletes: dict[str, list[str]] = {}
     dv_dir = None
     for dpath, dseq in plan["pos_deletes"]:
-        t = pq.read_table(dpath)
+        t = pq.read_table(dpath)  # pyarrow accepts URI or plain forms
         if not {"file_path", "pos"} <= set(t.column_names):
             raise NotImplementedError(
                 f"position delete file {dpath!r} lacks the spec's "

@@ -472,11 +472,12 @@ def drain_snapshot_changes(
         reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     runs = 0
     for _ in range(max_runs):
-        seen = {"rows": 0}
+        seen = {"rows": 0, "batches": 0}
 
         def batch(df, bid, _seen=seen):
             n = df.count()
             _seen["rows"] += n
+            _seen["batches"] += 1
             if n:
                 for_each_batch(df, bid)
 
@@ -488,9 +489,14 @@ def drain_snapshot_changes(
             .start()
         )
         q.awaitTermination()
-        if seen["rows"] == 0:
+        if seen["batches"] == 0:
+            # no micro-batch ran: nothing admitted — converged. Zero
+            # ROWS is not convergence (round 15): a capped run can
+            # admit only a metadata/skipped commit and stopping there
+            # would strand the rest of the history.
             return runs
-        runs += 1
+        if seen["rows"]:
+            runs += 1
     raise RuntimeError(
         f"drain did not converge in {max_runs} availableNow runs — "
         "is a writer outpacing the cap?"

@@ -495,9 +495,14 @@ def drain_snapshot_row_changes(
             .start()
         )
         q.awaitTermination()
-        if seen["rows"] == 0:
+        if seen["batches"] == 0:
+            # no micro-batch ran: nothing new was admitted — converged.
+            # (zero ROWS is NOT convergence: a capped run can admit a
+            # row-preserving commit alone, or a no-match delete, and
+            # stopping there would strand the rest of the history)
             return runs
-        runs += 1
+        if seen["rows"]:
+            runs += 1
     raise RuntimeError(
         f"drain did not converge in {max_runs} availableNow runs — "
         "is a writer outpacing the cap?"

@@ -88,9 +88,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bfs_mapreduce_spark.plans.reliable import (
-    spill_truncate as _spill_truncate,
-)
 
 
 class SnapshotConflict(RuntimeError):
@@ -2009,6 +2006,8 @@ def compact(
     so any file-scoped concurrent overlaps — the round-14 behavior."""
     base = current_version(root)
     m = read_manifest(root, base)
+    if not m["files"]:
+        raise ValueError(f"snapshot table {root!r} has no committed data")
     base_files = set(m["files"])
     if only_files is not None:
         sel_set = set(only_files)
@@ -3522,14 +3521,17 @@ def read_row_changes(
                     era,
                     log,
                 ).join(F.broadcast(keys), key_cols, "left_semi")
-                # The preimage is consumed twice (emitted as-is AND
+                # The preimage feeds two consumers (emitted as-is AND
                 # reduced to the matched-key set that splits the post
-                # rows); a session persist() here would never be
-                # unpersisted by the lazily-returned plan and leak
-                # cached partitions on every upsert-crossing call, so
-                # spill to the process-local tmp dir (swept at exit;
-                # durable dir under reliable_checkpoints) instead.
-                pre = _spill_truncate(pre, name="cdf-preimage")
+                # rows). A session persist() here leaked cached
+                # partitions forever (no unpersist hook on a lazy
+                # plan), and an eager spill ran a Spark job at
+                # PLAN-construction time for every upsert in the range
+                # (round-15 review). The scan is deterministic
+                # (immutable files + broadcast joins), so the honest
+                # cost is recomputation: each consumer evaluates the
+                # O(commit's applies-files) subtree lazily, at most
+                # twice, with nothing cached and nothing eager.
                 parts.append(tag(pre, "update_preimage", v))
                 if post is not None:
                     matched = pre.select(*key_cols).distinct()

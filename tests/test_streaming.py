@@ -1091,3 +1091,49 @@ def test_cdc_sources_starting_timestamp(spark, tmp_path):
         {"path": root, "startingTimestamp": iso}
     )
     assert r_iso.initialOffset() == {"v": 1}
+
+
+def test_row_changes_drain_survives_zero_row_batches(spark, tmp_path):
+    """Round-15 review fix: a capped drain run can admit ONLY a
+    row-preserving commit (zero change rows) when the next commit
+    exceeds the budget — that batch must not read as convergence, or
+    the rest of the history is silently stranded."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_row_changes_source import (
+        drain_snapshot_row_changes,
+        register_snapshot_row_changes_source,
+    )
+
+    register_snapshot_row_changes_source(spark)
+    root = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    os.makedirs(root)
+    d1 = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    v = ts.commit(
+        root, ts.stage_files(d1.repartition(4), root),
+        base_version=0, schema=d1.schema.json(),
+    )
+    ts.compact(spark, root, n_files=4)  # v2: row-preserving, 0 changes
+    d3 = spark.range(100, 108).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ts.commit(
+        root, ts.stage_files(d3.repartition(5), root),
+        base_version=ts.current_version(root),
+    )  # v3: 5 files — exceeds the budget right after the empty v2
+    got: list[int] = []
+    runs = drain_snapshot_row_changes(
+        spark, root, ck,
+        lambda df, bid: got.extend(r["k"] for r in df.collect()),
+        max_files_per_trigger=4,
+    )
+    # the pre-fix behavior returned after the {v2} zero-row batch with
+    # v3's rows undelivered
+    assert sorted(got) == list(range(8)) + list(range(100, 108))
+    assert runs == 2  # two non-empty runs; the empty v2 batch is free
