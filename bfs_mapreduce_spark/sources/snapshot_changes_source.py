@@ -215,7 +215,8 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         m = _raw_manifest(self._root, v)
         op = m.get("operation") or "append"
         if op in (
-            "set_check", "rewrite_manifests", "evolve_schema", "evolve_spec"
+            "set_check", "set_property", "rewrite_manifests",
+            "evolve_schema", "evolve_spec"
         ):
             # metadata-only: the data file set is unchanged by
             # definition (rewrite_manifests repackages segments,
