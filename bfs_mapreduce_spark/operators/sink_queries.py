@@ -1276,6 +1276,149 @@ def q_sink_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_snapshot_merge_clauses",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    fin AS (
+      SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS p,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 10 <> 5
+        AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 100 = 7)
+      UNION ALL
+      SELECT o_totalprice + 1000.0, o_orderpriority
+      FROM orders, mx
+      WHERE o_orderkey % 7 = 3 AND (o_orderkey + m) % 2 = 1
+    ),
+    chg AS (
+      SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0) AS n_upd,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 5)
+          + (SELECT COUNT(*) FROM orders
+             WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 100 = 7)
+          AS n_del,
+        (SELECT COUNT(*) FROM orders, mx
+         WHERE o_orderkey % 7 = 3 AND (o_orderkey + m) % 2 = 1) AS n_ins
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(n_upd AS BIGINT) AS n_upd,
+           CAST(n_del AS BIGINT) AS n_del,
+           CAST(n_ins AS BIGINT) AS n_ins
+    FROM fin, chg
+    GROUP BY o_orderpriority, n_upd, n_del, n_ins
+    """,
+    doc="Full MERGE clause surface (round 16, verdict ask #1 — "
+    "table_snapshots.merge_into with Delta's complete grammar): one "
+    "merge runs WHEN MATCHED AND <cond> THEN UPDATE SET (keys "
+    "ending in 0 take the source price), WHEN MATCHED THEN DELETE "
+    "(first-match-wins: the remaining matched keys, ending in 5), "
+    "WHEN NOT MATCHED AND <cond> THEN INSERT (odd new keys only), "
+    "and WHEN NOT MATCHED BY SOURCE THEN DELETE (urgent keys ending "
+    "in 07 leave the table without ever appearing in the source) — "
+    "with the changeFeed table property on, so the merge writes "
+    "Delta-CDF row images. The oracle recomputes the post-merge "
+    "table AND the per-kind change counts (update_preimage / delete "
+    "/ insert rows read back via read_row_changes) from raw orders "
+    "in plain SQL — a merge that mis-applies a clause, double-fires "
+    "first-match-wins, or emits wrong CDC images fails the hash. "
+    "At 100 TB the clause surface is what CDC-apply and SCD "
+    "maintenance pipelines run daily; file narrowing carries over "
+    "(only files where a clause FIRES are rewritten).",
+)
+def q_sink_snapshot_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_mergecl"), tag)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    if ts.current_version(root) < 3:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        bounds = [mx // 4, mx // 2, (3 * mx) // 4]
+        files: list[str] = []
+        lo = None
+        for hi in bounds + [None]:
+            part = orders
+            if lo is not None:
+                part = part.filter(F.col("o_orderkey") > lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") <= hi)
+            files += ts.stage_files(part.coalesce(1), root)
+            lo = hi
+        ts.commit(
+            root,
+            files,
+            base_version=0,
+            stats=ts.collect_stats(files, ["o_orderkey"]),
+        )
+        v_prop = ts.set_property(root, "changeFeed", True)
+        matched_src = orders.filter(
+            (F.col("o_orderkey") % 10).isin(0, 5)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        insert_src = orders.filter(F.col("o_orderkey") % 7 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(mx)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        v_merge, _staged, _untouched = ts.merge_into(
+            spark,
+            root,
+            matched_src.unionByName(insert_src),
+            ["o_orderkey"],
+            when_matched=[
+                {
+                    "action": "update",
+                    "condition": "s.o_orderkey % 10 = 0",
+                    "set": {"o_totalprice": "s.o_totalprice"},
+                },
+                {"action": "delete"},
+            ],
+            when_not_matched=[
+                {"action": "insert", "condition": "s.o_orderkey % 2 = 1"},
+            ],
+            when_not_matched_by_source=[
+                {
+                    "action": "delete",
+                    "condition": "t.o_orderpriority = '1-URGENT' "
+                    "AND t.o_orderkey % 100 = 7",
+                },
+            ],
+            target_files=4,
+        )
+        # CDC images the merge wrote: count per kind (bounded driver
+        # collect — at most 4 scalar rows)
+        kinds = {
+            r["_change_type"]: r["n"]
+            for r in ts.read_row_changes(spark, root, v_prop, v_merge)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert kinds.get("update_preimage", 0) == kinds.get(
+            "update_postimage", 0
+        ), "CDF pre/post image counts must pair up"
+        with open(os.path.join(root, "_merge_cdf"), "w") as f:
+            f.write(
+                f"{kinds.get('update_preimage', 0)} "
+                f"{kinds.get('delete', 0)} {kinds.get('insert', 0)}"
+            )
+    with open(os.path.join(root, "_merge_cdf")) as f:
+        n_upd, n_del, n_ins = (int(x) for x in f.read().split())
+    return ts.read(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(n_upd).cast("bigint").alias("n_upd"),
+        F.lit(n_del).cast("bigint").alias("n_del"),
+        F.lit(n_ins).cast("bigint").alias("n_ins"),
+    )
+
+
+@register(
     "q_sink_snapshot_changes",
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,

