@@ -2568,6 +2568,225 @@ def q_sink_iceberg_import_deletes(
 
 
 @register(
+    "q_sink_iceberg_import_dv",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS p
+               FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (SELECT o_orderkey AS k,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders WHERE o_orderkey % 3 = 1),
+    live AS (
+      SELECT k, p FROM a WHERE k % 12 <> 0
+      UNION ALL
+      SELECT k, p FROM b)
+    SELECT s.stage AS stage,
+           CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(k) FROM live) AS BIGINT) AS key_sum,
+           CAST((SELECT SUM(p) FROM live) AS DOUBLE) AS price_sum,
+           CAST(s.nf AS BIGINT) AS n_files
+    FROM (VALUES ('adopted', 2), ('compacted', 1)) AS s(stage, nf)
+    ORDER BY stage
+    """,
+    doc="Iceberg v3 PUFFIN DELETION-VECTOR import (round 16, verdict "
+    "ask #2): a v3 table is forged from the public specs alone — data "
+    "file A (sequence 1: o_orderkey%3=0, k-sorted), data file B "
+    "(sequence 3: %3=1), and a .puffin file (sequence 2) whose "
+    "deletion-vector-v1 blob (big-endian framing + magic D1D33964 + "
+    "portable 64-bit RoaringBitmap + CRC-32, sources/puffin_py.py) "
+    "masks A's %12=0 rows by position, referenced via the manifest "
+    "entry's referenced_data_file/content_offset fields so the import "
+    "never opens the puffin footer. import_iceberg_table maps the DV "
+    "onto a position vector for exactly file A (B is newer than the "
+    "DV and unreferenced — its rows MUST survive). The adopted "
+    "merge-on-read state aggregates decimal-exact before and after a "
+    "compaction materializes the DV, so a mis-parsed bitmap, a "
+    "mis-scoped DV, or a resurrection through the rewrite breaks the "
+    "hash.",
+)
+def q_sink_iceberg_import_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from pyspark.sql import Window
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import puffin_py as pf
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.avro_py import write_avro
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(proc_dir("bfs_mapreduce_spark_ice_dv"), tag)
+    shutil.rmtree(base, ignore_errors=True)
+    loc = os.path.join(base, "foreign")
+    data_dir = os.path.join(loc, "data")
+    meta_dir = os.path.join(loc, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    keyed = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+
+    def write_one(df, name: str) -> str:
+        tmp = os.path.join(base, f"_w_{name}")
+        df.coalesce(1).sortWithinPartitions("k").write.parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(data_dir, f"{name}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        return dst
+
+    fa = write_one(keyed.filter(F.col("k") % 3 == 0), "a")
+    fb = write_one(keyed.filter(F.col("k") % 3 == 1), "b")
+    # DV positions: A's %12=0 rows in its k-sorted file order (one
+    # bounded collect of the masked positions — the fixture forge,
+    # not the query path)
+    w = Window.orderBy("k")
+    positions = [
+        r["rn"]
+        for r in keyed.filter(F.col("k") % 3 == 0)
+        .select("k", (F.row_number().over(w) - 1).alias("rn"))
+        .filter(F.col("k") % 12 == 0)
+        .select("rn")
+        .collect()
+    ]
+    fdv = os.path.join(data_dir, "deletes.puffin")
+    dv_meta = pf.write_puffin_dvs(
+        fdv, {fa: positions}, snapshot_id=3, sequence_number=2
+    )[0]
+
+    entry_schema = im._manifest_entry_schema()
+    entry_schema["fields"][-1]["type"]["fields"] += [
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "default": None, "field-id": 143},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None, "field-id": 144},
+        {"name": "content_size_in_bytes", "type": ["null", "long"],
+         "default": None, "field-id": 145},
+    ]
+
+    def entry(path, content, seq, fmt="PARQUET", ref=None, off=None, ln=None):
+        return {
+            "status": 1,
+            "snapshot_id": 3,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": fmt,
+                "partition": {},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(path),
+                "referenced_data_file": ref,
+                "content_offset": off,
+                "content_size_in_bytes": ln,
+            },
+        }
+
+    m_data = os.path.join(meta_dir, "manifest-data.avro")
+    write_avro(m_data, entry_schema, [entry(fa, 0, 1), entry(fb, 0, 3)])
+    m_del = os.path.join(meta_dir, "manifest-del.avro")
+    write_avro(
+        m_del,
+        entry_schema,
+        [entry(fdv, 1, 2, fmt="PUFFIN", ref=fa,
+               off=dv_meta["offset"], ln=dv_meta["length"])],
+    )
+
+    def list_row(path: str, content: int, seq: int) -> dict:
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 3,
+            "added_files_count": 2,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    lp = os.path.join(meta_dir, "snap-3.avro")
+    write_avro(
+        lp,
+        im._MANIFEST_LIST_SCHEMA,
+        [list_row(m_data, 0, 3), list_row(m_del, 1, 2)],
+    )
+    md = {
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-0000000000d7",
+        "location": loc,
+        "last-sequence-number": 3,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {
+                        "id": 2,
+                        "name": "p",
+                        "required": False,
+                        "type": "decimal(18, 2)",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {
+                "snapshot-id": 3,
+                "sequence-number": 3,
+                "timestamp-ms": 0,
+                "summary": {"operation": "overwrite"},
+                "manifest-list": lp,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    root = os.path.join(base, "adopted")
+    os.makedirs(root)
+    im.import_iceberg_table(spark, loc, root)
+
+    def agg(stage: str) -> DataFrame:
+        nf = len(ts.read_manifest(root)["files"])
+        return ts.read(spark, root).agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum("p").cast("double").alias("price_sum"),
+            F.lit(nf).cast("bigint").alias("n_files"),
+        )
+
+    adopted = agg("adopted")
+    ts.compact(spark, root)
+    return adopted.unionByName(agg("compacted")).orderBy("stage")
+
+
+@register(
     "q_sink_partial_compaction",
     oracle="""
     WITH src AS (SELECT o_orderkey AS k,

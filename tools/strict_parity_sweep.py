@@ -132,7 +132,9 @@ def main() -> int:
         json_out = argv[2] if len(argv) > 2 else "PARITY_sf01.json"
         return run(sf_dir, _certify_set(), json_out)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    return run(sf_dir, None, None)
+    # optional query names after sf_dir: sweep only those
+    names = argv[1:] or None
+    return run(sf_dir, names, None)
 
 
 if __name__ == "__main__":
