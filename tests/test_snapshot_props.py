@@ -95,3 +95,49 @@ def test_manifest_merge_cadence_bounds_segments(spark, tmp_path):
     # sees exactly the appended rows, no double counting
     changed = ts.read_changes(spark, root, 1, ts.current_version(root))
     assert sorted(r["k"] for r in changed.collect()) == list(range(2, 20))
+
+
+def test_vacuum_orphans_grace_window(spark, tmp_path):
+    """Verdict ask #6: a writer killed before its commit leaves staged
+    parquet no manifest references. Default vacuum never touches it
+    (it is indistinguishable from an in-flight stager's file);
+    vacuum(orphans=True) deletes it once older than the grace window,
+    while a concurrently-staging writer's FRESH files provably survive
+    the window guard."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "orph")
+    os.makedirs(root)
+    d = spark.range(4).toDF("k")
+    ts.commit(root, ts.stage_files(d, root), base_version=0,
+              schema=d.schema.json())
+    # writer killed pre-commit: staged but never referenced
+    dead = ts.stage_files(spark.range(4, 8).toDF("k"), root)
+    # age the dead files past the grace window
+    old = time.time() - 10 * 24 * 3600
+    for p in dead:
+        os.utime(p, (old, old))
+    # a SECOND in-flight writer staged fresh files just now
+    fresh = ts.stage_files(spark.range(8, 12).toDF("k"), root)
+
+    # default vacuum: no orphan is touched, committed data intact
+    deleted = ts.vacuum(root, retain_from=1)
+    assert deleted == []
+    assert all(os.path.exists(p) for p in dead + fresh)
+
+    # orphan sweep: dead files (older than grace) go; fresh survive
+    deleted = ts.vacuum(root, retain_from=1, orphans=True,
+                        orphan_grace_s=24 * 3600)
+    assert set(deleted) == set(dead)
+    assert all(os.path.exists(p) for p in fresh)
+    # the in-flight writer's commit still lands and reads exactly
+    v = ts.commit(root, fresh, base_version=1)
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert got == [0, 1, 2, 3, 8, 9, 10, 11]
+    # dry_run previews the same set without deleting
+    more = ts.stage_files(spark.range(20, 22).toDF("k"), root)
+    for p in more:
+        os.utime(p, (old, old))
+    preview = ts.vacuum(root, retain_from=1, orphans=True,
+                        orphan_grace_s=24 * 3600, dry_run=True)
+    assert set(preview) == set(more) and all(os.path.exists(p) for p in more)

@@ -1937,11 +1937,15 @@ def test_snapshot_segment_gc(spark, tmp_path, monkeypatch):
     v2 = ts.commit(root, staged, base_version=ts.current_version(root))
     assert ts.read(spark, root).count() == 30
 
-    # (b) orphan a segment by hand (pre-r12 loser debris); vacuum
-    # removes exactly it and leaves every referenced segment intact
+    # (b) orphan a segment by hand (pre-r12 loser debris). Round 16:
+    # the DEFAULT vacuum no longer touches untracked paths (an
+    # in-flight writer's fresh segment looks identical) — orphan
+    # sweeping is the explicit flag + age window.
     orphan = ts._write_segment(root, ["/nonexistent.parquet"], {})
     assert os.path.exists(orphan)
     deleted = ts.vacuum(root, retain_from=1)
+    assert orphan not in deleted and os.path.exists(orphan)
+    deleted = ts.vacuum(root, retain_from=1, orphans=True, orphan_grace_s=0)
     assert orphan in deleted
     assert ts.read(spark, root).count() == 30
     assert ts.read(spark, root, v).count() == 20  # time travel intact

@@ -39,3 +39,31 @@ def test_atexit_cleanup_removes_owned(tmp_path, monkeypatch):
     os.makedirs(d, exist_ok=True)
     tmputil._cleanup()
     assert not os.path.exists(d)
+
+
+def test_stage_rows_executor_token_idempotent(spark, tmp_path):
+    """Round 16 (ADVICE): a two-arg writer receives a token derived
+    from the task's partition id — deterministic across retries — so
+    re-executing a task overwrites instead of duplicating. Pinned by
+    running the SAME plan twice into one directory: file count and
+    row content must not grow."""
+    import os
+
+    from bfs_mapreduce_spark.tmputil import stage_rows_executor
+
+    out = str(tmp_path / "staged")
+    os.makedirs(out)
+
+    def write_rows(pdf, token):
+        pdf.to_parquet(os.path.join(out, f"part_{token}.parquet"))
+
+    df = spark.range(100).toDF("k").repartition(4)
+    n1 = stage_rows_executor(df, write_rows)
+    files1 = sorted(os.listdir(out))
+    # simulated retry: the identical plan re-executes every task
+    n2 = stage_rows_executor(df, write_rows)
+    files2 = sorted(os.listdir(out))
+    assert n1 == n2 == 100
+    assert files1 == files2, "a retry must overwrite, not duplicate"
+    got = spark.read.parquet(out).count()
+    assert got == 100
