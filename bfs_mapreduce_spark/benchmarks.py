@@ -1157,6 +1157,7 @@ def run_meta_scale(
     files_per_commit: int = 16,
     rows_per_file: int = 64,
     sample: int = 10,
+    cadence: int | None = None,
 ) -> Iterator[dict]:
     """Lakehouse METADATA stress (round 15, verdict ask #3 — the tier
     bench-llm/bench-cdc don't cover): drive the snapshot format to
@@ -1222,6 +1223,14 @@ def run_meta_scale(
         t0 = _time.monotonic()
         v = ts.commit(root, files, base_version=v)
         commit_secs.append(_time.monotonic() - t0)
+        if cadence and ci == 0:
+            # round 16 (verdict ask #3): the auto manifest-merge
+            # cadence under test — every K-th append self-collapses
+            # its segment list, so the O(n_segments) path-list growth
+            # (the measured 1.57x residual at 1,000 commits) stays
+            # bounded. The property commit itself is excluded from
+            # the latency samples.
+            v = ts.set_property(root, "commit.rewrite-segments-every", cadence)
     def _median(xs: list[float]) -> float:
         ys = sorted(xs)
         return ys[len(ys) // 2]

@@ -234,7 +234,9 @@ def _bench_meta(args: argparse.Namespace) -> int:
     from bfs_mapreduce_spark.benchmarks import run_meta_scale
 
     for rec in run_meta_scale(
-        n_commits=args.commits, files_per_commit=args.files_per_commit
+        n_commits=args.commits,
+        files_per_commit=args.files_per_commit,
+        cadence=args.cadence,
     ):
         print(json.dumps(rec))
         sys.stdout.flush()
@@ -719,6 +721,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     bm.add_argument("--commits", type=int, default=400)
     bm.add_argument("--files-per-commit", type=int, default=16)
+    bm.add_argument(
+        "--cadence",
+        type=int,
+        help="set commit.rewrite-segments-every=K on the bench table "
+        "(round 16: the auto manifest-merge cadence under test)",
+    )
     bm.set_defaults(fn=_bench_meta)
 
     brc = sub.add_parser(

@@ -34,9 +34,12 @@ Per-commit change encoding:
   with a Spark job inside the planning callback. The batch
   ``read_row_changes`` keeps the richer pre/post classification.
 - Row-preserving rewrites (compact/optimize/repartition + every
-  metadata-only op) contribute nothing by proof; a bare REPLACE
-  (merge) or RESTORE fails the stream loudly, exactly like the batch
-  derivation.
+  metadata-only op) contribute nothing by proof. A MERGE that wrote
+  change files (round 16, the changeFeed property) streams them —
+  one partition per change file, its pre/post images mapped onto the
+  changelog encoding (preimage -> delete, postimage -> insert); a
+  merge WITHOUT change files or a RESTORE fails the stream loudly,
+  exactly like the batch derivation.
 
 Scale posture: the driver plans O(range commits + changed files)
 partition descriptors per trigger; each executor task reads ONE data
@@ -76,6 +79,9 @@ class _RowChangePartition(InputPartition):
       ``key_files``'s keys on ``cols`` (physical names
       ``file_cols``), tagged ``change`` (delete for delete_eq, delete
       for the upsert's preimage half).
+    - ``change_file`` (round 16): ``path`` is a merge-written change
+      file — emit every row with its own ``_change_type``, image
+      pairs mapped onto the changelog encoding.
     """
 
     def __init__(
@@ -247,12 +253,34 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
         if op in _ROW_PRESERVING:
             self._parts_cache[v] = out
             return out
+        if op == "merge" and m.get("change_files"):
+            # round 16: a clause merge with the change feed on wrote
+            # its row-level images at commit time — serve them under
+            # this source's changelog encoding (update_preimage ->
+            # delete, update_postimage -> insert). Era: the files
+            # were written under the schema current at v.
+            era_v = 0
+            for ver, _sj in vlog or []:
+                if ver <= v:
+                    era_v = ver
+                else:
+                    break
+            cmap = ts.era_col_map(self._schema_json, vlog, era_v)
+            for f in m["change_files"]:
+                out.append(
+                    _RowChangePartition(
+                        "change_file", f, v, "", self._arrow_schema, cmap
+                    )
+                )
+            self._parts_cache[v] = out
+            return out
         if op not in ("append", "delete", "upsert"):
             raise ValueError(
                 f"snapshot_row_changes: v{v} is a {op} commit — "
                 "row-level change derivation covers append/delete/"
-                "upsert; a merge/restore effect set needs change "
-                "files this format does not keep"
+                "upsert (and merges that wrote change files via the "
+                "changeFeed property); this commit's effect set was "
+                "not kept"
             )
         new_files = [f for f in m["files"] if f not in pfiles]
         old_eq_ids = {
@@ -350,8 +378,19 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
             row_keys = zip(*(table.column(c).to_pylist() for c in phys))
             return pa.array([rk in key_set for rk in row_keys])
 
+        change_arr = None
         if p.kind == "insert":
             pass  # every row
+        elif p.kind == "change_file":
+            # merge change files carry their own _change_type; map the
+            # image pairs onto this source's changelog encoding
+            raw = tbl.column("_change_type")
+            step = pc.if_else(
+                pc.equal(raw, "update_preimage"), pa.scalar("delete"), raw
+            )
+            change_arr = pc.if_else(
+                pc.equal(step, "update_postimage"), pa.scalar("insert"), step
+            )
         elif p.kind == "delete_pos":
             d = pa.concat_tables(
                 [
@@ -397,9 +436,13 @@ class SnapshotRowChangesStreamReader(DataSourceStreamReader):
         cols = []
         for field in target:
             if field.name == "_change_type":
-                cols.append(
-                    pa.array([p.change] * tbl.num_rows, type=pa.string())
-                )
+                if change_arr is not None:
+                    cols.append(change_arr.combine_chunks() if hasattr(
+                        change_arr, "combine_chunks") else change_arr)
+                else:
+                    cols.append(
+                        pa.array([p.change] * tbl.num_rows, type=pa.string())
+                    )
             elif field.name == "_commit_version":
                 cols.append(
                     pa.array([p.version] * tbl.num_rows, type=pa.int64())

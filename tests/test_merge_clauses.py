@@ -358,3 +358,55 @@ def test_merge_change_files_vacuum_lifecycle(spark, tmp_path):
     assert all(os.path.exists(p) for p in cfiles)
     ts.vacuum(root, retain_from=v3)  # v2 expired: swept
     assert not any(os.path.exists(p) for p in cfiles)
+
+
+def test_merge_change_feed_streams(spark, tmp_path):
+    """Round 16: the snapshot_row_changes STREAM serves a clause
+    merge's change files under its changelog encoding (preimage ->
+    delete, postimage -> insert); a merge without the feed still
+    fails the stream loudly."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_row_changes_source import (
+        register_snapshot_row_changes_source,
+    )
+
+    register_snapshot_row_changes_source(spark)
+    root = _mk(tmp_path, "cdfstream")
+    ck = os.path.join(str(tmp_path), "ck")
+    _table(spark, root, [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a")])
+    src = spark.createDataFrame(
+        [(1, 100.0, "u"), (9, 900.0, "n")], "k int, v double, flag string"
+    )
+    ts.merge_into(
+        spark, root, src, ["k"],
+        when_matched=[{"action": "update", "set": {"v": "s.v"}}],
+        when_not_matched=[{"action": "insert"}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.k = 3"}],
+        change_feed=True, target_files=1,
+    )
+
+    got = []
+    q = (
+        spark.readStream.format("snapshot_row_changes")
+        .option("path", root)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _i: got.extend(
+                (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+                for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == [
+        (1, "insert", 1, 10.0), (1, "insert", 2, 20.0), (1, "insert", 3, 30.0),
+        # merge v2 under the changelog encoding: update -> delete+insert,
+        # NMBS delete -> delete, insert -> insert
+        (2, "delete", 1, 10.0), (2, "delete", 3, 30.0),
+        (2, "insert", 1, 100.0), (2, "insert", 9, 900.0),
+    ]
