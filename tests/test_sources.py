@@ -4456,3 +4456,64 @@ def test_append_commit_never_resolves_base_segments(spark, tmp_path, monkeypatch
     # correctness didn't change: the append landed with carried deletes
     got = sorted(r["k"] for r in ts.read(spark, root).collect())
     assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_iceberg_export_snapshot_id_never_dangles(spark, tmp_path):
+    """Round 16 (ADVICE): a file FIRST SEEN by a version that the
+    export SKIPS (here: rename-after-eq-delete refusals) must not
+    stamp that skipped version as its entry's snapshot_id — strict
+    readers resolving entry snapshot ids against metadata.json's
+    snapshots list would hit a dangling reference. The id clamps
+    forward to the oldest EXPORTED snapshot; the sequence number
+    keeps the true first-seen version."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import iceberg_meta as im
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.avro_py import read_avro
+
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "ice")
+    os.makedirs(root)
+    d1 = spark.range(4).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("v"))
+    w = ts.commit(root, ts.stage_files(d1.coalesce(1), root),
+                  base_version=0, schema=d1.schema.json())
+    # v2: an equality delete; v3: RENAME the eq key — v3 and later
+    # versions carrying the entry refuse export (file_cols != cols);
+    # v4: append file B under one of those skipped versions; v5: a
+    # partial compaction rewrites ONLY the v1 file, materializing the
+    # eq entry (its applies-scope was A alone) — v5 exports, carrying
+    # B whose first_seen = 4 is a SKIPPED version.
+    ts.delete_eq(spark, root, spark.createDataFrame([(1,)], "k bigint"))
+    ts.rename_column(root, "k", "kk")
+    d3 = spark.range(10, 13).select(F.col("id").alias("kk"),
+                                    (F.col("id") * 10).alias("v"))
+    f_b = ts.stage_files(d3.coalesce(1), root)
+    w = ts.commit(root, f_b, base_version=ts.current_version(root))
+    m4 = ts.read_manifest(root)
+    only = [f for f in m4["files"] if f not in set(f_b)]
+    ts.compact(spark, root, only_files=only)
+
+    summary = im.export_iceberg_metadata(root, out)
+    assert 5 in summary["exported"]
+    skipped = set(summary["skipped"])
+    assert {3, 4} <= skipped
+    md = _json.load(open(os.path.join(out, "metadata", "v1.metadata.json")))
+    snap_ids = {s["snapshot-id"] for s in md["snapshots"]}
+    # every manifest entry's snapshot_id resolves in the snapshot list
+    for s in md["snapshots"]:
+        _sch, mrows = read_avro(s["manifest-list"])
+        for mrow in mrows:
+            _es, entries = read_avro(mrow["manifest_path"])
+            for e in entries:
+                assert e["snapshot_id"] in snap_ids, (
+                    f"dangling snapshot_id {e['snapshot_id']} "
+                    f"(snapshots: {sorted(snap_ids)})"
+                )
+                # B's entry keeps its true data sequence number
+                if e["data_file"]["file_path"] in set(f_b):
+                    assert e["sequence_number"] == 4
