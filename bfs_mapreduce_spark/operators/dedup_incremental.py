@@ -222,10 +222,15 @@ def semantic_pairs(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     taken against ``centroids`` — the pair-form ground truth of
     q_dedup_semantic's keep rule (which is 'has no lower-id partner
     in this frame')."""
-    from bfs_mapreduce_spark.operators.similarity_queries import _dot, _nearest_cell
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _cell_scores_np,
+        _dot,
+    )
 
     base = _sem_base(emb)
-    assign = _nearest_cell(base, centroids).select("vec_id", "cell")
+    # GEMM assignment (round 16: cell count grows with the corpus —
+    # the interpreted crossJoin twin was the x100 stress's quadratic)
+    assign = _cell_scores_np(base, centroids, argmax=True).select("vec_id", "cell")
     withv = assign.join(base, "vec_id")
     a = withv.select(
         "cell", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -251,14 +256,14 @@ def init_semantic_store(spark: SparkSession, emb: DataFrame, store_path: str) ->
     neighbours). Re-train offline and rebuild the store to rotate the
     quantizer."""
     from bfs_mapreduce_spark.operators.similarity_queries import (
+        _cell_scores_np,
         _label_centroids,
-        _nearest_cell,
     )
 
     cent = _label_centroids(emb)
     cent.write.mode("overwrite").parquet(f"{store_path}/centroids")
     base = _sem_base(emb)
-    rows = _nearest_cell(base, cent).select("vec_id", "cell").join(base, "vec_id")
+    rows = _cell_scores_np(base, cent, argmax=True).select("vec_id", "cell").join(base, "vec_id")
     # cell-clustered before the dynamic-partition write: one file per
     # cell instead of tasks x cells tiny files
     rows.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
@@ -278,7 +283,10 @@ def ingest_semantic_batch(
     O(batch) assignment against the broadcast frozen centroids + a
     cell-partition-pruned join against the store — never O(corpus).
     Replay-safe like ingest_batch: known vec_ids are anti-joined out."""
-    from bfs_mapreduce_spark.operators.similarity_queries import _dot, _nearest_cell
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _cell_scores_np,
+        _dot,
+    )
 
     cent = spark.read.parquet(f"{store_path}/centroids")
     old = spark.read.parquet(f"{store_path}/vectors")
@@ -286,7 +294,9 @@ def ingest_semantic_batch(
     known = old.select("vec_id")
     base = _sem_base(new_emb.join(known, "vec_id", "left_anti"))
     new_rows = (
-        _nearest_cell(base, cent).select("vec_id", "cell").join(base, "vec_id")
+        _cell_scores_np(base, cent, argmax=True)
+        .select("vec_id", "cell")
+        .join(base, "vec_id")
     ).localCheckpoint()
 
     def _sides(df: DataFrame, tag: str) -> DataFrame:

@@ -1280,16 +1280,20 @@ _SEMANTIC_TAU = 0.4
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.operators.similarity_queries import (
+        _cell_scores_np,
         _dot,
         _label_centroids,
-        _nearest_cell,
         _norm,
         _vecd,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    assign = _nearest_cell(base, _label_centroids(emb)).select("vec_id", "cell")
+    # GEMM assignment (round 16: the x100 stress found the final
+    # assign still on the interpreted crossJoin twin — label-cell
+    # count grows with the corpus, so N x CELLS expression eval is
+    # quadratic in factor; _cell_scores_np is value-identical)
+    assign = _cell_scores_np(base, _label_centroids(emb), argmax=True).select("vec_id", "cell")
     withv = assign.join(base, "vec_id")
     a = withv.select(
         "cell", F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -1626,7 +1630,9 @@ def q_dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_semantic_store,
         semantic_pairs,
     )
-    from bfs_mapreduce_spark.operators.similarity_queries import _nearest_cell
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _cell_scores_np,
+    )
     from bfs_mapreduce_spark.tmputil import proc_dir
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -1654,7 +1660,11 @@ def q_dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule, never touching the store's ingest-time assignments
     cent = spark.read.parquet(f"{store}/centroids")
     base = _sem_base(emb)
-    assign = _nearest_cell(base, cent).select("vec_id", "cell")
+    # GEMM assignment (round 16: the x100 stress found the final
+    # assign still on the interpreted crossJoin twin — label-cell
+    # count grows with the corpus, so N x CELLS expression eval is
+    # quadratic in factor; _cell_scores_np is value-identical)
+    assign = _cell_scores_np(base, cent, argmax=True).select("vec_id", "cell")
     dropped = (
         semantic_pairs(emb, cent)
         .select(F.col("vec_b").alias("vec_id"))

@@ -374,7 +374,15 @@ def _cell_scores_np(base: DataFrame, cent: DataFrame, argmax: bool) -> DataFrame
 
 
 def _nearest_cell(base: DataFrame, cent: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid by rounded cosine
+    """Catalyst REFERENCE twin of :func:`_cell_scores_np(argmax=True)`
+    — kept for the value-equivalence test (tests/test_similarity.py)
+    and as the from-first-principles spec of the tie-break; production
+    call sites use the GEMM (round 16: the x100 stress showed the
+    N x CELLS interpreted crossJoin is quadratic in corpus factor
+    whenever cell count grows with the corpus, which it does for both
+    label cells and learned quantizers).
+
+    Assign every vector to its nearest centroid by rounded cosine
     (deterministic tie-break on cell id — the rounding must match the
     oracle's so rank flips can't disagree). Centroids broadcast; the
     argmax is a ``max_by`` aggregate, NOT a window: partial aggregation
@@ -478,7 +486,11 @@ def q_similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
     cent = kmeans_centroids(emb, iters=_KMEANS_ITERS)
-    return _nearest_cell(base, cent)
+    # GEMM assignment (round 16: the x100 stress found the final
+    # assign still on the interpreted crossJoin twin — label-cell
+    # count grows with the corpus, so N x CELLS expression eval is
+    # quadratic in factor; _cell_scores_np is value-identical)
+    return _cell_scores_np(base, cent, argmax=True)
 
 
 @register(
@@ -511,7 +523,11 @@ def q_similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    return _nearest_cell(base, _label_centroids(emb))
+    # GEMM assignment (round 16: the x100 stress found the final
+    # assign still on the interpreted crossJoin twin — label-cell
+    # count grows with the corpus, so N x CELLS expression eval is
+    # quadratic in factor; _cell_scores_np is value-identical)
+    return _cell_scores_np(base, _label_centroids(emb), argmax=True)
 
 
 _N_PROBE = 3
@@ -674,7 +690,11 @@ _TOPK_JOIN_K = 50
 def q_similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    assign = _nearest_cell(base, _label_centroids(emb)).select("vec_id", "cell")
+    # GEMM assignment (round 16: the x100 stress found the final
+    # assign still on the interpreted crossJoin twin — label-cell
+    # count grows with the corpus, so N x CELLS expression eval is
+    # quadratic in factor; _cell_scores_np is value-identical)
+    assign = _cell_scores_np(base, _label_centroids(emb), argmax=True).select("vec_id", "cell")
     withv = assign.join(base, "vec_id")
     a = withv.select(
         "cell", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -726,7 +746,11 @@ def q_similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    assign = _nearest_cell(base, _label_centroids(emb))
+    # GEMM assignment (round 16: the x100 stress found the final
+    # assign still on the interpreted crossJoin twin — label-cell
+    # count grows with the corpus, so N x CELLS expression eval is
+    # quadratic in factor; _cell_scores_np is value-identical)
+    assign = _cell_scores_np(base, _label_centroids(emb), argmax=True)
     return assign.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("cosine"), 6).alias("avg_cohesion"),

@@ -2273,6 +2273,9 @@ def restore(root: str, version: int) -> int:
         "parent": latest,
         "operation": "restore",
         "restored_version": version,
+        # wall clock + properties ride from the CURRENT head, like txn:
+        # table-level config is not data state being rolled back
+        "ts": max(time.time(), float(cur.get("ts") or 0.0)),
         "txn": cur.get("txn", {}),
         "schema": m.get("schema"),
         "deletes": m.get("deletes") or {},
@@ -2281,6 +2284,8 @@ def restore(root: str, version: int) -> int:
         "files": m["files"],
         "stats": m.get("stats") or {},
     }
+    if cur.get("properties"):
+        payload["properties"] = cur["properties"]
     if m.get("partition_spec"):
         payload["partition_spec"] = m["partition_spec"]
     if m.get("partitions"):

@@ -117,17 +117,40 @@ def test_kmeans_cells_nonempty_and_converging(spark, sf_smoke_dir):
 
 
 def test_nearest_cell_plans_aggregate_not_window(spark, sf_oracle_dir):
-    """Centroid assignment must be a partial-aggregating max_by, not a
-    corpus-wide row_number window: the window shape shuffles all
-    corpus×cells candidate rows; the aggregate ships one row per
-    vector. The broadcast of the centroid side must also survive."""
+    """Round 16: production assignment is the Arrow GEMM
+    (MapInPandas) — no corpus×cells rows exist in the plan at all
+    (the x100 stress showed the interpreted crossJoin twin is
+    quadratic in corpus factor when cell count grows with the
+    corpus). The Catalyst REFERENCE twin keeps its own contract: a
+    partial-aggregating max_by over the broadcast crossJoin, never a
+    corpus-wide row_number window (which would shuffle all
+    corpus×cells candidate rows)."""
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _label_centroids,
+        _nearest_cell,
+        _norm,
+        _vecd,
+    )
     from bfs_mapreduce_spark.registry import all_queries
+    from bfs_mapreduce_spark.sources.readers import load_table
 
     df = all_queries()["q_similarity_ivf_assign"].build(spark, sf_oracle_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
-    assert "max_by" in plan or "MaxBy" in plan or "ObjectHashAggregate" in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "MapInPandas" in plan, plan  # the GEMM path
+    assert "BroadcastNestedLoopJoin" not in plan, plan  # no corpus×cells
+
+    emb = load_table(spark, sf_oracle_dir, "embeddings")
+    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
+    ref = _nearest_cell(base, _label_centroids(emb))
+    rplan = ref._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in rplan, rplan
+    assert (
+        "max_by" in rplan or "MaxBy" in rplan or "ObjectHashAggregate" in rplan
+    ), rplan
+    assert (
+        "BroadcastNestedLoopJoin" in rplan or "BroadcastExchange" in rplan
+    ), rplan
 
 
 def test_ivf_search_recall(spark, sf_oracle_dir):

@@ -141,3 +141,24 @@ def test_vacuum_orphans_grace_window(spark, tmp_path):
     preview = ts.vacuum(root, retain_from=1, orphans=True,
                         orphan_grace_s=24 * 3600, dry_run=True)
     assert set(preview) == set(more) and all(os.path.exists(p) for p in more)
+
+
+def test_restore_carries_properties_and_stamp(spark, tmp_path):
+    """RESTORE keeps the CURRENT head's properties (table config is
+    not data state being rolled back) and stamps a persisted commit
+    time like every writer."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = _mk(tmp_path, "restprops")
+    d = spark.range(3).toDF("k")
+    v1 = ts.commit(root, ts.stage_files(d, root), base_version=0,
+                   schema=d.schema.json())
+    v2 = ts.commit(root, ts.stage_files(spark.range(3, 6).toDF("k"), root),
+                   base_version=v1)
+    v3 = ts.set_property(root, "changeFeed", True)
+    v4 = ts.restore(root, v1)
+    assert ts.table_property(root, "changeFeed") is True
+    m = json.loads(open(ts._manifest_path(root, v4)).read())
+    assert m["ts"] >= ts.commit_timestamp(root, v3)
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert got == [0, 1, 2]
