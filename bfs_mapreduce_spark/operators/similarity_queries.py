@@ -598,13 +598,12 @@ def ivf_search(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     serve from the learned quantizer instead."""
     cent = (centroids if centroids is not None else _label_centroids(emb)).transform(_ckpt)
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
-    # cc rounded to the same 1e-6 grid as every other ranking cosine
-    # in this module: probe/assignment choices then can't flip on
-    # engine-specific last-ulp noise, which is what makes the probe
-    # search exactly reproducible by the SQL oracle
-    scored_cells = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cell", F.round(cell_cos, 6).alias("cc")
+    # N x CELLS scoring as the Arrow GEMM (round 16: cells grow with
+    # the corpus — label cells or a learned quantizer — so the
+    # interpreted crossJoin twin is quadratic in corpus factor; cc is
+    # rounded to the same 1e-6 grid, value-identical by test)
+    scored_cells = _cell_scores_np(
+        base.select("vec_id", "v", "n"), cent, argmax=False
     )
     # corpus side: every vector lives in its ONE nearest cell — max_by
     # aggregate, so partial agg collapses corpus×cells rows map-side
@@ -639,7 +638,7 @@ def ivf_search(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand.join(base, "vec_id")
-        .join(F.broadcast(qv), "query_id")
+        .join(qv, "query_id")  # unforced: AQE broadcasts while small
         .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
@@ -1038,9 +1037,9 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF probes bound the candidate set (q_similarity_ivf_search's
     # construction, verbatim)
     cent = _label_centroids(emb).transform(_ckpt)
-    cell_cos = _dot("v", "cv") / (F.col("n") * F.col("cn"))
-    scored_cells = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cell", F.round(cell_cos, 6).alias("cc")
+    # GEMM scoring, same reasoning as ivf_search (round 16)
+    scored_cells = _cell_scores_np(
+        base.select("vec_id", "v", "n"), cent, argmax=False
     )
     assignment = scored_cells.groupBy("vec_id").agg(
         F.max_by(
@@ -1075,10 +1074,15 @@ def _adc_rerank(
     ADC-top-``shortlist``, exact-cosine rerank only those, emit the
     final top-k. Identical ranking/rounding discipline in both
     engines' oracles."""
+    # NO forced broadcast on the LUT (round 16, x100 stress): it has
+    # queries x m x k rows — linear in the query count, which grows
+    # with the corpus here — and the hint collected 1.7 GiB to the
+    # driver at x100 (maxResultSize abort). The three-key equi-join
+    # lets AQE broadcast it while it is small and shuffle it when not.
     adc = (
         cand.join(codes, "vec_id")
         .join(
-            F.broadcast(lut),
+            lut,
             (F.col("query_id") == F.col("lq"))
             & (codes["s"] == lut["s"])
             & (F.col("code") == F.col("lj")),
@@ -1101,7 +1105,7 @@ def _adc_rerank(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         short.join(base, "vec_id")
-        .join(F.broadcast(qv), "query_id")
+        .join(qv, "query_id")  # unforced: AQE broadcasts while small
         .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
