@@ -292,7 +292,9 @@ def _cent_matrix(cent: DataFrame):
     return cells, C, cn, cent.schema["cell"].dataType.simpleString()
 
 
-def _cell_scores_np(base: DataFrame, cent: DataFrame, argmax: bool) -> DataFrame:
+def _cell_scores_np(
+    base: DataFrame, cent: DataFrame, argmax: bool, topn: int | None = None
+) -> DataFrame:
     """Arrow-batched vector-to-centroid cosine scoring (round 13): the
     N x CELLS cosine table (``argmax=False`` — one row per (vec_id,
     cell) with 6dp-rounded ``cc``) or the nearest-cell assignment
@@ -326,6 +328,12 @@ def _cell_scores_np(base: DataFrame, cent: DataFrame, argmax: bool) -> DataFrame
     if argmax:
         schema = f"vec_id bigint, cell {cell_t}, cosine double"
     else:
+        # topn (round 16, x100 stress): emit only each vector's top-n
+        # cells (cc desc, cell asc — columns are cell-ascending, so a
+        # stable argsort on -cc IS the certified tie-break) instead of
+        # all N x CELLS rows. At x100 the full emission was 800M rows
+        # feeding collect_list aggregates — the ivfpq_spill 61x blowup;
+        # the GEMM flops are the same, the row volume drops to N x n.
         schema = f"vec_id bigint, cell {cell_t}, cc double"
 
     def score(batches):
@@ -356,6 +364,21 @@ def _cell_scores_np(base: DataFrame, cent: DataFrame, argmax: bool) -> DataFrame
                         "vec_id": pdf["vec_id"].values,
                         "cell": cells[j],
                         "cosine": cc[np.arange(len(j)), j],
+                    }
+                )
+            elif topn is not None:
+                k_eff = min(topn, cc.shape[1])
+                # stable sort on -cc over cell-ascending columns ==
+                # ROW_NUMBER() OVER (ORDER BY cc DESC, cell) <= n
+                idx = np.argsort(-cc, axis=1, kind="stable")[:, :k_eff]
+                rows = np.arange(cc.shape[0])[:, None]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy(dtype=np.int64), k_eff
+                        ),
+                        "cell": cells[idx].ravel(),
+                        "cc": cc[rows, idx].ravel(),
                     }
                 )
             else:
@@ -598,33 +621,22 @@ def ivf_search(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     serve from the learned quantizer instead."""
     cent = (centroids if centroids is not None else _label_centroids(emb)).transform(_ckpt)
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    # N x CELLS scoring as the Arrow GEMM (round 16: cells grow with
-    # the corpus — label cells or a learned quantizer — so the
-    # interpreted crossJoin twin is quadratic in corpus factor; cc is
-    # rounded to the same 1e-6 grid, value-identical by test)
-    scored_cells = _cell_scores_np(
-        base.select("vec_id", "v", "n"), cent, argmax=False
+    # Assignment and probe selection INSIDE the Arrow GEMM (round 16,
+    # x100 stress): cells grow with the corpus (label cells or a
+    # learned quantizer), so N x CELLS rows must never leave the UDF —
+    # the corpus side emits its argmax cell, the query side its top-N
+    # probe cells (stable argsort tie-break == ROW_NUMBER ORDER BY cc
+    # DESC, cell). Values on the same 1e-6 grid as the SQL oracle.
+    bsel = base.select("vec_id", "v", "n")
+    assignment = _cell_scores_np(bsel, cent, argmax=True).select(
+        "vec_id", "cell"
     )
-    # corpus side: every vector lives in its ONE nearest cell — max_by
-    # aggregate, so partial agg collapses corpus×cells rows map-side
-    # (a corpus-wide row_number window would shuffle them all first)
-    assignment = (
-        scored_cells.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("cell"), F.struct(F.col("cc"), (-F.col("cell")).alias("nc"))
-            ).alias("cell")
-        )
-    )
-    # query side: top-N probe cells — the window runs over the (tiny)
-    # filtered query subset only, never the corpus
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell"))
-    probes = (
-        scored_cells.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= _N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    probes = _cell_scores_np(
+        bsel.filter(F.col("vec_id") % _QUERY_MOD == 0),
+        cent,
+        argmax=False,
+        topn=_N_PROBE,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         probes.join(assignment, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1037,22 +1049,18 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF probes bound the candidate set (q_similarity_ivf_search's
     # construction, verbatim)
     cent = _label_centroids(emb).transform(_ckpt)
-    # GEMM scoring, same reasoning as ivf_search (round 16)
-    scored_cells = _cell_scores_np(
-        base.select("vec_id", "v", "n"), cent, argmax=False
+    # assignment/probes inside the GEMM — same reasoning as ivf_search
+    # (round 16: N x CELLS rows must never leave the UDF)
+    bsel = base.select("vec_id", "v", "n")
+    assignment = _cell_scores_np(bsel, cent, argmax=True).select(
+        "vec_id", "cell"
     )
-    assignment = scored_cells.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("cell"), F.struct(F.col("cc"), (-F.col("cell")).alias("nc"))
-        ).alias("cell")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cell"))
-    probes = (
-        scored_cells.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= _PQ_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    probes = _cell_scores_np(
+        bsel.filter(F.col("vec_id") % _QUERY_MOD == 0),
+        cent,
+        argmax=False,
+        topn=_PQ_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         probes.join(assignment, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1246,47 +1254,24 @@ def q_similarity_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes, lut = _pq_encode(base)
     cent = kmeans_centroids(emb, iters=_SPILL_ITERS, groups=_SPILL_CG)
-    # N x CELLS scoring as an Arrow GEMM (round 13) — same values as
-    # the crossJoin expression form, linear-friendly when cells grow
-    # with the corpus (the 10x stress pass's super-linear phase)
-    scored = _cell_scores_np(
-        base.select("vec_id", "v", "n"), cent, argmax=False
-    )
-
-    def top_cells(df: DataFrame, a: int, out: str) -> DataFrame:
-        # top-a cells per vector WITHOUT a window: collect the
-        # (-cc, cell) structs, sort, slice — the partial aggregate
-        # collapses corpus x cells rows to one per vector map-side, so
-        # only O(corpus) rows reach the exchange (same argument as
-        # _nearest_cell's max_by; ranking identical to ROW_NUMBER
-        # ORDER BY cc DESC, cell).
-        return (
-            df.groupBy("vec_id")
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                (-F.col("cc")).alias("nc"), F.col("cell")
-                            )
-                        )
-                    ),
-                    1,
-                    a,
-                ).alias("top")
-            )
-            .select(
-                F.col("vec_id").alias(out),
-                F.explode(F.col("top.cell")).alias("cell"),
-            )
-        )
-
-    member = top_cells(scored, _SPILL_ASSIGN, "vec_id")
-    probes = top_cells(
-        scored.filter(F.col("vec_id") % _QUERY_MOD == 0),
-        _SPILL_NPROBE,
-        "query_id",
-    )
+    # Top-n cell selection INSIDE the Arrow GEMM (round 16, x100
+    # stress): the previous shape emitted all N x CELLS scored rows
+    # into a collect_list+sort+slice aggregate — at x100 that is 800M
+    # rows (both N and the learned cell count grow with the corpus)
+    # and was the measured 61x execute blowup. The GEMM's flops are
+    # unchanged; only N x n rows ever leave the UDF, tie-break
+    # identical (stable argsort on -cc over cell-ascending columns ==
+    # ROW_NUMBER ORDER BY cc DESC, cell).
+    bsel = base.select("vec_id", "v", "n")
+    member = _cell_scores_np(
+        bsel, cent, argmax=False, topn=_SPILL_ASSIGN
+    ).select("vec_id", "cell")
+    probes = _cell_scores_np(
+        bsel.filter(F.col("vec_id") % _QUERY_MOD == 0),
+        cent,
+        argmax=False,
+        topn=_SPILL_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         probes.join(member, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
