@@ -3657,6 +3657,16 @@ def _merge_with_clauses(
     types = {}
     if tgt_all is not None:
         types = {f.name: f.dataType for f in tgt_all.schema.fields}
+    elif sch:
+        # zero candidate files (range-pruned everything): column types
+        # must still come from the pinned schema, or an insert clause's
+        # NULL-fill columns would stage as untyped VOID parquet
+        from pyspark.sql.types import StructType
+
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(sch)).fields
+        }
     wm = _merge_validate_clauses(wm, "matched", cols)
     wnm = _merge_validate_clauses(wnm, "not_matched", cols)
     nmbs = _merge_validate_clauses(nmbs, "not_matched_by_source", cols)

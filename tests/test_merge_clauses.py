@@ -410,3 +410,37 @@ def test_merge_change_feed_streams(spark, tmp_path):
         (2, "delete", 1, 10.0), (2, "delete", 3, 30.0),
         (2, "insert", 1, 100.0), (2, "insert", 9, 900.0),
     ]
+
+
+def test_merge_insert_only_with_pruned_candidates(spark, tmp_path):
+    """A clause merge whose source keys fall entirely OUTSIDE every
+    file's stats range prunes all candidates — inserts must still
+    stage with the pinned schema's types (a NULL-fill column was
+    VOID-typed before round 16's fix) and untouched files carry by
+    reference."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = _mk(tmp_path, "pruneall")
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a")], "k int, v double, flag string"
+    )
+    files = ts.stage_files(df.coalesce(1), root)
+    ts.commit(root, files, base_version=0, schema=df.schema.json(),
+              stats=ts.collect_stats(files, ["k"]))
+    src = spark.createDataFrame(
+        [(100, 1.0, "n"), (101, 2.0, "n")], "k int, v double, flag string"
+    )
+    v, staged, untouched = ts.merge_into(
+        spark, root, src, ["k"],
+        when_matched=[{"action": "delete"}],
+        when_not_matched=[
+            {"action": "insert", "values": {"k": "s.k", "v": "s.v"}},
+        ],
+        target_files=1,
+    )
+    assert untouched == files  # nothing scanned, nothing rewritten
+    got = sorted(
+        (r["k"], r["v"], r["flag"]) for r in ts.read(spark, root).collect()
+    )
+    assert got == [(1, 10.0, "a"), (2, 20.0, "a"),
+                   (100, 1.0, None), (101, 2.0, None)]
