@@ -338,6 +338,38 @@ def _snapshot_ref(args: argparse.Namespace) -> int:
     return 2
 
 
+def _snapshot_property(args: argparse.Namespace) -> int:
+    """SET/UNSET/SHOW TBLPROPERTIES for a snapshot table root (round
+    16): properties drive opt-in behaviors — commit.rewrite-segments-
+    every (auto manifest-merge cadence) and changeFeed (merges write
+    Delta-CDF change files). Values parse as JSON when possible
+    (``--set changeFeed true`` stores a boolean) and fall back to the
+    raw string."""
+    import json
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    if args.list:
+        m = ts.read_manifest(args.root)
+        print(json.dumps(m.get("properties") or {}, sort_keys=True))
+        return 0
+    if args.set:
+        key, raw = args.set
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        v = ts.set_property(args.root, key, value)
+        print(json.dumps({"op": "set", "key": key, "value": value, "version": v}))
+        return 0
+    if args.unset:
+        v = ts.set_property(args.root, args.unset, None)
+        print(json.dumps({"op": "unset", "key": args.unset, "version": v}))
+        return 0
+    print("snapshot-property: pass one of --set/--unset/--list", file=sys.stderr)
+    return 2
+
+
 def _snapshot_alter(args: argparse.Namespace) -> int:
     """ALTER TABLE verbs for a snapshot table root — metadata-only
     schema evolution (round 13): --rename OLD NEW, --drop COL,
@@ -817,6 +849,19 @@ def main(argv: list[str] | None = None) -> int:
     sf_.add_argument("--delete", metavar="NAME")
     sf_.add_argument("--list", action="store_true")
     sf_.set_defaults(fn=_snapshot_ref)
+
+    sp_ = sub.add_parser(
+        "snapshot-property",
+        help="table properties for a snapshot root: --set KEY VALUE "
+        "(JSON-parsed when possible) / --unset KEY / --list; drives "
+        "commit.rewrite-segments-every (manifest-merge cadence) and "
+        "changeFeed (merge CDC images) — round 16",
+    )
+    sp_.add_argument("root")
+    sp_.add_argument("--set", nargs=2, metavar=("KEY", "VALUE"))
+    sp_.add_argument("--unset", metavar="KEY")
+    sp_.add_argument("--list", action="store_true")
+    sp_.set_defaults(fn=_snapshot_property)
 
     sa = sub.add_parser(
         "snapshot-alter",

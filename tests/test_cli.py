@@ -434,3 +434,47 @@ def test_cli_snapshot_vacuum_dry_run(spark, tmp_path, capsys):
     real = ts.vacuum(root, retain_from=2)
     assert real == would
     assert not any(os.path.exists(p) for p in real)
+
+
+def test_cli_snapshot_property(spark, tmp_path, capsys):
+    """Round-16: the snapshot-property verb sets/lists/unsets table
+    properties (JSON-typed values) and the cadence property it drives
+    actually bounds segments on later appends."""
+    import json
+    import os
+
+    from bfs_mapreduce_spark.cli import main
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    d = spark.range(4).toDF("k")
+    v = ts.commit(root, ts.stage_files(d, root), base_version=0,
+                  schema=d.schema.json())
+    rc = main(["snapshot-property", root, "--set",
+               "commit.rewrite-segments-every", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 3 and isinstance(out["value"], int)
+    rc = main(["snapshot-property", root, "--set", "changeFeed", "true"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["value"] is True
+    rc = main(["snapshot-property", root, "--list"])
+    assert rc == 0
+    props = json.loads(capsys.readouterr().out.strip())
+    assert props == {"commit.rewrite-segments-every": 3, "changeFeed": True}
+    # the cadence property is live: appends stay segment-bounded
+    v = ts.current_version(root)
+    for i in range(1, 7):
+        v = ts.commit(
+            root,
+            ts.stage_files(spark.range(4 * i, 4 * i + 4).toDF("k"), root),
+            base_version=v,
+        )
+        assert len(ts.read_manifest(root)["_segments"] or []) <= 3
+    rc = main(["snapshot-property", root, "--unset", "changeFeed"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["snapshot-property", root, "--list"])
+    props = json.loads(capsys.readouterr().out.strip())
+    assert props == {"commit.rewrite-segments-every": 3}

@@ -444,3 +444,62 @@ def test_merge_insert_only_with_pruned_candidates(spark, tmp_path):
     )
     assert got == [(1, 10.0, "a"), (2, 20.0, "a"),
                    (100, 1.0, None), (101, 2.0, None)]
+
+
+def test_merge_change_feed_survives_append_rebase(spark, tmp_path):
+    """A clause merge with the change feed on loses the CAS to a
+    concurrent APPEND, rebases — and its change files still describe
+    exactly the merge's own effect set (the raced append's rows are
+    the append's own insert derivation, never the merge's)."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = _mk(tmp_path, "cdfrace")
+    v0 = _table(spark, root, [(1, 10.0, "a"), (2, 20.0, "a")])
+
+    real_commit = ts.commit
+    raced = {"done": False}
+
+    def racing_commit(root_, files, **kw):
+        if not raced["done"] and kw.get("operation") == "merge":
+            raced["done"] = True
+            extra = spark.createDataFrame(
+                [(50, 500.0, "late")], "k int, v double, flag string"
+            )
+            real_commit(
+                root_, ts.stage_files(extra.coalesce(1), root_),
+                base_version=kw["base_version"],
+            )
+        return real_commit(root_, files, **kw)
+
+    ts.commit = racing_commit
+    try:
+        src = spark.createDataFrame(
+            [(2, 200.0, "u"), (9, 900.0, "n")], "k int, v double, flag string"
+        )
+        v_merge, _, _ = ts.merge_into(
+            spark, root, src, ["k"],
+            when_matched=[{"action": "update", "set": {"v": "s.v"}}],
+            when_not_matched=[{"action": "insert"}],
+            change_feed=True, target_files=1,
+        )
+    finally:
+        ts.commit = real_commit
+
+    # table state: merge applied AND the raced append's row present
+    got = sorted((r["k"], r["v"]) for r in ts.read(spark, root).collect())
+    assert got == [(1, 10.0), (2, 200.0), (9, 900.0), (50, 500.0)]
+    # the full range: the append commit contributes its insert, the
+    # merge commit contributes exactly its own images
+    ch = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in ts.read_row_changes(
+            spark, root, v0, ts.current_version(root)
+        ).collect()
+    )
+    v_app = v_merge - 1
+    assert ch == [
+        (v_app, "insert", 50),
+        (v_merge, "insert", 9),
+        (v_merge, "update_postimage", 2),
+        (v_merge, "update_preimage", 2),
+    ]
