@@ -162,3 +162,53 @@ def test_restore_carries_properties_and_stamp(spark, tmp_path):
     assert m["ts"] >= ts.commit_timestamp(root, v3)
     got = sorted(r["k"] for r in ts.read(spark, root).collect())
     assert got == [0, 1, 2]
+
+
+def test_manifest_merge_cadence_streaming_transparent(spark, tmp_path):
+    """Verdict ask #3's done-criterion: the cadence's metadata-only
+    rewrites are invisible to a STREAMING CDC reader — every appended
+    row delivered exactly once across collapse points."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_changes_source import (
+        register_snapshot_changes_source,
+    )
+
+    register_snapshot_changes_source(spark)
+    root = _mk(tmp_path, "cadstream")
+    ck = str(tmp_path / "ck")
+    d = spark.range(2).toDF("k")
+    v = ts.commit(root, ts.stage_files(d, root), base_version=0,
+                  schema=d.schema.json())
+    v = ts.set_property(root, "commit.rewrite-segments-every", 3)
+
+    got = []
+
+    def run():
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, _i: got.extend(r["k"] for r in b.collect())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(got) == [0, 1]
+    # 8 appends: cadence fires twice in the window; resume mid-history
+    for i in range(1, 9):
+        v = ts.commit(
+            root,
+            ts.stage_files(spark.range(2 * i, 2 * i + 2).toDF("k"), root),
+            base_version=v,
+        )
+        if i == 4:
+            run()  # mid-window drain straddles a rewrite point
+    run()
+    assert sorted(got) == list(range(18)), sorted(got)
+    assert "rewrite_manifests" in [h["operation"] for h in ts.history(root)]
