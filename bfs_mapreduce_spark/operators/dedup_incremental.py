@@ -223,28 +223,17 @@ def semantic_pairs(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     q_dedup_semantic's keep rule (which is 'has no lower-id partner
     in this frame')."""
     from bfs_mapreduce_spark.operators.similarity_queries import (
+        _cell_pairs_np,
         _cell_scores_np,
-        _dot,
     )
 
     base = _sem_base(emb)
     # GEMM assignment (round 16: cell count grows with the corpus —
-    # the interpreted crossJoin twin was the x100 stress's quadratic)
+    # the interpreted crossJoin twin was the x100 stress's quadratic);
+    # in-cell pairs via the per-cell blockwise GEMM twin
     assign = _cell_scores_np(base, centroids, argmax=True).select("vec_id", "cell")
     withv = assign.join(base, "vec_id")
-    a = withv.select(
-        "cell", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b = withv.select(
-        "cell", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
-    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["cell"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(F.round(cos, 6) >= _SEM_TAU)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-    )
+    return _cell_pairs_np(withv, _SEM_TAU)
 
 
 def init_semantic_store(spark: SparkSession, emb: DataFrame, store_path: str) -> None:

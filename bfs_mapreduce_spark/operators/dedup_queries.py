@@ -1280,8 +1280,8 @@ _SEMANTIC_TAU = 0.4
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.operators.similarity_queries import (
+        _cell_pairs_np,
         _cell_scores_np,
-        _dot,
         _label_centroids,
         _norm,
         _vecd,
@@ -1295,18 +1295,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic in factor; _cell_scores_np is value-identical)
     assign = _cell_scores_np(base, _label_centroids(emb), argmax=True).select("vec_id", "cell")
     withv = assign.join(base, "vec_id")
-    a = withv.select(
-        "cell", F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b = withv.select(
-        "cell", F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
-    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    # in-cell pairwise cosines as a per-cell blockwise GEMM (round 16
+    # — the pairwise twin of the assignment GEMM; value-identical,
+    # sub-threshold pairs never materialize as rows)
     dropped = (
-        a.join(b, ["cell"])
-        .filter(F.col("ia") < F.col("ib"))
-        .filter(F.round(cos, 6) >= _SEMANTIC_TAU)
-        .select(F.col("ib").alias("vec_id"))
+        _cell_pairs_np(withv, _SEMANTIC_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
     return assign.join(

@@ -396,6 +396,81 @@ def _cell_scores_np(
     return base.select("vec_id", "v", "n").mapInPandas(score, schema)
 
 
+def _cell_pairs_np(withv: DataFrame, tau: float | None) -> DataFrame:
+    """All within-cell ``(vec_a < vec_b)`` cosine pairs as a blockwise
+    per-cell GEMM (round 16 — the pairwise twin of
+    :func:`_cell_scores_np`): ``withv`` carries (cell, vec_id, v, n);
+    each cell group computes its m x m cosine matrix in row blocks
+    (block x m bounded at ~1e8 doubles, so a pathological cell costs
+    bounded memory instead of OOM), rounds HALF-UP to the 1e-6 grid,
+    and emits the upper triangle — optionally filtered at ``tau``
+    inside the UDF so sub-threshold pairs never materialize as rows.
+
+    Value-identical to the previous a-join-b Catalyst shape: rows are
+    sorted by vec_id so positional (i < j) IS id order, and the
+    rounding matches F.round / the DuckDB oracle exactly (same
+    discipline, same caveat, as _cell_scores_np). The join shape paid
+    an INTERPRETED ZipWith/ArrayAggregate fold per pair — ~10 us/pair
+    against the GEMM's memory-bandwidth-bound row; at x100 the
+    semantic tier carries 20M candidate pairs."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = len(ids)
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if m < 2:
+            return empty
+        V = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
+        n = pdf["n"].to_numpy(dtype=np.float64)
+        if np.any(n == 0):
+            raise ValueError(
+                "zero-norm vector: cosine scoring is undefined for it "
+                "(the SQL twin raises DIVIDE_BY_ZERO under ANSI mode)"
+            )
+        out_a, out_b, out_c = [], [], []
+        block = max(1, min(2048, 100_000_000 // m))
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            raw = (V[s:e] @ V.T) / (n[s:e, None] * n[None, :])
+            cc = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+            for bi in range(e - s):
+                i = s + bi
+                row = cc[bi, i + 1 :]
+                if tau is not None:
+                    sel = np.nonzero(row >= tau)[0]
+                    if not sel.size:
+                        continue
+                    out_a.append(np.full(sel.size, ids[i], dtype=np.int64))
+                    out_b.append(ids[i + 1 + sel])
+                    out_c.append(row[sel])
+                elif row.size:
+                    out_a.append(np.full(row.size, ids[i], dtype=np.int64))
+                    out_b.append(ids[i + 1 :])
+                    out_c.append(row)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return withv.select("cell", "vec_id", "v", "n").groupBy("cell").applyInPandas(
+        lambda pdf: pairs(pdf), "vec_a bigint, vec_b bigint, cosine double"
+    )
+
+
 def _nearest_cell(base: DataFrame, cent: DataFrame) -> DataFrame:
     """Catalyst REFERENCE twin of :func:`_cell_scores_np(argmax=True)`
     — kept for the value-equivalence test (tests/test_similarity.py)
@@ -707,17 +782,10 @@ def q_similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic in factor; _cell_scores_np is value-identical)
     assign = _cell_scores_np(base, _label_centroids(emb), argmax=True).select("vec_id", "cell")
     withv = assign.join(base, "vec_id")
-    a = withv.select(
-        "cell", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b = withv.select(
-        "cell", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
-    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    # in-cell pairs via the per-cell blockwise GEMM (round 16);
+    # TakeOrderedAndProject still cuts the global top-K
     return (
-        a.join(b, ["cell"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        _cell_pairs_np(withv, None)
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(_TOPK_JOIN_K)
     )
