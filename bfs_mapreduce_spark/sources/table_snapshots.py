@@ -2891,6 +2891,8 @@ def history(root: str) -> list[dict]:
                     {d for lst in (m.get("deletes") or {}).values() for d in lst}
                 ),
                 "n_eq_delete_entries": len(m.get("eq_deletes") or []),
+                # round 16: a merge's CDF change files (per-version)
+                "n_change_files": len(m.get("change_files") or []),
                 "txn": dict(m.get("txn") or {}),
                 "checks": sorted((m.get("checks") or {}).keys()),
                 "refs": sorted(
