@@ -254,15 +254,19 @@ def test_gopher_rules_plan_is_projection_only(spark, sf_oracle_dir):
 
 
 def test_dedup_semantic_pairs_join_on_cell(spark, sf_oracle_dir):
-    """Semantic-dedup candidates must come from an equi-join keyed on
-    the centroid cell (bucket-bounded), never a broadcast nested loop
-    over the corpus."""
+    """Semantic-dedup candidates must stay bucket-bounded by the
+    centroid cell — never a nested loop over the corpus. Round 16:
+    the candidate stage is the per-cell blockwise GEMM
+    (FlatMapGroupsInPandas keyed on cell — one exchange on cell, all
+    pairwise work inside the cell group), replacing the a-join-b
+    equi-join whose per-pair interpreted fold the x100 stress
+    flagged. The no-cartesian contract is unchanged."""
     plan = _plan(CATALOG["q_dedup_semantic"].build(spark, sf_oracle_dir))
-    joins = [l for l in plan.splitlines() if "Join" in l and "cell" in l]
-    assert any(
-        ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
-        for l in joins
-    ), plan
+    assert "FlatMapGroupsInPandas" in plan, plan  # per-cell pair GEMM
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the cell grouping is a real key exchange, not a global collect
+    assert "hashpartitioning(cell" in plan, plan
 
 
 def test_q6_pushes_everything_into_the_scan(spark, sf_oracle_dir):
