@@ -503,3 +503,43 @@ def test_merge_change_feed_survives_append_rebase(spark, tmp_path):
         (v_merge, "update_postimage", 2),
         (v_merge, "update_preimage", 2),
     ]
+
+
+def test_snapshot_source_reads_through_merge_commit(spark, tmp_path):
+    """The batch snapshot DataSource plans a clause-merge commit like
+    any REPLACE — the per-version change_files key and the 'merge'
+    operation tag are metadata it must ignore; rows match ts.read
+    exactly, and time travel to the pre-merge version still works."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    root = _mk(tmp_path, "dsmerge")
+    v1 = _table(spark, root, [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a")])
+    src = spark.createDataFrame(
+        [(2, 200.0, "u"), (9, 900.0, "n")], "k int, v double, flag string"
+    )
+    ts.merge_into(
+        spark, root, src, ["k"],
+        when_matched=[{"action": "update", "set": {"v": "s.v"}}],
+        when_not_matched=[{"action": "insert"}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.k = 3"}],
+        change_feed=True, target_files=1,
+    )
+    via_ds = sorted(
+        (r["k"], r["v"]) for r in
+        spark.read.format("snapshot").option("path", root).load().collect()
+    )
+    via_api = sorted(
+        (r["k"], r["v"]) for r in ts.read(spark, root).collect()
+    )
+    assert via_ds == via_api == [(1, 10.0), (2, 200.0), (9, 900.0)]
+    old = sorted(
+        r["k"] for r in
+        spark.read.format("snapshot").option("path", root)
+        .option("versionAsOf", str(v1)).load().collect()
+    )
+    assert old == [1, 2, 3]
