@@ -3672,7 +3672,15 @@ def _merge_with_clauses(
     wm = _merge_validate_clauses(wm, "matched", cols)
     wnm = _merge_validate_clauses(wnm, "not_matched", cols)
     nmbs = _merge_validate_clauses(nmbs, "not_matched_by_source", cols)
-    whole_row = [cl for cl in wm + wnm if not (cl.get("set") or cl.get("values"))]
+    # whole-row = UPDATE SET * / INSERT * only; a DELETE clause needs
+    # no source columns beyond the keys (a keys-only source driving a
+    # delete-only merge is Delta-legal and common for CDC tombstones)
+    whole_row = [
+        cl
+        for cl in wm + wnm
+        if cl["action"] in ("update", "insert")
+        and not (cl.get("set") or cl.get("values"))
+    ]
     if whole_row:
         missing = sorted(set(cols) - set(source.columns))
         if missing:

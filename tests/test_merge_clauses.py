@@ -543,3 +543,27 @@ def test_snapshot_source_reads_through_merge_commit(spark, tmp_path):
         .option("versionAsOf", str(v1)).load().collect()
     )
     assert old == [1, 2, 3]
+
+
+def test_merge_delete_only_with_keys_only_source(spark, tmp_path):
+    """A delete-only merge driven by a keys-only source (the CDC
+    tombstone shape) is legal — DELETE clauses need no source columns
+    beyond the keys; with the change feed on, exact delete images
+    still emit."""
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+
+    root = _mk(tmp_path, "tombstones")
+    v1 = _table(spark, root, [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a")])
+    tombstones = spark.createDataFrame([(1,), (3,)], "k int")
+    v2, _, _ = ts.merge_into(
+        spark, root, tombstones, ["k"],
+        when_matched=[{"action": "delete"}],
+        change_feed=True, target_files=1,
+    )
+    got = sorted(r["k"] for r in ts.read(spark, root).collect())
+    assert got == [2]
+    ch = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in ts.read_row_changes(spark, root, v1, v2).collect()
+    )
+    assert ch == [("delete", 1, 10.0), ("delete", 3, 30.0)]
