@@ -396,7 +396,20 @@ def _cell_scores_np(
     return base.select("vec_id", "v", "n").mapInPandas(score, schema)
 
 
-def _cell_pairs_np(withv: DataFrame, tau: float | None) -> DataFrame:
+# Hot-cell sharding (round 17, verdict ask #6): above this many rows a
+# cell's pairwise GEMM splits into (row-block x row-block) tiles that
+# run as SEPARATE tasks. groupBy(cell).applyInPandas puts one cell on
+# one core; blocking inside the UDF bounds MEMORY, but a degenerate
+# mega-cell still serialized O(m^2) wall-clock on that core. Tiling
+# costs one extra exchange + ceil(m/shard)x row duplication — paid
+# only by cells that exceed the threshold (every certified corpus's
+# cells are far below it, so the certified plans keep one task/cell).
+_CELL_SHARD_ROWS = 8192
+
+
+def _cell_pairs_np(
+    withv: DataFrame, tau: float | None, shard_rows: int = _CELL_SHARD_ROWS
+) -> DataFrame:
     """All within-cell ``(vec_a < vec_b)`` cosine pairs as a blockwise
     per-cell GEMM (round 16 — the pairwise twin of
     :func:`_cell_scores_np`): ``withv`` carries (cell, vec_id, v, n);
@@ -412,23 +425,40 @@ def _cell_pairs_np(withv: DataFrame, tau: float | None) -> DataFrame:
     discipline, same caveat, as _cell_scores_np). The join shape paid
     an INTERPRETED ZipWith/ArrayAggregate fold per pair — ~10 us/pair
     against the GEMM's memory-bandwidth-bound row; at x100 the
-    semantic tier carries 20M candidate pairs."""
+    semantic tier carries 20M candidate pairs.
+
+    Cells larger than ``shard_rows`` tile into (cell, bi, bj) co-groups
+    (round 17): every row lands in block ``vec_id mod nblocks`` and is
+    exploded into each tile containing its block, so tile (i, j) holds
+    exactly blocks i and j and the full pair set partitions exactly
+    across tiles — a mega-cell runs on ceil(m/shard)^2/2 cores instead
+    of one. Output values and the emitted (vec_a < vec_b) orientation
+    are identical at every shard size (the pair set is a disjoint
+    union over tiles; cosine is symmetric)."""
     import numpy as np
     import pandas as pd
 
-    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        m = len(ids)
-        empty = pd.DataFrame(
+    def _empty() -> "pd.DataFrame":
+        return pd.DataFrame(
             {
                 "vec_a": pd.Series(dtype="int64"),
                 "vec_b": pd.Series(dtype="int64"),
                 "cosine": pd.Series(dtype="float64"),
             }
         )
-        if m < 2:
-            return empty
+
+    def _emit(ids_a, ids_b, cc_flat):
+        """tau-filter + orient (vec_a < vec_b) one flat pair batch."""
+        if tau is not None:
+            sel = np.nonzero(cc_flat >= tau)[0]
+            if not sel.size:
+                return None
+            ids_a, ids_b, cc_flat = ids_a[sel], ids_b[sel], cc_flat[sel]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        return lo, hi, cc_flat
+
+    def _norms(pdf: "pd.DataFrame"):
         V = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
         n = pdf["n"].to_numpy(dtype=np.float64)
         if np.any(n == 0):
@@ -436,6 +466,16 @@ def _cell_pairs_np(withv: DataFrame, tau: float | None) -> DataFrame:
                 "zero-norm vector: cosine scoring is undefined for it "
                 "(the SQL twin raises DIVIDE_BY_ZERO under ANSI mode)"
             )
+        return V, n
+
+    def _triangle(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        """Within-one-block upper triangle (the round-16 body)."""
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = len(ids)
+        if m < 2:
+            return _empty()
+        V, n = _norms(pdf)
         out_a, out_b, out_c = [], [], []
         block = max(1, min(2048, 100_000_000 // m))
         for s in range(0, m, block):
@@ -457,7 +497,7 @@ def _cell_pairs_np(withv: DataFrame, tau: float | None) -> DataFrame:
                     out_b.append(ids[i + 1 :])
                     out_c.append(row)
         if not out_a:
-            return empty
+            return _empty()
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(out_a),
@@ -466,8 +506,69 @@ def _cell_pairs_np(withv: DataFrame, tau: float | None) -> DataFrame:
             }
         )
 
-    return withv.select("cell", "vec_id", "v", "n").groupBy("cell").applyInPandas(
-        lambda pdf: pairs(pdf), "vec_a bigint, vec_b bigint, cosine double"
+    def _cross(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        """All (left x right) pairs — two DISTINCT blocks, so every
+        pair crosses and i<j ordering is restored per pair by id."""
+        if not len(left) or not len(right):
+            return _empty()
+        ids_l = left["vec_id"].to_numpy(dtype=np.int64)
+        ids_r = right["vec_id"].to_numpy(dtype=np.int64)
+        VL, nl = _norms(left)
+        VR, nr = _norms(right)
+        out_a, out_b, out_c = [], [], []
+        block = max(1, min(2048, 100_000_000 // max(len(ids_r), 1)))
+        for s in range(0, len(ids_l), block):
+            e = min(s + block, len(ids_l))
+            raw = (VL[s:e] @ VR.T) / (nl[s:e, None] * nr[None, :])
+            cc = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+            ia = np.repeat(ids_l[s:e], len(ids_r))
+            ib = np.tile(ids_r, e - s)
+            got = _emit(ia, ib, cc.ravel())
+            if got is not None:
+                out_a.append(got[0])
+                out_b.append(got[1])
+                out_c.append(got[2])
+        if not out_a:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    def tile_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi = int(pdf["bi"].iat[0])
+        bj = int(pdf["bj"].iat[0])
+        if bi == bj:
+            return _triangle(pdf)
+        return _cross(pdf[pdf["__blk"] == bi], pdf[pdf["__blk"] == bj])
+
+    sizes = withv.groupBy("cell").agg(F.count(F.lit(1)).alias("__m"))
+    nb = F.greatest(
+        F.lit(1), F.ceil(F.col("__m") / F.lit(int(shard_rows)))
+    ).cast("int")
+    # each row's tiles: for t in 0..nb-1 the tile (min(blk,t),
+    # max(blk,t)) — exactly the nb tiles containing its block, each
+    # once, so the union over rows covers every (i<=j) tile pairing
+    tiles = F.expr(
+        "transform(sequence(0, __nb - 1), t -> struct("
+        "least(__blk, t) AS bi, greatest(__blk, t) AS bj))"
+    )
+    exploded = (
+        withv.select("cell", "vec_id", "v", "n")
+        .join(sizes, "cell")  # unforced: AQE broadcasts the tiny side
+        .withColumn("__nb", nb)
+        .withColumn("__blk", F.pmod("vec_id", F.col("__nb")).cast("int"))
+        .select("cell", "vec_id", "v", "n", "__blk", F.explode(tiles).alias("g"))
+        .select(
+            "cell", "vec_id", "v", "n", "__blk",
+            F.col("g.bi").alias("bi"), F.col("g.bj").alias("bj"),
+        )
+    )
+    return exploded.groupBy("cell", "bi", "bj").applyInPandas(
+        tile_pairs, "vec_a bigint, vec_b bigint, cosine double"
     )
 
 
@@ -886,6 +987,30 @@ _Q_PERM_MOD = 4294967296   # 2^32
 _IVF_K = 40                # learned coarse cells — explicit config
 _PQ_K = 40                 # PQ codewords per subspace — explicit config
 
+# Derived cell count for the spill query (round 17, second iteration —
+# the x100 measurement with PINNED k=40 read 1,343 s: with the query
+# set growing with the corpus (vec_id % 50), fixed k makes per-cell
+# membership ∝ N and total ADC candidates ∝ N²/k. k ≈ √N is the
+# standard IVF answer: cell size ∝ √N, per-query candidates ∝ √N,
+# codebook still driver-bounded by the cap (4096 × 64 dims × 8 B ≈
+# 2 MB closure). The SQL oracle derives the identical k via a scalar
+# subquery — CEIL/SQRT/LEAST/GREATEST are IEEE-identical in both
+# engines on a bigint count.
+_IVF_K_FLOOR = 40
+_IVF_K_CAP = 4096
+
+
+def _derived_k(n: int) -> int:
+    import math
+
+    return min(_IVF_K_CAP, max(_IVF_K_FLOOR, math.ceil(math.sqrt(n))))
+
+
+_SQL_DERIVED_K = (
+    f"(SELECT LEAST({_IVF_K_CAP}, GREATEST({_IVF_K_FLOOR}, "
+    "CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings)"
+)
+
 
 # Shared sample CTEs (round 17): the deterministic Knuth-permutation
 # training sample, its exploded components, and the fixed-size PQ
@@ -1040,22 +1165,12 @@ def sampled_pq_codebook(
     )
 
 
-def _pq_scores_np(base: DataFrame, book: DataFrame, argmin: bool) -> DataFrame:
-    """Arrow-batched subspace-distance scoring for the PQ build (round
-    13 — the _cell_scores_np treatment applied to _pq_encode's other
-    super-linear shape: codebook size grows with the corpus's label
-    count, and the (vector-subspace) x codewords join evaluated the
-    8-dim L2 fold per pair as interpreted expressions). ``argmin=True``
-    yields the corpus CODES ``(vec_id, s, code)`` — tie-break
-    min(d2, j), reproduced by argmin-first-occurrence over
-    ascending-j columns; ``argmin=False`` yields every ``(vec_id, s,
-    j, d2)`` (the ADC LUT, callers pre-filter to query vectors).
-    Distances are computed in the SAME algebraic form as the JVM fold
-    — elementwise (x-c)^2 then an 8-element sum — so the 1e-6 round
-    agrees (strict-sweep verified); the codebook (m x k x sub doubles)
-    collects to the driver and ships in the closure."""
+def _book_matrices(book: DataFrame):
+    """Collect a (bounded) PQ codebook to driver numpy: sorted subspace
+    ids ``S``, per-subspace codeword ids ``J[s]`` (ascending — argmin
+    first-occurrence over them IS min(d2, j)), and codeword matrices
+    ``B[s]`` in the same order."""
     import numpy as np
-    import pandas as pd
 
     rows = book.limit(_MAX_DRIVER_CODEBOOK + 1).collect()
     if len(rows) > _MAX_DRIVER_CODEBOOK:
@@ -1074,6 +1189,27 @@ def _pq_scores_np(base: DataFrame, book: DataFrame, argmin: bool) -> DataFrame:
         s: np.array([cv for _, cv in sorted(by_s[s])], dtype=np.float64)
         for s in S
     }
+    return S, J, B
+
+
+def _pq_scores_np(base: DataFrame, book: DataFrame, argmin: bool) -> DataFrame:
+    """Arrow-batched subspace-distance scoring for the PQ build (round
+    13 — the _cell_scores_np treatment applied to _pq_encode's other
+    super-linear shape: codebook size grows with the corpus's label
+    count, and the (vector-subspace) x codewords join evaluated the
+    8-dim L2 fold per pair as interpreted expressions). ``argmin=True``
+    yields the corpus CODES ``(vec_id, s, code)`` — tie-break
+    min(d2, j), reproduced by argmin-first-occurrence over
+    ascending-j columns; ``argmin=False`` yields every ``(vec_id, s,
+    j, d2)`` (the ADC LUT, callers pre-filter to query vectors).
+    Distances are computed in the SAME algebraic form as the JVM fold
+    — elementwise (x-c)^2 then an 8-element sum — so the 1e-6 round
+    agrees (strict-sweep verified); the codebook (m x k x sub doubles)
+    collects to the driver and ships in the closure."""
+    import numpy as np
+    import pandas as pd
+
+    S, J, B = _book_matrices(book)
     if argmin:
         schema = "vec_id bigint, s int, code bigint"
     else:
@@ -1133,19 +1269,16 @@ def _pq_encode(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     ADC lookup table. Returns ``(codes, lut)``; ``base`` must carry
     (vec_id, v)."""
     book = sampled_pq_codebook(base)
-    # Arrow-batched scoring (round 13): codes and the query LUT run as
-    # numpy subspace distances per batch instead of an expression-
-    # evaluated (vector-subspace) x codewords join — the join was
-    # 116 s of the 10x stress point's 127 (BASELINE.md round-13
-    # table). The codebook is m x _PQ_K rows by construction now.
+    # Arrow-batched scoring (round 13): codes run as numpy subspace
+    # distances per batch instead of an expression-evaluated
+    # (vector-subspace) x codewords join — the join was 116 s of the
+    # 10x stress point's 127 (BASELINE.md round-13 table). The
+    # codebook is m x _PQ_K rows by construction now; the query-side
+    # ADC LUT is no longer a frame at all — the fused scan
+    # (:func:`_adc_rerank`) recomputes it in-UDF from the driver
+    # codebook (round 17, second x100 iteration).
     codes = _pq_scores_np(base, book, argmin=True)
-    lut = _pq_scores_np(
-        base.filter(F.col("vec_id") % _QUERY_MOD == 0), book, argmin=False
-    ).select(
-        F.col("vec_id").alias("lq"), "s", F.col("j").alias("lj"),
-        F.col("d2").alias("ld"),
-    )
-    return codes, lut
+    return codes, book
 
 
 @register(
@@ -1262,7 +1395,7 @@ def _pq_encode(base: DataFrame) -> tuple[DataFrame, DataFrame]:
 def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    codes, lut = _pq_encode(base)
+    codes, book = _pq_encode(base)
     # IVF probes bound the candidate set (q_similarity_ivf_search's
     # construction, verbatim)
     cent = _label_centroids(emb).transform(_ckpt)
@@ -1278,47 +1411,121 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         argmax=False,
         topn=_PQ_NPROBE,
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    cand = (
-        probes.join(assignment, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
-    )
-    return _adc_rerank(base, cand, codes, lut, _PQ_SHORTLIST)
+    # candidates never materialize as rows: the fused per-cell ADC
+    # scan (round 17) cogroups probes x members by cell
+    return _adc_rerank(base, probes, assignment, codes, book, _PQ_SHORTLIST)
 
 
 def _adc_rerank(
     base: DataFrame,
-    cand: DataFrame,
+    probes: DataFrame,
+    member: DataFrame,
     codes: DataFrame,
-    lut: DataFrame,
+    book: DataFrame,
     shortlist: int,
 ) -> DataFrame:
-    """Shared IVF-PQ tail: ADC-score the candidate pairs off the
-    broadcast per-query LUT (8 small-int lookups per pair), keep the
-    ADC-top-``shortlist``, exact-cosine rerank only those, emit the
-    final top-k. Identical ranking/rounding discipline in both
-    engines' oracles."""
-    # NO forced broadcast on the LUT (round 16, x100 stress): it has
-    # queries x m x k rows — linear in the query count, which grows
-    # with the corpus here — and the hint collected 1.7 GiB to the
-    # driver at x100 (maxResultSize abort). The three-key equi-join
-    # lets AQE broadcast it while it is small and shuffle it when not.
-    adc = (
-        cand.join(codes, "vec_id")
-        .join(
-            lut,
-            (F.col("query_id") == F.col("lq"))
-            & (codes["s"] == lut["s"])
-            & (F.col("code") == F.col("lj")),
+    """Shared IVF-PQ tail as a FUSED per-cell ADC scan (round 17,
+    second x100 iteration): the first x100 measurement of the fixed-k
+    quantizer read 1,343 s because candidates = probes ⋈ member
+    materialized ~360M rows and the ADC join over codes x LUT
+    expanded them 8x through two shuffles. This is FAISS's actual
+    IVF-ADC structure instead: cogroup the probing queries (with
+    their raw vectors) and the member codes BY CELL, compute each
+    query's 8 x k LUT in-UDF from the driver-resident codebook (the
+    exact `_pq_scores_np` arithmetic — elementwise (x-c)^2 sum,
+    HALF-UP 1e-6 snap), gather member distances as numpy integer
+    lookups, and emit only each (query, cell)'s ADC-top-``shortlist``
+    rows. The global top-``shortlist`` is EXACTLY preserved: any pair
+    in the global top-S has per-cell rank <= S in every probed cell
+    containing it (items ahead of it in-cell are a subset of the
+    items ahead globally under the same (adc_dist, vec_id) total
+    order), so the union of per-cell tops contains it; rows out are
+    O(queries x nprobe x shortlist), never O(candidates). The exact
+    cosine rerank of the shortlist is unchanged — identical
+    ranking/rounding discipline as both engines' oracles.
+
+    ``probes`` = (query_id, cell); ``member`` = (vec_id, cell);
+    ``codes`` = (vec_id, s, code); ``book`` = (s, j, cv)."""
+    import numpy as np
+    import pandas as pd
+
+    S, J, B = _book_matrices(book)
+    sl = int(shortlist)
+
+    codes_arr = (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
+        .select(
+            "vec_id", F.transform("sc", lambda t: t["code"]).alias("codes")
         )
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("ld"), 6).alias("adc_dist"))
+    )
+    left = probes.join(
+        base.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv0")),
+        "query_id",
+    ).select("cell", "query_id", "qv0")
+    right = member.join(codes_arr, "vec_id").select("cell", "vec_id", "codes")
+
+    def scan(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "adc_dist": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        qids = lpdf["query_id"].to_numpy(dtype=np.int64)
+        QV = np.stack(lpdf["qv0"].map(np.asarray).values).astype(np.float64)
+        mids = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.stack(rpdf["codes"].map(np.asarray).values).astype(np.int64)
+        dist = np.zeros((len(qids), len(mids)), dtype=np.float64)
+        for si, s in enumerate(S):
+            Qs = QV[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+            # the query LUT, recomputed exactly as _pq_scores_np does
+            # (same algebraic form, same HALF-UP snap — d2 >= 0)
+            D = (
+                np.floor(
+                    ((Qs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            )
+            dist += D[:, np.searchsorted(J[s], M[:, si])]
+        adc = np.floor(dist * 1e6 + 0.5) / 1e6  # ROUND(SUM(ld), 6)
+        take = min(sl + 1, len(mids))  # +1 absorbs the self-match
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(qids)):
+            row = adc[qi]
+            order = np.lexsort((mids, row))[:take]  # (adc, vec_id) asc
+            keep = order[mids[order] != qids[qi]][:sl]
+            if keep.size:
+                out_q.append(np.full(keep.size, qids[qi], dtype=np.int64))
+                out_v.append(mids[keep])
+                out_d.append(row[keep])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "adc_dist": np.concatenate(out_d),
+            }
+        )
+
+    scanned = (
+        left.groupby("cell")
+        .cogroup(right.groupby("cell"))
+        .applyInPandas(scan, "query_id bigint, vec_id bigint, adc_dist double")
     )
     ws = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     short = (
-        adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= shortlist)
+        # distinct dedups pairs seen via several probed cells (their
+        # ADC distances are identical by construction)
+        scanned.distinct()
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= sl)
         .select("query_id", "vec_id")
     )
     qv = base.select(
@@ -1374,7 +1581,7 @@ _SPILL_SHORTLIST = 300  # ADC shortlist fed to the exact rerank
     -- — quantizer training is corpus-decoupled end to end
     cent0 AS MATERIALIZED (
       SELECT rnk - 1 AS cell, embedding::DOUBLE[] AS cv
-      FROM samp WHERE rnk <= {_IVF_K}),{_sql_samp_assign("cent0", "sa1")},{_sql_samp_recentroid("sa1", "scent1")},{_sql_samp_assign("scent1", "sa2")},{_sql_samp_recentroid("sa2", "scent2")},
+      FROM samp WHERE rnk <= {_SQL_DERIVED_K}),{_sql_samp_assign("cent0", "sa1")},{_sql_samp_recentroid("sa1", "scent1")},{_sql_samp_assign("scent1", "sa2")},{_sql_samp_recentroid("sa2", "scent2")},
     scored AS MATERIALIZED (
       SELECT e.vec_id, c.cell,
              ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cc
@@ -1442,40 +1649,50 @@ _SPILL_SHORTLIST = 300  # ADC shortlist fed to the exact rerank
     """,
     doc="IVF-PQ with a LEARNED coarse quantizer and spill indexing "
     "(round 12, verdict ask #2; round 17 corpus-decoupled the "
-    "quantizer — the r16 weak): _IVF_K=40 coarse cells seeded from "
-    "the first 40 rows of a deterministic Knuth-hash permutation and "
-    "refined by 2 spherical-Lloyd rounds OVER THE BOUNDED SAMPLE "
-    "(1,024 rows — a TakeOrdered, never a full sort), so training "
-    "cost and cell count are configs, not corpus properties; each "
-    "corpus vector indexed under its top-3 cells (multi-assignment — "
-    "the standard cure for cell-boundary recall loss), queries probe "
-    "their top-6 cells; PQ codes/ADC/rerank identical to "
+    "quantizer — the r16 weak): k = min(4096, max(40, ceil(sqrt(N)))) "
+    "coarse cells seeded from the first k rows of a deterministic "
+    "Knuth-hash permutation and refined by 2 spherical-Lloyd rounds "
+    "OVER THE BOUNDED SAMPLE (1,024 rows — a TakeOrdered, never a "
+    "full sort), so training cost and codebook size are bounded "
+    "configs, not corpus properties; each corpus vector indexed under "
+    "its top-3 cells (multi-assignment — the standard cure for "
+    "cell-boundary recall loss), queries probe their top-6 cells; PQ "
+    "codes and the fused per-cell ADC scan identical to "
     "q_similarity_ivfpq_search but with a 300-deep shortlist. The "
     "honest negative recorded with the round-12 measurements stands: "
     "this corpus is near-isotropic (exact top-5 neighbors share the "
     "query's label 6% of the time), so recall ~0.8 under ~25% touched "
     "is infeasible on it for ANY coarse quantizer; the learned+spill "
     "structure is what transfers to a clustered production corpus. "
-    "Whole pipeline — sample permutation, Lloyd training, spill "
-    "assignment, ADC, rerank — is unrolled in the oracle, so the "
-    "learned cells themselves are value-hash certified. Scale: the "
-    "x100 defect this retires was cells = 10·labels·groups growing "
-    "with the corpus (15 → 1,500 at x100, superlinear N x k GEMMs, "
-    "driver-codebook refusal beyond); now k is fixed at any corpus "
-    "size, candidates stay cell-bounded, and the spill triples index "
-    "size (standard FAISS trade).",
+    "Whole pipeline — sample permutation, derived k, Lloyd training, "
+    "spill assignment, ADC, rerank — is unrolled in the oracle, so "
+    "the learned cells themselves are value-hash certified. Scale "
+    "(both x100 measurements in BASELINE.md): label-coupled k ∝ N "
+    "paid a superlinear N x k GEMM (r16, ~1,170 s); pinned k=40 paid "
+    "ADC candidates ∝ N²/k through two join shuffles (1,343 s). "
+    "k ≈ √N with the fused in-UDF ADC scan is the standard FAISS "
+    "frontier: per-query candidates ∝ √N·nprobe, scan rows out "
+    "O(queries x nprobe x shortlist), codebook driver-bounded by the "
+    "4096 cap.",
 )
 def q_similarity_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    codes, lut = _pq_encode(base)
-    # Round 17 (verdict ask #1): the coarse quantizer is the fixed-k
-    # sample-trained one — k=_IVF_K cells at ANY corpus size, Lloyd
-    # rounds over the bounded sample — replacing kmeans_centroids'
-    # (label x group)-seeded cells whose count grew with the corpus
-    # (10·labels·_SPILL_CG; the x100 stress grew them 15 → 1,500 and
-    # the N x k GEMMs superlinear with BOTH factors).
-    cent = sampled_quantizer(base, k=_IVF_K, iters=_SPILL_ITERS)
+    codes, book = _pq_encode(base)
+    # Round 17 (verdict ask #1, two iterations): the coarse quantizer
+    # is sample-trained with k = min(4096, max(40, ceil(sqrt(N)))) —
+    # replacing kmeans_centroids' (label x group)-seeded cells whose
+    # count grew ∝ N (the r16 weak: superlinear N x k GEMMs, driver
+    # refusal beyond). The first iteration PINNED k=40, and the x100
+    # measurement showed why that is wrong too: the query set grows
+    # with the corpus, so fixed k makes per-cell membership ∝ N and
+    # total ADC candidates ∝ N²/k (measured 1,343 s at x100). k ≈ √N
+    # is the standard IVF frontier — cell size and per-query work both
+    # ∝ √N, codebook bounded by the cap. One count() job derives it;
+    # the oracle derives the identical k via a scalar subquery.
+    cent = sampled_quantizer(
+        base, k=_derived_k(emb.count()), iters=_SPILL_ITERS
+    )
     # Top-n cell selection INSIDE the Arrow GEMM (round 16, x100
     # stress): the previous shape emitted all N x CELLS scored rows
     # into a collect_list+sort+slice aggregate — at x100 that is 800M
@@ -1494,13 +1711,9 @@ def q_similarity_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
         argmax=False,
         topn=_SPILL_NPROBE,
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    cand = (
-        probes.join(member, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
-    )
-    return _adc_rerank(base, cand, codes, lut, _SPILL_SHORTLIST)
+    # candidates never materialize as rows: the fused per-cell ADC
+    # scan (round 17) cogroups probes x members by cell
+    return _adc_rerank(base, probes, member, codes, book, _SPILL_SHORTLIST)
 
 
 _KCENTER_SEEDS = 6

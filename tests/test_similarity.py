@@ -268,3 +268,56 @@ def test_driver_codebook_cap_refuses(spark):
     )
     with pytest.raises(ValueError, match="PQ codebook exceeds"):
         sq._pq_scores_np(big.limit(1), book, argmin=True)
+
+
+def test_cell_pairs_mega_cell_shards(spark):
+    """Round 17 (verdict ask #6): a cell larger than the shard
+    threshold tiles into (cell, bi, bj) co-groups — the pair set
+    partitions exactly across tiles, so the output is identical at
+    every shard size while a mega-cell runs on many tasks instead of
+    serializing one."""
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.similarity_queries import (
+        _cell_pairs_np,
+    )
+
+    # one planted 600-row mega-cell (plus a 3-row bystander cell) with
+    # deterministic, non-degenerate vectors
+    withv = (
+        spark.range(603)
+        .select(
+            F.when(F.col("id") < 600, F.lit(0)).otherwise(F.lit(1)).alias(
+                "cell"
+            ),
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 7), d -> "
+                "CAST((id * 31 + d * 17) % 97 + 1 AS DOUBLE) / 97.0)"
+            ).alias("v"),
+        )
+        .withColumn(
+            "n",
+            F.sqrt(
+                F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)
+            ),
+        )
+    )
+    # shard_rows=100 -> 6 blocks for the mega-cell, 21 tiles; the huge
+    # shard setting reproduces the single-task round-16 plan
+    sharded = _cell_pairs_np(withv, None, shard_rows=100)
+    single = _cell_pairs_np(withv, None, shard_rows=1_000_000_000)
+    got = sorted(map(tuple, sharded.collect()))
+    want = sorted(map(tuple, single.collect()))
+    assert got == want
+    assert len(got) == 600 * 599 // 2 + 3  # full pair sets, no dup/loss
+    assert all(a < b for a, b, _c in got)  # orientation holds per tile
+    # tiling is really in the plan: the sharded aggregation groups on
+    # the tile keys, the single-task one effectively doesn't split
+    plan = sharded._jdf.queryExecution().analyzed().toString()
+    assert "bi" in plan and "bj" in plan
+    # tau filtering stays inside the UDF on both paths
+    got_t = sorted(map(tuple, _cell_pairs_np(withv, 0.9, shard_rows=100).collect()))
+    want_t = sorted(map(tuple, _cell_pairs_np(withv, 0.9, shard_rows=1_000_000_000).collect()))
+    assert got_t == want_t
+    assert got_t == [t for t in want if t[2] >= 0.9]
