@@ -1106,6 +1106,152 @@ def q_sink_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_sql_merge",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    t1 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500.0
+                  ELSE o_totalprice END AS p,
+             o_orderpriority AS pr
+      FROM orders WHERE o_orderkey % 10 <> 5
+      UNION ALL
+      SELECT o_orderkey + m, o_totalprice + 500.0, o_orderpriority
+      FROM orders, mx WHERE o_orderkey % 11 = 4
+    ),
+    t2 AS (SELECT k, CASE WHEN pr = '1-URGENT' THEN p + 1.0 ELSE p END AS p,
+                  pr
+           FROM t1),
+    fin AS (SELECT * FROM t2 WHERE k % 100 <> 9),
+    chg AS (
+      SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0)
+          + (SELECT COUNT(*) FROM t1 WHERE pr = '1-URGENT') AS n_upd,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 5)
+          + (SELECT COUNT(*) FROM t2 WHERE k % 100 = 9) AS n_del,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 4) AS n_ins
+    )
+    SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(n_upd AS BIGINT) AS n_upd,
+           CAST(n_del AS BIGINT) AS n_del,
+           CAST(n_ins AS BIGINT) AS n_ins
+    FROM fin, chg GROUP BY pr, n_upd, n_del, n_ins
+    """,
+    doc="SQL DML entry for the snapshot format (round 17, verdict ask "
+    "#2 — sources/snapshot_sql.sql_dml): three statements run as "
+    "ANSI SQL TEXT against the table — a MERGE INTO with three "
+    "clauses (conditional matched-UPDATE taking the source price for "
+    "keys ending in 0, first-match-wins DELETE for the remaining "
+    "matched keys ending in 5, INSERT * of unmatched source rows), "
+    "an UPDATE ... SET ... WHERE (urgent rows +1, compiled onto the "
+    "merge clause engine via an empty source + NOT MATCHED BY SOURCE "
+    "UPDATE — no second DML implementation), and a DELETE FROM ... "
+    "WHERE (keys ending in 09, routed to merge-on-read position "
+    "deletes — O(matching rows), no rewrite amplification). The "
+    "changeFeed property is on, so the shim's statements produce CDF "
+    "row images; the oracle recomputes the final table AND the "
+    "per-kind change counts across all three commits from raw orders "
+    "in plain SQL — a mis-parsed clause, a wrong alias rewrite, or a "
+    "verb that fires on the wrong rows fails the hash. Spark's parser "
+    "only accepts DML for catalog v2 tables, which a jar-less format "
+    "cannot register; the shim parses the same grammar Delta "
+    "documents and drives merge_into/delete_where, where the "
+    "cardinality check, file narrowing, and CAS rebase already live.",
+)
+def q_sink_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_sqldml"), tag)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    if ts.current_version(root) < 5:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        bounds = [mx // 4, mx // 2, (3 * mx) // 4]
+        files: list[str] = []
+        lo = None
+        for hi in bounds + [None]:
+            part = orders
+            if lo is not None:
+                part = part.filter(F.col("o_orderkey") > lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") <= hi)
+            files += ts.stage_files(part.coalesce(1), root)
+            lo = hi
+        ts.commit(
+            root,
+            files,
+            base_version=0,
+            stats=ts.collect_stats(files, ["o_orderkey"]),
+        )
+        v_prop = ts.set_property(root, "changeFeed", True)
+        matched_src = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+        )
+        insert_src = (
+            orders.filter(F.col("o_orderkey") % 11 == 4)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+        )
+        matched_src.unionByName(insert_src).createOrReplaceTempView(
+            "sqldml_src"
+        )
+        cat = {"ord": root}
+        sql_dml(
+            spark,
+            """
+            MERGE INTO ord AS t USING sqldml_src AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_orderkey % 10 = 0
+              THEN UPDATE SET o_totalprice = s.o_totalprice
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+            cat,
+            target_files=4,
+        )
+        sql_dml(
+            spark,
+            "UPDATE ord SET o_totalprice = o_totalprice + 1.0 "
+            "WHERE o_orderpriority = '1-URGENT'",
+            cat,
+            target_files=2,
+        )
+        r3 = sql_dml(spark, "DELETE FROM ord WHERE o_orderkey % 100 = 9", cat)
+        kinds = {
+            r["_change_type"]: r["n"]
+            for r in ts.read_row_changes(spark, root, v_prop, r3["version"])
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert kinds.get("update_preimage", 0) == kinds.get(
+            "update_postimage", 0
+        ), "CDF pre/post image counts must pair up"
+        with open(os.path.join(root, "_sqldml_cdf"), "w") as f:
+            f.write(
+                f"{kinds.get('update_preimage', 0)} "
+                f"{kinds.get('delete', 0)} {kinds.get('insert', 0)}"
+            )
+    with open(os.path.join(root, "_sqldml_cdf")) as f:
+        n_upd, n_del, n_ins = (int(x) for x in f.read().split())
+    return ts.read(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(n_upd).cast("bigint").alias("n_upd"),
+        F.lit(n_del).cast("bigint").alias("n_del"),
+        F.lit(n_ins).cast("bigint").alias("n_ins"),
+    )
+
+
+@register(
     "q_sink_snapshot_timetravel",
     oracle="""
     WITH v1 AS (SELECT COUNT(*) AS n,
