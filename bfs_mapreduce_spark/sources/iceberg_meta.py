@@ -269,8 +269,10 @@ def _file_rows(path: str, manifest_stats: dict) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def export_iceberg_metadata(root: str, out_dir: str) -> dict:
-    """Write Iceberg v2 table metadata for a snapshot table: one
+def export_iceberg_metadata(
+    root: str, out_dir: str, *, format_version: int = 2
+) -> dict:
+    """Write Iceberg table metadata for a snapshot table: one
     Iceberg snapshot per exportable version (data files referenced in
     place), manifest lists + manifests as from-spec Avro, and
     ``v1.metadata.json``. Returns a summary dict: ``location``,
@@ -278,7 +280,28 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
     ``skipped`` (version -> reason), ``spec_skipped`` (spec era ->
     reason). See the module docstring for the honest boundaries
     (delete-carrying versions skip; bucket spec eras export under the
-    unpartitioned spec 0)."""
+    unpartitioned spec 0).
+
+    ``format_version=3`` (round 17, verdict ask #3) exports position
+    deletes as PUFFIN DELETION VECTORS instead of v2 position-delete
+    parquet entries: per snapshot, each masked data file's CUMULATIVE
+    deleted positions serialize as one deletion-vector-v1 blob
+    (:func:`puffin_py.write_puffin_dvs` — portable roaring bitmap,
+    CRC-framed), the v3 invariant of at most ONE DV per data file per
+    snapshot holds by construction, and the manifest entries carry
+    ``referenced_data_file`` + ``content_offset`` /
+    ``content_size_in_bytes`` so readers never open the puffin
+    footer. A data file whose delete set is unchanged since an
+    earlier snapshot re-references that snapshot's blob (status
+    EXISTING, original sequence number) — no rewrite; only files
+    whose DV actually grew get a fresh blob in the new snapshot's
+    puffin file. Equality deletes stay content=2 parquet in both
+    versions (v3 still supports them). ``format_version=2`` is
+    byte-for-byte the prior behavior."""
+    if format_version not in (2, 3):
+        raise ValueError(
+            f"format_version must be 2 or 3, got {format_version!r}"
+        )
     latest = ts.current_version(root)
     if latest < 1:
         raise ValueError(f"snapshot table {root!r} has no commits")
@@ -448,6 +471,53 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
             "field-id": 135,
         }
     )
+    if format_version == 3:
+        # v3 DV entry fields (spec field ids): every delete entry
+        # carries them (null on equality entries)
+        del_entry_schema["fields"][-1]["type"]["fields"] += [
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 145,
+            },
+        ]
+
+    # v3 DV export state: data file -> its CURRENT deletion vector
+    # (cumulative position set + the puffin blob serving it). A file
+    # whose set is unchanged re-references the old blob; only grown
+    # DVs write into the new snapshot's puffin file.
+    dv_state: dict[str, dict] = {}
+    _pos_cache: dict[str, dict[str, list[int]]] = {}
+
+    def _dv_positions(dvf: str, data_file: str) -> list[int]:
+        """Positions ``dvf`` (a (file_path, pos) parquet vector) masks
+        in ``data_file`` — one read per vector file, grouped once."""
+        hit = _pos_cache.get(dvf)
+        if hit is None:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(dvf, columns=["file_path", "pos"])
+            hit = {}
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                hit.setdefault(fp, []).append(int(pos))
+            _pos_cache[dvf] = hit
+        return hit.get(data_file, [])
     def _export_snap(v0: int, cur: int) -> int:
         """Oldest EXPORTED snapshot id >= ``v0`` (ADVICE, round 15):
         an entry's snapshot_id must reference a snapshot present in
@@ -489,30 +559,93 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
         # embedded field ids) — refuse that version.
         del_entries: list[dict] = []
         del_reason = None
-        for dvf in sorted(
-            {dv for vecs in (m.get("deletes") or {}).values() for dv in vecs}
-        ):
-            dseq = dv_seen[dvf]
-            del_entries.append(
-                {
-                    "status": 1 if dseq == v else 0,
-                    # spec rule: EXISTING entries keep the snapshot
-                    # that ADDED the file (round-15 review); clamped
-                    # past skipped versions so the id never dangles
-                    "snapshot_id": _export_snap(dseq, v),
-                    "sequence_number": dseq,
-                    "file_sequence_number": dseq,
-                    "data_file": {
-                        "content": 1,  # position deletes
-                        "file_path": dvf,
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": _rows_of(dvf),
-                        "file_size_in_bytes": os.path.getsize(dvf),
-                        "equality_ids": None,
-                    },
-                }
-            )
+        if format_version == 3:
+            # per data file: cumulative masked positions as of v → one
+            # DV blob each (the v3 one-DV-per-file invariant); only
+            # files whose set GREW write into this snapshot's puffin
+            cur_dvs: dict[str, frozenset] = {}
+            for f, vecs in sorted((m.get("deletes") or {}).items()):
+                pos: set[int] = set()
+                for dvf in vecs:
+                    pos.update(_dv_positions(dvf, f))
+                if pos:
+                    cur_dvs[f] = frozenset(pos)
+            changed = {
+                f: p
+                for f, p in cur_dvs.items()
+                if f not in dv_state or dv_state[f]["positions"] != p
+            }
+            if changed:
+                from bfs_mapreduce_spark.sources.puffin_py import (
+                    write_puffin_dvs,
+                )
+
+                # named by THIS version (snap_id is assigned below;
+                # here it still holds the previous iteration's value)
+                puffin_path = os.path.join(meta_dir, f"dvs-{v}.puffin")
+                blobs = write_puffin_dvs(
+                    puffin_path,
+                    {f: sorted(p) for f, p in sorted(changed.items())},
+                    snapshot_id=v,
+                    sequence_number=v,
+                )
+                for b, (f, p) in zip(blobs, sorted(changed.items())):
+                    dv_state[f] = {
+                        "positions": p,
+                        "path": puffin_path,
+                        "offset": b["offset"],
+                        "length": b["length"],
+                        "added": v,
+                    }
+            for f in sorted(cur_dvs):
+                st = dv_state[f]
+                del_entries.append(
+                    {
+                        "status": 1 if st["added"] == v else 0,
+                        "snapshot_id": _export_snap(st["added"], v),
+                        "sequence_number": st["added"],
+                        "file_sequence_number": st["added"],
+                        "data_file": {
+                            "content": 1,  # position deletes (DV form)
+                            "file_path": st["path"],
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": len(st["positions"]),
+                            "file_size_in_bytes": os.path.getsize(
+                                st["path"]
+                            ),
+                            "equality_ids": None,
+                            "referenced_data_file": f,
+                            "content_offset": st["offset"],
+                            "content_size_in_bytes": st["length"],
+                        },
+                    }
+                )
+        else:
+            for dvf in sorted(
+                {dv for vecs in (m.get("deletes") or {}).values() for dv in vecs}
+            ):
+                dseq = dv_seen[dvf]
+                del_entries.append(
+                    {
+                        "status": 1 if dseq == v else 0,
+                        # spec rule: EXISTING entries keep the snapshot
+                        # that ADDED the file (round-15 review); clamped
+                        # past skipped versions so the id never dangles
+                        "snapshot_id": _export_snap(dseq, v),
+                        "sequence_number": dseq,
+                        "file_sequence_number": dseq,
+                        "data_file": {
+                            "content": 1,  # position deletes
+                            "file_path": dvf,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": _rows_of(dvf),
+                            "file_size_in_bytes": os.path.getsize(dvf),
+                            "equality_ids": None,
+                        },
+                    }
+                )
         for e in m.get("eq_deletes") or []:
             fids = [fid_of_name.get(c) for c in e["cols"]]
             if any(i is None for i in fids):
@@ -640,7 +773,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                         separators=(",", ":"),
                     ).encode(),
                     "partition-spec-id": str(spec_id).encode(),
-                    "format-version": b"2",
+                    "format-version": str(format_version).encode(),
                     "content": b"data",
                 },
             )
@@ -663,6 +796,11 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                 }
             )
         if del_entries:
+            if format_version == 3:
+                for e in del_entries:  # eq entries: DV fields stay null
+                    e["data_file"].setdefault("referenced_data_file", None)
+                    e["data_file"].setdefault("content_offset", None)
+                    e["data_file"].setdefault("content_size_in_bytes", None)
             dm_path = os.path.join(
                 meta_dir, f"manifest-{snap_id}-deletes.avro"
             )
@@ -677,7 +815,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
                     "schema-id": str(era_sid).encode(),
                     "partition-spec": b"[]",
                     "partition-spec-id": b"0",
-                    "format-version": b"2",
+                    "format-version": str(format_version).encode(),
                     "content": b"deletes",
                 },
             )
@@ -744,7 +882,7 @@ def export_iceberg_metadata(root: str, out_dir: str) -> dict:
         (f["id"] for s in schemas for f in s["fields"]), default=0
     )
     metadata = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(root))),
         "location": os.path.abspath(out_dir),
         "last-sequence-number": latest,
