@@ -350,11 +350,30 @@ def main() -> None:
     print("# --- untimed canary warmup", file=sys.stderr)
     run_once(CANARY)
 
+    # Round-17 (verdict ask #4): RANDOMIZE group order per run. Two
+    # rounds of same-direction driver-artifact drift on
+    # q_scan_snapshot_source — which ran LAST in every round's fixed
+    # order — against p=0.51 paired A/Bs is the signature of a POSITION
+    # artifact (page-cache/GC/JIT state drifts over the ~15-minute
+    # suite), which a 9-pair sign test cannot exclude. A per-run random
+    # order turns any position effect into zero-mean noise across
+    # rounds instead of a bias pinned to whatever query sits last. The
+    # seed and the realized order ship in the JSON so any round's run
+    # is reproducible exactly (SPARK_GRAFT_BENCH_SEED pins it).
+    import random
+
+    order_seed = int(
+        os.environ.get("SPARK_GRAFT_BENCH_SEED", time.time_ns() % (2**31))
+    )
+    run_order = list(HEADLINE)
+    random.Random(order_seed).shuffle(run_order)
+    print(f"# group order (seed {order_seed}): {run_order}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     canary_samples: dict[str, list[float]] = {}  # per-group canary reps
     minhash_phases: dict[str, dict] = {}
     bfs_rounds: list[dict] = []
-    for name in HEADLINE:
+    for name in run_order:
         for rep in range(1, reps + 1):
             print(f"# --- {name} rep{rep}", file=sys.stderr)
             if name != CANARY:  # canary group is billed below, from the others
@@ -389,7 +408,11 @@ def main() -> None:
     # properties: independent of q1's own timed reps, sampled under
     # q1's load.
     if CANARY in timings:
-        neighbors = [n for n in HEADLINE if n != CANARY and n in canary_samples]
+        # "adjacent" follows the RUN order (randomized since round 17):
+        # the group right after q1's slot shares its load window
+        idx = run_order.index(CANARY)
+        ring = run_order[idx + 1 :] + run_order[:idx]
+        neighbors = [n for n in ring if n != CANARY and n in canary_samples]
         if neighbors:
             canary_samples[CANARY] = list(canary_samples[neighbors[0]])
 
@@ -446,6 +469,8 @@ def main() -> None:
                 },
                 "minhash_phases": minhash_phases,
                 "bfs_rounds": bfs_rounds,
+                "order_seed": order_seed,
+                "group_order": run_order,
                 "sf": sf,
                 "reps": reps,
                 "agg": "min_per_query_canary_interleaved",

@@ -41,6 +41,13 @@ GRAPHS = [
     ("largeG-10x", 3_250_000, 15_000_000),
 ]
 
+# the x100 stress shape (round 17, verdict ask #5): 100x the
+# reference's declared largeG — run explicitly via
+#   bench-graph --graph largeG-100x:32500000:150000000 --reliable --with-scc
+# (not in the default list: it needs SPARK_GRAFT_DRIVER_MEM=48g and
+# ~tens of minutes; the driver's per-round bench must stay fast)
+GRAPH_100X = ("largeG-100x", 32_500_000, 150_000_000)
+
 _HOT_COPIES = 500  # planted boilerplate cluster (every band bucket hot)
 _HOT_TEXT = " ".join(
     ["terms of service privacy policy all rights reserved contact us"] * 5
@@ -65,13 +72,61 @@ def synthesize_graph(name: str, n: int, m: int, out_dir: str) -> str:
     import zlib
 
     rng = np.random.default_rng((zlib.crc32(name.encode()) ^ n ^ m) % (2**32))
-    backbone_src = np.arange(n - 1, dtype=np.int64)
-    backbone_dst = backbone_src + 1
-    extra = m - (n - 1)
-    src = np.concatenate([backbone_src, rng.integers(0, n, size=extra, dtype=np.int64)])
-    dst = np.concatenate([backbone_dst, rng.integers(0, n, size=extra, dtype=np.int64)])
-    table = pa.table({"src": src, "dst": dst})
-    pq.write_table(table, path, row_group_size=1_000_000)
+    if m <= 20_000_000:
+        # the original single-shot path, kept bit-identical so the
+        # graphs behind every recorded BASELINE.md table re-synthesize
+        # unchanged on a clean /tmp
+        backbone_src = np.arange(n - 1, dtype=np.int64)
+        backbone_dst = backbone_src + 1
+        extra = m - (n - 1)
+        src = np.concatenate(
+            [backbone_src, rng.integers(0, n, size=extra, dtype=np.int64)]
+        )
+        dst = np.concatenate(
+            [backbone_dst, rng.integers(0, n, size=extra, dtype=np.int64)]
+        )
+        pq.write_table(
+            pa.table({"src": src, "dst": dst}), path, row_group_size=1_000_000
+        )
+        return path
+    # chunked writer (round 17): the x100 graph is 150M edge rows —
+    # materializing both int64 columns at once costs ~2.4 GB plus the
+    # arrow copy; streaming 10M-row chunks bounds synthesis memory at
+    # any m, and the backbone rides in the first chunks
+    tmp = f"{path}.tmp-{os.getpid()}"
+    writer = None
+    try:
+        emitted_extra = 0
+        backbone_done = 0
+        chunk_rows = 10_000_000
+        while backbone_done < n - 1 or emitted_extra < m - (n - 1):
+            bb = min(chunk_rows, (n - 1) - backbone_done)
+            src_parts, dst_parts = [], []
+            if bb > 0:
+                bsrc = np.arange(
+                    backbone_done, backbone_done + bb, dtype=np.int64
+                )
+                src_parts.append(bsrc)
+                dst_parts.append(bsrc + 1)
+                backbone_done += bb
+            ex = min(chunk_rows - bb, (m - (n - 1)) - emitted_extra)
+            if ex > 0:
+                src_parts.append(rng.integers(0, n, size=ex, dtype=np.int64))
+                dst_parts.append(rng.integers(0, n, size=ex, dtype=np.int64))
+                emitted_extra += ex
+            table = pa.table(
+                {
+                    "src": np.concatenate(src_parts),
+                    "dst": np.concatenate(dst_parts),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, table.schema)
+            writer.write_table(table, row_group_size=1_000_000)
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, path)
     return path
 
 
@@ -80,6 +135,7 @@ def run_graph_scale(
     graphs=None,
     out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
     reliable: bool = False,
+    with_scc: bool = False,
 ) -> Iterator[dict]:
     """Yield one result dict per graph (see module docstring).
 
@@ -118,7 +174,7 @@ def run_graph_scale(
         if ckpt_dir:
             shutil.rmtree(ckpt_dir, ignore_errors=True)
         rounds = stats["rounds"]
-        yield {
+        rec = {
             "graph": name,
             "vertices": n,
             "edges": m,
@@ -131,6 +187,35 @@ def run_graph_scale(
                 {"round": r, "frontier": f, "sec": s} for r, f, s in rounds
             ],
         }
+        if with_scc:
+            # x100 ask (round 17, verdict ask #5): SCC with the
+            # pointer-jumping auto mode on the SAME edge list (treated
+            # as directed: backbone path + random arcs — a G(n, m)
+            # digraph at m/n ~ 4.6 has a giant SCC, so trim, color,
+            # and backward all do real work), per-phase instrumented
+            from pyspark.sql import functions as F
+
+            from bfs_mapreduce_spark.operators.graph import (
+                strongly_connected_components,
+            )
+
+            sstats = {}
+            t1 = time.perf_counter()
+            comp = strongly_connected_components(
+                edges, stats=sstats, jumps="auto"
+            )
+            agg = comp.groupBy().agg(
+                F.countDistinct("scc_id").alias("n_scc"),
+                F.count(F.lit(1)).alias("n_v"),
+            ).collect()[0]
+            rec["scc_total_sec"] = round(time.perf_counter() - t1, 3)
+            rec["scc_count"] = int(agg["n_scc"])
+            rec["scc_vertices"] = int(agg["n_v"])
+            rec["scc_phases"] = [
+                {"pass": p, "phase": ph, "rounds": r, "sec": s}
+                for p, ph, r, s in sstats.get("phases", [])
+            ]
+        yield rec
 
 
 # (name, width_sccs_per_layer, scc_cycle_size, n_layers, fringe) —

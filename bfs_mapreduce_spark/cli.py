@@ -145,7 +145,11 @@ def _bench_graph(args: argparse.Namespace) -> int:
             else:
                 graphs = GRAPHS[:2] if args.quick else GRAPHS
             runs = run_graph_scale(
-                spark, graphs, out_dir=args.out_dir, reliable=args.reliable
+                spark,
+                graphs,
+                out_dir=args.out_dir,
+                reliable=args.reliable,
+                with_scc=args.with_scc,
             )
         for rec in runs:
             print(json.dumps(rec))
@@ -447,7 +451,9 @@ def _snapshot_export_iceberg(args: argparse.Namespace) -> int:
         iceberg_history,
     )
 
-    summary = export_iceberg_metadata(args.root, args.out)
+    summary = export_iceberg_metadata(
+        args.root, args.out, format_version=args.format_version
+    )
     summary["history"] = iceberg_history(args.out)
     print(json.dumps(summary))
     return 0
@@ -625,6 +631,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="run BFS with durable per-round checkpoints (fault-tolerant "
         "mode) to measure the overhead vs default localCheckpoint",
+    )
+    bg.add_argument(
+        "--with-scc",
+        action="store_true",
+        help="also run SCC (jumps='auto', per-phase instrumented) on "
+        "each undirected-bench graph treated as a digraph — the x100 "
+        "stress pairing (round 17)",
     )
     bg.add_argument("--out-dir", default="/tmp/bfs_mapreduce_spark_scale")
     bg.set_defaults(fn=_bench_graph)
@@ -824,6 +837,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     se.add_argument("root")
     se.add_argument("out", help="Iceberg table directory to write metadata/ under")
+    se.add_argument(
+        "--format-version",
+        type=int,
+        default=2,
+        choices=(2, 3),
+        help="2 = position-delete parquet manifests; 3 = puffin "
+        "deletion vectors (one DV blob per masked data file)",
+    )
     se.set_defaults(fn=_snapshot_export_iceberg)
 
     si = sub.add_parser(
