@@ -1118,6 +1118,9 @@ def q_sink_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT o_orderkey + m, o_totalprice + 500.0, o_orderpriority
       FROM orders, mx WHERE o_orderkey % 11 = 4
+      UNION ALL
+      SELECT o_orderkey + 2 * m, o_totalprice, o_orderpriority
+      FROM orders, mx WHERE o_orderkey % 13 = 2
     ),
     t2 AS (SELECT k, CASE WHEN pr = '1-URGENT' THEN p + 1.0 ELSE p END AS p,
                   pr
@@ -1129,7 +1132,8 @@ def q_sink_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
           + (SELECT COUNT(*) FROM t1 WHERE pr = '1-URGENT') AS n_upd,
         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 5)
           + (SELECT COUNT(*) FROM t2 WHERE k % 100 = 9) AS n_del,
-        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 4) AS n_ins
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 4)
+          + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 2) AS n_ins
     )
     SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -1139,25 +1143,28 @@ def q_sink_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fin, chg GROUP BY pr, n_upd, n_del, n_ins
     """,
     doc="SQL DML entry for the snapshot format (round 17, verdict ask "
-    "#2 — sources/snapshot_sql.sql_dml): three statements run as "
+    "#2 — sources/snapshot_sql.sql_dml): FOUR statements run as "
     "ANSI SQL TEXT against the table — a MERGE INTO with three "
     "clauses (conditional matched-UPDATE taking the source price for "
     "keys ending in 0, first-match-wins DELETE for the remaining "
     "matched keys ending in 5, INSERT * of unmatched source rows), "
+    "an INSERT INTO (cols) SELECT (a third key band appended through "
+    "the column-list alignment path, committed as a plain APPEND), "
     "an UPDATE ... SET ... WHERE (urgent rows +1, compiled onto the "
     "merge clause engine via an empty source + NOT MATCHED BY SOURCE "
     "UPDATE — no second DML implementation), and a DELETE FROM ... "
     "WHERE (keys ending in 09, routed to merge-on-read position "
     "deletes — O(matching rows), no rewrite amplification). The "
-    "changeFeed property is on, so the shim's statements produce CDF "
-    "row images; the oracle recomputes the final table AND the "
-    "per-kind change counts across all three commits from raw orders "
-    "in plain SQL — a mis-parsed clause, a wrong alias rewrite, or a "
-    "verb that fires on the wrong rows fails the hash. Spark's parser "
-    "only accepts DML for catalog v2 tables, which a jar-less format "
-    "cannot register; the shim parses the same grammar Delta "
-    "documents and drives merge_into/delete_where, where the "
-    "cardinality check, file narrowing, and CAS rebase already live.",
+    "changeFeed property is on, so the statements produce CDF row "
+    "images (the append's rows surface as inserts); the oracle "
+    "recomputes the final table AND the per-kind change counts "
+    "across all four commits from raw orders in plain SQL — a "
+    "mis-parsed clause, a wrong alias rewrite, or a verb that fires "
+    "on the wrong rows fails the hash. Spark's parser only accepts "
+    "DML for catalog v2 tables, which a jar-less format cannot "
+    "register; the shim parses the same grammar Delta documents and "
+    "drives merge_into/delete_where/commit, where the cardinality "
+    "check, file narrowing, and CAS rebase already live.",
 )
 def q_sink_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_mapreduce_spark.sources import table_snapshots as ts
@@ -1169,7 +1176,7 @@ def q_sink_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     mx = orders.agg(F.max("o_orderkey")).first()[0]
-    if ts.current_version(root) < 5:  # idempotent per process
+    if ts.current_version(root) < 6:  # idempotent per process
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         bounds = [mx // 4, mx // 2, (3 * mx) // 4]
@@ -1214,6 +1221,16 @@ def q_sink_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             """,
             cat,
             target_files=4,
+        )
+        orders.filter(F.col("o_orderkey") % 13 == 2).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(2 * mx)
+        ).createOrReplaceTempView("sqldml_ins")
+        sql_dml(
+            spark,
+            "INSERT INTO ord (o_orderkey, o_totalprice, o_orderpriority) "
+            "SELECT o_orderkey, o_totalprice, o_orderpriority "
+            "FROM sqldml_ins",
+            cat,
         )
         sql_dml(
             spark,

@@ -33,6 +33,14 @@ partial parse would corrupt a table):
   rows) delete bytes, no rewrite amplification — strictly cheaper
   than a MERGE-shaped copy-on-write delete, which remains available
   as a WHEN MATCHED THEN DELETE merge).
+- ``INSERT INTO <root-name> [(cols)] SELECT ...`` — the SELECT runs
+  through the active session, columns align by the explicit list
+  (position) or by name, unmentioned target columns NULL-fill, every
+  column casts to the target's pinned type, CHECK constraints
+  validate, and the staged files commit as a plain APPEND (the
+  cheapest verb the format has). ``VALUES`` rows go through SELECT
+  (``SELECT * FROM VALUES ... AS t(...)``) — one query shape, no
+  second parser.
 
 Table names resolve through an explicit ``tables`` mapping (name →
 snapshot root directory) — the jar-less format has no catalog, so
@@ -58,6 +66,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from bfs_mapreduce_spark.sources import table_snapshots as ts
 
@@ -337,6 +346,12 @@ _DELETE_HEAD = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_INSERT_HEAD = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\))?\s*"
+    rf"(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def sql_dml(
     spark: SparkSession,
@@ -445,8 +460,67 @@ def sql_dml(
             "n_deleted": n_deleted,
             "affected_files": affected,
         }
+    if verb == "INSERT":
+        m = _INSERT_HEAD.match(stmt)
+        if not m:
+            raise ValueError(
+                "cannot parse INSERT — expected INSERT INTO <table> "
+                "[(cols)] SELECT ... (VALUES rows: SELECT * FROM "
+                "VALUES ... AS t(...))"
+            )
+        tname, cols_text, query = m.groups()
+        if tname not in tables:
+            raise ValueError(
+                f"unknown table {tname!r} — pass its snapshot root in "
+                "the tables mapping"
+            )
+        root = tables[tname]
+        target = ts.read(spark, root)
+        tcols = target.columns
+        ttypes = {f.name: f.dataType for f in target.schema.fields}
+        df = spark.sql(query)
+        if cols_text:
+            named = [c.strip() for c in cols_text.split(",")]
+            bad = sorted(set(named) - set(tcols))
+            if bad:
+                raise ValueError(
+                    f"INSERT names unknown column(s) {bad} — table "
+                    f"columns are {tcols}"
+                )
+            if len(df.columns) != len(named):
+                raise ValueError(
+                    f"INSERT column/value arity mismatch: {len(named)} "
+                    f"columns, SELECT yields {len(df.columns)}"
+                )
+            df = df.toDF(*named)  # positional alignment to the list
+        else:
+            missing = sorted(set(tcols) - set(df.columns))
+            extra = sorted(set(df.columns) - set(tcols))
+            if missing or extra:
+                raise ValueError(
+                    "INSERT without a column list aligns by NAME; the "
+                    f"SELECT is missing {missing} and adds {extra}"
+                )
+        out = df.select(
+            *[
+                (
+                    F.col(c) if c in df.columns else F.lit(None)
+                ).cast(ttypes[c]).alias(c)
+                for c in tcols
+            ]
+        )
+        base = ts.current_version(root)
+        mfst = ts.read_manifest(root, base)
+        ts._validate_checks(out, mfst.get("checks", {}))
+        staged = ts.stage_files(out, root)
+        version = ts.commit(root, staged, base_version=base)
+        return {
+            "operation": "insert",
+            "version": version,
+            "files": staged,
+        }
     raise ValueError(
         f"unsupported DML verb {verb!r} — sql_dml handles MERGE INTO, "
-        "UPDATE, and DELETE FROM (SELECTs go through register_sql_view "
-        "+ spark.sql)"
+        "UPDATE, DELETE FROM, and INSERT INTO ... SELECT (plain "
+        "SELECTs go through register_sql_view + spark.sql)"
     )

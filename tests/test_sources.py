@@ -4708,6 +4708,24 @@ def test_sql_dml_merge_update_delete(spark, tmp_path):
     assert r["operation"] == "delete" and r["n_deleted"] > 0
     assert all(r2["k"] % 2 == 0 for r2 in ts.read(spark, root).collect())
 
+    # INSERT INTO ... SELECT through the column-list path: appended
+    # rows land, NULL-fill/casting handled, plain APPEND commit
+    r = sql_dml(
+        spark,
+        "INSERT INTO acct (k, amount, status) "
+        "SELECT id + 100, CAST(id AS DOUBLE), 'new' FROM range(3)",
+        cat,
+    )
+    assert r["operation"] == "insert"
+    got = {
+        r2["k"]: (r2["amount"], r2["status"])
+        for r2 in ts.read(spark, root).collect()
+        if r2["k"] >= 100
+    }
+    assert got == {100: (0.0, "new"), 101: (1.0, "new"), 102: (2.0, "new")}
+    with _pytest.raises(ValueError, match="cannot parse INSERT"):
+        sql_dml(spark, "INSERT INTO acct VALUES (1, 2.0, 'x')", cat)
+
     # refusals: non-equi ON, unknown table, unknown verb
     with _pytest.raises(ValueError, match="equi-joins"):
         sql_dml(
