@@ -31,7 +31,15 @@ def get_session(
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = cpus or (os.cpu_count() or 8)
+        # AQE coalesces DOWN only — the static count is a hard UPPER
+        # bound on shuffle granularity, so at x100-scale shuffles
+        # (300M-row edge joins) 32 partitions means ~10M rows each and
+        # disk spill. SPARK_GRAFT_SHUFFLE_PARTITIONS raises the bound
+        # for stress runs (round 17); the default stays core-count for
+        # the certified small-SF profile.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+        ) or cpus or (os.cpu_count() or 8)
     # In local mode the driver JVM IS the executor; Spark's 1g default
     # heap caps the workload far below the host (measured: a 15 M-edge
     # BFS OOMs at 1g, runs at 12g). Only effective at JVM launch —
