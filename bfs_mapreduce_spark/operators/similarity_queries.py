@@ -1264,20 +1264,52 @@ def _pq_scores_np(base: DataFrame, book: DataFrame, argmin: bool) -> DataFrame:
 def _pq_encode(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Product-quantization build shared by the IVF-PQ queries:
     fixed-size per-subspace codebooks (``_PQ_M x _PQ_K`` sample-rank
-    means — :func:`sampled_pq_codebook`, round 17), corpus codes
-    (nearest codebook id per (vector, subspace)), and the query-side
-    ADC lookup table. Returns ``(codes, lut)``; ``base`` must carry
-    (vec_id, v)."""
+    means — :func:`sampled_pq_codebook`, round 17), and the corpus
+    codes PACKED one row per vector (``(vec_id, codes array)`` —
+    nearest codeword per subspace in subspace order, emitted straight
+    from the encode GEMM so no pivot aggregation or per-(vector,
+    subspace) rows ever exist; the row-form
+    ``_pq_scores_np(argmin=True)`` remains as the reference twin).
+    Returns ``(codes, book)``; ``base`` must carry (vec_id, v). The
+    query-side ADC LUT is not a frame at all — the fused scan
+    (:func:`_adc_rerank`) recomputes it in-UDF from the driver
+    codebook (round 17, second x100 iteration)."""
+    import numpy as np
+    import pandas as pd
+
     book = sampled_pq_codebook(base)
-    # Arrow-batched scoring (round 13): codes run as numpy subspace
-    # distances per batch instead of an expression-evaluated
-    # (vector-subspace) x codewords join — the join was 116 s of the
-    # 10x stress point's 127 (BASELINE.md round-13 table). The
-    # codebook is m x _PQ_K rows by construction now; the query-side
-    # ADC LUT is no longer a frame at all — the fused scan
-    # (:func:`_adc_rerank`) recomputes it in-UDF from the driver
-    # codebook (round 17, second x100 iteration).
-    codes = _pq_scores_np(base, book, argmin=True)
+    S, J, B = _book_matrices(book)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
+            cols = []
+            for s in S:
+                Vs = V[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+                # identical arithmetic + snap to _pq_scores_np: first
+                # argmin over ascending-j columns == min(d2, j)
+                d2 = (
+                    np.floor(
+                        ((Vs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                )
+                cols.append(J[s][d2.argmin(axis=1)])
+            M = np.stack(cols, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(M),
+                }
+            )
+
+    codes = base.select("vec_id", "v").mapInPandas(
+        encode, "vec_id bigint, codes array<bigint>"
+    )
     return codes, book
 
 
@@ -1445,25 +1477,19 @@ def _adc_rerank(
     ranking/rounding discipline as both engines' oracles.
 
     ``probes`` = (query_id, cell); ``member`` = (vec_id, cell);
-    ``codes`` = (vec_id, s, code); ``book`` = (s, j, cv)."""
+    ``codes`` = (vec_id, codes array — subspace order, packed by
+    :func:`_pq_encode`); ``book`` = (s, j, cv)."""
     import numpy as np
     import pandas as pd
 
     S, J, B = _book_matrices(book)
     sl = int(shortlist)
 
-    codes_arr = (
-        codes.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
-        .select(
-            "vec_id", F.transform("sc", lambda t: t["code"]).alias("codes")
-        )
-    )
     left = probes.join(
         base.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv0")),
         "query_id",
     ).select("cell", "query_id", "qv0")
-    right = member.join(codes_arr, "vec_id").select("cell", "vec_id", "codes")
+    right = member.join(codes, "vec_id").select("cell", "vec_id", "codes")
 
     def scan(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(

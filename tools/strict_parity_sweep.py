@@ -7,7 +7,7 @@ The repo convention this enforces: any float produced by genuinely
 floating or engine-rounded math must be snapped to the 1e-6 grid in
 BOTH dialects (see q1 sum_charge / q14 promo_share history).
 
-Two modes:
+Three modes:
 
   # full sweep of every oracle-paired catalog query (default sf0.01)
   PYTHONPATH=/root/repo python tools/strict_parity_sweep.py [sf_dir]
@@ -15,6 +15,13 @@ Two modes:
   # bench-scale certification: the headline suite at sf0.1, JSON out
   PYTHONPATH=/root/repo python tools/strict_parity_sweep.py \\
       --certify /root/testdata/sf0.1 PARITY_sf01.json
+
+  # FULL-CATALOG certification with JSON out (what
+  # PARITY_sf01_full.json is made of; --certify writes only the
+  # 16-query headline set — round 17 added this mode after the
+  # headline set briefly overwrote the full artifact)
+  PYTHONPATH=/root/repo python tools/strict_parity_sweep.py \\
+      --full /root/testdata/sf0.1 PARITY_sf01_full.json
 
 Certification exists because the driver's correctness gate runs at
 sf0.01 while the bench runs sf0.1: a wrong answer that only manifests
@@ -131,6 +138,10 @@ def main() -> int:
         sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
         json_out = argv[2] if len(argv) > 2 else "PARITY_sf01.json"
         return run(sf_dir, _certify_set(), json_out)
+    if argv and argv[0] == "--full":
+        sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+        json_out = argv[2] if len(argv) > 2 else "PARITY_sf01_full.json"
+        return run(sf_dir, None, json_out)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     # optional query names after sf_dir: sweep only those
     names = argv[1:] or None
