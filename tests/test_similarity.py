@@ -246,22 +246,27 @@ def test_ivfpq_spill_recall_and_shape(spark, sf_oracle_dir):
 
 
 def test_driver_codebook_cap_refuses(spark):
-    """Round-14 verdict ask #8: the centroid/codebook driver collects
-    are capped — a high-label-cardinality corpus fails loudly with
-    guidance instead of growing the closure until the driver OOMs."""
+    """Round-14 verdict ask #8 (cap raised round 18 with the broadcast
+    move): the centroid/codebook driver collects are capped — an
+    oversized user-supplied centroid frame fails loudly with guidance
+    instead of growing the driver copy + broadcast without bound. The
+    derived-k ceiling (_IVF_K_CAP) must stay under the collect cap so
+    every built-in query is refusal-free by construction."""
     import pytest
     from pyspark.sql import functions as F
 
     from bfs_mapreduce_spark.operators import similarity_queries as sq
 
-    big = spark.range(70000).select(
+    assert sq._IVF_K_CAP < sq._MAX_DRIVER_CODEBOOK
+    n = sq._MAX_DRIVER_CODEBOOK + 1
+    big = spark.range(n).select(
         F.col("id").alias("cell"),
         F.array(*[F.lit(1.0)] * 4).alias("cv"),
         F.lit(2.0).alias("cn"),
     )
     with pytest.raises(ValueError, match="centroid frame exceeds"):
         sq._cent_matrix(big)
-    book = spark.range(70000).select(
+    book = spark.range(n).select(
         (F.col("id") % 8).cast("int").alias("s"),
         F.col("id").alias("j"),
         F.array(*[F.lit(1.0)] * 8).alias("cv"),
