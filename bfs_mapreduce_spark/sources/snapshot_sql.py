@@ -51,9 +51,13 @@ Caveats, stated rather than hidden: expressions and conditions pass
 through to ``F.expr`` verbatim after alias normalization, so any
 deterministic Spark SQL scalar expression works; the keyword split
 recognizes ``WHEN`` only when followed by ``[NOT] MATCHED``, so
-``CASE WHEN`` inside assignment expressions is safe, but a string
-LITERAL containing ``when matched`` inside a merge clause expression
-is not parseable by this shim (put it in the USING subquery).
+``CASE WHEN`` inside assignment expressions is safe, and the clause
+body splits at the first ``THEN`` at CASE-depth 0 outside string
+literals (round 18), so ``CASE ... THEN ... END`` inside a ``WHEN
+MATCHED AND <cond>`` condition nests correctly too. The one
+remaining hole: a string LITERAL containing ``when matched`` inside
+a merge clause expression is not parseable by this shim (put it in
+the USING subquery).
 
 Reference parity note: the reference engine (BFS-MapReduce) has no
 DML surface at all; this module is engine-ambition surface named by
@@ -188,11 +192,49 @@ _MERGE_HEAD = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-_CLAUSE = re.compile(
-    r"^(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
-    r"\s*(?:AND\s+(.*?))?\s*THEN\s+(.*?)\s*$",
-    re.IGNORECASE | re.DOTALL,
+_CLAUSE_KIND = re.compile(
+    r"^(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)\s*",
+    re.IGNORECASE,
 )
+
+
+def _split_clause(raw: str) -> tuple[str, str | None, str] | None:
+    """``WHEN``-clause body → (kind, condition|None, action).
+
+    The clause terminator is the first ``THEN`` at CASE-depth 0
+    outside string literals (round 18, ADVICE): a ``CASE WHEN ...
+    THEN ... END`` inside a ``WHEN MATCHED AND <cond>`` condition
+    nests, so its inner ``THEN``s are skipped by tracking CASE/END
+    depth, while the action's own CASE expressions sit after the
+    split and are never scanned. A lazy-regex split at the first
+    ``THEN`` (the round-17 shape) mis-split exactly that case."""
+    km = _CLAUSE_KIND.match(raw)
+    if not km:
+        return None
+    kind, rest = km.group(1), raw[km.end() :]
+    offset = depth = 0
+    for lit, seg in _split_quoted(rest):
+        if not lit:
+            for wm in re.finditer(r"\b(CASE|END|THEN)\b", seg, re.IGNORECASE):
+                word = wm.group(1).upper()
+                if word == "CASE":
+                    depth += 1
+                elif word == "END":
+                    depth = max(0, depth - 1)
+                elif depth == 0:
+                    head = rest[: offset + wm.start()].strip()
+                    action = rest[offset + wm.end() :].strip()
+                    cond = None
+                    if head:
+                        am = re.match(
+                            r"^AND\s+(.*)$", head, re.IGNORECASE | re.DOTALL
+                        )
+                        if not am:
+                            return None
+                        cond = am.group(1).strip()
+                    return kind, cond, action
+        offset += len(seg)
+    return None
 
 
 def _parse_merge(spark: SparkSession, stmt: str, tables: dict[str, str]):
@@ -255,10 +297,10 @@ def _parse_merge(spark: SparkSession, stmt: str, tables: dict[str, str]):
     for raw in _WHEN_SPLIT.split(body):
         if not raw.strip():
             continue
-        cm = _CLAUSE.match(raw.strip())
+        cm = _split_clause(raw.strip())
         if not cm:
             raise ValueError(f"cannot parse merge clause {raw.strip()!r}")
-        kind, cond, action = cm.groups()
+        kind, cond, action = cm
         kind = re.sub(r"\s+", " ", kind.upper())
         cond = (
             _norm_aliases(cond.strip(), t_alias, s_alias) if cond else None
@@ -403,7 +445,8 @@ def sql_dml(
                 "the tables mapping"
             )
         root = tables[tname]
-        cols = ts.read(spark, root).columns
+        target = ts.read(spark, root)
+        cols = target.columns
         aliases = [a for a in (alias, tname) if a]
 
         def to_t(expr: str) -> str:
@@ -417,8 +460,27 @@ def sql_dml(
         # An empty keyed source makes every target row NOT MATCHED BY
         # SOURCE — merge_into's clause engine (file narrowing, CAS
         # rebase, CDF images) runs UPDATE without a second code path.
-        key = cols[0]
-        empty = ts.read(spark, root).select(key).limit(0)
+        # The key is only a join column against ZERO source rows, but
+        # merge_into's equi-join still requires a joinable type, so
+        # pick the first ATOMIC column (round 18, ADVICE — cols[0]
+        # could be an array/map and fail a join UPDATE never needed).
+        from pyspark.sql import types as T
+
+        atomic = [
+            f.name
+            for f in target.schema.fields
+            if not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        if not atomic:
+            raise ValueError(
+                "UPDATE via merge needs at least one atomic-typed "
+                f"column to join on; {tname!r} has only "
+                "array/map/struct columns"
+            )
+        key = atomic[0]
+        empty = target.select(key).limit(0)
         version, staged, untouched = ts.merge_into(
             spark,
             root,

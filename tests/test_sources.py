@@ -4745,6 +4745,62 @@ def test_sql_dml_merge_update_delete(spark, tmp_path):
         sql_dml(spark, "SELECT 1", cat)
 
 
+def test_sql_dml_case_then_and_array_first_column(spark, tmp_path):
+    """Round 18 (ADVICE): the merge-clause split is CASE-aware — a
+    ``CASE WHEN ... THEN ... END`` inside a ``WHEN MATCHED AND``
+    condition (and in the UPDATE action) nests instead of mis-
+    splitting at its inner THEN — and UPDATE's empty-source merge
+    joins on the first ATOMIC column, so a table whose first column
+    is an array still takes bare UPDATEs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    # array FIRST: the old cols[0] key choice would feed an
+    # unjoinable array column into the empty-source merge
+    d = spark.range(6).select(
+        F.array(F.col("id"), F.col("id") * 2).alias("tags"),
+        F.col("id").alias("k"),
+        (F.col("id") * 10.0).alias("amount"),
+    )
+    ts.commit(
+        root,
+        ts.stage_files(d.coalesce(1), root),
+        base_version=0,
+        schema=d.schema.json(),
+    )
+    cat = {"t2": root}
+
+    r = sql_dml(spark, "UPDATE t2 SET amount = amount + 0.5 WHERE k >= 4", cat)
+    assert r["operation"] == "update"
+    rows = {r2["k"]: r2["amount"] for r2 in ts.read(spark, root).collect()}
+    assert rows[4] == 40.5 and rows[5] == 50.5 and rows[3] == 30.0
+
+    # CASE ... THEN inside the clause CONDITION and inside the action
+    spark.range(6).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "dml_case_src"
+    )
+    r = sql_dml(
+        spark,
+        """
+        MERGE INTO t2 USING dml_case_src s ON t2.k = s.k
+        WHEN MATCHED AND CASE WHEN t2.k < 2 THEN true ELSE false END THEN
+          UPDATE SET amount = CASE WHEN t2.k = 0 THEN -1.0 ELSE -2.0 END
+        WHEN MATCHED THEN UPDATE SET amount = t2.amount + 100.0
+        """,
+        cat,
+    )
+    assert r["operation"] == "merge"
+    rows = {r2["k"]: r2["amount"] for r2 in ts.read(spark, root).collect()}
+    assert rows[0] == -1.0 and rows[1] == -2.0
+    assert rows[2] == 120.0 and rows[5] == 150.5
+
+
 def test_vacuum_orphans_raced_with_live_stager(spark, tmp_path):
     """Round 17 (verdict ask #7): vacuum(orphans=True) under
     concurrency — a writer STAGING DURING the sweep keeps every fresh
