@@ -632,6 +632,111 @@ def run_llm_scale(
         yield rec
 
 
+def run_media_corpus_scale(
+    spark,
+    sf_dir: str = "/root/testdata/sf0.1",
+    factors=(1, 10),
+    out_dir: str = "/tmp/bfs_mapreduce_spark_scale",
+    queries=(
+        "q_multimodal_audio_spectrum",
+        "q_multimodal_audio_g711",
+        "q_multimodal_dedup",
+        "q_multimodal_gif_frames",
+        "q_multimodal_video_frames",
+    ),
+) -> Iterator[dict]:
+    """Decade-scale stress for the multimodal/codec tier (round 18,
+    verdict ask #5 — the one tier with no x10/x100 artifact): run the
+    r17-green multimodal catalog queries against the factor-staged
+    corpus (:func:`synthesize_corpus` — blobs derive from documents.
+    text, so the same staging serves) and report, per query: build /
+    execute seconds, result rows, and the EXCHANGE COUNT parsed from
+    the executed plan — the ``_fan`` claim under test is "at most one
+    exchange, round-robin, blobs move once"; a second exchange
+    appearing at factor 10/100 names a replan hazard no sf0.1 plan
+    pin can see.
+
+    Each factor record also carries the Arrow-batch envelope measured
+    from the WAV blob frame (the widest blob family the audio queries
+    ship through mapInPandas): blob count, mean/max blob bytes, post-
+    ``_fan`` partition count and max rows per partition, and the
+    implied peak in-flight Arrow batch bytes
+    ``min(max_rows_per_partition, arrow maxRecordsPerBatch) x
+    mean_blob_bytes`` — the number that decides whether a codec task
+    OOMs when the corpus grows 100x but the partition count doesn't."""
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.operators.multimodal_queries import (
+        _fan,
+        _with_wav_blob,
+    )
+    from bfs_mapreduce_spark.registry import all_queries
+
+    catalog = all_queries()
+    os.makedirs(out_dir, exist_ok=True)
+    for factor in factors:
+        root = synthesize_corpus(sf_dir, factor, out_dir)
+        blobs = _fan(_with_wav_blob(spark, root).select("doc_id", "blob"))
+        env = (
+            blobs.select(
+                F.spark_partition_id().alias("pid"),
+                F.length("blob").alias("nb"),
+            )
+            .groupBy("pid")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("nb").alias("bytes"),
+                F.max("nb").alias("max_blob"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("partitions"),
+                F.sum("rows").alias("blob_rows"),
+                F.max("rows").alias("max_rows_per_part"),
+                F.sum("bytes").alias("blob_bytes"),
+                F.max("max_blob").alias("max_blob_bytes"),
+            )
+            .first()
+        )
+        arrow_cap = int(
+            spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        )
+        mean_blob = env["blob_bytes"] / max(1, env["blob_rows"])
+        rec = {
+            "sf_dir": sf_dir,
+            "factor": factor,
+            "corpus": root,
+            "blob_rows": env["blob_rows"],
+            "blob_bytes": int(env["blob_bytes"]),
+            "max_blob_bytes": int(env["max_blob_bytes"]),
+            "fan_partitions": env["partitions"],
+            "max_rows_per_part": env["max_rows_per_part"],
+            "arrow_max_records_per_batch": arrow_cap,
+            "est_peak_arrow_batch_bytes": int(
+                min(env["max_rows_per_part"], arrow_cap) * mean_blob
+            ),
+            "queries": {},
+        }
+        for name in queries:
+            q = catalog[name]
+            t0 = time.perf_counter()
+            df = q.build(spark, root)
+            n_exchange = df._jdf.queryExecution().executedPlan().toString().count(
+                "Exchange"
+            )
+            t1 = time.perf_counter()
+            rows = df.count()
+            t2 = time.perf_counter()
+            spark.catalog.clearCache()  # factor isolation: no cross-run reuse
+            rec["queries"][name] = {
+                "build_sec": round(t1 - t0, 3),
+                "execute_sec": round(t2 - t1, 3),
+                "total_sec": round(t2 - t0, 3),
+                "rows": rows,
+                "plan_exchanges": n_exchange,
+            }
+        yield rec
+
+
 # ---------------------------------------------------------------- streaming state pressure
 
 # (events, distinct keys) per micro-batch. Cardinality ramps 1k -> 8k

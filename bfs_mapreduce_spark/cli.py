@@ -296,9 +296,26 @@ def _bench_media(args: argparse.Namespace) -> int:
     """Per-codec encode/decode throughput (MB pixels /s/core) in the
     exact configurations the multimodal catalog queries run, plus the
     phase-split of the video query's per-document pipeline
-    (BASELINE.md codec-tier table)."""
+    (BASELINE.md codec-tier table). With --factor, the corpus-scale
+    mode instead (round 18): multimodal catalog queries against a
+    factor-staged corpus — per-query seconds, plan exchange counts,
+    and the Arrow-batch envelope per factor."""
     import json
 
+    if getattr(args, "factor", None):
+        from bfs_mapreduce_spark.benchmarks import run_media_corpus_scale
+
+        spark, owned = _owned_session(app_name="bench_media_scale")
+        try:
+            for rec in run_media_corpus_scale(
+                spark, sf_dir=args.sf_dir, factors=tuple(args.factor)
+            ):
+                print(json.dumps(rec))
+                sys.stdout.flush()
+        finally:
+            if owned:
+                spark.stop()
+        return 0
     from bfs_mapreduce_spark.benchmarks import run_media_scale
 
     for rec in run_media_scale(args.sf_dir):
@@ -910,6 +927,15 @@ def main(argv: list[str] | None = None) -> int:
         "the video query's per-document phase split (JSON line per codec)",
     )
     bm.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    bm.add_argument(
+        "--factor",
+        type=int,
+        action="append",
+        help="corpus-scale mode (round 18): stage a factor-times "
+        "documents corpus and run the multimodal catalog queries "
+        "against it (one JSON line per factor: per-query seconds, "
+        "plan exchange counts, Arrow-batch envelope); repeatable",
+    )
     bm.set_defaults(fn=_bench_media)
 
     args = ap.parse_args(argv)
