@@ -4801,6 +4801,189 @@ def test_sql_dml_case_then_and_array_first_column(spark, tmp_path):
     assert rows[2] == 120.0 and rows[5] == 150.5
 
 
+def test_sql_ddl_overwrite_ctas_evolving_merge(spark, tmp_path):
+    """Round 18 (verdict ask #4): INSERT OVERWRITE commits a REPLACE
+    manifest (atomic truncate-and-load, history intact), CREATE TABLE
+    AS SELECT creates (and refuses to re-create), CREATE OR REPLACE
+    replaces the schema wholesale with field-id continuity by name,
+    and a MERGE with evolve_schema=True widens the target with new
+    source columns — untouched files NULL-fill on read."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    root = str(tmp_path / "ct")
+    cat = {"ct": root}
+
+    # ---- CTAS creates; plain CREATE refuses a second time ---------
+    r = sql_dml(
+        spark,
+        "CREATE TABLE ct AS SELECT id AS k, CAST(id * 10 AS DOUBLE) AS v "
+        "FROM range(4)",
+        cat,
+    )
+    assert r["operation"] == "create" and r["version"] == 1
+    assert sorted(
+        (x["k"], x["v"]) for x in ts.read(spark, root).collect()
+    ) == [(0, 0.0), (1, 10.0), (2, 20.0), (3, 30.0)]
+    with _pytest.raises(ValueError, match="already exists"):
+        sql_dml(spark, "CREATE TABLE ct AS SELECT 1 AS x", cat)
+
+    # ---- INSERT OVERWRITE: whole file list replaced, v1 still reads
+    r = sql_dml(
+        spark,
+        "INSERT OVERWRITE ct (k, v) "
+        "SELECT id + 100, CAST(id AS DOUBLE) FROM range(2)",
+        cat,
+    )
+    assert r["operation"] == "overwrite"
+    assert sorted(
+        (x["k"], x["v"]) for x in ts.read(spark, root).collect()
+    ) == [(100, 0.0), (101, 1.0)]
+    assert ts.read(spark, root, version=1).count() == 4  # time travel
+
+    # ---- CREATE OR REPLACE: new schema pinned wholesale -----------
+    r = sql_dml(
+        spark,
+        "CREATE OR REPLACE TABLE ct AS "
+        "SELECT id AS k, CONCAT('s', id) AS label FROM range(3)",
+        cat,
+    )
+    assert r["operation"] == "create_replace"
+    cur = ts.read(spark, root)
+    assert sorted(cur.columns) == ["k", "label"]  # v is GONE, not NULL
+    assert cur.count() == 3
+    assert ts.read(spark, root, version=2).count() == 2  # history intact
+
+    # ---- evolving MERGE: new source column widens the table -------
+    root2 = str(tmp_path / "ev")
+    os.makedirs(root2)
+    d = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("amount")
+    )
+    # two files so the merge leaves one UNTOUCHED (its rows must
+    # NULL-fill the evolved column on read)
+    ts.commit(
+        root2,
+        ts.stage_files(d.repartition(2, "k"), root2),
+        base_version=0,
+        schema=d.schema.json(),
+    )
+    cat2 = {"ev": root2}
+    spark.createDataFrame(
+        [(5, 50.0, "gold"), (6, 60.0, "new")], "k long, amount double, tier string"
+    ).createOrReplaceTempView("ev_src")
+    with _pytest.raises(ValueError, match="unknown column"):
+        # strict mode still refuses an assignment to the unknown col
+        sql_dml(
+            spark,
+            "MERGE INTO ev USING ev_src s ON ev.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET tier = s.tier",
+            cat2,
+        )
+    r = sql_dml(
+        spark,
+        "MERGE INTO ev USING ev_src s ON ev.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        cat2,
+        evolve_schema=True,
+    )
+    assert r["operation"] == "merge"
+    got = {
+        x["k"]: (x["amount"], x["tier"])
+        for x in ts.read(spark, root2).collect()
+    }
+    assert got[5] == (50.0, "gold") and got[6] == (60.0, "new")
+    # untouched rows NULL-fill the evolved column
+    assert got[0] == (0.0, None) and len(got) == 7
+    assert r["untouched"]  # at least one file rode by reference
+
+
+def test_sql_dml_raced_merge_delete(spark, tmp_path, monkeypatch):
+    """Round 18 (verdict ask #7): the file-granular rebase matrix
+    holds UNDER THE SQL ENTRY — a sql_dml MERGE whose CAS loses to a
+    concurrent sql_dml DELETE commutes when the delete's files are
+    disjoint from the merge's stats-pruned read set (both commit),
+    and refuses with ConcurrentWriteConflict when they overlap."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    cat = {"rt": root}
+    lo = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("val")
+    )
+    hi = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("val")
+    )
+    files = ts.stage_files(lo.coalesce(1), root) + ts.stage_files(
+        hi.coalesce(1), root
+    )
+    ts.commit(
+        root,
+        files,
+        base_version=0,
+        schema=lo.schema.json(),
+        stats=ts.collect_stats(files, ["k"]),  # enables range pruning
+    )
+    spark.createDataFrame(
+        [(3, 30.0), (50, 55.0)], "k long, val double"
+    ).createOrReplaceTempView("race_src")
+    merge_stmt = (
+        "MERGE INTO rt USING race_src s ON rt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+    # disjoint: the merge's read set is the LOW file only (source keys
+    # 3/50 prune the 100-109 file); the concurrent DELETE masks rows
+    # of the HIGH file — the loser rebases and BOTH land
+    _interpose_once(
+        monkeypatch,
+        lambda: sql_dml(spark, "DELETE FROM rt WHERE k = 105", cat),
+    )
+    r = sql_dml(spark, merge_stmt, cat)
+    assert r["operation"] == "merge"
+    got = {x["k"]: x["val"] for x in ts.read(spark, root).collect()}
+    assert got[3] == 30.0 and got[50] == 55.0  # merge landed
+    assert 105 not in got and got[104] == 1.0  # delete held
+    monkeypatch.undo()
+
+    # overlapping: the concurrent DELETE masks a row of the file the
+    # merge scanned — the rebase refuses, the merge does NOT commit
+    spark.createDataFrame(
+        [(4, 44.0)], "k long, val double"
+    ).createOrReplaceTempView("race_src2")
+    _interpose_once(
+        monkeypatch,
+        lambda: sql_dml(spark, "DELETE FROM rt WHERE k = 7", cat),
+    )
+    with _pytest.raises(ts.ConcurrentWriteConflict, match="read set"):
+        sql_dml(
+            spark,
+            "MERGE INTO rt USING race_src2 s ON rt.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            cat,
+        )
+    got = {x["k"]: x["val"] for x in ts.read(spark, root).collect()}
+    assert 7 not in got  # the delete (winner) is live
+    assert got[4] == 1.0  # the refused merge left no trace
+
+
 def test_vacuum_orphans_raced_with_live_stager(spark, tmp_path):
     """Round 17 (verdict ask #7): vacuum(orphans=True) under
     concurrency — a writer STAGING DURING the sweep keeps every fresh
