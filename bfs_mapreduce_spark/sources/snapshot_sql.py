@@ -41,6 +41,35 @@ partial parse would corrupt a table):
   cheapest verb the format has). ``VALUES`` rows go through SELECT
   (``SELECT * FROM VALUES ... AS t(...)``) — one query shape, no
   second parser.
+- ``INSERT OVERWRITE [TABLE] <root-name> [(cols)] SELECT ...``
+  (round 18, verdict ask #4) — same alignment/casting/CHECK path,
+  but the staged files commit as a REPLACE manifest: atomic
+  truncate-and-load, and every prior version still time-travels.
+- ``CREATE [OR REPLACE] TABLE <root-name> AS SELECT ...`` (round
+  18) — the name still resolves through ``tables`` (the caller owns
+  the path; there is no catalog). Plain CREATE refuses if the table
+  has versions; OR REPLACE commits a REPLACE manifest whose schema
+  REPLACES the pinned one with field-id continuity by name
+  (Iceberg's REPLACE TABLE rule — same-name same/widened-type
+  columns keep their ids, everything else is drop+add).
+
+- Maintenance/DDL verbs (round 18) — each routed onto its existing
+  Python verb, no second implementation: ``ALTER TABLE <t> ADD
+  COLUMN[S] (c type, ...)`` (metadata-only, fresh field ids, old
+  files NULL-fill), ``RENAME COLUMN a TO b`` / ``DROP COLUMN c`` /
+  ``ALTER COLUMN c TYPE t`` (the field-id era machinery), ``SET /
+  UNSET TBLPROPERTIES ('k' = 'v', ...)``; ``OPTIMIZE <t> [ZORDER BY
+  (a, b)]`` (compact / optimize_zorder); ``VACUUM <t> [RETAIN n
+  HOURS] [DRY RUN]`` (retention_cutoff + vacuum, 168 h default like
+  Delta); ``DESCRIBE HISTORY <t>`` (the manifest log as rows).
+
+Merge-time schema evolution (round 18): ``sql_dml(...,
+evolve_schema=True)`` lets a MERGE whose source carries columns the
+target lacks WIDEN the table (Delta's ``schema.autoMerge``): the
+union-by-name schema is pinned at commit, rewritten/inserted rows
+carry the new columns, and untouched files NULL-fill them on read.
+The default keeps the strict contract (unknown source columns are
+dropped by ``INSERT *`` / ``UPDATE SET *``).
 
 Table names resolve through an explicit ``tables`` mapping (name →
 snapshot root directory) — the jar-less format has no catalog, so
@@ -67,6 +96,7 @@ grammar.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import SparkSession
@@ -389,10 +419,133 @@ _DELETE_HEAD = re.compile(
 )
 
 _INSERT_HEAD = re.compile(
-    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\))?\s*"
+    rf"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*"
+    rf"(?:\(([^)]*)\))?\s*(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CTAS_HEAD = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+AS\s+"
     rf"(SELECT\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_ALTER_RENAME = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})"
+    rf"\s+TO\s+({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})"
+    rf"\s+TYPE\s+(.+?)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ADD = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_PROPS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(SET|UNSET)\s+TBLPROPERTIES"
+    rf"\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_HEAD = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})"
+    rf"(?:\s+ZORDER\s+BY\s*\(\s*({_IDENT})\s*,\s*({_IDENT})\s*\))?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_HEAD = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
+    rf"(?:\s+(DRY\s+RUN))?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_HEAD = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", re.IGNORECASE
+)
+
+
+def _split_columns_spec(text: str) -> list[tuple[str, str]]:
+    """``(c1 t1, c2 map<string,int>, c3 decimal(18,2))`` → name/type
+    pairs: top-level comma split aware of BOTH parens and angle
+    brackets (``decimal(p,s)`` and ``map<k,v>`` carry inner commas)."""
+    text = text.strip()
+    if text.startswith("(") and text.endswith(")"):
+        text = text[1:-1]
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in text:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out: list[tuple[str, str]] = []
+    for p in parts:
+        m = re.match(rf"\s*({_IDENT})\s+(.+?)\s*$", p, re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse column spec {p.strip()!r}")
+        out.append((m.group(1), m.group(2)))
+    return out
+
+
+def _prop_value(v: str):
+    """TBLPROPERTIES string values to the types the property readers
+    expect: int-looking strings become ints, true/false become bools,
+    anything else stays a string."""
+    if v.isdigit():
+        return int(v)
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
+
+
+def _aligned_frame(spark, target, df, cols_text: str | None):
+    """Align a SELECT's output to the target table: by POSITION
+    against an explicit column list, else by NAME (loud refusal on
+    missing/extra); unmentioned columns NULL-fill; every column casts
+    to the target's pinned type."""
+    tcols = target.columns
+    ttypes = {f.name: f.dataType for f in target.schema.fields}
+    if cols_text:
+        named = [c.strip() for c in cols_text.split(",")]
+        bad = sorted(set(named) - set(tcols))
+        if bad:
+            raise ValueError(
+                f"INSERT names unknown column(s) {bad} — table "
+                f"columns are {tcols}"
+            )
+        if len(df.columns) != len(named):
+            raise ValueError(
+                f"INSERT column/value arity mismatch: {len(named)} "
+                f"columns, SELECT yields {len(df.columns)}"
+            )
+        df = df.toDF(*named)  # positional alignment to the list
+    else:
+        missing = sorted(set(tcols) - set(df.columns))
+        extra = sorted(set(df.columns) - set(tcols))
+        if missing or extra:
+            raise ValueError(
+                "INSERT without a column list aligns by NAME; the "
+                f"SELECT is missing {missing} and adds {extra}"
+            )
+    return df.select(
+        *[
+            (
+                F.col(c) if c in df.columns else F.lit(None)
+            ).cast(ttypes[c]).alias(c)
+            for c in tcols
+        ]
+    )
 
 
 def sql_dml(
@@ -402,6 +555,7 @@ def sql_dml(
     *,
     target_files: int | None = None,
     change_feed: bool | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """Execute one MERGE / UPDATE / DELETE statement against snapshot
     tables. ``tables`` maps statement table names to snapshot roots.
@@ -424,6 +578,7 @@ def sql_dml(
             when_not_matched_by_source=nmbs,
             target_files=target_files,
             change_feed=change_feed,
+            evolve_schema=evolve_schema,
         )
         return {
             "operation": "merge",
@@ -526,11 +681,12 @@ def sql_dml(
         m = _INSERT_HEAD.match(stmt)
         if not m:
             raise ValueError(
-                "cannot parse INSERT — expected INSERT INTO <table> "
-                "[(cols)] SELECT ... (VALUES rows: SELECT * FROM "
-                "VALUES ... AS t(...))"
+                "cannot parse INSERT — expected INSERT INTO|OVERWRITE "
+                "[TABLE] <table> [(cols)] SELECT ... (VALUES rows: "
+                "SELECT * FROM VALUES ... AS t(...))"
             )
-        tname, cols_text, query = m.groups()
+        mode, tname, cols_text, query = m.groups()
+        overwrite = mode.upper() == "OVERWRITE"
         if tname not in tables:
             raise ValueError(
                 f"unknown table {tname!r} — pass its snapshot root in "
@@ -538,51 +694,191 @@ def sql_dml(
             )
         root = tables[tname]
         target = ts.read(spark, root)
-        tcols = target.columns
-        ttypes = {f.name: f.dataType for f in target.schema.fields}
-        df = spark.sql(query)
-        if cols_text:
-            named = [c.strip() for c in cols_text.split(",")]
-            bad = sorted(set(named) - set(tcols))
-            if bad:
-                raise ValueError(
-                    f"INSERT names unknown column(s) {bad} — table "
-                    f"columns are {tcols}"
-                )
-            if len(df.columns) != len(named):
-                raise ValueError(
-                    f"INSERT column/value arity mismatch: {len(named)} "
-                    f"columns, SELECT yields {len(df.columns)}"
-                )
-            df = df.toDF(*named)  # positional alignment to the list
-        else:
-            missing = sorted(set(tcols) - set(df.columns))
-            extra = sorted(set(df.columns) - set(tcols))
-            if missing or extra:
-                raise ValueError(
-                    "INSERT without a column list aligns by NAME; the "
-                    f"SELECT is missing {missing} and adds {extra}"
-                )
-        out = df.select(
-            *[
-                (
-                    F.col(c) if c in df.columns else F.lit(None)
-                ).cast(ttypes[c]).alias(c)
-                for c in tcols
-            ]
-        )
+        out = _aligned_frame(spark, target, spark.sql(query), cols_text)
         base = ts.current_version(root)
         mfst = ts.read_manifest(root, base)
         ts._validate_checks(out, mfst.get("checks", {}))
         staged = ts.stage_files(out, root)
-        version = ts.commit(root, staged, base_version=base)
+        # OVERWRITE commits the staged files as the WHOLE file list
+        # (a REPLACE manifest — Spark's INSERT OVERWRITE semantics:
+        # atomic truncate-and-load, old versions still time-travel);
+        # INTO is the plain APPEND fast path.
+        version = ts.commit(
+            root,
+            staged,
+            base_version=base,
+            replace=overwrite,
+            operation="overwrite" if overwrite else None,
+        )
         return {
-            "operation": "insert",
+            "operation": "overwrite" if overwrite else "insert",
             "version": version,
             "files": staged,
         }
+    if verb == "CREATE":
+        m = _CTAS_HEAD.match(stmt)
+        if not m:
+            raise ValueError(
+                "cannot parse CREATE — expected CREATE [OR REPLACE] "
+                "TABLE <table> AS SELECT ..."
+            )
+        or_replace, tname, query = m.groups()
+        if tname not in tables:
+            raise ValueError(
+                f"unknown table {tname!r} — pass its snapshot root in "
+                "the tables mapping (the jar-less format has no "
+                "catalog, so CTAS needs the caller to own the path)"
+            )
+        root = tables[tname]
+        os.makedirs(root, exist_ok=True)
+        base = ts.current_version(root)
+        if base > 0 and not or_replace:
+            raise ValueError(
+                f"table {tname!r} already exists at version {base} — "
+                "use CREATE OR REPLACE TABLE to replace it"
+            )
+        df = spark.sql(query)
+        staged = ts.stage_files(df, root)
+        # plain CREATE appends to the empty v0; OR REPLACE commits a
+        # REPLACE manifest whose schema REPLACES the pinned one with
+        # field-id continuity by name (commit(schema_replace=True) —
+        # Iceberg's REPLACE TABLE rule), old versions still readable
+        version = ts.commit(
+            root,
+            staged,
+            base_version=base,
+            replace=bool(or_replace) and base > 0,
+            schema=df.schema.json(),
+            schema_replace=bool(or_replace) and base > 0,
+            operation="create_replace" if (or_replace and base > 0) else "create",
+        )
+        return {
+            "operation": "create_replace" if (or_replace and base > 0) else "create",
+            "version": version,
+            "files": staged,
+        }
+    if verb == "ALTER":
+        def _root_of(tname: str) -> str:
+            if tname not in tables:
+                raise ValueError(
+                    f"unknown table {tname!r} — pass its snapshot "
+                    "root in the tables mapping"
+                )
+            return tables[tname]
+
+        if m := _ALTER_RENAME.match(stmt):
+            tname, old, new = m.groups()
+            v = ts.rename_column(_root_of(tname), old, new)
+            return {"operation": "rename_column", "version": v}
+        if m := _ALTER_DROP.match(stmt):
+            tname, col = m.groups()
+            v = ts.drop_column(_root_of(tname), col)
+            return {"operation": "drop_column", "version": v}
+        if m := _ALTER_TYPE.match(stmt):
+            from pyspark.sql.types import _parse_datatype_string
+
+            tname, col, typ = m.groups()
+            # SQL type names -> the schema-json names the era
+            # machinery stores (bigint -> long, int -> integer, ...)
+            v = ts.alter_column_type(
+                _root_of(tname), col, _parse_datatype_string(typ).jsonValue()
+            )
+            return {"operation": "alter_column_type", "version": v}
+        if m := _ALTER_PROPS.match(stmt):
+            tname, mode, body = m.groups()
+            root = _root_of(tname)
+            v = None
+            if mode.upper() == "SET":
+                pairs = re.findall(r"'([^']*)'\s*=\s*'([^']*)'", body)
+                if not pairs:
+                    raise ValueError(
+                        "SET TBLPROPERTIES expects 'key' = 'value' pairs"
+                    )
+                for k, val in pairs:
+                    v = ts.set_property(root, k, _prop_value(val))
+            else:
+                keys = re.findall(r"'([^']*)'", body)
+                if not keys:
+                    raise ValueError("UNSET TBLPROPERTIES expects 'key's")
+                for k in keys:
+                    v = ts.set_property(root, k, None)
+            return {"operation": "set_property", "version": v}
+        if m := _ALTER_ADD.match(stmt):
+            tname, spec = m.groups()
+            root = _root_of(tname)
+            v = None
+            for col, typ in _split_columns_spec(spec):
+                v = ts.add_column(root, col, typ.strip().lower())
+            return {"operation": "add_column", "version": v}
+        raise ValueError(
+            "cannot parse ALTER TABLE — supported: ADD COLUMN[S], "
+            "RENAME COLUMN a TO b, DROP COLUMN c, ALTER COLUMN c "
+            "TYPE t, SET/UNSET TBLPROPERTIES"
+        )
+    if verb == "OPTIMIZE":
+        m = _OPTIMIZE_HEAD.match(stmt)
+        if not m:
+            raise ValueError(
+                "cannot parse OPTIMIZE — expected OPTIMIZE <table> "
+                "[ZORDER BY (colA, colB)]"
+            )
+        tname, za, zb = m.groups()
+        if tname not in tables:
+            raise ValueError(
+                f"unknown table {tname!r} — pass its snapshot root in "
+                "the tables mapping"
+            )
+        root = tables[tname]
+        if za:
+            v = ts.optimize_zorder(spark, root, za, zb)
+            return {"operation": "optimize_zorder", "version": v}
+        v = ts.compact(spark, root, n_files=max(1, target_files or 1))
+        return {"operation": "optimize_compact", "version": v}
+    if verb == "VACUUM":
+        m = _VACUUM_HEAD.match(stmt)
+        if not m:
+            raise ValueError(
+                "cannot parse VACUUM — expected VACUUM <table> "
+                "[RETAIN n HOURS] [DRY RUN]"
+            )
+        tname, hours, dry = m.groups()
+        if tname not in tables:
+            raise ValueError(
+                f"unknown table {tname!r} — pass its snapshot root in "
+                "the tables mapping"
+            )
+        root = tables[tname]
+        age_s = (int(hours) if hours else 168) * 3600.0
+        cutoff = ts.retention_cutoff(root, max_age_s=age_s)
+        deleted = ts.vacuum(root, cutoff, dry_run=bool(dry))
+        return {
+            "operation": "vacuum",
+            "retain_from": cutoff,
+            "dry_run": bool(dry),
+            "deleted": deleted,
+        }
+    if verb == "DESCRIBE":
+        m = _DESCRIBE_HEAD.match(stmt)
+        if not m:
+            raise ValueError(
+                "cannot parse DESCRIBE — expected DESCRIBE HISTORY <table>"
+            )
+        tname = m.group(1)
+        if tname not in tables:
+            raise ValueError(
+                f"unknown table {tname!r} — pass its snapshot root in "
+                "the tables mapping"
+            )
+        return {
+            "operation": "describe_history",
+            "history": ts.history(tables[tname]),
+        }
     raise ValueError(
         f"unsupported DML verb {verb!r} — sql_dml handles MERGE INTO, "
-        "UPDATE, DELETE FROM, and INSERT INTO ... SELECT (plain "
-        "SELECTs go through register_sql_view + spark.sql)"
+        "UPDATE, DELETE FROM, INSERT INTO|OVERWRITE ... SELECT, "
+        "CREATE [OR REPLACE] TABLE ... AS SELECT, ALTER TABLE "
+        "(ADD/RENAME/DROP/ALTER COLUMN, SET/UNSET TBLPROPERTIES), "
+        "OPTIMIZE [ZORDER BY], VACUUM [RETAIN n HOURS] [DRY RUN], "
+        "and DESCRIBE HISTORY (plain SELECTs go through "
+        "register_sql_view + spark.sql)"
     )

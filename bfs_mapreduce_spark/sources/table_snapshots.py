@@ -561,6 +561,50 @@ def alter_column_type(root: str, name: str, new_type: str) -> int:
     )
 
 
+def add_column(root: str, name: str, type_str: str) -> int:
+    """ALTER TABLE ... ADD COLUMN (round 18): metadata-only commit —
+    the new field appends to the pinned schema with a FRESH field id,
+    a schema-log entry opens the new era, and every existing file
+    NULL-fills the column on read (exactly the union-by-name append
+    path ``commit(schema=...)`` takes, without staging any data).
+    ``type_str`` is a Spark simple type string (``bigint``,
+    ``string``, ``array<double>``, ...). Requires a pinned schema."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    latest = current_version(root)
+    m = read_manifest(root, latest)
+    sch = m.get("schema")
+    if sch is None:
+        raise ValueError(
+            "add_column requires a pinned schema — commit with "
+            "schema=df.schema.json() first"
+        )
+    stamped, mx = _ensure_field_ids(sch, int(m.get("max_field_id") or 0))
+    s = json.loads(stamped)
+    if name in [f["name"] for f in s["fields"]]:
+        raise SchemaConflict(f"column {name!r} already exists")
+    field = json.loads(
+        StructType([StructField(name, _parse_datatype_string(type_str))]).json()
+    )["fields"][0]
+    mx += 1
+    field["metadata"] = {**(field.get("metadata") or {}), _FID: mx}
+    s["fields"].append(field)
+    new_sj = json.dumps(s)
+    version = latest + 1
+    log = list(m.get("schema_log") or [])
+    if not log:
+        log.append([latest, stamped])
+    log.append([version, new_sj])
+    return _commit_meta(
+        root,
+        latest,
+        operation="evolve_schema",
+        schema=new_sj,
+        schema_log=log,
+        max_field_id=mx,
+    )
+
+
 def _merge_schema_json(
     base_json: str | None, new_json: str | None, max_id: int = 0
 ) -> tuple[str | None, int]:
@@ -613,6 +657,42 @@ def _merge_schema_json(
                     f"new data says {f['type']}"
                 )
     return json.dumps(base), mx
+
+
+def _replace_schema_json(
+    base_json: str | None, new_json: str, max_id: int = 0
+) -> tuple[str, int]:
+    """Wholesale schema REPLACEMENT with field-id continuity (round
+    18 — CREATE OR REPLACE TABLE): the offered schema becomes the
+    table schema verbatim — columns absent from it are DROPPED, not
+    carried — but ids resolve against the base by name (Iceberg's
+    REPLACE TABLE rule): a same-name column with the same or a
+    safely-widened type keeps its id (old files remain readable
+    through the era machinery); a same-name column with an
+    incompatible type is drop+add — it gets a FRESH id, so old
+    files' bytes for the retired id can never leak into the
+    newcomer. ``max_field_id`` only ever grows."""
+    if base_json is None:
+        return _ensure_field_ids(new_json, max_id)
+    base_json, mx = _ensure_field_ids(base_json, max_id)
+    by_name = {f["name"]: f for f in json.loads(base_json)["fields"]}
+    new = json.loads(new_json)
+    for f in new["fields"]:
+        md = dict(f.get("metadata") or {})
+        prev = by_name.get(f["name"])
+        if prev is not None and (
+            prev["type"] == f["type"]
+            or _widens(prev["type"], f["type"])
+            or _widens(f["type"], prev["type"])
+        ):
+            md[_FID] = (prev.get("metadata") or {})[_FID]
+            if _widens(f["type"], prev["type"]):
+                f["type"] = prev["type"]  # never narrow a kept id
+        else:
+            mx += 1
+            md[_FID] = mx
+        f["metadata"] = md
+    return json.dumps(new), mx
 
 
 # Safe promotions (narrow -> wider): value-preserving, so reading a
@@ -1267,6 +1347,7 @@ def commit(
     partition_spec: list | None = None,
     partitions: dict[str, dict] | None = None,
     change_files: list[str] | None = None,
+    schema_replace: bool = False,
 ) -> int:
     """Commit ``files`` as the next version: append to the base
     version's file list, or ``replace`` the whole list (compaction).
@@ -1380,9 +1461,23 @@ def commit(
             if p in nf
         }
     new_spec = partition_spec or base.get("partition_spec")
-    new_schema, new_max_id = _merge_schema_json(
-        base.get("schema"), schema, int(base.get("max_field_id") or 0)
-    )
+    if schema_replace:
+        # CREATE OR REPLACE TABLE (round 18): the offered schema
+        # REPLACES the pinned one (ids continue by name — see
+        # _replace_schema_json) instead of union-merging; requires a
+        # replace commit (old files under a dropped schema cannot
+        # stay in the live list) and an offered schema.
+        if not replace or schema is None:
+            raise ValueError(
+                "schema_replace requires replace=True and a schema"
+            )
+        new_schema, new_max_id = _replace_schema_json(
+            base.get("schema"), schema, int(base.get("max_field_id") or 0)
+        )
+    else:
+        new_schema, new_max_id = _merge_schema_json(
+            base.get("schema"), schema, int(base.get("max_field_id") or 0)
+        )
     # schema LOG (round 13): one (version, schema) entry per commit
     # that changed the schema, carried forward by every commit — the
     # read path resolves each data file's columns through the schema
@@ -1452,7 +1547,10 @@ def commit(
         "schema": new_schema,
         "deletes": new_deletes,
         "eq_deletes": new_eq,
-        "checks": base.get("checks", {}),
+        # a schema REPLACEMENT defines a new table contract: base
+        # CHECK constraints may reference dropped columns, so they do
+        # not carry (Delta's CREATE OR REPLACE likewise re-declares)
+        "checks": {} if schema_replace else base.get("checks", {}),
     }
     if base.get("properties"):
         payload["properties"] = base["properties"]
@@ -3426,6 +3524,7 @@ def merge_into(
     when_not_matched: list[dict] | None = None,
     when_not_matched_by_source: list[dict] | None = None,
     change_feed: bool | None = None,
+    evolve_schema: bool = False,
 ) -> tuple[int, list[str], list[str]]:
     """Copy-on-write MERGE (Delta's upsert mechanic): rows of the
     current snapshot whose key matches ``source`` are REPLACED by the
@@ -3488,7 +3587,16 @@ def merge_into(
     the merge commit instead of refusing. A merge is the one commit
     kind whose effect set is NOT lazily derivable from retained
     metadata (the source frame is ephemeral), so this is exactly the
-    op where Delta-style change files are the honest design."""
+    op where Delta-style change files are the honest design.
+
+    SCHEMA EVOLUTION (round 18, verdict ask #4 — Delta's
+    ``schema.autoMerge``): with ``evolve_schema=True``, source
+    columns absent from the target WIDEN the table — the commit pins
+    the union-by-name schema (new fields get fresh field ids),
+    rewritten/inserted rows carry the new columns, and rows from
+    untouched files NULL-fill them on read through the existing
+    schema-era machinery. Default ``False`` keeps the strict contract
+    (unknown source columns are dropped by INSERT */SET *)."""
     base = current_version(root)
     m = read_manifest(root, base)
     feed_on = (
@@ -3501,6 +3609,7 @@ def merge_into(
         or when_not_matched is not None
         or when_not_matched_by_source is not None
         or feed_on
+        or evolve_schema
     ):
         return _merge_with_clauses(
             spark,
@@ -3516,6 +3625,7 @@ def merge_into(
             stats_cols=stats_cols,
             target_files=target_files,
             max_retries=max_retries,
+            evolve_schema=evolve_schema,
         )
     # CHECK constraints guard every row the merge ADDS (existing rows
     # were validated when they were written; the rewrite only removes)
@@ -3619,6 +3729,7 @@ def _merge_with_clauses(
     stats_cols: list[str] | None,
     target_files: int | None,
     max_retries: int,
+    evolve_schema: bool = False,
 ) -> tuple[int, list[str], list[str]]:
     """Clause-surface MERGE body (see :func:`merge_into`). Commits a
     REPLACE manifest labeled ``operation='merge'`` carrying optional
@@ -3669,6 +3780,27 @@ def _merge_with_clauses(
             f.name: f.dataType
             for f in StructType.fromJson(json.loads(sch)).fields
         }
+    # ---- merge-time schema evolution (round 18, verdict ask #4) ---
+    # new source columns widen the column set BEFORE clause
+    # validation; target-side frames are augmented with typed NULLs
+    # so every t.<new_col> reference resolves, and the commit below
+    # pins the union schema (untouched files NULL-fill on read via
+    # the schema-era machinery, exactly like an ALTER ADD COLUMN).
+    new_cols: list[str] = []
+    if evolve_schema:
+        new_cols = [c for c in source.columns if c not in cols]
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        for c in new_cols:
+            types[c] = src_types[c]
+        cols = cols + new_cols
+
+    def _aug_new_cols(df: DataFrame) -> DataFrame:
+        for c in new_cols:
+            df = df.withColumn(c, F.lit(None).cast(types[c]))
+        return df
+
+    if tgt_all is not None:
+        tgt_all = _aug_new_cols(tgt_all)
     wm = _merge_validate_clauses(wm, "matched", cols)
     wnm = _merge_validate_clauses(wnm, "not_matched", cols)
     nmbs = _merge_validate_clauses(nmbs, "not_matched_by_source", cols)
@@ -3772,8 +3904,16 @@ def _merge_with_clauses(
         )
 
     if touched:
-        tt = _scan_for_delete(
-            spark, sorted(touched), deletes, sch, m.get("eq_deletes"), era, log
+        tt = _aug_new_cols(
+            _scan_for_delete(
+                spark,
+                sorted(touched),
+                deletes,
+                sch,
+                m.get("eq_deletes"),
+                era,
+                log,
+            )
         )
         jtt = (
             tt.alias("t").join(srcm, join_cond, "left").withColumn("__act", act)
@@ -3849,6 +3989,19 @@ def _merge_with_clauses(
         rewritten = rewritten.unionByName(p)
     if target_files is not None:
         rewritten = rewritten.repartition(target_files)
+    # evolved schema to pin: just the NEW fields when the base has a
+    # pinned schema (commit union-merges, preserving existing ids);
+    # the full rewritten schema when the table had none to extend
+    evo_schema: str | None = None
+    if new_cols:
+        if sch:
+            from pyspark.sql.types import StructType as _EvoST
+
+            evo_schema = _EvoST(
+                [f for f in source.schema.fields if f.name in new_cols]
+            ).json()
+        else:
+            evo_schema = rewritten.schema.json()
     staged = stage_files(rewritten, root)
     # CHECK constraints guard every row the merge ADDS — validated on
     # the staged files (one cheap column-pruned re-read), never by
@@ -3888,6 +4041,7 @@ def _merge_with_clauses(
                 base_version=base,
                 replace=True,
                 stats=stats,
+                schema=evo_schema,
                 operation="merge",
                 change_files=change_files or None,
             )

@@ -4905,6 +4905,99 @@ def test_sql_ddl_overwrite_ctas_evolving_merge(spark, tmp_path):
     assert r["untouched"]  # at least one file rode by reference
 
 
+def test_sql_ddl_alter_optimize_vacuum_history(spark, tmp_path):
+    """Round 18: the maintenance verbs as SQL text — ALTER TABLE
+    ADD/RENAME/DROP/ALTER COLUMN + TBLPROPERTIES (metadata-only, the
+    field-id era machinery underneath), OPTIMIZE [ZORDER BY], VACUUM
+    RETAIN/DRY RUN, DESCRIBE HISTORY — each routed onto its existing
+    Python verb."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    root = str(tmp_path / "mt")
+    os.makedirs(root)
+    cat = {"mt": root}
+    d = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    ts.commit(
+        root,
+        ts.stage_files(d.coalesce(2), root),
+        base_version=0,
+        schema=d.schema.json(),
+    )
+
+    # ADD COLUMNS (multi, generic types) — old rows NULL-fill
+    r = sql_dml(
+        spark,
+        "ALTER TABLE mt ADD COLUMNS (tag string, score decimal(18,2))",
+        cat,
+    )
+    assert r["operation"] == "add_column"
+    cur = ts.read(spark, root)
+    assert cur.columns == ["k", "v", "tag", "score"]
+    assert cur.filter(F.col("tag").isNotNull()).count() == 0
+
+    # RENAME + widen + DROP, then properties
+    sql_dml(spark, "ALTER TABLE mt RENAME COLUMN v TO amount", cat)
+    assert "amount" in ts.read(spark, root).columns
+    sql_dml(spark, "ALTER TABLE mt ALTER COLUMN k TYPE bigint", cat)  # no-op widen
+    sql_dml(spark, "ALTER TABLE mt DROP COLUMN score", cat)
+    assert "score" not in ts.read(spark, root).columns
+    sql_dml(
+        spark,
+        "ALTER TABLE mt SET TBLPROPERTIES ('changeFeed' = 'true', "
+        "'owner' = 'me')",
+        cat,
+    )
+    assert ts.table_property(root, "changeFeed") is True
+    assert ts.table_property(root, "owner") == "me"
+    sql_dml(spark, "ALTER TABLE mt UNSET TBLPROPERTIES ('changeFeed')", cat)
+    assert ts.table_property(root, "changeFeed") is None
+
+    # data survives the whole metadata lifecycle
+    got = {x["k"]: x["amount"] for x in ts.read(spark, root).collect()}
+    assert got == {i: float(i) for i in range(8)}
+
+    # OPTIMIZE: compact to one file
+    r = sql_dml(spark, "OPTIMIZE mt", cat, target_files=1)
+    assert r["operation"] == "optimize_compact"
+    m = ts.read_manifest(root, r["version"])
+    assert len(m["files"]) == 1
+
+    # OPTIMIZE ZORDER BY
+    r = sql_dml(spark, "OPTIMIZE mt ZORDER BY (k, amount)", cat)
+    assert r["operation"] == "optimize_zorder"
+
+    # DESCRIBE HISTORY (before vacuum: expired segments stop time
+    # travel by design): newest first, operations recorded
+    r = sql_dml(spark, "DESCRIBE HISTORY mt", cat)
+    ops = [h["operation"] for h in r["history"]]
+    assert ops[0] == "replace" or "zorder" in ops[0] or "optimize" in ops[0]
+    assert "evolve_schema" in ops and "set_property" in ops
+
+    # VACUUM DRY RUN lists expired files without deleting; RETAIN 0
+    # HOURS expires everything not live
+    r = sql_dml(spark, "VACUUM mt RETAIN 0 HOURS DRY RUN", cat)
+    assert r["dry_run"] and r["deleted"]
+    for p in r["deleted"]:
+        assert os.path.exists(p)
+    r2 = sql_dml(spark, "VACUUM mt RETAIN 0 HOURS", cat)
+    assert sorted(r2["deleted"]) == sorted(r["deleted"])
+    assert not any(os.path.exists(p) for p in r2["deleted"])
+    assert ts.read(spark, root).count() == 8  # live head intact
+
+    # loud refusal on unknown ALTER shapes
+    with _pytest.raises(ValueError, match="cannot parse ALTER"):
+        sql_dml(spark, "ALTER TABLE mt CLUSTER BY (k)", cat)
+
+
 def test_sql_dml_raced_merge_delete(spark, tmp_path, monkeypatch):
     """Round 18 (verdict ask #7): the file-granular rebase matrix
     holds UNDER THE SQL ENTRY — a sql_dml MERGE whose CAS loses to a
