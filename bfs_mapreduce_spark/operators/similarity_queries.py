@@ -276,9 +276,21 @@ def _cent_matrix(cent: DataFrame):
     """Collect a (small) centroid frame to driver-side numpy, sorted
     by cell ascending — the argmax-first-occurrence tie-break then
     equals ``max_by(cosine desc, cell asc)``. Returns
-    ``(cells int64[], C float64[k,d], cn float64[], cell_type_str)``."""
+    ``(cells int64[], C float64[k,d], cn float64[], cell_type_str)``.
+
+    Accepts a :class:`_CentRows` holder (the trained-quantizer cache,
+    round 18) and builds the matrices with ZERO Spark jobs — the
+    rows are exactly what this function would have collected."""
     import numpy as np
 
+    if isinstance(cent, _CentRows):
+        rows = sorted(cent.rows)
+        return (
+            np.array([r[0] for r in rows], dtype=np.int64),
+            np.array([r[1] for r in rows], dtype=np.float64),
+            np.array([r[2] for r in rows], dtype=np.float64),
+            "bigint",
+        )
     rows = cent.select("cell", "cv", "cn").limit(_MAX_DRIVER_CODEBOOK + 1).collect()
     if len(rows) > _MAX_DRIVER_CODEBOOK:
         raise ValueError(
@@ -1120,17 +1132,39 @@ def _sql_samp_recentroid(assign_cte: str, out: str) -> str:
 
 
 # Trained-quantizer cache (round 18, verdict ask #6): the sample
-# permutation + Lloyd rounds + PQ-codebook aggregation are ~0.3 s of
-# Spark jobs that reran on EVERY execute of the IVF-PQ queries even
+# permutation + Lloyd rounds + PQ-codebook aggregation are Spark job
+# chains that reran on EVERY execute of the IVF-PQ queries even
 # though they are pure functions of (corpus bytes, config). Keyed by
 # the corpus's parquet (path, size, mtime_ns) stat fingerprint + every
 # training config, the cache stores the COLLECTED rows (bounded by
-# the same driver cap as the downstream collect) and rebuilds a tiny
-# createDataFrame on hit — identical values by construction (the
-# cached rows ARE the frame the first execute served), so certified
-# hashes cannot move. In-process only: a new session retrains; a
-# rewritten corpus changes the stat fingerprint and misses.
+# the same driver cap as the downstream collect) wrapped as
+# driver-resident row holders that _cent_matrix/_book_matrices
+# consume DIRECTLY — no createDataFrame, no re-collect: a first
+# implementation rebuilt a createDataFrame per execute and each
+# downstream collect paid a ~0.36 s 32-task parallelize job, 4x per
+# execute — measurably SLOWER than retraining at bench scale. Values
+# are identical by construction (the cached rows ARE what the first
+# execute collected), so certified hashes cannot move. In-process
+# only: a new session retrains; a rewritten corpus changes the stat
+# fingerprint and misses.
 _TRAIN_CACHE: dict[tuple, object] = {}
+
+
+class _CentRows:
+    """Driver-resident trained-centroid rows ``[(cell, cv, cn)]`` —
+    a stand-in for the centroid DataFrame accepted by
+    :func:`_cent_matrix` (its only consumer in the cached queries)."""
+
+    def __init__(self, rows: list):
+        self.rows = rows
+
+
+class _BookRows:
+    """Driver-resident PQ-codebook rows ``[(s, j, cv)]`` — a stand-in
+    for the codebook DataFrame accepted by :func:`_book_matrices`."""
+
+    def __init__(self, rows: list):
+        self.rows = rows
 
 
 def _emb_fingerprint(sf_dir: str) -> tuple:
@@ -1160,12 +1194,11 @@ def _cached_emb_count(emb: DataFrame, sf_dir: str) -> int:
 
 def _cached_spill_quantizer(
     spark: SparkSession, sf_dir: str, base: DataFrame, k: int
-) -> DataFrame:
+) -> "_CentRows":
     """The spill query's trained coarse quantizer, served from the
-    cache when this corpus+config was already trained this session.
-    The rebuilt frame is a <= k-row createDataFrame — cheaper for
-    every consumer (the GEMM collect becomes a local scan) than the
-    Lloyd lineage it replaces."""
+    cache when this corpus+config was already trained this session —
+    as driver-resident rows consumed by :func:`_cent_matrix` with
+    zero Spark jobs."""
     key = (
         "spill_cent",
         _emb_fingerprint(sf_dir),
@@ -1184,15 +1217,15 @@ def _cached_spill_quantizer(
                 f"centroid frame exceeds {_MAX_DRIVER_CODEBOOK} rows — "
                 "refusing to cache it (same bound as _cent_matrix)"
             )
-        _TRAIN_CACHE[key] = [(r["cell"], list(r["cv"]), r["cn"]) for r in rows]
-    return spark.createDataFrame(
-        _TRAIN_CACHE[key], "cell bigint, cv array<double>, cn double"
-    )
+        _TRAIN_CACHE[key] = _CentRows(
+            [(r["cell"], list(r["cv"]), r["cn"]) for r in rows]
+        )
+    return _TRAIN_CACHE[key]
 
 
 def _cached_pq_book(
     spark: SparkSession, sf_dir: str, base: DataFrame
-) -> DataFrame:
+) -> "_BookRows":
     key = ("pq_book", _emb_fingerprint(sf_dir), _PQ_K, _Q_SAMPLE)
     if key not in _TRAIN_CACHE:
         rows = (
@@ -1205,10 +1238,10 @@ def _cached_pq_book(
                 f"PQ codebook exceeds {_MAX_DRIVER_CODEBOOK} rows — "
                 "refusing to cache it (same bound as _book_matrices)"
             )
-        _TRAIN_CACHE[key] = [(r["s"], r["j"], list(r["cv"])) for r in rows]
-    return spark.createDataFrame(
-        _TRAIN_CACHE[key], "s int, j bigint, cv array<double>"
-    )
+        _TRAIN_CACHE[key] = _BookRows(
+            [(r["s"], r["j"], list(r["cv"])) for r in rows]
+        )
+    return _TRAIN_CACHE[key]
 
 
 def _l2sq(a: str | F.Column, b: str | F.Column) -> F.Column:
@@ -1321,9 +1354,27 @@ def _book_matrices(book: DataFrame):
     """Collect a (bounded) PQ codebook to driver numpy: sorted subspace
     ids ``S``, per-subspace codeword ids ``J[s]`` (ascending — argmin
     first-occurrence over them IS min(d2, j)), and codeword matrices
-    ``B[s]`` in the same order."""
+    ``B[s]`` in the same order.
+
+    Accepts a :class:`_BookRows` holder (the trained-quantizer cache,
+    round 18): the matrices build with ZERO Spark jobs from exactly
+    the rows this function would have collected."""
     import numpy as np
 
+    if isinstance(book, _BookRows):
+        by_s: dict[int, list] = {}
+        for s, j, cv in book.rows:
+            by_s.setdefault(s, []).append((j, cv))
+        S = sorted(by_s)
+        J = {
+            s: np.array([j for j, _ in sorted(by_s[s])], dtype=np.int64)
+            for s in S
+        }
+        B = {
+            s: np.array([cv for _, cv in sorted(by_s[s])], dtype=np.float64)
+            for s in S
+        }
+        return S, J, B
     rows = book.limit(_MAX_DRIVER_CODEBOOK + 1).collect()
     if len(rows) > _MAX_DRIVER_CODEBOOK:
         raise ValueError(
