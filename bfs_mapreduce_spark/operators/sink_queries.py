@@ -1269,6 +1269,230 @@ def q_sink_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_sql_ddl",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    cor AS (SELECT o_orderkey AS k, o_orderpriority AS pr,
+                   o_orderkey % 7 AS band
+            FROM orders WHERE o_orderkey % 2 = 0),
+    fin AS (
+      SELECT k, pr,
+             CASE WHEN k % 10 = 0 THEN 999 ELSE band END AS band,
+             CASE WHEN k % 10 = 0 THEN 'm' END AS note
+      FROM cor
+      UNION ALL
+      SELECT o_orderkey + m, o_orderpriority, o_orderkey % 7, 'i'
+      FROM orders, mx WHERE o_orderkey % 9 = 4
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_v1,
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1) AS n_v2
+    )
+    SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(band) AS BIGINT) AS sum_band,
+           CAST(COUNT(note) AS BIGINT) AS n_note,
+           CAST(n_v1 AS BIGINT) AS n_v1,
+           CAST(n_v2 AS BIGINT) AS n_v2
+    FROM fin, counts GROUP BY pr, n_v1, n_v2
+    """,
+    doc="SQL DDL/DML completions (round 18, verdict ask #4 — "
+    "sources/snapshot_sql.sql_dml): FOUR statements as ANSI SQL "
+    "text. CREATE TABLE AS SELECT materializes a third of orders as "
+    "a new snapshot table (v1); INSERT OVERWRITE replaces the whole "
+    "file list with a different key band in one REPLACE manifest "
+    "(v2 — atomic truncate-and-load, v1 still time-travels and its "
+    "row count rides the result as n_v1); CREATE OR REPLACE TABLE "
+    "AS SELECT pins a NEW schema wholesale (p dropped, band added) "
+    "with field-id continuity by name (commit(schema_replace=True), "
+    "Iceberg's REPLACE TABLE rule — v3, and v2's count rides as "
+    "n_v2); finally a MERGE with evolve_schema=True (Delta's "
+    "schema.autoMerge) widens the table with the source's new note "
+    "column — matched keys take the whole source row via UPDATE SET "
+    "*, unmatched source rows INSERT *, and rows from UNTOUCHED "
+    "files NULL-fill note on read through the schema-era machinery. "
+    "The oracle recomputes the final table, both time-travel "
+    "counts, and the evolved column's fill pattern from raw orders "
+    "in plain SQL — a wrong overwrite scope, a schema replacement "
+    "that leaks the dropped column, or an evolution that loses "
+    "untouched rows fails the hash.",
+)
+def q_sink_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_sqlddl"), tag)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    if ts.current_version(root) < 4:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        orders.createOrReplaceTempView("ddl_orders")
+        cat = {"dd": root}
+        sql_dml(
+            spark,
+            "CREATE TABLE dd AS SELECT o_orderkey AS k, o_totalprice AS p, "
+            "o_orderpriority AS pr FROM ddl_orders WHERE o_orderkey % 3 = 0",
+            cat,
+        )
+        sql_dml(
+            spark,
+            "INSERT OVERWRITE dd SELECT o_orderkey AS k, o_totalprice AS p, "
+            "o_orderpriority AS pr FROM ddl_orders WHERE o_orderkey % 3 = 1",
+            cat,
+        )
+        sql_dml(
+            spark,
+            "CREATE OR REPLACE TABLE dd AS SELECT o_orderkey AS k, "
+            "o_orderpriority AS pr, CAST(o_orderkey % 7 AS BIGINT) AS band "
+            "FROM ddl_orders WHERE o_orderkey % 2 = 0",
+            cat,
+        )
+        matched_src = (
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("pr"),
+                F.lit(999).cast("bigint").alias("band"),
+                F.lit("m").alias("note"),
+            )
+        )
+        insert_src = (
+            orders.filter(F.col("o_orderkey") % 9 == 4)
+            .select(
+                (F.col("o_orderkey") + F.lit(mx)).alias("k"),
+                F.col("o_orderpriority").alias("pr"),
+                (F.col("o_orderkey") % 7).cast("bigint").alias("band"),
+                F.lit("i").alias("note"),
+            )
+        )
+        matched_src.unionByName(insert_src).createOrReplaceTempView(
+            "ddl_msrc"
+        )
+        sql_dml(
+            spark,
+            "MERGE INTO dd USING ddl_msrc s ON dd.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            cat,
+            evolve_schema=True,
+        )
+    n_v1 = ts.read(spark, root, version=1).count()
+    n_v2 = ts.read(spark, root, version=2).count()
+    return ts.read(spark, root).groupBy(F.col("pr").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("band").cast("bigint").alias("sum_band"),
+        F.count("note").cast("bigint").alias("n_note"),
+        F.lit(n_v1).cast("bigint").alias("n_v1"),
+        F.lit(n_v2).cast("bigint").alias("n_v2"),
+    )
+
+
+@register(
+    "q_sink_sql_alter",
+    oracle="""
+    WITH evens AS (SELECT o_orderkey AS k, o_totalprice AS price,
+                          o_orderpriority AS pr
+                   FROM orders WHERE o_orderkey % 2 = 0),
+    odds AS (SELECT o_orderkey AS k, o_totalprice AS price,
+                    o_orderpriority AS pr, o_orderkey % 5 AS band
+             FROM orders WHERE o_orderkey % 2 = 1),
+    fin AS (
+      SELECT k, pr,
+             CASE WHEN pr = '1-URGENT' THEN price + 1.0 ELSE price END
+               AS amount,
+             CAST(NULL AS BIGINT) AS band
+      FROM evens
+      UNION ALL
+      SELECT k, pr,
+             CASE WHEN pr = '1-URGENT' THEN price + 1.0 ELSE price END,
+             band
+      FROM odds
+    )
+    SELECT pr AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS amount_total,
+           CAST(SUM(band) AS BIGINT) AS band_total,
+           CAST((SELECT COUNT(*) FROM evens) AS BIGINT) AS n_v1,
+           CAST(3 AS BIGINT) AS n_evolve
+    FROM fin GROUP BY pr
+    """,
+    doc="SQL maintenance verbs end to end (round 18 — "
+    "sources/snapshot_sql.sql_dml): a table lives through SEVEN "
+    "versions driven entirely by ANSI SQL text — CREATE TABLE AS "
+    "SELECT (half of orders), ALTER TABLE ADD COLUMNS (band bigint, "
+    "note string) (metadata-only: v1 rows NULL-fill), INSERT INTO "
+    "the other half WITH the new columns, ALTER TABLE RENAME COLUMN "
+    "price TO amount (v1 files' bytes surface under the new name by "
+    "field id), ALTER TABLE DROP COLUMN note, UPDATE ... WHERE (the "
+    "empty-source merge path under the renamed schema), and OPTIMIZE "
+    "ZORDER BY (k, band) (row-preserving rewrite reading through "
+    "every era). The result pins the per-priority row counts, the "
+    "post-update amount total, the NULL-fill pattern of the evolved "
+    "band column (summed only where the INSERT supplied it), the v1 "
+    "time-travel count ACROSS the zorder rewrite, and the count of "
+    "evolve_schema commits from DESCRIBE HISTORY. The oracle "
+    "reproduces all of it from raw orders — a rename that loses "
+    "bytes, an ADD that backfills instead of NULL-filling, or an "
+    "UPDATE that fires on the wrong era breaks the hash.",
+)
+def q_sink_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(proc_dir("bfs_mapreduce_spark_snap_sqlalter"), tag)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.createOrReplaceTempView("alter_orders")
+    cat = {"al": root}
+    if ts.current_version(root) < 7:  # idempotent per process
+        shutil.rmtree(root, ignore_errors=True)
+        sql_dml(
+            spark,
+            "CREATE TABLE al AS SELECT o_orderkey AS k, o_totalprice AS "
+            "price, o_orderpriority AS pr FROM alter_orders "
+            "WHERE o_orderkey % 2 = 0",
+            cat,
+        )
+        sql_dml(
+            spark,
+            "ALTER TABLE al ADD COLUMNS (band bigint, note string)",
+            cat,
+        )
+        sql_dml(
+            spark,
+            "INSERT INTO al (k, price, pr, band, note) "
+            "SELECT o_orderkey, o_totalprice, o_orderpriority, "
+            "o_orderkey % 5, 'b' FROM alter_orders WHERE o_orderkey % 2 = 1",
+            cat,
+        )
+        sql_dml(spark, "ALTER TABLE al RENAME COLUMN price TO amount", cat)
+        sql_dml(spark, "ALTER TABLE al DROP COLUMN note", cat)
+        sql_dml(
+            spark,
+            "UPDATE al SET amount = amount + 1.0 WHERE pr = '1-URGENT'",
+            cat,
+        )
+        sql_dml(spark, "OPTIMIZE al ZORDER BY (k, band)", cat)
+    n_v1 = ts.read(spark, root, 1).count()
+    hist = sql_dml(spark, "DESCRIBE HISTORY al", cat)["history"]
+    n_evolve = sum(1 for h in hist if h["operation"] == "evolve_schema")
+    return ts.read(spark, root).groupBy(F.col("pr").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("amount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("amount_total"),
+        F.sum("band").cast("bigint").alias("band_total"),
+        F.lit(n_v1).cast("bigint").alias("n_v1"),
+        F.lit(n_evolve).cast("bigint").alias("n_evolve"),
+    )
+
+
+@register(
     "q_sink_snapshot_timetravel",
     oracle="""
     WITH v1 AS (SELECT COUNT(*) AS n,

@@ -805,10 +805,13 @@ def sql_dml(
             return {"operation": "set_property", "version": v}
         if m := _ALTER_ADD.match(stmt):
             tname, spec = m.groups()
-            root = _root_of(tname)
-            v = None
-            for col, typ in _split_columns_spec(spec):
-                v = ts.add_column(root, col, typ.strip().lower())
+            v = ts.add_columns(
+                _root_of(tname),
+                [
+                    (col, typ.strip().lower())
+                    for col, typ in _split_columns_spec(spec)
+                ],
+            )
             return {"operation": "add_column", "version": v}
         raise ValueError(
             "cannot parse ALTER TABLE — supported: ADD COLUMN[S], "

@@ -561,14 +561,16 @@ def alter_column_type(root: str, name: str, new_type: str) -> int:
     )
 
 
-def add_column(root: str, name: str, type_str: str) -> int:
-    """ALTER TABLE ... ADD COLUMN (round 18): metadata-only commit —
-    the new field appends to the pinned schema with a FRESH field id,
-    a schema-log entry opens the new era, and every existing file
-    NULL-fills the column on read (exactly the union-by-name append
-    path ``commit(schema=...)`` takes, without staging any data).
-    ``type_str`` is a Spark simple type string (``bigint``,
-    ``string``, ``array<double>``, ...). Requires a pinned schema."""
+def add_columns(root: str, cols: list[tuple[str, str]]) -> int:
+    """ALTER TABLE ... ADD COLUMN[S] (round 18): ONE metadata-only
+    commit — every new field appends to the pinned schema with a
+    FRESH field id, a single schema-log entry opens the new era
+    (Delta's ADD COLUMNS is one transaction, not one per column), and
+    every existing file NULL-fills the columns on read (exactly the
+    union-by-name append path ``commit(schema=...)`` takes, without
+    staging any data). Each type is a Spark simple type string
+    (``bigint``, ``string``, ``array<double>``, ...). Requires a
+    pinned schema."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
     latest = current_version(root)
@@ -576,19 +578,24 @@ def add_column(root: str, name: str, type_str: str) -> int:
     sch = m.get("schema")
     if sch is None:
         raise ValueError(
-            "add_column requires a pinned schema — commit with "
+            "add_columns requires a pinned schema — commit with "
             "schema=df.schema.json() first"
         )
     stamped, mx = _ensure_field_ids(sch, int(m.get("max_field_id") or 0))
     s = json.loads(stamped)
-    if name in [f["name"] for f in s["fields"]]:
-        raise SchemaConflict(f"column {name!r} already exists")
-    field = json.loads(
-        StructType([StructField(name, _parse_datatype_string(type_str))]).json()
-    )["fields"][0]
-    mx += 1
-    field["metadata"] = {**(field.get("metadata") or {}), _FID: mx}
-    s["fields"].append(field)
+    have = [f["name"] for f in s["fields"]]
+    for name, type_str in cols:
+        if name in have:
+            raise SchemaConflict(f"column {name!r} already exists")
+        field = json.loads(
+            StructType(
+                [StructField(name, _parse_datatype_string(type_str))]
+            ).json()
+        )["fields"][0]
+        mx += 1
+        field["metadata"] = {**(field.get("metadata") or {}), _FID: mx}
+        s["fields"].append(field)
+        have.append(name)
     new_sj = json.dumps(s)
     version = latest + 1
     log = list(m.get("schema_log") or [])
@@ -603,6 +610,11 @@ def add_column(root: str, name: str, type_str: str) -> int:
         schema_log=log,
         max_field_id=mx,
     )
+
+
+def add_column(root: str, name: str, type_str: str) -> int:
+    """Single-column convenience over :func:`add_columns`."""
+    return add_columns(root, [(name, type_str)])
 
 
 def _merge_schema_json(
