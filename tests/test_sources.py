@@ -4998,6 +4998,52 @@ def test_sql_ddl_alter_optimize_vacuum_history(spark, tmp_path):
         sql_dml(spark, "ALTER TABLE mt CLUSTER BY (k)", cat)
 
 
+def test_sql_ctas_partitioned_by(spark, tmp_path):
+    """Round 18: CREATE TABLE ... PARTITIONED BY (col, bucket(N, c))
+    AS SELECT — staged files cluster under the declared spec, the
+    spec + per-file tuples pin in the manifest, and source-column
+    equality reads prune whole partitions from the manifest alone."""
+    import pytest as _pytest
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    root = str(tmp_path / "pt")
+    cat = {"pt": root}
+    r = sql_dml(
+        spark,
+        "CREATE TABLE pt PARTITIONED BY (parity, bucket(4, k)) AS "
+        "SELECT id AS k, CAST(id % 2 AS BIGINT) AS parity, "
+        "CAST(id * 1.5 AS DOUBLE) AS v FROM range(64)",
+        cat,
+    )
+    assert r["operation"] == "create"
+    m = ts.read_manifest(root, r["version"])
+    assert [t[:2] for t in m["partition_spec"]] == [
+        ["identity", "parity"],
+        ["bucket", "k"],
+    ]
+    # every staged file carries its partition tuple
+    assert set(m["partitions"]) == set(m["files"])
+    # manifest-only pruning on the identity column: about half the
+    # files skip, and the kept rows are exactly the parity-0 slice
+    df, kept, skipped = ts.read_partition_pruned_src(
+        spark, root, {"parity": 0}
+    )
+    assert skipped and kept
+    got = sorted(x["k"] for x in df.filter("parity = 0").collect())
+    assert got == [i for i in range(64) if i % 2 == 0]
+    # table round-trips in full
+    assert ts.read(spark, root).count() == 64
+    with _pytest.raises(ValueError, match="PARTITIONED BY item"):
+        sql_dml(
+            spark,
+            "CREATE OR REPLACE TABLE pt PARTITIONED BY (years(ts)) AS "
+            "SELECT 1 AS ts",
+            cat,
+        )
+
+
 def test_sql_dml_raced_merge_delete(spark, tmp_path, monkeypatch):
     """Round 18 (verdict ask #7): the file-granular rebase matrix
     holds UNDER THE SQL ENTRY — a sql_dml MERGE whose CAS loses to a
