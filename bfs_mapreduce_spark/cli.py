@@ -324,6 +324,66 @@ def _bench_media(args: argparse.Namespace) -> int:
     return 0
 
 
+def _sql(args: argparse.Namespace) -> int:
+    """One SQL statement against snapshot tables from the shell
+    (round 18): DML/DDL/maintenance verbs route through
+    snapshot_sql.sql_dml (the result dict prints as one JSON line);
+    SELECT/WITH register every --table as a live temp view
+    (register_sql_view) and print rows as JSON lines. VACUUM and
+    DESCRIBE HISTORY are manifest-only and never start a JVM (ALTER
+    still does: its type strings parse through Spark's parser)."""
+    import json
+
+    tables: dict[str, str] = {}
+    for kv in args.table or []:
+        if "=" not in kv:
+            raise SystemExit(f"--table expects NAME=ROOT, got {kv!r}")
+        name, root = kv.split("=", 1)
+        tables[name] = root
+    stmt = args.statement.strip().rstrip(";").strip()
+    verb = stmt.split(None, 1)[0].upper() if stmt else ""
+    if verb in ("VACUUM", "DESCRIBE"):
+        from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+        print(json.dumps(sql_dml(None, stmt, tables)))
+        return 0
+    spark, owned = _owned_session(app_name="sql")
+    try:
+        if verb in ("SELECT", "WITH"):
+            from bfs_mapreduce_spark.sources.table_snapshots import (
+                register_sql_view,
+            )
+
+            for name, root in tables.items():
+                register_sql_view(spark, name, root)
+            rows = spark.sql(stmt).limit(args.limit).toJSON().collect()
+            for r in rows:
+                print(r)
+            if len(rows) == args.limit:
+                print(
+                    f"# output capped at --limit {args.limit}",
+                    file=sys.stderr,
+                )
+            return 0
+        from bfs_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+        print(
+            json.dumps(
+                sql_dml(
+                    spark,
+                    stmt,
+                    tables,
+                    target_files=args.target_files,
+                    evolve_schema=args.evolve_schema,
+                )
+            )
+        )
+        return 0
+    finally:
+        if owned:
+            spark.stop()
+
+
 def _snapshot_history(args: argparse.Namespace) -> int:
     """DESCRIBE HISTORY for a snapshot table root: one JSON line per
     version, newest first — manifests only, no Spark session."""
@@ -920,6 +980,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     sh.add_argument("root")
     sh.set_defaults(fn=_snapshot_history)
+
+    sq = sub.add_parser(
+        "sql",
+        help="run one SQL statement against snapshot tables: DML/DDL/"
+        "maintenance verbs via the snapshot_sql shim (JSON result "
+        "line), SELECT/WITH over live --table views (JSON rows)",
+    )
+    sq.add_argument("statement")
+    sq.add_argument(
+        "--table",
+        action="append",
+        metavar="NAME=ROOT",
+        help="statement table name -> snapshot root (repeatable)",
+    )
+    sq.add_argument(
+        "--evolve-schema",
+        action="store_true",
+        help="let a MERGE widen the target with new source columns",
+    )
+    sq.add_argument("--target-files", type=int)
+    sq.add_argument("--limit", type=int, default=1000)
+    sq.set_defaults(fn=_sql)
 
     bm = sub.add_parser(
         "bench-media",

@@ -478,3 +478,39 @@ def test_cli_snapshot_property(spark, tmp_path, capsys):
     rc = main(["snapshot-property", root, "--list"])
     props = json.loads(capsys.readouterr().out.strip())
     assert props == {"commit.rewrite-segments-every": 3}
+
+
+def test_cli_sql_end_to_end(spark, tmp_path, capsys):
+    """Round 18: the `sql` verb — CTAS, UPDATE, and SELECT over a
+    --table view run as shell statements; DESCRIBE HISTORY takes the
+    manifest-only path (no session required)."""
+    import json
+
+    from bfs_mapreduce_spark.cli import main
+
+    root = str(tmp_path / "tbl")
+    t = f"--table=t={root}"
+    rc = main(
+        ["sql", "CREATE TABLE t AS SELECT id AS k, CAST(id * 2.0 AS DOUBLE)"
+         " AS v FROM range(5)", t]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "create" and out["version"] == 1
+
+    rc = main(["sql", "UPDATE t SET v = v + 0.5 WHERE k >= 3", t])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "update"
+
+    rc = main(["sql", "SELECT k, v FROM t ORDER BY k", t])
+    assert rc == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rows[3] == {"k": 3, "v": 6.5} and rows[4] == {"k": 4, "v": 8.5}
+    assert rows[0] == {"k": 0, "v": 0.0}
+
+    rc = main(["sql", "DESCRIBE HISTORY t", t])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ops = [h["operation"] for h in out["history"]]
+    assert ops[-1] == "create" and "merge" in ops
