@@ -46,7 +46,8 @@ partial parse would corrupt a table):
   but the staged files commit as a REPLACE manifest: atomic
   truncate-and-load, and every prior version still time-travels.
 - ``CREATE [OR REPLACE] TABLE <root-name> [PARTITIONED BY (col,
-  truncate(N, c), bucket(N, c), ibucket(N, c))] AS SELECT ...``
+  truncate(N, c), bucket(N, c), ibucket(N, c))] [TBLPROPERTIES
+  ('k' = 'v', ...)] AS SELECT ...``
   (round 18) — the name still resolves through ``tables`` (the
   caller owns the path; there is no catalog). Plain CREATE refuses
   if the table has versions; OR REPLACE commits a REPLACE manifest
@@ -431,7 +432,8 @@ _INSERT_HEAD = re.compile(
 
 _CTAS_HEAD = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*"
-    rf"(?:PARTITIONED\s+BY\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\)\s*)?AS\s+"
+    rf"(?:PARTITIONED\s+BY\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\)\s*)?"
+    rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?AS\s+"
     rf"(SELECT\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -754,7 +756,15 @@ def sql_dml(
                 "cannot parse CREATE — expected CREATE [OR REPLACE] "
                 "TABLE <table> AS SELECT ..."
             )
-        or_replace, tname, part_text, query = m.groups()
+        or_replace, tname, part_text, props_text, query = m.groups()
+        props = None
+        if props_text:
+            pairs = re.findall(r"'([^']*)'\s*=\s*'([^']*)'", props_text)
+            if not pairs:
+                raise ValueError(
+                    "TBLPROPERTIES expects 'key' = 'value' pairs"
+                )
+            props = {k: _prop_value(v) for k, v in pairs}
         if tname not in tables:
             raise ValueError(
                 f"unknown table {tname!r} — pass its snapshot root in "
@@ -792,6 +802,7 @@ def sql_dml(
             schema_replace=bool(or_replace) and base > 0,
             partition_spec=[list(t) for t in spec] if spec else None,
             partitions=parts,
+            properties=props,
             operation="create_replace" if (or_replace and base > 0) else "create",
         )
         return {

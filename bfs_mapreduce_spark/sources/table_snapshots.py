@@ -1360,6 +1360,7 @@ def commit(
     partitions: dict[str, dict] | None = None,
     change_files: list[str] | None = None,
     schema_replace: bool = False,
+    properties: dict | None = None,
 ) -> int:
     """Commit ``files`` as the next version: append to the base
     version's file list, or ``replace`` the whole list (compaction).
@@ -1564,8 +1565,13 @@ def commit(
         # not carry (Delta's CREATE OR REPLACE likewise re-declares)
         "checks": {} if schema_replace else base.get("checks", {}),
     }
-    if base.get("properties"):
-        payload["properties"] = base["properties"]
+    if base.get("properties") or properties:
+        # offered properties merge over the carried map (round 18 —
+        # CTAS TBLPROPERTIES lands atomically in the create commit)
+        payload["properties"] = {
+            **(base.get("properties") or {}),
+            **(properties or {}),
+        }
     if change_files:
         # per-VERSION key (never carried forward): the row-level
         # change files a merge wrote for the CDC feed (Delta CDF)

@@ -5035,6 +5035,21 @@ def test_sql_ctas_partitioned_by(spark, tmp_path):
     assert got == [i for i in range(64) if i % 2 == 0]
     # table round-trips in full
     assert ts.read(spark, root).count() == 64
+
+    # TBLPROPERTIES lands atomically IN the create commit (one
+    # version, property live from v1)
+    root2 = str(tmp_path / "pp")
+    cat2 = {"pp": root2}
+    r2 = sql_dml(
+        spark,
+        "CREATE TABLE pp TBLPROPERTIES ('changeFeed' = 'true', "
+        "'owner' = 'me') AS SELECT id AS k FROM range(3)",
+        cat2,
+    )
+    assert r2["version"] == 1
+    assert ts.table_property(root2, "changeFeed") is True
+    assert ts.table_property(root2, "owner") == "me"
+
     with _pytest.raises(ValueError, match="PARTITIONED BY item"):
         sql_dml(
             spark,
