@@ -94,19 +94,87 @@ def _norm(v: str | F.Column) -> F.Column:
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
-    q = base.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
-    )
-    cos = _dot("qv", "v") / (F.col("qn") * F.col("n"))
+    raw = emb.select("vec_id", "embedding")
+    q = raw.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    cand = _exact_topk_gemm(raw, q, _TOP_K)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        base.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", "cosine")
+    )
+
+
+def _exact_topk_gemm(raw: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Brute-force exact cosine shortlist, vectorized (round 18): the
+    query side is collected once (bounded by ``_MAX_DRIVER_CODEBOOK``,
+    same posture as the broadcast-crossJoin it replaces — brute force
+    is only ever run with a query side that fits) and shipped as one
+    TorrentBroadcast; the corpus streams through ONE float64 GEMM per
+    Arrow batch. The previous shape evaluated `_dot`'s interpreted
+    zip_with/aggregate per (query, corpus) pair — 2.5 M pairs x 64
+    dims of per-element Catalyst lambda evaluation was the entire cost
+    of the query (measured 0.81 s at sf0.1; the GEMM flops are memory-
+    bandwidth-bound). Raw float32 embeddings cross the Arrow boundary
+    (half the bytes of the cast-to-double column) and widen exactly to
+    float64 inside numpy — same doubles the JVM cast produced.
+
+    Each batch emits, per query, the rows at or above its in-batch
+    k-th largest rounded cosine (tie-INCLUSIVE, so any row the global
+    top-k could admit under the (cosine DESC, vec_id ASC) order
+    survives — in-batch rank ≤ k is preserved blockwise exactly like
+    the fused ADC scan's running shortlist); the caller's window
+    resolves the global top-k over batches x k x queries rows instead
+    of the full pair table. Rounding is the certified HALF_UP snap
+    `_cell_scores_np` uses (0/80k pairwise differences vs the JVM
+    fold); self-pairs are dropped inside the scan."""
+    rows = q.select("vec_id", "embedding").limit(_MAX_DRIVER_CODEBOOK + 1).collect()
+    if len(rows) > _MAX_DRIVER_CODEBOOK:
+        raise ValueError(
+            f"query side exceeds {_MAX_DRIVER_CODEBOOK} rows — brute "
+            "force is the validation baseline and only runs with a "
+            "broadcastable query side; use the ANN/IVF paths to serve"
+        )
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    if np.any(qn == 0):
+        raise ValueError(
+            "zero-norm query vector: cosine is undefined for it "
+            "(the SQL twin raises DIVIDE_BY_ZERO under ANSI mode)"
+        )
+    bc = raw.sparkSession.sparkContext.broadcast((qids, Q.T, qn))
+
+    def scan(batches):
+        qids, QT, qn = bc.value  # executor-resident, fetched once
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].map(np.asarray).values).astype(
+                np.float64
+            )
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mn = np.sqrt((M * M).sum(axis=1))
+            if np.any(mn == 0):
+                raise ValueError(
+                    "zero-norm vector: cosine is undefined for it "
+                    "(the SQL twin raises DIVIDE_BY_ZERO under ANSI)"
+                )
+            dots = M @ QT / (mn[:, None] * qn[None, :])
+            # HALF_UP like F.round — see _cell_scores_np's caveat note
+            cc = np.copysign(np.floor(np.abs(dots) * 1e6 + 0.5), dots) / 1e6
+            cc[vid[:, None] == qids[None, :]] = -np.inf  # self-pairs out
+            kth = min(k, cc.shape[0]) - 1
+            thr = -np.partition(-cc, kth, axis=0)[kth, :]
+            keep = (cc >= thr[None, :]) & np.isfinite(cc)
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"query_id": qids[j], "vec_id": vid[i], "cosine": cc[i, j]}
+            )
+
+    return raw.mapInPandas(
+        scan, "query_id bigint, vec_id bigint, cosine double"
     )
 
 
