@@ -376,7 +376,26 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst already prunes to the doc_id column
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     ex = docs.select("doc_id", F.explode(_words()).alias("term"))
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the scored rows and the df aggregate; without a
+    # sharing point Catalyst duplicates the whole subtree — the plan
+    # scanned + exploded + aggregated `documents` TWICE, once under
+    # the broadcast side (round-18 plan audit). The explicit
+    # repartition("doc_id") replaces the aggregation's implicit
+    # (doc_id, term) exchange: hash-on-doc_id satisfies the groupBy's
+    # clustering (subset rule) AND the final window's, so the
+    # downstream window runs exchange-free, and cache_point (persist —
+    # partitioning survives, unlike a checkpoint's RDD scan) lets the
+    # df aggregate reuse the materialized tf instead of recomputing
+    # it. Plan: 2 scans + 2 explodes + 4 exchanges → 1 scan + 1
+    # explode + 2 (the raw-row repartition trades away map-side
+    # combine for the two eliminated downstream exchanges). Measured
+    # 0.78x median, 6/7 paired wins at sf0.1, identical rows.
+    tf = (
+        ex.repartition("doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(_cache_point)
+    )
     # df derived from tf (already one row per (doc, term)): a plain
     # count beats countDistinct's expand — two fewer shuffles, and the
     # input is the (much smaller) tf table instead of the raw explode
