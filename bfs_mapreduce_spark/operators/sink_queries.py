@@ -2362,11 +2362,23 @@ def q_scan_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct(),
     )
     register_snapshot_source(spark)
-    cur = spark.read.format("snapshot").option("path", root).load()
+    # scan-time projection (round 18): the Python DataSource API has no
+    # pruning pushdown, so without the columns option both scans read
+    # and ship ALL THREE columns across the Arrow boundary; the agg
+    # needs two, the time-travel count needs only row counts (one
+    # narrow column keeps the scan honest — every file still streams
+    # through the delete-vector mask)
+    cur = (
+        spark.read.format("snapshot")
+        .option("path", root)
+        .option("columns", '["o_totalprice", "o_orderpriority"]')
+        .load()
+    )
     pre = (
         spark.read.format("snapshot")
         .option("path", root)
         .option("versionAsOf", v)
+        .option("columns", '["o_orderkey"]')
         .load()
         .agg(F.count(F.lit(1)).alias("_n0"))
     )

@@ -53,6 +53,7 @@ class _SnapshotScanPartition(InputPartition):
         delete_files: list[str],
         eq_entries: list[dict],
         col_map: dict | None = None,
+        extra_fields: list | None = None,
     ):
         self.path = path
         self.arrow_schema = arrow_schema
@@ -62,6 +63,9 @@ class _SnapshotScanPartition(InputPartition):
         # or None = NULL-fill} for files written before a RENAME/DROP;
         # None for the identity case
         self.col_map = col_map
+        # eq-delete key fields pruned out by the `columns` option but
+        # needed in-task for the anti-filter (round 18)
+        self.extra_fields = extra_fields or []
 
 
 def _resolve_as_of(options: dict, root: str) -> int:
@@ -104,7 +108,30 @@ class SnapshotBatchReader(DataSourceReader):
         pse = options.get("partitionSrcEq")
         self._part_src_eq = json.loads(pse) if pse else None
         newest = self._m["files"][-1] if self._m["files"] else None
-        self._arrow_schema = _arrow_schema_for(self._m.get("schema"), newest)
+        full = _arrow_schema_for(self._m.get("schema"), newest)
+        # scan-time column projection (round 18, optimization): the
+        # Python DataSource API has no pruning pushdown, so without
+        # this every scan reads, masks, and ships EVERY column across
+        # the Arrow boundary even when the query consumes one (guide
+        # §4: pass only the columns the function needs). `columns`
+        # narrows the declared schema AND the per-file parquet read;
+        # equality-delete KEY columns are still read when needed (the
+        # anti-filter is applied before the final projection) but no
+        # longer shipped unless requested.
+        cols = options.get("columns")
+        self._columns = json.loads(cols) if cols else None
+        self._full_schema = full
+        if self._columns is not None:
+            import pyarrow as pa
+
+            if not self._columns:
+                raise ValueError("columns option must name at least one column")
+            names = set(full.names)
+            missing = [c for c in self._columns if c not in names]
+            if missing:
+                raise ValueError(f"columns not in table schema: {missing}")
+            full = pa.schema([full.field(c) for c in self._columns])
+        self._arrow_schema = full
 
     def partitions(self):
         m = self._m
@@ -137,6 +164,23 @@ class SnapshotBatchReader(DataSourceReader):
                 cmap_by_era[era] = ts.era_col_map(
                     m.get("schema"), m.get("schema_log"), era
                 )
+            # eq-delete keys the anti-filter needs but the projection
+            # dropped: carried as extra fields, read + filtered in the
+            # task, stripped before the batch leaves it
+            extra = []
+            if self._columns is not None:
+                have = set(self._arrow_schema.names)
+                need = {
+                    c
+                    for e in applicable
+                    for c in e["cols"]
+                    if c not in have
+                }
+                extra = [
+                    self._full_schema.field(c)
+                    for c in sorted(need)
+                    if c in self._full_schema.names
+                ]
             out.append(
                 _SnapshotScanPartition(
                     f,
@@ -144,6 +188,7 @@ class SnapshotBatchReader(DataSourceReader):
                     deletes.get(f, []),
                     applicable,
                     cmap_by_era[era],
+                    extra_fields=extra,
                 )
             )
         return out
@@ -154,7 +199,24 @@ class SnapshotBatchReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.path)
+        # internal target = requested schema + any eq-delete key fields
+        # the `columns` projection dropped (filtered on, then stripped)
+        target = partition.arrow_schema
+        for f in partition.extra_fields:
+            target = target.append(f)
+        cmap = partition.col_map or {}
+        # read only the source columns the target needs that the file
+        # actually has (guide §4: don't decode or ship dead columns);
+        # one ParquetFile keeps a single footer parse for the
+        # availability check + the read
+        pf = pq.ParquetFile(partition.path)
+        avail = set(pf.schema_arrow.names)
+        wanted = []
+        for field in target:
+            src = cmap.get(field.name, field.name)
+            if src is not None and src in avail and src not in wanted:
+                wanted.append(src)
+        tbl = pf.read(columns=wanted)
         keep = np.ones(tbl.num_rows, dtype=bool)
         # position deletes: the delete vectors hold (file_path, pos)
         # rows for possibly several data files — mask this file's rows
@@ -168,8 +230,6 @@ class SnapshotBatchReader(DataSourceReader):
         # pinned-schema projection + NULL-fill (schema evolution), era
         # name resolution included (round 13) — BEFORE eq filtering so
         # eq-delete key columns resolve by current names
-        target = partition.arrow_schema
-        cmap = partition.col_map or {}
         out_cols = []
         for field in target:
             src = cmap.get(field.name, field.name)
@@ -207,6 +267,8 @@ class SnapshotBatchReader(DataSourceReader):
                     [rk not in key_set for rk in row_keys]
                 )
                 tbl = tbl.filter(keep_rows)
+        if partition.extra_fields:  # strip the filter-only key columns
+            tbl = tbl.select(partition.arrow_schema.names)
         yield from tbl.to_batches()
 
 
@@ -228,7 +290,14 @@ class SnapshotDataSource(DataSource):
 
         m = ts.read_manifest(root, _resolve_as_of(self.options, root))
         newest = m["files"][-1] if m["files"] else None
-        return from_arrow_schema(_arrow_schema_for(m.get("schema"), newest))
+        full = _arrow_schema_for(m.get("schema"), newest)
+        cols = self.options.get("columns")
+        if cols:
+            import pyarrow as pa
+
+            requested = json.loads(cols)
+            full = pa.schema([full.field(c) for c in requested])
+        return from_arrow_schema(full)
 
     def reader(self, schema) -> SnapshotBatchReader:
         return SnapshotBatchReader(self.options)

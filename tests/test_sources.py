@@ -1742,6 +1742,75 @@ def test_snapshot_batch_source_matches_read(spark, tmp_path):
     assert tt.count() == 300 and tt.columns == ["k", "grp"]
 
 
+def test_snapshot_source_columns_option(spark, tmp_path):
+    """The round-18 scan-time projection: option('columns', ...) must
+    narrow the schema AND preserve row identity with the full scan's
+    projection — including when an equality-delete KEY column is
+    pruned out (the anti-filter still applies in-task via the
+    extra-fields path) and when a requested column is a schema-
+    evolution NULL-fill absent from old files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bfs_mapreduce_spark.sources import table_snapshots as ts
+    from bfs_mapreduce_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    ts.commit(root, ts.stage_files(df.repartition(3), root), base_version=0)
+    ts.delete_where(spark, root, "k % 2 = 0")
+    # eq delete keyed on grp — NOT requested below, so the reader must
+    # still fetch it for the anti-filter and strip it afterwards
+    ts.delete_eq(spark, root, spark.createDataFrame([(3,)], "grp bigint"))
+    late = spark.createDataFrame(
+        [(1000, 1, "x")], "k bigint, grp bigint, tag string"
+    )
+    ts.commit(
+        root,
+        ts.stage_files(late, root),
+        base_version=ts.current_version(root),
+        schema=late.schema.json(),
+    )
+    register_snapshot_source(spark)
+    full = spark.read.format("snapshot").option("path", root).load()
+    pruned = (
+        spark.read.format("snapshot")
+        .option("path", root)
+        .option("columns", '["k", "tag"]')  # tag NULL-fills old files
+        .load()
+    )
+    assert pruned.columns == ["k", "tag"]
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.select("k", "tag").collect())
+    )
+    # narrow single-column count (the q_scan_snapshot_source shape)
+    narrow = (
+        spark.read.format("snapshot")
+        .option("path", root)
+        .option("columns", '["k"]')
+        .load()
+    )
+    assert narrow.count() == full.count()
+    # unknown column refuses loudly
+    try:
+        (
+            spark.read.format("snapshot")
+            .option("path", root)
+            .option("columns", '["nope"]')
+            .load()
+            .collect()
+        )
+        raise AssertionError("expected unknown-column refusal")
+    except Exception as ex:
+        assert "nope" in str(ex)
+
+
 def test_snapshot_history(spark, tmp_path):
     """history(): newest-first operational view of the version chain —
     operations, file/segment/delete counts, txn watermarks."""
