@@ -375,24 +375,30 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # main plan — at 100 TB the count aggregate rides the same scan
     # Catalyst already prunes to the doc_id column
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    ex = docs.select("doc_id", F.explode(_words()).alias("term"))
     # tf feeds BOTH the scored rows and the df aggregate; without a
     # sharing point Catalyst duplicates the whole subtree — the plan
     # scanned + exploded + aggregated `documents` TWICE, once under
     # the broadcast side (round-18 plan audit). The explicit
-    # repartition("doc_id") replaces the aggregation's implicit
-    # (doc_id, term) exchange: hash-on-doc_id satisfies the groupBy's
-    # clustering (subset rule) AND the final window's, so the
-    # downstream window runs exchange-free, and cache_point (persist —
-    # partitioning survives, unlike a checkpoint's RDD scan) lets the
-    # df aggregate reuse the materialized tf instead of recomputing
-    # it. Plan: 2 scans + 2 explodes + 4 exchanges → 1 scan + 1
-    # explode + 2 (the raw-row repartition trades away map-side
-    # combine for the two eliminated downstream exchanges). Measured
-    # 0.78x median, 6/7 paired wins at sf0.1, identical rows.
+    # repartition("doc_id") on the RAW DOCS (the narrowest point —
+    # each term appears once inside `text` here vs once per exploded
+    # row after) replaces the aggregation's implicit (doc_id, term)
+    # exchange: hash-on-doc_id satisfies the groupBy's clustering
+    # (subset rule) AND the final window's, so the explode + tf
+    # aggregate + window all run on one partitioning, and cache_point
+    # (persist — partitioning survives, unlike a checkpoint's RDD
+    # scan) lets the df aggregate reuse the materialized tf instead
+    # of recomputing it. Plan: 2 scans + 2 explodes + 4 exchanges →
+    # 1 scan + 1 explode + 2 exchanges, the remaining tf-path
+    # exchange carrying whole docs, not exploded words. Also fans the
+    # split+explode out of the single-row-group scan split (guide
+    # §2.5 input skew). Measured vs round-17: 0.78x median 6/7 paired
+    # wins for the sharing point, a further 0.95x median 6/9 for
+    # moving the exchange below the explode; identical rows.
+    ex = docs.repartition("doc_id").select(
+        "doc_id", F.explode(_words()).alias("term")
+    )
     tf = (
-        ex.repartition("doc_id")
-        .groupBy("doc_id", "term")
+        ex.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .transform(_cache_point)
     )
