@@ -1590,6 +1590,79 @@ def _pq_encode(
     return codes, book
 
 
+def _encode_assign_np(
+    base: DataFrame, book: DataFrame, cent, topn: int
+) -> DataFrame:
+    """FUSED corpus pass (round 18): PQ codes + top-``topn`` coarse-cell
+    assignment from ONE Arrow scan, emitting ``(vec_id, cell, codes)``
+    — exactly the ``member ⋈ codes`` frame :func:`_adc_rerank`'s scan
+    side consumes, so the separate encode pass, the separate
+    assignment pass, and the equi-join between them collapse into one
+    job (round-18 phase profile: the two passes + join were ~0.6 s of
+    the spill query's ~2 s in-session cost, and at scale they are two
+    full corpus reads where one suffices). Arithmetic and tie-breaks
+    are verbatim from :func:`_pq_encode` (argmin-first-occurrence over
+    ascending-j columns) and :func:`_cell_scores_np` (stable argsort
+    on -cc over cell-ascending columns; ``topn=1`` equals the
+    ``argmax=True`` first-max tie-break), so certified values cannot
+    move."""
+    import numpy as np
+    import pandas as pd
+
+    cells, C, cn, cell_t = _cent_matrix(cent)
+    if np.any(cn == 0):
+        raise ValueError(
+            "zero-norm centroid: cosine scoring is undefined for it "
+            "(the SQL twin raises DIVIDE_BY_ZERO under ANSI mode)"
+        )
+    sc = base.sparkSession.sparkContext
+    bcc = sc.broadcast((cells, C.T, cn))
+    bcb = sc.broadcast(_book_matrices(book))
+    schema = f"vec_id bigint, cell {cell_t}, codes array<bigint>"
+
+    def scan(batches):
+        cells, CT, cn = bcc.value
+        S, J, B = bcb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
+            vn = pdf["n"].to_numpy(dtype=np.float64)[:, None]
+            if np.any(vn == 0):
+                raise ValueError(
+                    "zero-norm vector: cosine scoring is undefined for "
+                    "it (the SQL twin raises DIVIDE_BY_ZERO under ANSI)"
+                )
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            raw = V @ CT / (vn * cn[None, :])
+            cc = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+            k_eff = min(topn, cc.shape[1])
+            idx = np.argsort(-cc, axis=1, kind="stable")[:, :k_eff]
+            cols = []
+            for s in S:
+                Vs = V[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+                d2 = (
+                    np.floor(
+                        ((Vs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                )
+                cols.append(J[s][d2.argmin(axis=1)])
+            M = np.stack(cols, axis=1)
+            rep = np.repeat(np.arange(len(ids)), k_eff)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[rep],
+                    "cell": cells[idx].ravel(),
+                    "codes": list(M[rep]),
+                }
+            )
+
+    return base.select("vec_id", "v", "n").mapInPandas(scan, schema)
+
+
 @register(
     "q_similarity_ivfpq_search",
     oracle=f"""
@@ -1706,16 +1779,15 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", _vecd().alias("v")).withColumn("n", _norm("v"))
     # codebook served from the per-corpus training cache (round 18,
     # verdict ask #6): identical rows, zero retraining jobs on hit
-    codes, book = _pq_encode(base, _cached_pq_book(spark, sf_dir, base))
+    book = _cached_pq_book(spark, sf_dir, base)
     # IVF probes bound the candidate set (q_similarity_ivf_search's
     # construction, verbatim)
     cent = _label_centroids(emb).transform(_ckpt)
-    # assignment/probes inside the GEMM — same reasoning as ivf_search
-    # (round 16: N x CELLS rows must never leave the UDF)
+    # assignment + PQ encode FUSED into one corpus pass (round 18):
+    # topn=1 reproduces argmax=True's first-max tie-break exactly;
+    # the member ⋈ codes join disappears with the second pass
     bsel = base.select("vec_id", "v", "n")
-    assignment = _cell_scores_np(bsel, cent, argmax=True).select(
-        "vec_id", "cell"
-    )
+    member_codes = _encode_assign_np(bsel, book, cent, topn=1)
     probes = _cell_scores_np(
         bsel.filter(F.col("vec_id") % _QUERY_MOD == 0),
         cent,
@@ -1724,17 +1796,21 @@ def q_similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), "cell")
     # candidates never materialize as rows: the fused per-cell ADC
     # scan (round 17) cogroups probes x members by cell
-    return _adc_rerank(base, probes, assignment, codes, book, _PQ_SHORTLIST)
+    return _adc_rerank(
+        base, probes, None, None, book, _PQ_SHORTLIST,
+        member_codes=member_codes,
+    )
 
 
 def _adc_rerank(
     base: DataFrame,
     probes: DataFrame,
-    member: DataFrame,
-    codes: DataFrame,
+    member: DataFrame | None,
+    codes: DataFrame | None,
     book: DataFrame,
     shortlist: int,
     tile_doubles: int = _TILE_DOUBLES,
+    member_codes: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF-PQ tail as a FUSED per-cell ADC scan (round 17,
     second x100 iteration): the first x100 measurement of the fixed-k
@@ -1776,7 +1852,10 @@ def _adc_rerank(
 
     ``probes`` = (query_id, cell); ``member`` = (vec_id, cell);
     ``codes`` = (vec_id, codes array — subspace order, packed by
-    :func:`_pq_encode`); ``book`` = (s, j, cv)."""
+    :func:`_pq_encode`); ``book`` = (s, j, cv). ``member_codes``
+    (round 18) supplies the joined ``(vec_id, cell, codes)`` frame
+    directly — :func:`_encode_assign_np` emits it from one fused
+    corpus pass, skipping the member ⋈ codes equi-join here."""
     import numpy as np
     import pandas as pd
 
@@ -1788,7 +1867,10 @@ def _adc_rerank(
         base.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv0")),
         "query_id",
     ).select("cell", "query_id", "qv0")
-    right = member.join(codes, "vec_id").select("cell", "vec_id", "codes")
+    if member_codes is not None:
+        right = member_codes.select("cell", "vec_id", "codes")
+    else:
+        right = member.join(codes, "vec_id").select("cell", "vec_id", "codes")
 
     def scan(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
@@ -2057,7 +2139,7 @@ def q_similarity_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds, and codebook aggregation are pure functions of (corpus
     # bytes, config) — retraining them on every execute was ~0.3 s of
     # the residual ivfpq constant the round-17 A/B measured
-    codes, book = _pq_encode(base, _cached_pq_book(spark, sf_dir, base))
+    book = _cached_pq_book(spark, sf_dir, base)
     # Round 17 (verdict ask #1, two iterations): the coarse quantizer
     # is sample-trained with k = min(65536, max(40, ceil(sqrt(N)))) —
     # replacing kmeans_centroids' (label x group)-seeded cells whose
@@ -2083,9 +2165,10 @@ def q_similarity_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical (stable argsort on -cc over cell-ascending columns ==
     # ROW_NUMBER ORDER BY cc DESC, cell).
     bsel = base.select("vec_id", "v", "n")
-    member = _cell_scores_np(
-        bsel, cent, argmax=False, topn=_SPILL_ASSIGN
-    ).select("vec_id", "cell")
+    # spill assignment + PQ encode FUSED into one corpus pass (round
+    # 18): same GEMM/tie-break/snap as the separate passes, but one
+    # Arrow scan instead of two and no member ⋈ codes join
+    member_codes = _encode_assign_np(bsel, book, cent, topn=_SPILL_ASSIGN)
     probes = _cell_scores_np(
         bsel.filter(F.col("vec_id") % _QUERY_MOD == 0),
         cent,
@@ -2094,7 +2177,10 @@ def q_similarity_ivfpq_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), "cell")
     # candidates never materialize as rows: the fused per-cell ADC
     # scan (round 17) cogroups probes x members by cell
-    return _adc_rerank(base, probes, member, codes, book, _SPILL_SHORTLIST)
+    return _adc_rerank(
+        base, probes, None, None, book, _SPILL_SHORTLIST,
+        member_codes=member_codes,
+    )
 
 
 _KCENTER_SEEDS = 6
