@@ -48,9 +48,24 @@ def _words(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
-def _shingles3(words: F.Column) -> F.Column:
+def _shingles3(words: F.Column | str) -> F.Column:
     """Distinct word-trigram shingles, 1-based element_at so the
-    expression mirrors DuckDB list indexing exactly."""
+    expression mirrors DuckDB list indexing exactly.
+
+    Pass a column NAME (the hot path) and the whole expression is built
+    as one SQL string — a single py4j parse instead of the ~30 gateway
+    round trips the composed-Column/lambda form costs (measured 126 ms
+    per build; the r18-verdict #4 build-vs-execute gap). Passing a
+    Column keeps the composed form for expression-valued inputs."""
+    if isinstance(words, str):
+        w = words
+        return F.expr(
+            f"CASE WHEN size({w}) >= 3 THEN array_distinct(transform("
+            f"sequence(0, size({w}) - 3), i -> concat_ws(' ', "
+            f"element_at({w}, i + 1), element_at({w}, i + 2), "
+            f"element_at({w}, i + 3)))) "
+            f"ELSE cast(array() as array<string>) END"
+        )
     tri = F.transform(
         F.sequence(F.lit(0), F.size(words) - 3),
         lambda i: F.concat_ws(
@@ -86,9 +101,18 @@ def shingle_arrays(docs: DataFrame) -> DataFrame:
     (measured ~6s to shingle 5k docs). Against a materialized array
     column the same transform is ~cheap element_at lookups (measured
     2x faster than even the posexplode+window+distinct row formulation,
-    and it hands the verify step its arrays for free)."""
-    w = docs.select("doc_id", F.split("text", " ").alias("words")).localCheckpoint()
-    return w.select("doc_id", _shingles3(F.col("words")).alias("shingles")).filter(
+    and it hands the verify step its arrays for free).
+
+    The barrier is a LAZY localCheckpoint (round 19): ``w`` has exactly
+    one consumer — the shingle projection right below — so the eager
+    form's standalone materialization job bought nothing; lazy defers
+    the split to the first job that reads the shingles, one job instead
+    of two, same barrier semantics (downstream still plans against a
+    concrete RDD scan, so the HOFs never re-split per element)."""
+    w = docs.select("doc_id", F.split("text", " ").alias("words")).localCheckpoint(
+        eager=False
+    )
+    return w.select("doc_id", _shingles3("words").alias("shingles")).filter(
         F.size("shingles") > 0
     )
 
@@ -283,29 +307,26 @@ def lsh_candidates(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    m = F.size("ms")
-    all_pairs = F.flatten(
-        F.transform(
-            "ms",
-            lambda x, i: F.transform(
-                F.slice("ms", i + F.lit(2), m),
-                lambda y: F.struct(
-                    x.alias("doc_a"), y.alias("doc_b"), F.lit(False).alias("star")
-                ),
-            ),
-        )
+    # One SQL-string parse for the whole pair expansion (round 19): the
+    # composed-Column form with nested Python lambdas cost ~260 ms of
+    # py4j gateway chatter per build (the r18-verdict #4 gap). Same
+    # expression tree, same values. Lambda index i is 0-based in SQL
+    # transform exactly as in F.transform.
+    all_pairs = (
+        "flatten(transform(ms, (x, i) -> transform("
+        "slice(ms, i + 2, size(ms)), "
+        "y -> struct(x AS doc_a, y AS doc_b, false AS star))))"
     )
-    star_pairs = F.transform(
-        F.slice("ms", F.lit(2), m),
-        lambda y: F.struct(
-            F.element_at("ms", 1).alias("doc_a"), y.alias("doc_b"), F.lit(True).alias("star")
-        ),
+    star_pairs = (
+        "transform(slice(ms, 2, size(ms)), "
+        "y -> struct(element_at(ms, 1) AS doc_a, y AS doc_b, true AS star))"
     )
     return (
         members.select(
-            F.explode(
-                F.when(m <= F.lit(max_bucket_rows), all_pairs).otherwise(star_pairs)
-            ).alias("p")
+            F.expr(
+                f"explode(CASE WHEN size(ms) <= {int(max_bucket_rows)} "
+                f"THEN {all_pairs} ELSE {star_pairs} END) AS p"
+            )
         )
         .select("p.doc_a", "p.doc_b", "p.star")
         # the same pair can surface from several buckets (possibly once
@@ -336,28 +357,30 @@ def minhash_band_table(
         raise ValueError(f"n_hashes must be in 1..{len(_MINHASH_AB)}")
     if n_hashes % rows_per_band:
         raise ValueError("rows_per_band must divide n_hashes")
-    # Expressions are built as SQL STRINGS (one py4j round trip each)
-    # rather than composed Column objects (~6 round trips per hash):
-    # with 64 min-aggregates plus 32 band structs, Column composition
-    # cost the DRIVER ~1.2 s of py4j chatter per call — measured as
-    # the gap between the bench's fused minhash line and the sum of
-    # its executed phases (round 10). Same plan, same values; only
-    # the construction path changes. The L suffixes force long
-    # literals so a * h31 + b stays 64-bit exactly as F.lit(int) did.
+    # Expressions are built as SQL STRINGS rather than composed Column
+    # objects (~6 round trips per hash): with 64 min-aggregates plus 32
+    # band structs, Column composition cost the DRIVER ~1.2 s of py4j
+    # chatter per call — measured as the gap between the bench's fused
+    # minhash line and the sum of its executed phases (round 10).
+    # Round 19 collapses the remaining 64 per-aggregate F.expr parses
+    # (one py4j round trip + one SQL parse EACH, ~250 ms/build) into a
+    # single struct-of-mins expression: TWO parses for the whole stage.
+    # Same arithmetic, same values; only the construction path changes.
+    # The L suffixes force long literals so a * h31 + b stays 64-bit
+    # exactly as F.lit(int) did.
     rows = sh.select("doc_id", F.explode("shingles").alias("s"))
     ex = rows.select("doc_id", F.expr(f"pmod(xxhash64(s), {_H31}L) AS h31"))
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.expr(f"min(pmod({a}L * h31 + {b}L, {_P}L)) AS m{j}")
-            for j, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
-        ]
+    mins = ", ".join(
+        f"min(pmod({a}L * h31 + {b}L, {_P}L)) AS m{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
     )
+    sig = ex.groupBy("doc_id").agg(F.expr(f"struct({mins}) AS sig"))
     n_bands = n_hashes // rows_per_band
     structs = ", ".join(
         "named_struct('band', {i}, 'h', xxhash64({cols}))".format(
             i=i,
             cols=", ".join(
-                f"m{i * rows_per_band + r}" for r in range(rows_per_band)
+                f"sig.m{i * rows_per_band + r}" for r in range(rows_per_band)
             ),
         )
         for i in range(n_bands)
