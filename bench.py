@@ -42,6 +42,15 @@ carries ``minhash_phases``: per-phase mins (shingle / signature_band /
 bucket_candidates / verify) for the suite's biggest line, so a moved
 number names its phase.
 
+Round-19 change (verdict ask #2, training honesty): the in-process
+quantizer/codebook memo (similarity_queries._TRAIN_CACHE) is cleared
+before EVERY timed rep — in the suite loop and in --ab — so min-of-N
+measures compute-from-source for the IVF-PQ queries instead of letting
+reps 2+ serve a trained quantizer from the memo (~35% of that query's
+true cost, the builder's own r18 cache A/B). Expect the ivfpq lines to
+read higher than r18 by about that much; the regression is an accepted
+measurement fix, not a perf change (the r18 verdict pre-approved it).
+
 Round-13 changes (verdict asks #7/#8): q_similarity_ivfpq_spill joins
 the headline suite (the ANN tier gets canary-tracked), and the
 normalization divisor is now each group's canary MEDIAN (min-of-3 is
@@ -204,6 +213,11 @@ def ab_main(old_name: str, new_name: str) -> None:
         raise SystemExit(f"unknown quer{'y' if len(missing)==1 else 'ies'}: {missing}")
 
     def run(name: str) -> float:
+        # same training-honesty rule as the suite loop: every timed
+        # sample computes from source (see run_once in main)
+        from bfs_mapreduce_spark.operators import similarity_queries as _simq
+
+        _simq._TRAIN_CACHE.clear()
         t0 = time.perf_counter()
         catalog[name].build(spark, sf_dir).count()
         return round(time.perf_counter() - t0, 4)
@@ -332,6 +346,16 @@ def main() -> None:
         q = catalog.get(name)
         if q is None:
             return None
+        # Training-honesty (round 19, verdict ask #2): the in-process
+        # quantizer/codebook memo is a real pipeline feature, but under
+        # the min-of-3 protocol reps 2-3 of the IVF-PQ queries would
+        # serve the trained quantizer from the memo and the reported
+        # min would exclude ~35% of the query's true compute-from-
+        # source cost. Clear it before EVERY timed rep so each sample
+        # pays full training; the cache stays on for real pipeline use.
+        from bfs_mapreduce_spark.operators import similarity_queries as _simq
+
+        _simq._TRAIN_CACHE.clear()
         t0 = time.perf_counter()
         try:
             n = q.build(spark, sf_dir).count()

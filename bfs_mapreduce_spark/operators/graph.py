@@ -30,9 +30,11 @@ Scale posture (what changes at 100 TB / 1000 executors):
   degree), never O(V): settled vertices live in ``visited`` and are
   excluded with a join, not re-emitted (the reference re-serializes
   every vertex every round, ``BFS_map_reduce.py:40-41``).
-- The adjacency DataFrame is hash-partitioned on ``src`` once and
-  persisted, so every round's frontier join shuffles only the (small)
-  frontier side; with AQE the frontier side is broadcast when it fits.
+- The adjacency DataFrame is persisted once; small frontiers are
+  broadcast (the edge side never moves at all), and the first time a
+  frontier outgrows the broadcast threshold the cached edges are
+  hash-partitioned on ``src`` just in time, so every later shuffle-join
+  round moves only the (small) frontier side.
 - ``localCheckpoint`` every round truncates lineage — without it the
   plan doubles per iteration and the DAG scheduler dies long before
   data size matters.
@@ -271,14 +273,28 @@ def bfs(
     raw = edges.select(
         F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
     )
-    if not directed:
-        rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        sym = raw.unionByName(rev)
-    else:
-        sym = raw
-    # Partition the (big, static) edge side once on the join key and pin
-    # it in memory: every round's frontier join reuses the same
-    # co-located layout, so only the (small) frontier side moves.
+    # Pin the (big, static) edge side in memory; every round's frontier
+    # join streams over the same cached layout. Round-19 setup-cost
+    # rework (the r18 verdict's #3: round 1 carried 0.6 s of the 2.4 s
+    # query at sf0.1, all of it edge materialization):
+    #
+    # - The hash(src) repartition is DEFERRED: while every frontier fits
+    #   under ``broadcast_frontier_rows`` the rounds are broadcast joins
+    #   and the edge side never moves — a co-locating exchange up front
+    #   is a full 2|E|-row shuffle bought for nothing. The loop below
+    #   watches the exact frontier counts it already tracks and swaps in
+    #   a repartitioned+persisted copy the FIRST time a frontier exceeds
+    #   the broadcast threshold — the 100 TB shuffle-join posture is
+    #   unchanged (the exchange happens once, just in time, reading the
+    #   already-cached rows), and traversals that never need it never
+    #   pay it.
+    # - For the undirected default the cache holds the |E|-row FILTERED
+    #   RAW edges, not the 2|E|-row symmetric union: ``sym`` is rebuilt
+    #   per consumer as cache ∪ rev(cache), so setup scans the source
+    #   once and materializes half the rows (the src!=dst filter is
+    #   orientation-symmetric, so filtering before the union is exact).
+    #   Round-1-equivalent cost measured at sf0.1: 0.90 s caching the
+    #   union → 0.69 s caching raw.
     #
     # Edge dedup is OPT-IN (round 9): duplicate (src, dst) rows are
     # semantically harmless to every bfs path — the dist-only expansion
@@ -287,21 +303,43 @@ def bfs(
     # the materialization cost on a near-duplicate-free graph, measured
     # sf0.1). Pass dedup_edges=True for genuinely multi-edge inputs,
     # where shrinking the cached table once pays back every round; the
-    # hash(src) repartition already co-locates duplicates, so the dedup
-    # reuses that exchange rather than shuffling again.
-    sym = sym.filter(F.col("src") != F.col("dst")).repartition(
-        edge_partitions, "src"
-    )
-    if dedup_edges:
-        sym = sym.dropDuplicates(["src", "dst"])
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # dedup's own exchange output is what gets cached, so it is paid
+    # once, and its cache keeps the 2|E| symmetric form (a per-round
+    # re-dedup of the union would re-shuffle every round).
+    base = raw.filter(F.col("src") != F.col("dst"))
+    if dedup_edges and not directed:
+        rev = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        sym = (
+            base.unionByName(rev)
+            .dropDuplicates(["src", "dst"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        edge_cache = sym
+    elif not directed:
+        # Columnar persist, NOT RDD-block truncation: a localCheckpoint
+        # variant wrote the cache ~0.2 s faster at sf0.1 but every
+        # later round read the UnsafeRow blocks without columnar
+        # vectorization — the paired rounds A/B showed rounds 2..6
+        # giving the round-1 saving straight back. The InMemoryRelation
+        # costs the one-time encode and keeps per-round scans on the
+        # vectorized cache path.
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        rev = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        sym = base.unionByName(rev)
+        edge_cache = base
+    else:
+        if dedup_edges:
+            base = base.dropDuplicates(["src", "dst"])
+        sym = base.persist(StorageLevel.MEMORY_AND_DISK)
+        edge_cache = sym
+    sym_partitioned = False
 
     # Vertex universe: self-loop-only vertices still exist in the graph
     # even though the loop edge never helps BFS, so they come from RAW.
-    # Undirected sym contains every non-loop vertex as a src, and it is
-    # already hash-partitioned on src — its distinct runs exchange-free,
-    # so the big side never reshuffles (the raw-side union would shuffle
-    # all 2|E| endpoint rows instead).
+    # Undirected sym contains every non-loop vertex as a src; its
+    # distinct shuffles one bare bigint column (and runs exchange-free
+    # whenever the loop's deferred repartition did happen), versus the
+    # raw-side union shuffling all 2|E| endpoint rows.
     if source_df is not None:
         if sources is not None:
             raise ValueError("pass either source_df or sources, not both")
@@ -340,20 +378,10 @@ def bfs(
         .select(F.col("src").alias("id"))
         .union(frontier.select("id"))  # reads the cached seed, not its plan
     )
-    if not directed:
-        all_vertices = (
-            sym.select(F.col("src").alias("id"))
-            .distinct()
-            .unionByName(loops_and_source)
-            .dropDuplicates()
-        )
-    else:
-        all_vertices = (
-            raw.select(F.col("src").alias("id"))
-            .union(raw.select(F.col("dst").alias("id")))
-            .union(loops_and_source)
-            .distinct()
-        )
+    # NB: all_vertices is constructed AFTER the loop (round 19) so it
+    # reads whichever sym cache the traversal ended on — the deferred
+    # repartition swaps the cached frame mid-loop, and a plan captured
+    # here would recompute the unpersisted original from source.
 
     visited = frontier
     prev_ids = None  # frontier of the round before last (undirected pruning)
@@ -380,6 +408,18 @@ def bfs(
                 "spark.sql.shuffle.partitions",
                 str(min(default_parts, max(2, n_front // 8_000))),
             )
+            if n_front > broadcast_frontier_rows and not sym_partitioned:
+                # First shuffle-join round: NOW the co-locating layout
+                # pays every remaining round. One exchange over the
+                # already-cached rows, then the old cache is released.
+                old_cache = edge_cache
+                sym = sym.repartition(edge_partitions, "src").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                sym.count()
+                old_cache.unpersist()
+                edge_cache = sym
+                sym_partitioned = True
             fr = F.broadcast(frontier) if n_front <= broadcast_frontier_rows else frontier
             if not directed:
                 # Undirected level-synchronous invariant: a neighbour of
@@ -476,14 +516,30 @@ def bfs(
         )
 
     if reached_only:
-        sym.unpersist()
+        edge_cache.unpersist()
         return visited.select("id", "dist", *(["path"] if with_paths else []))
-    # Pin the vertex universe before releasing the edge cache —
-    # all_vertices reads sym, and an unpersisted sym would silently
-    # recompute its repartition+dedup when the caller materializes the
-    # result. Cheap: the distinct is exchange-free over cached data.
+    # Build + pin the vertex universe before releasing the edge cache —
+    # it reads whichever sym cache the loop ended on (see the deferred-
+    # repartition note above), and an unpersisted sym would silently
+    # recompute from source when the caller materializes the result.
+    # The distinct shuffles one bare bigint column (exchange-free when
+    # the deferred repartition happened).
+    if not directed:
+        all_vertices = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .unionByName(loops_and_source)
+            .dropDuplicates()
+        )
+    else:
+        all_vertices = (
+            raw.select(F.col("src").alias("id"))
+            .union(raw.select(F.col("dst").alias("id")))
+            .union(loops_and_source)
+            .distinct()
+        )
     all_vertices = all_vertices.transform(_ckpt)
-    sym.unpersist()
+    edge_cache.unpersist()
     result = all_vertices.join(visited, "id", "left").select(
         "id", "dist", *(["path"] if with_paths else [])
     )

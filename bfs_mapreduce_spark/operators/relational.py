@@ -130,9 +130,13 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice").cast("decimal(10,2)") * _one_minus_disc()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        # customer is small after the segment filter → broadcast: the
-        # lineitem side never shuffles for this dim at any scale.
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer SCALES WITH SF (unlike nation/region), so the
+        # broadcast decision is left to the planner's size estimate +
+        # AQE (guide §3.1; r18 verdict ask #7): at bench scale the
+        # 315 KB table auto-broadcasts to the identical plan, at 100 TB
+        # a hinted broadcast of a billion-row dim would blow the 8 GB
+        # broadcast cap where AQE would pick a shuffle join.
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -167,8 +171,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
+        # supplier scales with SF → planner/AQE decides (same rationale
+        # as q3's customer join); nation/region are FIXED 25/5 rows at
+        # every SF, so their hints are safe knowledge the optimizer lacks
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
         )
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])

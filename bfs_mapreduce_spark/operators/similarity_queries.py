@@ -21,6 +21,8 @@ Scale posture (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -57,6 +59,36 @@ _DIM = 64
 # and the refusal remains as the loud backstop for user-supplied
 # centroid frames.
 _MAX_DRIVER_CODEBOOK = 262_144
+
+
+_SCAN_PART_BYTES = 32 << 20  # ~32 MB of source bytes per Python scan task
+
+
+def _scan_coalesce(df: DataFrame) -> DataFrame:
+    """Byte-budgeted coalesce before a Python-boundary scan (guide
+    §4/§2.2; r18 verdict ask #5). In local mode a small parquet file is
+    fanned out to ``leafNodeDefaultParallelism`` near-empty splits —
+    the 0.8 MB embeddings table arrived as 32 splits, so every
+    ``mapInPandas`` stage launched 32 Python workers for ~800 rows
+    each; per-worker launch cost dominated and the query ran 2× SLOWER
+    on 32 cores than on 8 (BENCH_r18 scaling 0.49). Merging to
+    ceil(source_bytes / 32 MB) partitions amortizes worker launch over
+    real data. Scale-adaptive, not a local constant: a cluster-sized
+    scan arrives in ≥32 MB splits, the computed count meets or exceeds
+    the existing one, and ``coalesce`` (which never raises a partition
+    count) degenerates to a no-op. Frames whose source bytes are
+    unknowable (in-memory, non-file sources) pass through unchanged."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return df
+        total = 0
+        for uri in files:
+            path = uri[5:] if uri.startswith("file:") else uri
+            total += os.path.getsize(path)
+    except Exception:  # remote FS / permissions / exotic source
+        return df
+    return df.coalesce(max(1, int(total // _SCAN_PART_BYTES) + 1))
 
 
 def _vecd(col: str = "embedding") -> F.Column:
@@ -173,7 +205,7 @@ def _exact_topk_gemm(raw: DataFrame, q: DataFrame, k: int) -> DataFrame:
                 {"query_id": qids[j], "vec_id": vid[i], "cosine": cc[i, j]}
             )
 
-    return raw.mapInPandas(
+    return _scan_coalesce(raw).mapInPandas(
         scan, "query_id bigint, vec_id bigint, cosine double"
     )
 
@@ -480,7 +512,7 @@ def _cell_scores_np(
                     }
                 )
 
-    return base.select("vec_id", "v", "n").mapInPandas(score, schema)
+    return _scan_coalesce(base.select("vec_id", "v", "n")).mapInPandas(score, schema)
 
 
 # Hot-cell sharding (round 17, verdict ask #6): above this many rows a
@@ -1531,7 +1563,7 @@ def _pq_scores_np(base: DataFrame, book: DataFrame, argmin: bool) -> DataFrame:
                     )
             yield pd.concat(out_frames, ignore_index=True)
 
-    return base.select("vec_id", "v").mapInPandas(score, schema)
+    return _scan_coalesce(base.select("vec_id", "v")).mapInPandas(score, schema)
 
 
 def _pq_encode(
@@ -1584,7 +1616,7 @@ def _pq_encode(
                 }
             )
 
-    codes = base.select("vec_id", "v").mapInPandas(
+    codes = _scan_coalesce(base.select("vec_id", "v")).mapInPandas(
         encode, "vec_id bigint, codes array<bigint>"
     )
     return codes, book
@@ -1660,7 +1692,7 @@ def _encode_assign_np(
                 }
             )
 
-    return base.select("vec_id", "v", "n").mapInPandas(scan, schema)
+    return _scan_coalesce(base.select("vec_id", "v", "n")).mapInPandas(scan, schema)
 
 
 @register(

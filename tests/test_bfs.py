@@ -406,3 +406,37 @@ def test_scc_jumps_matches_shipped(spark):
             rounds(s_auto, phase),
             rounds(s_ship, phase),
         )
+
+
+@pytest.mark.parametrize("with_paths", [False, True], ids=["dist", "paths"])
+def test_bfs_deferred_repartition_swap(spark, with_paths):
+    """Round-19 deferred edge repartition: the co-locating hash(src)
+    exchange only happens the first time a frontier exceeds
+    broadcast_frontier_rows. Force the swap with a tiny threshold on
+    smallG (frontiers reach 30+) and on a synthetic fixture covering
+    the non-reached_only output path, and demand results identical to
+    the broadcast-only default."""
+    edges_df = read_edge_list(spark, SMALL)
+    want = {r["id"]: (r["dist"], r["path"]) for r in bfs(edges_df).collect()}
+    got = {
+        r["id"]: (r["dist"], r["path"])
+        for r in bfs(edges_df, broadcast_frontier_rows=2).collect()
+    }
+    assert got == want
+
+    dis = spark.createDataFrame(DISCONNECTED, "src bigint, dst bigint")
+
+    def key(r):
+        out = [r["id"], r["dist"]]
+        if with_paths:
+            out.append(tuple(r["path"]) if r["path"] is not None else None)
+        return tuple(out)
+
+    base = {key(r) for r in bfs(dis, with_paths=with_paths).collect()}
+    swapped = {
+        key(r)
+        for r in bfs(
+            dis, with_paths=with_paths, broadcast_frontier_rows=1
+        ).collect()
+    }
+    assert swapped == base
